@@ -1,0 +1,615 @@
+"""Single-sample index builder: per-node k-min-mer count deltas over the PanMAN DFS.
+
+Reimplements the *semantics* of the reference's incremental builder
+(src/index_single_mode.cpp processNode / computeNewSyncmerRangesJump /
+buildIndexParallel) as array programs:
+
+ - the genome lives in "scalar coordinate" space: the flattened MSA slots of all
+   blocks (gap slots first, then the main consensus char per position; the 'x'
+   block sentinel owns no scalar), matching panmap_utils.hpp:323-712 GlobalCoords;
+ - per node we apply block/nuc mutations (panmap_utils.hpp:725-878 rules) and
+   update the parent's syncmer state only inside the *recompute windows*: each
+   mutation's coordinate span expanded by k-1 non-gap characters on both sides
+   (index_single_mode.cpp:28-259), with window merging when expansions touch;
+ - each update obeys the hard flank mask of index_single_mode.cpp:1851-1854
+   ("hard-masked: no adds, no deletes" — masked positions keep the parent's
+   state verbatim), which makes per-node seed sets path-dependent exactly like
+   the reference;
+ - k-min-mers are recombined over the position-sorted syncmer set (a pure
+   function of it, index_single_mode.cpp:1946-2101) and per-node count deltas
+   (hash, parentCount, childCount) are emitted sorted by hash, the on-disk row
+   order of index_single_mode.cpp:2530-2561.
+
+The flank mask boundaries are the flankMaskBp-th non-gap base from each end
+(panmap_utils.hpp:893-970 computeExtentFromGapMap with flankSize); if the genome
+is shorter than the two flanks every position is masked and the child inherits
+the parent state unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.panman import NUC_CODE_BYTE, NUC_FROM_CODE, PanmanTree, COMP_TABLE
+from ..sketch.cpu import U64, kminmer_hashes, rolling_syncmers, hpc_compress_with_mapping
+
+GAP = ord("-")
+_COMP_LUT = np.frombuffer(COMP_TABLE, dtype=np.uint8)
+
+
+@dataclass
+class IndexParams:
+    k: int = 19
+    s: int = 8
+    t: int = 0
+    l: int = 3
+    open: bool = False
+    hpc: bool = False
+    flank_mask_bp: int = 250
+    impute_amb: bool = False
+
+
+@dataclass
+class IndexArrays:
+    """The built index: flat SoA mirroring LiteIndex V4 (src/index_lite.capnp:36-70)."""
+
+    params: IndexParams
+    node_ids: list
+    parent_index: np.ndarray  # u32[N]
+    identical_to_parent: np.ndarray  # bool[N]
+    block_ranges: np.ndarray  # u32[B,2] scalar [start,end] per block
+    seed_hashes: np.ndarray  # u64[T]
+    parent_counts: np.ndarray  # i16[T]
+    child_counts: np.ndarray  # i16[T]
+    node_offsets: np.ndarray  # u64[N+1]
+    substitution_matrix: np.ndarray = field(default_factory=lambda: np.zeros(16))
+
+
+class ScalarSpace:
+    """Flattened MSA coordinates for all blocks (GlobalCoords equivalent)."""
+
+    def __init__(self, tree: PanmanTree):
+        blocks = tree.blocks
+        nb = len(blocks)
+        gap_slots: list[dict[int, int]] = [dict() for _ in range(nb)]
+        for g in tree.gaps:
+            d = gap_slots[g.block_id]
+            for pos, ln in zip(g.nuc_positions.tolist(), g.nuc_gap_lengths.tolist()):
+                d[int(pos)] = int(ln)
+
+        chars = []
+        block_of = []
+        self.main_scalar: list[np.ndarray] = []
+        self.gap_scalar_start: list[dict[int, int]] = []
+        cur = 0
+        self.block_ranges = np.zeros((nb, 2), dtype=np.uint32)
+        for b in range(nb):
+            cons = NUC_FROM_CODE[blocks[b].consensus_codes].view(np.uint8)
+            blen = len(cons)
+            ms = np.full(blen, -1, dtype=np.int64)
+            gstart: dict[int, int] = {}
+            start_scalar = cur
+            for j in range(blen + 1):  # +1: sentinel slot may carry trailing gaps
+                if j in gap_slots[b]:
+                    ln = gap_slots[b][j]
+                    gstart[j] = cur
+                    chars.append(np.full(ln, GAP, dtype=np.uint8))
+                    block_of.append(np.full(ln, b, dtype=np.int32))
+                    cur += ln
+                if j < blen:
+                    ms[j] = cur
+                    chars.append(cons[j : j + 1])
+                    block_of.append(np.full(1, b, dtype=np.int32))
+                    cur += 1
+            self.main_scalar.append(ms)
+            self.gap_scalar_start.append(gstart)
+            self.block_ranges[b] = (start_scalar, cur - 1)
+        self.char0 = np.concatenate(chars) if chars else np.empty(0, np.uint8)
+        self.block_of = np.concatenate(block_of) if block_of else np.empty(0, np.int32)
+        self.n = cur
+        self.nb = nb
+        self.block_len = [len(self.main_scalar[b]) + 1 for b in range(nb)]  # incl. sentinel
+
+    def scalar_of(self, block: int, nuc_pos: int, gap_pos: int) -> int:
+        """-1 if the coordinate is out of range / the sentinel."""
+        if gap_pos == -1:
+            ms = self.main_scalar[block]
+            if nuc_pos >= len(ms):
+                return -1
+            return int(ms[nuc_pos])
+        start = self.gap_scalar_start[block].get(nuc_pos)
+        if start is None:
+            return -1
+        return start + gap_pos
+
+
+class _BuildFrame:
+    __slots__ = ("node", "child_iter", "undo_chars", "undo_blocks", "state")
+
+    def __init__(self, node, child_iter, undo_chars, undo_blocks, state):
+        self.node = node
+        self.child_iter = child_iter
+        self.undo_chars = undo_chars
+        self.undo_blocks = undo_blocks
+        self.state = state
+
+
+def _empty_state():
+    return (
+        np.empty(0, np.int64),  # syncmer positions (reading-order scalar), sorted
+        np.empty(0, U64),  # syncmer hashes (position order)
+        np.empty(0, U64),  # unique kminmer hashes (sorted)
+        np.empty(0, np.int64),  # counts per unique kminmer hash
+    )
+
+
+@dataclass
+class _NodeEdits:
+    """What a node's mutations touched, in reading-scalar space."""
+
+    spans: list  # [a, b] mutation coordinate spans (reading scalars, inclusive)
+    potential_dels: list  # base->'-' positions (potentialSyncmerDeletions)
+    blocks_turned_off: list  # block ids whose existence flipped on->off
+
+
+def build_index(tree: PanmanTree, params: IndexParams | None = None,
+                progress=None) -> IndexArrays:
+    params = params or IndexParams()
+    space = ScalarSpace(tree)
+    k, s, t, l = params.k, params.s, params.t, params.l
+    flank = params.flank_mask_bp
+
+    chars = space.char0.copy()
+    block_exists = np.zeros(space.nb, dtype=bool)
+    block_strand = np.ones(space.nb, dtype=bool)
+    block_of = space.block_of
+    br = space.block_ranges.astype(np.int64)
+
+    n_nodes = len(tree.dfs_order)
+    node_deltas: list[tuple | None] = [None] * n_nodes
+    identical = np.zeros(n_nodes, dtype=bool)
+
+    def reading_scalar(sc: int, b: int) -> int:
+        """Forward scalar -> reading-order scalar (mirrored inside inverted blocks)."""
+        if block_strand[b]:
+            return sc
+        return int(br[b, 0] + br[b, 1] - sc)
+
+    def apply_node(node):
+        """Apply mutations (panmap_utils.hpp:725-878) and collect recompute spans."""
+        undo_chars: list[tuple[int, int]] = []
+        undo_blocks: list[tuple[int, bool, bool]] = []
+        edits = _NodeEdits(spans=[], potential_dels=[], blocks_turned_off=[])
+        if not node.block_mutations and not node.nuc_mutations:
+            identical[node.dfs_index] = True
+            return undo_chars, undo_blocks, edits
+
+        old_exists = {}
+        old_strand = {}
+        for bm in node.block_mutations:
+            bid = bm.block_id
+            old_exists.setdefault(bid, bool(block_exists[bid]))
+            old_strand.setdefault(bid, bool(block_strand[bid]))
+            undo_blocks.append((bid, bool(block_exists[bid]), bool(block_strand[bid])))
+            was = bool(block_exists[bid])
+            if bm.is_insertion:
+                block_exists[bid] = True
+                block_strand[bid] = not bm.is_inversion
+            elif bm.is_inversion:
+                block_strand[bid] = not block_strand[bid]
+            else:
+                block_exists[bid] = False
+                block_strand[bid] = True
+            if was and not block_exists[bid]:
+                edits.blocks_turned_off.append(bid)
+            # whole block becomes a mutation range (reading-scalar span)
+            edits.spans.append([int(br[bid, 0]), int(br[bid, 1])])
+
+        for nm in node.nuc_mutations:
+            bid = nm.block_id
+            blen = space.block_len[bid]
+            b_old_exists = old_exists.get(bid, bool(block_exists[bid]))
+            b_old_strand = old_strand.get(bid, bool(block_strand[bid]))
+            last_offset_sc = -1
+            first_offset_sc = -1
+            for i in range(nm.length):
+                if nm.nuc_gap_position == -1:
+                    npos, gpos = nm.nuc_position + i, -1
+                    # skip the sentinel main slot / out-of-range (panmap_utils.hpp:792-794)
+                    if npos == blen - 1 or npos >= blen:
+                        continue
+                else:
+                    npos, gpos = nm.nuc_position, nm.nuc_gap_position + i
+                    if npos >= blen:
+                        continue
+                sc = space.scalar_of(bid, npos, gpos)
+                if sc < 0:
+                    continue
+                rs = reading_scalar(sc, bid)
+                if first_offset_sc == -1:
+                    first_offset_sc = rs
+                last_offset_sc = rs
+                old = int(chars[sc])
+                new = int(NUC_CODE_BYTE[nm.codes[i]])
+                if old == new:
+                    continue
+                if params.impute_amb and _canonical_to_amb(old, new):
+                    continue
+                undo_chars.append((sc, old))
+                chars[sc] = new
+                # potentialSyncmerDeletions (panmap_utils.hpp:810-823)
+                if (new == GAP and b_old_exists and block_exists[bid]
+                        and block_strand[bid] == b_old_strand):
+                    edits.potential_dels.append(rs)
+            # nuc mutation range (panmap_utils.hpp:834-841)
+            if (last_offset_sc != -1 and block_exists[bid] and b_old_exists
+                    and block_strand[bid] == b_old_strand):
+                a, b = sorted((first_offset_sc, last_offset_sc))
+                edits.spans.append([a, b])
+        return undo_chars, undo_blocks, edits
+
+    def undo_node(undo_chars, undo_blocks):
+        for sc, old in reversed(undo_chars):
+            chars[sc] = old
+        for bid, ex, st_ in reversed(undo_blocks):
+            block_exists[bid] = ex
+            block_strand[bid] = st_
+
+    def compute_state(parent_state, edits: _NodeEdits):
+        """Windowed syncmer-state update + full k-min-mer recombination."""
+        # reading-order sequence: blocks in id order, inverted blocks rev-complemented
+        segs = []
+        segpos = []
+        for b in range(space.nb):
+            if not block_exists[b]:
+                continue
+            lo, hi = br[b]
+            seg = chars[lo : hi + 1]
+            pos = np.arange(lo, hi + 1, dtype=np.int64)
+            if not block_strand[b]:
+                seg = _COMP_LUT[seg[::-1]]
+                pos = np.int64(lo) + np.int64(hi) - pos[::-1]
+            segs.append(seg)
+            segpos.append(pos)
+        if segs:
+            rseq = np.concatenate(segs)
+            rpos = np.concatenate(segpos)
+        else:
+            rseq = np.empty(0, np.uint8)
+            rpos = np.empty(0, np.int64)
+
+        mask_nongap = rseq != GAP
+        nzi = np.flatnonzero(mask_nongap)
+        seq = rseq[nzi]
+        nz = rpos[nzi]  # reading scalars of non-gap bases, ascending
+
+        if params.hpc and len(seq):
+            comp_seq, mapping = hpc_compress_with_mapping(seq.tobytes().decode("latin1"))
+            seq = np.frombuffer(comp_seq.encode("latin1"), dtype=np.uint8)
+            nz = nz[mapping]
+        nnz = len(nz)
+
+        # hard flank mask: [hms, hme] is the unmasked span
+        if flank > 0:
+            if nnz >= 2 * flank and nz[flank - 1] <= nz[nnz - flank]:
+                hms = int(nz[flank - 1])
+                hme = int(nz[nnz - flank])
+            else:
+                hms, hme = None, None  # everything masked: no seed ops at all
+        else:
+            hms, hme = 0, 1 << 62
+
+        p_pos, p_hash = parent_state[0], parent_state[1]
+
+        if hms is None or (not edits.spans and not edits.potential_dels
+                           and not edits.blocks_turned_off):
+            child_pos, child_hash = p_pos, p_hash
+        else:
+            last_scalar = space.n - 1
+            # ---- recompute windows (computeNewSyncmerRangesJump semantics) ----
+            spans = sorted(edits.spans)
+            merged = []
+            for a, b in spans:
+                if merged and merged[-1][1] + 1 >= a:
+                    merged[-1][1] = max(merged[-1][1], b)
+                else:
+                    merged.append([a, b])
+
+            ranges = []  # (ja, jb, walk_beg, walk_end, reached_end)
+            i = 0
+            while i < len(merged):
+                a, b = merged[i]
+                while True:
+                    ib = int(np.searchsorted(nz, b, side="right")) - 1
+                    end_idx = ib + (k - 1)
+                    reached_end = end_idx >= nnz or b >= last_scalar
+                    jb = min(end_idx, nnz - 1)
+                    swallow_limit = last_scalar if reached_end else (
+                        int(nz[jb]) if jb >= 0 else b)
+                    if i + 1 < len(merged) and merged[i + 1][0] <= swallow_limit:
+                        i += 1
+                        b = max(b, merged[i][1])
+                        continue
+                    break
+                ia = int(np.searchsorted(nz, a, side="left"))
+                ja = max(ia - (k - 1), 0)
+                beg_scalar = int(nz[ja]) if ja < nnz else a
+                walk_beg = min(a, beg_scalar)
+                walk_end = max(b, int(nz[jb])) if jb >= 0 else b
+                if ranges and walk_beg <= ranges[-1][3]:
+                    pj, pjb, pwb, pwe, pre = ranges.pop()
+                    ja = pj
+                    walk_beg = pwb
+                    jb = max(jb, pjb)
+                    walk_end = max(walk_end, pwe)
+                    reached_end = reached_end or pre
+                ranges.append((ja, jb, walk_beg, walk_end, reached_end))
+                i += 1
+
+            # ---- full-genome scan once; select window scan positions ----
+            if nnz >= k:
+                hashes, is_rev, is_sync = rolling_syncmers(seq, k, s, params.open, t)
+            else:
+                hashes = np.empty(0, U64)
+                is_sync = np.empty(0, bool)
+
+            scan_parts = []
+            for ja, jb, _, _, _ in ranges:
+                hi_idx = min(jb - k + 1, nnz - k) if nnz >= k else -1
+                if hi_idx >= ja:
+                    scan_parts.append(np.arange(ja, hi_idx + 1, dtype=np.int64))
+            scan_idx = (np.concatenate(scan_parts) if scan_parts
+                        else np.empty(0, np.int64))
+            pos_scan = nz[scan_idx] if len(scan_idx) else np.empty(0, np.int64)
+            sync_scan = is_sync[scan_idx] if len(scan_idx) else np.empty(0, bool)
+            hash_scan = hashes[scan_idx] if len(scan_idx) else np.empty(0, U64)
+            unm = (pos_scan >= hms) & (pos_scan <= hme)
+            pos_scan, sync_scan, hash_scan = pos_scan[unm], sync_scan[unm], hash_scan[unm]
+
+            # ---- explicit deletions ----
+            dels = []
+            if len(p_pos):
+                nz_set = nz
+                for ja, jb, wb, we, reached_end in ranges:
+                    # seeds sitting on now-gap positions inside the walked range
+                    lo = int(np.searchsorted(p_pos, wb, side="left"))
+                    hi = int(np.searchsorted(p_pos, we, side="right"))
+                    cand = p_pos[lo:hi]
+                    if len(cand):
+                        ii = np.searchsorted(nz_set, cand)
+                        on_nz = np.zeros(len(cand), dtype=bool)
+                        if nnz:
+                            iic = np.minimum(ii, nnz - 1)
+                            on_nz = nz_set[iic] == cand
+                        gap_seeds = cand[~on_nz]
+                        if len(gap_seeds):
+                            # only for positions inside existing blocks (the range walk
+                            # skips non-existing blocks entirely, cpp:331-339)
+                            bsel = block_exists[block_of[gap_seeds]]
+                            dels.append(gap_seeds[bsel])
+                    if reached_end and nnz:
+                        # tail: last k-1 non-gap positions can't seed a full k-mer
+                        tail = nz[max(jb - (k - 2), 0) : jb + 1]
+                        dels.append(tail)
+                if edits.potential_dels:
+                    dels.append(np.array(sorted(set(edits.potential_dels)), dtype=np.int64))
+                for bid in edits.blocks_turned_off:
+                    lo_s, hi_s = int(br[bid, 0]), int(br[bid, 1])
+                    lo = int(np.searchsorted(p_pos, lo_s, side="left"))
+                    hi = int(np.searchsorted(p_pos, hi_s, side="right"))
+                    dels.append(p_pos[lo:hi])
+
+            del_pos = (np.unique(np.concatenate(dels)) if dels
+                       else np.empty(0, np.int64))
+            del_pos = del_pos[(del_pos >= hms) & (del_pos <= hme)]
+
+            # ---- merge: drop touched parent entries, insert scanned syncmers ----
+            touched = np.unique(np.concatenate([pos_scan, del_pos]))
+            if len(p_pos) and len(touched):
+                ii = np.searchsorted(touched, p_pos)
+                iic = np.minimum(ii, len(touched) - 1)
+                keep = touched[iic] != p_pos
+            else:
+                keep = np.ones(len(p_pos), dtype=bool)
+            add_pos = pos_scan[sync_scan]
+            add_hash = hash_scan[sync_scan]
+            child_pos = np.concatenate([p_pos[keep], add_pos])
+            child_hash = np.concatenate([p_hash[keep], add_hash])
+            order = np.argsort(child_pos, kind="stable")
+            child_pos = child_pos[order]
+            child_hash = child_hash[order]
+
+        # ---- k-min-mers over the position-sorted syncmer list ----
+        km, valid = kminmer_hashes(child_hash, k, l)
+        km = km[valid]
+        uniq, counts = np.unique(km, return_counts=True)
+        return (child_pos, child_hash, uniq, counts.astype(np.int64))
+
+    def count_delta(parent_state, child_state):
+        ph, pc = parent_state[2], parent_state[3]
+        ch, cc = child_state[2], child_state[3]
+        allh = np.union1d(ph, ch)
+        pcnt = np.zeros(len(allh), dtype=np.int64)
+        if len(ph):
+            ii = np.searchsorted(ph, allh)
+            ok = (ii < len(ph)) & (ph[np.minimum(ii, len(ph) - 1)] == allh)
+            pcnt[ok] = pc[ii[ok]]
+        ccnt = np.zeros(len(allh), dtype=np.int64)
+        if len(ch):
+            ii = np.searchsorted(ch, allh)
+            ok = (ii < len(ch)) & (ch[np.minimum(ii, len(ch) - 1)] == allh)
+            ccnt[ok] = cc[ii[ok]]
+        diff = pcnt != ccnt
+        return allh[diff], pcnt[diff].astype(np.int16), ccnt[diff].astype(np.int16)
+
+    # iterative DFS with explicit state stack
+    root = tree.root
+    stack: list[_BuildFrame] = []
+    undo_c, undo_b, edits = apply_node(root)
+    root_state = compute_state(_empty_state(), edits)
+    node_deltas[root.dfs_index] = count_delta(_empty_state(), root_state)
+    stack.append(_BuildFrame(root, iter(root.children), undo_c, undo_b, root_state))
+    processed = 1
+    empty_delta = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
+
+    while stack:
+        frame = stack[-1]
+        child = next(frame.child_iter, None)
+        if child is None:
+            undo_node(frame.undo_chars, frame.undo_blocks)
+            stack.pop()
+            continue
+        undo_c, undo_b, edits = apply_node(child)
+        if not edits.spans and not edits.potential_dels and not edits.blocks_turned_off:
+            state = frame.state
+            if child.block_mutations or child.nuc_mutations:
+                # mutations applied but none affect the genome arrangement
+                node_deltas[child.dfs_index] = empty_delta
+            else:
+                node_deltas[child.dfs_index] = empty_delta
+        else:
+            state = compute_state(frame.state, edits)
+            node_deltas[child.dfs_index] = count_delta(frame.state, state)
+        processed += 1
+        if progress and processed % 2000 == 0:
+            progress(processed, n_nodes)
+        stack.append(_BuildFrame(child, iter(child.children), undo_c, undo_b, state))
+
+    # flatten per-node deltas (already hash-sorted from union1d)
+    total = sum(len(d[0]) for d in node_deltas)
+    seed_hashes = np.empty(total, dtype=U64)
+    parent_counts = np.empty(total, dtype=np.int16)
+    child_counts = np.empty(total, dtype=np.int16)
+    node_offsets = np.zeros(n_nodes + 1, dtype=np.uint64)
+    off = 0
+    for i, d in enumerate(node_deltas):
+        node_offsets[i] = off
+        hh, pp, cc = d
+        seed_hashes[off : off + len(hh)] = hh
+        parent_counts[off : off + len(hh)] = pp
+        child_counts[off : off + len(hh)] = cc
+        off += len(hh)
+    node_offsets[n_nodes] = off
+
+    parent_index = np.zeros(n_nodes, dtype=np.uint32)
+    for node in tree.dfs_order:
+        parent_index[node.dfs_index] = node.parent.dfs_index if node.parent else 0
+
+    return IndexArrays(
+        params=params,
+        node_ids=[n.identifier for n in tree.dfs_order],
+        parent_index=parent_index,
+        identical_to_parent=identical,
+        block_ranges=space.block_ranges,
+        seed_hashes=seed_hashes,
+        parent_counts=parent_counts,
+        child_counts=child_counts,
+        node_offsets=node_offsets,
+        substitution_matrix=compute_substitution_spectrum(tree),
+    )
+
+
+_CANONICAL = {ord(c) for c in "ATCG"}
+
+
+def _canonical_to_amb(old: int, new: int) -> bool:
+    return (
+        new != GAP and new != ord("x") and old in _CANONICAL and new not in _CANONICAL
+    )
+
+
+_NUC_IDX = {ord("A"): 0, ord("C"): 1, ord("G"): 2, ord("T"): 3}
+
+
+def compute_substitution_spectrum(tree: PanmanTree) -> np.ndarray:
+    """4x4 substitution rate matrix from tree mutations
+    (index_single_mode.cpp:1408-1558)."""
+    space = ScalarSpace(tree)
+    chars = space.char0.copy()
+    block_exists = np.zeros(space.nb, dtype=bool)
+    sub_counts = np.zeros((4, 4), dtype=np.int64)
+    n_branches = 0
+
+    # NS=0 / NSNPS=3 are substitutions (panman NucMutationType)
+    node_iter = [(tree.root, iter(tree.root.children))]
+    undo_stack = []
+
+    def apply(node, count_subs):
+        nonlocal n_branches
+        undo_c = []
+        undo_b = []
+        for bm in node.block_mutations:
+            undo_b.append((bm.block_id, bool(block_exists[bm.block_id])))
+            if bm.is_insertion:
+                block_exists[bm.block_id] = True
+            elif not bm.is_inversion:
+                block_exists[bm.block_id] = False
+        if count_subs:
+            n_branches += 1
+        for nm in node.nuc_mutations:
+            blen = space.block_len[nm.block_id]
+            # spectrum pass skips only out-of-range, not the sentinel (cpp:1445)
+            for i in range(nm.length):
+                if nm.nuc_gap_position == -1:
+                    npos, gpos = nm.nuc_position + i, -1
+                else:
+                    npos, gpos = nm.nuc_position, nm.nuc_gap_position + i
+                if npos >= blen:
+                    continue
+                sc = space.scalar_of(nm.block_id, npos, gpos)
+                if sc < 0:
+                    continue
+                old = int(chars[sc])
+                new = int(NUC_CODE_BYTE[nm.codes[i]])
+                undo_c.append((sc, old))
+                chars[sc] = new
+                if count_subs and nm.mut_type in (0, 3) and block_exists[nm.block_id]:
+                    oi = _NUC_IDX.get(old, -1)
+                    ni = _NUC_IDX.get(new, -1)
+                    if oi >= 0 and ni >= 0 and oi != ni:
+                        sub_counts[oi][ni] += 1
+        return undo_c, undo_b
+
+    while node_iter:
+        node, it = node_iter[-1]
+        if len(undo_stack) < len(node_iter):
+            undo_stack.append(apply(node, node is not tree.root))
+        child = next(it, None)
+        if child is None:
+            uc, ub = undo_stack.pop()
+            for sc, old in reversed(uc):
+                chars[sc] = old
+            for bid, ex in reversed(ub):
+                block_exists[bid] = ex
+            node_iter.pop()
+            continue
+        node_iter.append((child, iter(child.children)))
+
+    # median genome length over up to 10 evenly spaced leaves
+    leaves = [n for n in tree.dfs_order if not n.children]
+    lengths = []
+    if leaves:
+        step = max(1, len(leaves) // min(10, len(leaves)))
+        for i in range(0, len(leaves), step):
+            if len(lengths) >= 10:
+                break
+            lengths.append(len(tree.get_string(leaves[i].identifier)))
+    genome_len = sorted(lengths)[len(lengths) // 2] if lengths else 0
+
+    mat = np.zeros(16)
+    total = sub_counts.sum() - np.trace(sub_counts)
+    if n_branches > 0 and genome_len > 0 and total >= 0:
+        base_count = genome_len // 4
+        for frm in range(4):
+            off_diag = 0.0
+            for to in range(4):
+                if frm != to and base_count > 0:
+                    rate = sub_counts[frm][to] / (n_branches * base_count)
+                    mat[frm * 4 + to] = rate
+                    off_diag += rate
+            mat[frm * 4 + frm] = 1.0 - off_diag
+    else:
+        mat[[0, 5, 10, 15]] = 1.0
+    return mat

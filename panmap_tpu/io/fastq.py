@@ -1,0 +1,143 @@
+"""FASTQ reading: plain or gzip, sequences-only fast path and full records.
+
+Mirrors the reference's read-ordering conventions:
+ - placement reads R1 then R2 *without* reverse-complementing, then interleaves
+   pairs (src/placement.cpp:164-197 extractReadSequences + perfect_shuffle);
+ - alignment reads R2 reverse-complemented with reversed quals
+   (src/seeding.cpp:231-269 readFastqPaired).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from ..sketch.cpu import reverse_complement
+
+
+def _open(path: str):
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
+def read_sequences(path: str) -> list[str]:
+    """Sequences only, in file order. FASTQ or FASTA."""
+    seqs = []
+    with _open(path) as fh:
+        first = fh.read(1)
+        if not first:
+            return seqs
+        if first == ">":  # FASTA
+            cur = []
+            for line in fh:
+                line = line.rstrip("\n\r")
+                if line.startswith(">"):
+                    if cur:
+                        seqs.append("".join(cur))
+                        cur = []
+                else:
+                    cur.append(line)
+            if cur:
+                seqs.append("".join(cur))
+            return seqs
+        # FASTQ (first char was '@', already consumed)
+        while True:
+            header = fh.readline()
+            if first is not None:
+                header = first + header  # re-attach consumed '@'
+                first = None
+            if not header:
+                break
+            seq = fh.readline().rstrip("\n\r")
+            plus = fh.readline()
+            qual = fh.readline()
+            if not qual and not seq:
+                break
+            seqs.append(seq)
+    return seqs
+
+
+def read_full(path: str):
+    """(names, sequences, quals). FASTA quals are all-'I' (kseq convention)."""
+    names, seqs, quals = [], [], []
+    with _open(path) as fh:
+        data = fh.read()
+    if not data:
+        return names, seqs, quals
+    if data[0] == ">":
+        cur_name, cur = None, []
+        for line in data.split("\n"):
+            line = line.rstrip("\r")
+            if line.startswith(">"):
+                if cur_name is not None:
+                    s = "".join(cur)
+                    names.append(cur_name)
+                    seqs.append(s)
+                    quals.append("I" * len(s))
+                cur_name = line[1:].split()[0]
+                cur = []
+            elif line:
+                cur.append(line)
+        if cur_name is not None:
+            s = "".join(cur)
+            names.append(cur_name)
+            seqs.append(s)
+            quals.append("I" * len(s))
+        return names, seqs, quals
+    lines = data.split("\n")
+    i = 0
+    while i + 3 < len(lines) or (i + 2 < len(lines) and lines[i]):
+        header = lines[i].rstrip("\r")
+        if not header:
+            break
+        seq = lines[i + 1].rstrip("\r")
+        qual = lines[i + 3].rstrip("\r") if i + 3 < len(lines) else ""
+        names.append(header[1:].split()[0])
+        seqs.append(seq)
+        quals.append(qual if qual else "I" * len(seq))
+        i += 4
+    return names, seqs, quals
+
+
+def perfect_shuffle(v: list) -> list:
+    """Interleave halves: [a0..an, b0..bn] -> [a0, b0, a1, b1, ...]
+    (src/seeding.hpp:32-43)."""
+    n = len(v)
+    if n < 2:
+        return list(v)
+    half = n // 2
+    out = [None] * n
+    out[0::2] = v[:half]
+    out[1::2] = v[half : half * 2]
+    if n % 2:
+        out[-1] = v[-1]
+    return out
+
+
+def read_paired_for_placement(path1: str, path2: str | None) -> list[str]:
+    """R1 + raw R2, pair-interleaved (no revcomp) — placement convention."""
+    seqs = read_sequences(path1)
+    if path2:
+        r2 = read_sequences(path2)
+        if len(r2) != len(seqs):
+            raise ValueError(f"{path2} does not contain the same number of reads as {path1}")
+        seqs = perfect_shuffle(seqs + r2)
+    return seqs
+
+
+def read_paired_for_alignment(path1: str, path2: str | None):
+    """(names, seqs, quals) with R2 reverse-complemented and quals reversed,
+    pair-interleaved — alignment convention (src/seeding.cpp:231-269)."""
+    names, seqs, quals = read_full(path1)
+    if path2:
+        n2, s2, q2 = read_full(path2)
+        if len(s2) != len(seqs):
+            raise ValueError(f"{path2} does not contain the same number of reads as {path1}")
+        s2 = [reverse_complement(x) for x in s2]
+        q2 = [x[::-1] for x in q2]
+        names = perfect_shuffle(names + n2)
+        seqs = perfect_shuffle(seqs + s2)
+        quals = perfect_shuffle(quals + q2)
+    return names, seqs, quals

@@ -36,6 +36,7 @@ from .capnp import CapnpMessage
 
 # code -> nucleotide character (index = 4-bit one-hot/IUPAC code)
 NUC_FROM_CODE = np.frombuffer(b"-ACMGRSVTWYHKDBN", dtype="S1")
+NUC_CODE_BYTE = NUC_FROM_CODE.view(np.uint8)  # same table as raw byte values
 _COMP = {
     "A": "T", "T": "A", "C": "G", "G": "C",
     "R": "Y", "Y": "R", "S": "S", "W": "W", "K": "M", "M": "K",
@@ -59,6 +60,7 @@ class NucMutation:
     nuc_gap_position: int  # -1 when targeting the main nucleotide
     length: int
     codes: tuple  # new nucleotide codes, one per offset
+    mut_type: int = 0  # panman NucMutationType (NS=0/ND=1/NI=2/NSNPS=3/...)
 
 
 @dataclass
@@ -285,6 +287,7 @@ def _decode_nucmut(st, block_id: int) -> NucMutation:
         nuc_gap_position=gap_pos if gap_exist else -1,
         length=length,
         codes=codes,
+        mut_type=mut_info & 0x7,
     )
 
 
