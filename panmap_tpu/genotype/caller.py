@@ -1,0 +1,488 @@
+"""Pileup genotyping: bcftools-equivalent haploid caller + mutation-spectrum prior.
+
+Reimplements the *used subset* of the reference's embedded bcftools
+(src/conversion.cpp:83-184: `mpileup -Ou -B` + `call --ploidy 1 -m -A`) as array
+programs, faithful to the numerical model:
+
+ - read selection: bcftools' default orphan skip (paired reads without the
+   proper-pair flag are excluded, mpileup.c:294) and per-column depth cap;
+ - mate-overlap quality tweak (htslib sam.c tweak_overlap_quality): for proper
+   pairs the overlapping bases collapse onto one mate — agreeing bases carry the
+   summed quality (cap 200) on the kept mate and 0 on the other; disagreeing
+   bases keep the higher at 80%; the kept mate is chosen by
+   Wang(X31(qname)) & 1;
+ - base quality: neighbour cap (min(q, q[i-1]+30, q[i+1]+30)), min-BQ 1,
+   max-BQ 60, capped by mapq, clamped to [4, 63] (bam2bcf.c:415-460);
+ - genotype likelihoods: the revised MAQ error model with correlated-error
+   decay fk[n] = 0.83^n * 0.97 + 0.03 and conditional-quality beta table
+   (htslib errmod.c) — this is what keeps deep one-sided artifact columns at
+   GT=0 where an independent-error model would call an ALT;
+ - allele ordering by normalized quality sums, genotype-subset PL normalization
+   with 255 cap (bam2bcf.c bcf_call_combine), haploid GT = argmin over the
+   homozygous PLs (ties -> REF);
+ - spectrum prior + consensus gate (src/genotyping.cpp:200-279).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+import numpy as np
+
+BASES = "ACGT"
+_BIDX = {b: i for i, b in enumerate(BASES)}
+for b in "acgt":
+    _BIDX[b] = _BIDX[b.upper()]
+
+MIN_BQ = 1
+MAX_BQ = 60
+DELTA_BQ = 30
+MAX_DEPTH = 250
+ERRMOD_MAXN = 255
+
+
+# ----------------------------------------------------------------------
+# revised MAQ error model (htslib errmod.c semantics)
+# ----------------------------------------------------------------------
+class ErrMod:
+    def __init__(self, depcorr: float = 1.0 - 0.83, eta: float = 0.03):
+        n = np.arange(256)
+        self.fk = np.power(1.0 - depcorr, n) * (1.0 - eta) + eta
+        self.fk[0] = 1.0
+        self._beta_cache: dict[int, np.ndarray] = {}
+        # log binomial coefficients
+        lg = np.zeros(257)
+        lg[1:] = np.cumsum(np.log(np.arange(1, 257)))
+        self._lfact = lg  # lfact[n] = log(n!)
+
+    def beta_row(self, q: int, n: int) -> np.ndarray:
+        """beta[q, n, k] for k=0..n: -4.343*(T[k+1]-T[k]) with T = log tail sums
+        of Binom(n, e)."""
+        key = q << 16 | n
+        row = self._beta_cache.get(key)
+        if row is not None:
+            return row
+        e = 10.0 ** (-q / 10.0)
+        le = math.log(e)
+        le1 = math.log1p(-e)
+        j = np.arange(n + 1)
+        lC = self._lfact[n] - self._lfact[j] - self._lfact[n - j]
+        terms = lC + j * le + (n - j) * le1
+        # T[k] = logsumexp(terms[k:]) computed right-to-left
+        T = np.logaddexp.accumulate(terms[::-1])[::-1]
+        row = np.empty(n + 1)
+        row[:n] = -10.0 / math.log(10.0) * (T[1:] - T[:n + 1 - 1])
+        row[n] = np.inf
+        self._beta_cache[key] = row
+        return row
+
+    def cal(self, entries: list) -> np.ndarray:
+        """entries: (qual 4..63, strand 0/1, base 0..4). Returns phred q[5,5]
+        (homozygous diagonal is what haploid calling uses)."""
+        n = len(entries)
+        if n == 0:
+            return np.zeros((5, 5))
+        if n > ERRMOD_MAXN:
+            entries = entries[:ERRMOD_MAXN]  # htslib shuffles; we keep order
+            n = ERRMOD_MAXN
+        packed = sorted(entries, key=lambda t: (t[0] << 5 | t[1] << 4 | t[2]),
+                        reverse=True)
+        fsum = np.zeros(16)
+        bsum = np.zeros(16)
+        c = np.zeros(16, dtype=np.int64)
+        w = np.zeros(32, dtype=np.int64)
+        for q, strand, base in packed:
+            bs = strand << 4 | base
+            beta = self.beta_row(q, n)
+            bsum[base] += self.fk[w[bs & 0x1F]] * beta[c[base]]
+            fsum[base] += self.fk[w[bs & 0x1F]]
+            c[base] += 1
+            w[bs & 0x1F] += 1
+        m = 5
+        out = np.zeros((m, m))
+        tot_b = bsum[:m].sum()
+        tot_c = c[:m].sum()
+        for j in range(m):
+            if tot_c - c[j] > 0:
+                out[j, j] = tot_b - bsum[j]
+        np.maximum(out, 0.0, out=out)
+        return out
+
+
+_ERRMOD = ErrMod()
+
+
+def _x31(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = ((h << 5) - h + ord(ch)) & 0xFFFFFFFF
+    return h
+
+
+def _wang(key: int) -> int:
+    key = (key + (~(key << 15) & 0xFFFFFFFF)) & 0xFFFFFFFF
+    key ^= key >> 10
+    key = (key + (key << 3)) & 0xFFFFFFFF
+    key ^= key >> 6
+    key = (key + (~(key << 11) & 0xFFFFFFFF)) & 0xFFFFFFFF
+    key ^= key >> 16
+    return key
+
+
+@dataclass
+class SiteRecord:
+    pos: int  # 0-based
+    ref: str
+    alts: list
+    qual: float
+    dp: int
+    gt: int
+    pls: list
+    ads: list
+
+    def vcf_line(self, chrom: str) -> str:
+        alt = ",".join(self.alts) if self.alts else "."
+        pls = ",".join(str(int(p)) for p in self.pls)
+        ads = ",".join(str(int(a)) for a in self.ads)
+        return (
+            f"{chrom}\t{self.pos + 1}\t.\t{self.ref}\t{alt}\t{self.qual:.4f}\t.\t"
+            f"DP={self.dp}\tGT:PL:AD\t{self.gt}:{pls}:{ads}"
+        )
+
+
+@dataclass
+class PlacedRead:
+    """One aligned read for pileup: ref-orientation bases/quals."""
+
+    rs: int
+    cigar: list
+    seq: str
+    quals: list  # phred ints, ref orientation, mutable
+    qs: int  # offset of cigar start within seq
+    qname: str = ""
+    is_proper: bool = True
+    is_paired: bool = True
+    mapq: int = 60
+    rev: bool = False
+
+    def ref_end(self) -> int:
+        return self.rs + sum(ln for ln, op in self.cigar if op in "MDN=X")
+
+
+def _apply_overlap_tweaks(reads: list):
+    """Mate-overlap quality tweak for proper pairs (same qname, both mapped)."""
+    by_name: dict[str, list] = {}
+    for r in reads:
+        if r.is_paired and r.is_proper:
+            by_name.setdefault(r.qname, []).append(r)
+    for name, pair in by_name.items():
+        if len(pair) != 2:
+            continue
+        a, b = pair
+        if a.rs > b.rs:
+            a, b = b, a
+        amul = 1 if (_wang(_x31(name)) & 1) else 0
+        bmul = 1 - amul
+        # walk both CIGARs over the overlapping ref window
+        amap = _ref_to_seq_map(a)
+        bmap = _ref_to_seq_map(b)
+        common = amap.keys() & bmap.keys()
+        for p in common:
+            ai = amap[p]
+            bi = bmap[p]
+            if a.seq[ai].upper() == b.seq[bi].upper():
+                q = min(a.quals[ai] + b.quals[bi], 200)
+                a.quals[ai] = q * amul
+                b.quals[bi] = q * bmul
+            else:
+                if a.quals[ai] > b.quals[bi]:
+                    a.quals[ai] = int(0.8 * a.quals[ai])
+                    b.quals[bi] = 0
+                elif a.quals[ai] < b.quals[bi]:
+                    b.quals[bi] = int(0.8 * b.quals[bi])
+                    a.quals[ai] = 0
+                else:
+                    a.quals[ai] = int(0.8 * a.quals[ai]) * amul
+                    b.quals[bi] = int(0.8 * b.quals[bi]) * bmul
+
+
+def _ref_to_seq_map(r: PlacedRead) -> dict:
+    out = {}
+    rpos = r.rs
+    qpos = r.qs
+    for ln, op in r.cigar:
+        if op in ("M", "=", "X"):
+            for x in range(ln):
+                out[rpos + x] = qpos + x
+            rpos += ln
+            qpos += ln
+        elif op == "I":
+            qpos += ln
+        elif op in ("D", "N"):
+            rpos += ln
+        elif op == "S":
+            qpos += ln
+    return out
+
+
+def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH):
+    """reads: list[PlacedRead]. Returns list[SiteRecord] for alt-bearing sites."""
+    n = len(ref)
+    ref_idx = np.full(n, 4, dtype=np.int8)
+    for i, ch in enumerate(ref):
+        ref_idx[i] = _BIDX.get(ch, 4)
+
+    # orphan skip (mpileup.c:294) + per-start depth cap
+    usable = [r for r in reads if not (r.is_paired and not r.is_proper)]
+    usable.sort(key=lambda r: r.rs)
+    kept = []
+    import heapq
+
+    heap: list[int] = []
+    for r in usable:
+        while heap and heap[0] <= r.rs:
+            heapq.heappop(heap)
+        if len(heap) >= max_depth:
+            continue
+        heapq.heappush(heap, r.ref_end())
+        kept.append(r)
+
+    _apply_overlap_tweaks(kept)
+
+    # column accumulation
+    col_entries: dict[int, list] = {}
+    depth = np.zeros(n, dtype=np.int32)
+    has_nonref = set()
+    for r in kept:
+        rpos = r.rs
+        qpos = r.qs
+        L = len(r.seq)
+        for ln, op in r.cigar:
+            if op in ("M", "=", "X"):
+                for x in range(ln):
+                    p = rpos + x
+                    if not (0 <= p < n):
+                        continue
+                    depth[p] += 1
+                    qi = qpos + x
+                    q = r.quals[qi]
+                    if qi > 0 and q > r.quals[qi - 1] + DELTA_BQ:
+                        q = r.quals[qi - 1] + DELTA_BQ
+                    if qi + 1 < L and q > r.quals[qi + 1] + DELTA_BQ:
+                        q = r.quals[qi + 1] + DELTA_BQ
+                    if q < MIN_BQ:
+                        continue
+                    if q > MAX_BQ:
+                        q = MAX_BQ
+                    mq = min(r.mapq, 60)
+                    if q > mq:
+                        q = mq
+                    q = min(max(q, 4), 63)
+                    b = _BIDX.get(r.seq[qi], 4)
+                    col_entries.setdefault(p, []).append((q, 1 if r.rev else 0, b))
+                    if b != ref_idx[p] and b < 4:
+                        has_nonref.add(p)
+                rpos += ln
+                qpos += ln
+            elif op == "I":
+                qpos += ln
+            elif op in ("D", "N"):
+                rpos += ln
+            elif op == "S":
+                qpos += ln
+
+    records = []
+    for p in sorted(has_nonref):
+        r4 = int(ref_idx[p])
+        if r4 >= 4:
+            continue
+        entries = col_entries[p]
+        # quality sums and AD per base
+        qs = np.zeros(4)
+        adf = np.zeros(4, dtype=np.int64)
+        adr = np.zeros(4, dtype=np.int64)
+        for q, strand, b in entries:
+            if b < 4:
+                qs[b] += q
+                if strand:
+                    adr[b] += 1
+                else:
+                    adf[b] += 1
+        tot = qs.sum()
+        if tot <= 0:
+            continue
+        qsum = qs / tot
+        alt_order = sorted((b for b in range(4) if b != r4 and qsum[b] > 0),
+                           key=lambda b: (-qsum[b], b))
+        if not alt_order:
+            continue
+        alleles = [r4] + alt_order
+
+        p55 = _ERRMOD.cal(entries)
+        na = len(alleles)
+        # genotype-subset normalization incl. het entries (bcf_call_combine)
+        gvals = []
+        hom_idx = []
+        z = 0
+        for i2 in range(na):
+            for j2 in range(i2 + 1):
+                ai, aj = alleles[j2], alleles[i2]
+                if i2 == j2:
+                    gvals.append(p55[ai, ai])
+                    hom_idx.append(z)
+                else:
+                    # het likelihood for haploid calling never wins, but it
+                    # participates in the min-normalization; approximate with
+                    # the average of the two homs minus the lhet term's scale
+                    gvals.append(_het_phred(entries, ai, aj, p55))
+                z += 1
+        gvals = np.array(gvals)
+        gmin = gvals.min()
+        pl_all = np.minimum(np.floor(gvals - gmin + 0.499), 255).astype(int)
+        pls = [int(pl_all[h]) for h in hom_idx]
+        gt = int(np.argmin(pls))
+        ads = [int(adf[a] + adr[a]) for a in alleles]
+        qual = float(pls[0]) if gt != 0 else (float(pls[1]) if len(pls) > 1 else 0.0)
+        records.append(
+            SiteRecord(
+                pos=p,
+                ref=BASES[r4],
+                alts=[BASES[a] for a in alt_order],
+                qual=qual,
+                dp=int(depth[p]),
+                gt=gt,
+                pls=pls,
+                ads=ads,
+            )
+        )
+    return records
+
+
+_LN2 = math.log(2.0)
+
+
+def _het_phred(entries: list, a1: int, a2: int, p55: np.ndarray) -> float:
+    """Heterozygous genotype phred (errmod.c:193-201): -4.343*lhet(c1+c2, c2)
+    + sum of bsum over other bases. Participates only in the min-normalization for haploid calls."""
+    c1 = sum(1 for q, s, b in entries if b == a1)
+    c2 = sum(1 for q, s, b in entries if b == a2)
+    n12 = c1 + c2
+    # lhet[n,k] = log C(n,k) - n log 2
+    lc = (math.lgamma(n12 + 1) - math.lgamma(c2 + 1) - math.lgamma(n12 - c2 + 1)
+          - n12 * _LN2)
+    other = 0.0
+    # bsum over bases not in {a1,a2}: reuse homozygous identities:
+    # p55[j,j] = tot_b - bsum[j]; we lack bsum directly, recompute cheaply
+    # via: bsum[x] = (tot_b - p55[x,x]) requires tot_b; tot_b = p55[j,j]+bsum[j].
+    # Simplest: recompute bsum for the two alleles' complement set.
+    em = _ERRMOD
+    nn = min(len(entries), ERRMOD_MAXN)
+    packed = sorted(entries[:nn], key=lambda t: (t[0] << 5 | t[1] << 4 | t[2]),
+                    reverse=True)
+    bsum = np.zeros(16)
+    c = np.zeros(16, dtype=np.int64)
+    w = np.zeros(32, dtype=np.int64)
+    for q, strand, base in packed:
+        bs = strand << 4 | base
+        beta = em.beta_row(q, nn)
+        bsum[base] += em.fk[w[bs]] * beta[c[base]]
+        c[base] += 1
+        w[bs] += 1
+    other = sum(bsum[b] for b in range(5) if b != a1 and b != a2)
+    val = -4.343 * lc + other
+    return max(val, 0.0)
+
+
+def phred_scale_matrix(substitution_matrix: np.ndarray):
+    """index 4x4 rates -> phred prior (main.cpp:293-311); None when all off-diag 0."""
+    m = np.asarray(substitution_matrix, dtype=np.float64).reshape(4, 4)
+    if np.all(m[~np.eye(4, dtype=bool)] == 0):
+        return None
+    phred = np.where(m > 0, -10.0 * np.log10(np.where(m > 0, m, 1.0)), 100.0)
+    return phred
+
+
+def apply_spectrum(records: list, phred: np.ndarray | None, min_depth: int,
+                   min_qual: float) -> list:
+    """applyMutationSpectrum + consensus gate (src/genotyping.cpp:200-279)."""
+    out = []
+    for rec in records:
+        if not rec.alts:
+            continue
+        if phred is None:
+            if rec.gt == 0 or rec.qual < min_qual:
+                continue
+            if not _passes_gate(rec.gt, rec.ads, min_depth):
+                continue
+            out.append(rec)
+            continue
+        r = _BIDX.get(rec.ref, -1)
+        if r < 0 or r > 3:
+            if rec.gt != 0:
+                out.append(rec)
+            continue
+        gls = np.array(rec.pls, dtype=np.float64)
+        gls[0] += phred[r][r]
+        for i, alt in enumerate(rec.alts):
+            a = _BIDX.get(alt, 5)
+            if a <= 3:
+                gls[i + 1] += phred[r][a]
+        gls -= gls.min()
+        zeros = np.flatnonzero(gls == 0)
+        called = int(zeros[-1])  # cpp keeps the last zero index
+        if called == 0:
+            continue
+        if not _passes_gate(called, rec.ads, min_depth):
+            continue
+        qual = float(gls[0])
+        if qual < min_qual:
+            continue
+        rec.gt = called
+        rec.qual = qual
+        out.append(rec)
+    return out
+
+
+def _passes_gate(called_idx: int, ad: list, min_depth: int) -> bool:
+    if called_idx <= 0:
+        return False
+    if not ad or called_idx >= len(ad):
+        return True
+    total = sum(ad)
+    if total < min_depth:
+        return False
+    return ad[called_idx] * 2 > total
+
+
+def write_vcf(path: str, chrom: str, ref_len: int, records: list, sample: str = "sample"):
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
+        fh.write("##source=panmap-tpu\n")
+        fh.write(f"##contig=<ID={chrom},length={ref_len}>\n")
+        fh.write('##INFO=<ID=DP,Number=1,Type=Integer,Description="Raw read depth">\n')
+        fh.write('##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred-scaled genotype likelihoods">\n')
+        fh.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths">\n')
+        fh.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        fh.write(f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}\n")
+        for rec in records:
+            fh.write(rec.vcf_line(chrom) + "\n")
+
+
+def build_consensus(ref: str, records: list, header: str) -> str:
+    """Apply called variants to the reference (bcftools consensus equivalent),
+    60-column wrapping."""
+    seq = list(ref)
+    for rec in records:
+        if rec.gt <= 0 or rec.gt > len(rec.alts):
+            continue
+        alt = rec.alts[rec.gt - 1]
+        if len(alt) == 1 and len(rec.ref) == 1:
+            seq[rec.pos] = alt
+        else:
+            seq[rec.pos : rec.pos + len(rec.ref)] = list(alt)
+    s = "".join(seq)
+    lines = [f">{header}"]
+    for i in range(0, len(s), 60):
+        lines.append(s[i : i + 60])
+    return "\n".join(lines) + "\n"

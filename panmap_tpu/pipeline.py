@@ -1,0 +1,252 @@
+"""Single-sample pipeline driver: index -> place -> align -> genotype -> consensus.
+
+Stage structure and artifact naming mirror the reference CLI
+(src/main.cpp:2408-2507 stage machine, runPlacement/runAlignment/runGenotyping/
+runConsensus): <prefix>.placement.tsv, .ref.fa, .bam, .vcf, .consensus.fa.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .align.core import Aligner
+from .genotype.caller import (
+    PlacedRead,
+    apply_spectrum,
+    build_consensus,
+    phred_scale_matrix,
+    pileup_call,
+    write_vcf,
+)
+from .index.builder import IndexArrays, IndexParams, build_index
+from .io import fastq
+from .io.bam import compute_sam_flags, compute_tlen, write_bam
+from .io.index_io import load_index, read_index_params, save_index
+from .io.panman import PanmanTree, load_panman
+from .place.engine import (
+    prepare_read_sketch,
+    score_nodes,
+    sketch_reads,
+    write_placement_tsv,
+)
+from .sketch.cpu import reverse_complement
+
+
+@dataclass
+class PipelineConfig:
+    panman: str = ""
+    reads1: str = ""
+    reads2: str = ""
+    output: str = "sample"
+    index_path: str = ""  # default: <panman>.ptidx.npz
+    k: int = 19
+    s: int = 8
+    t: int = 0
+    l: int = 3
+    open: bool = False
+    hpc: bool = False
+    flank_mask_bp: int = 250
+    min_depth: int = 1
+    min_qual: float = 30.0
+    min_read_support: int = -1
+    seed_mask_fraction: float = 0.0
+    dedup_reads: bool = False
+    trim_start: int = 0
+    trim_end: int = 0
+    force_leaf: bool = False
+    stop: str = ""  # "", "index", "place", "align", "genotype"
+    threads: int = 0
+    log=print
+
+
+def default_prefix(reads1: str) -> str:
+    """Output-prefix derivation from the reads filename (main.cpp:2253-2276)."""
+    base = os.path.basename(reads1)
+    for suf in (".gz",):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    for suf in (".fastq", ".fq", ".fasta", ".fa"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    for suf in ("_R1", "_R2", "_1", "_2", ".R1", ".R2"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    return base or "sample"
+
+
+def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
+    """Build-or-load the index next to the panman (cache semantics of
+    main.cpp:371-396: params must match, index newer than panman)."""
+    path = cfg.index_path or cfg.panman + ".ptidx.npz"
+    want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open, hpc=cfg.hpc,
+                flank_mask_bp=cfg.flank_mask_bp)
+    if os.path.exists(path):
+        try:
+            hdr = read_index_params(path)
+            if (all(hdr.get(key) == val for key, val in want.items())
+                    and os.path.getmtime(path) >= os.path.getmtime(cfg.panman)):
+                return load_index(path), tree
+        except Exception:
+            pass
+    if tree is None:
+        tree = load_panman(cfg.panman)
+    t0 = time.time()
+    idx = build_index(tree, IndexParams(**want))
+    cfg.log(f"[index] built in {time.time()-t0:.1f}s "
+            f"({len(idx.seed_hashes)} seed changes, {len(idx.node_ids)} nodes)")
+    try:
+        save_index(path, idx)
+    except OSError:
+        cfg.log(f"[index] warning: could not cache index at {path}")
+    return idx, tree
+
+
+def run_placement(cfg: PipelineConfig, idx: IndexArrays):
+    p = idx.params
+    seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
+    freq = sketch_reads(seqs, p.k, p.s, p.t, p.l, p.open,
+                        dedup_reads=cfg.dedup_reads, trim_start=cfg.trim_start,
+                        trim_end=cfg.trim_end, hpc=p.hpc)
+    sk = prepare_read_sketch(freq, p.k, len(seqs),
+                             min_read_support=cfg.min_read_support,
+                             seed_mask_fraction=cfg.seed_mask_fraction)
+    res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
+    write_placement_tsv(cfg.output + ".placement.tsv", idx, res)
+    best = res.best_index["log_containment"]
+    best_id = idx.node_ids[best] if best is not None else ""
+    cfg.log(f"[place] best log_containment node: {best_id} "
+            f"({res.best_score['log_containment']:.4f})")
+    return res, best_id, len(seqs)
+
+
+def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
+    ref = tree.get_string(best_node)
+    ref_path = cfg.output + ".ref.fa"
+    with open(ref_path, "w") as fh:
+        fh.write(f">{best_node}\n{ref}\n")
+
+    names, seqs, quals = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None)
+    paired = bool(cfg.reads2)
+    t0 = time.time()
+    aligner = Aligner(ref)
+    pairs = aligner.align_pairs(seqs, paired)
+    cfg.log(f"[align] {len(seqs)} reads in {time.time()-t0:.1f}s")
+
+    # BAM records (conversion.cpp:390-538 conventions)
+    entries = []
+    placed = []  # for genotyping: (rs, cigar, seq_ref_orient, quals, qs, pair_id)
+
+    def clip_name(name):
+        if len(name) >= 2 and name[-2] == "/" and name[-1] in "12":
+            return name[:-2]
+        return name
+
+    def add_record(i, aln, mate, is_read1, pair_id):
+        seq = seqs[i]
+        qual = quals[i]
+        lq = len(seq)
+        if aln.rev:
+            bam_seq = reverse_complement(seq)
+            bam_qual = bytes(ord(c) - 33 for c in reversed(qual))
+        else:
+            bam_seq = seq
+            bam_qual = bytes(ord(c) - 33 for c in qual)
+        clip5 = (lq - aln.qe) if aln.rev else aln.qs
+        clip3 = aln.qs if aln.rev else (lq - aln.qe)
+        cigar = []
+        if clip5:
+            cigar.append((clip5, "S"))
+        cigar.extend(aln.cigar)
+        if clip3:
+            cigar.append((clip3, "S"))
+        if paired:
+            # R2 was reverse-complemented upstream: report true strand
+            eff_rev = (not aln.rev) if not is_read1 else aln.rev
+            mate_eff_rev = mate.rev if is_read1 is False else (not mate.rev)
+            flag = compute_sam_flags(True, is_read1, eff_rev, mate_eff_rev,
+                                     aln.proper_frag, False)
+            tlen = compute_tlen(aln.rs, aln.re, eff_rev, mate.rs, mate.re, mate_eff_rev)
+            rec = dict(qname=clip_name(names[i]), flag=flag, pos=aln.rs,
+                       mapq=aln.mapq, cigar=cigar, mtid=0, mpos=mate.rs,
+                       tlen=tlen, seq=bam_seq, qual=bam_qual)
+        else:
+            flag = compute_sam_flags(False, False, aln.rev, False, False, False)
+            rec = dict(qname=clip_name(names[i]), flag=flag, pos=aln.rs,
+                       mapq=aln.mapq, cigar=cigar, mtid=-1, mpos=-1, tlen=0,
+                       seq=bam_seq, qual=bam_qual)
+        entries.append(rec)
+        # genotyping consumes ref-orientation bases: aln.cigar spans
+        # query positions [qs_oriented, qe_oriented) of the oriented read
+        if aln.rev:
+            oseq = reverse_complement(seq)
+            oq = [ord(c) - 33 for c in reversed(qual)]
+            oqs = lq - aln.qe
+        else:
+            oseq = seq
+            oq = [ord(c) - 33 for c in qual]
+            oqs = aln.qs
+        placed.append(PlacedRead(
+            rs=aln.rs, cigar=aln.cigar, seq=oseq, quals=oq, qs=oqs,
+            qname=clip_name(names[i]), is_proper=aln.proper_frag,
+            is_paired=paired, mapq=aln.mapq, rev=(not aln.rev) if (paired and not is_read1) else aln.rev,
+        ))
+
+    if paired:
+        for idx2, (a1, a2) in enumerate(pairs):
+            if not (a1.mapped and a2.mapped):
+                continue
+            i1, i2 = idx2 * 2, idx2 * 2 + 1
+            add_record(i1, a1, a2, True, idx2)
+            add_record(i2, a2, a1, False, idx2)
+    else:
+        for idx2, (a1, _) in enumerate(pairs):
+            if a1.mapped:
+                add_record(idx2, a1, None, True, None)
+
+    order = sorted(range(len(entries)), key=lambda j: entries[j]["pos"])
+    entries = [entries[j] for j in order]
+    write_bam(cfg.output + ".bam", best_node, len(ref), entries)
+    cfg.log(f"[align] wrote {len(entries)} records to {cfg.output}.bam")
+    return ref, placed
+
+
+def run_genotyping(cfg: PipelineConfig, idx: IndexArrays, ref: str,
+                   best_node: str, placed):
+    records = pileup_call(ref, placed)
+    phred = phred_scale_matrix(idx.substitution_matrix)
+    final = apply_spectrum(records, phred, cfg.min_depth, cfg.min_qual)
+    write_vcf(cfg.output + ".vcf", best_node, len(ref), final)
+    cfg.log(f"[call] {len(final)} variants -> {cfg.output}.vcf")
+    return final
+
+
+def run_consensus(cfg: PipelineConfig, ref: str, best_node: str, final_records):
+    sample = os.path.basename(cfg.output) or "sample"
+    header = f"{sample}_consensus ref={best_node}"
+    text = build_consensus(ref, final_records, header)
+    with open(cfg.output + ".consensus.fa", "w") as fh:
+        fh.write(text)
+    cfg.log(f"[build] {cfg.output}.consensus.fa")
+
+
+def run_pipeline(cfg: PipelineConfig):
+    tree = None
+    idx, tree = ensure_index(cfg, tree)
+    if cfg.stop == "index" or not cfg.reads1:
+        return
+    res, best_id, n_reads = run_placement(cfg, idx)
+    if cfg.stop == "place" or not best_id:
+        return
+    if tree is None:
+        tree = load_panman(cfg.panman)
+    ref, placed = run_alignment(cfg, tree, best_id)
+    if cfg.stop == "align":
+        return
+    final = run_genotyping(cfg, idx, ref, best_id, placed)
+    if cfg.stop == "genotype":
+        return
+    run_consensus(cfg, ref, best_id, final)
