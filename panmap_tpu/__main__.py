@@ -1,0 +1,115 @@
+"""panmap-tpu CLI: pangenome-based sequence placement, alignment, and genotyping.
+
+Mirrors the reference CLI surface (src/main.cpp:1940-2131 option groups,
+:2408-2507 stage machine):  panmap_tpu [options] <panman> [reads1] [reads2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+from .pipeline import PipelineConfig, default_prefix, run_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="panmap_tpu",
+        description="TPU-native pangenome placement, alignment, and genotyping",
+    )
+    p.add_argument("panman", help="PanMAN file")
+    p.add_argument("reads1", nargs="?", default="", help="reads (FASTQ/FASTA, optionally .gz)")
+    p.add_argument("reads2", nargs="?", default="", help="mate reads")
+    p.add_argument("-o", "--output", default="", help="output prefix")
+    p.add_argument("-t", "--threads", type=int, default=0, help="threads (advisory)")
+    p.add_argument("--version", action="version", version=f"panmap-tpu {__version__}")
+    p.add_argument("--stop", default="", choices=["", "index", "place", "align", "genotype", "consensus"],
+                   help="stop after this stage")
+
+    g = p.add_argument_group("index & seeding")
+    g.add_argument("-k", "--kmer", type=int, default=19, help="syncmer k")
+    g.add_argument("-s", "--syncmer", type=int, default=8, help="syncmer s")
+    g.add_argument("--offset", type=int, default=0, help="syncmer offset t")
+    g.add_argument("-l", "--lmer", type=int, default=3, help="syncmers per seed")
+    g.add_argument("--open", action="store_true", help="open syncmers")
+    g.add_argument("--hpc", action="store_true", help="homopolymer-compressed seeds")
+    g.add_argument("--flank-mask", type=int, default=250, help="mask bp at genome ends")
+    g.add_argument("--index", default="", help="index path override")
+
+    g = p.add_argument_group("single-sample")
+    g.add_argument("--min-depth", type=int, default=1)
+    g.add_argument("--min-qual", type=float, default=30.0)
+    g.add_argument("--min-read-support", type=int, default=-1)
+    g.add_argument("--seed-mask-fraction", type=float, default=0.0)
+    g.add_argument("--dedup", action="store_true", dest="dedup_reads")
+    g.add_argument("--trim-start", type=int, default=0)
+    g.add_argument("--trim-end", type=int, default=0)
+    g.add_argument("--force-leaf", action="store_true")
+
+    g = p.add_argument_group("metagenomic")
+    g.add_argument("--meta", action="store_true", help="metagenomic mode")
+    g.add_argument("--filter-and-assign", action="store_true")
+    g.add_argument("--em-convergence-threshold", type=float, default=1e-5)
+    g.add_argument("--em-delta-threshold", type=float, default=0.0)
+    g.add_argument("--em-maximum-rounds", type=int, default=5)
+    g.add_argument("--em-maximum-iterations", type=int, default=1000)
+    g.add_argument("--top-oc", type=int, default=1000)
+    g.add_argument("--dust", type=float, default=100.0)
+    g.add_argument("--discard", type=float, default=0.0)
+    g.add_argument("--taxonomic-metadata", default="")
+    g.add_argument("--taxonomic-rank", default="Family")
+    g.add_argument("--breadth-ratio", action="store_true")
+    g.add_argument("--leaves-only", action="store_true")
+
+    g = p.add_argument_group("developer")
+    g.add_argument("--dump-all-scores", default="")
+    g.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    out = args.output or (default_prefix(args.reads1) if args.reads1 else "panmap")
+    log = (lambda *a, **k: None) if args.quiet else (lambda m: print(m, file=sys.stderr))
+
+    if args.meta:
+        from .meta.driver import MetaConfig, run_meta
+
+        mcfg = MetaConfig(
+            panman=args.panman, reads1=args.reads1, reads2=args.reads2,
+            output=out, k=args.kmer, s=args.syncmer, t=args.offset, l=args.lmer,
+            open=args.open,
+            em_convergence_threshold=args.em_convergence_threshold,
+            em_delta_threshold=args.em_delta_threshold,
+            em_maximum_rounds=args.em_maximum_rounds,
+            em_maximum_iterations=args.em_maximum_iterations,
+            top_oc=args.top_oc, dust=args.dust, discard=args.discard,
+            filter_and_assign=args.filter_and_assign,
+            taxonomy_path=args.taxonomic_metadata,
+            taxonomic_rank=args.taxonomic_rank,
+            breadth_ratio=args.breadth_ratio,
+            leaves_only=args.leaves_only,
+            stop=args.stop,
+            log=log,
+        )
+        return run_meta(mcfg)
+
+    cfg = PipelineConfig(
+        panman=args.panman, reads1=args.reads1, reads2=args.reads2, output=out,
+        index_path=args.index, k=args.kmer, s=args.syncmer, t=args.offset,
+        l=args.lmer, open=args.open, hpc=args.hpc, flank_mask_bp=args.flank_mask,
+        min_depth=args.min_depth, min_qual=args.min_qual,
+        min_read_support=args.min_read_support,
+        seed_mask_fraction=args.seed_mask_fraction,
+        dedup_reads=args.dedup_reads, trim_start=args.trim_start,
+        trim_end=args.trim_end, force_leaf=args.force_leaf, stop=args.stop,
+        threads=args.threads,
+    )
+    cfg.log = log
+    run_pipeline(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,184 @@
+"""TPU placement scoring: per-row metric deltas -> per-node scores, in JAX.
+
+The fast path of the parity engine (place/engine.py), expressed as one fused
+device program:
+
+ - row hashes are re-mapped once per index to dense int32 ids (host-side), so
+   the row<->read join is a native int32 searchsorted on device — no u64
+   emulation on the TPU;
+ - per-row deltas are f32 vector math; per-node sums use segment_sum;
+ - the ancestor accumulation down the DFS uses an Euler-tour signed prefix sum
+   (+delta at subtree entry, -delta at exit, one cumsum over 2N slots), turning
+   the reference's level-synchronous BFS (src/placement.cpp:701-918) into a
+   single parallel scan;
+ - the whole thing jits to one XLA program and shards over a device mesh by
+   splitting rows (see parallel/mesh.py): per-shard partial node sums combine
+   with a psum, exactly the "partial metric sums over ICI" design.
+
+Exact f64 scoring for golden-output parity stays in place/engine.py; this path
+is for throughput (the driver's reads/s metric) with f32 scores + optional f64
+re-scoring of the top candidates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..index.builder import IndexArrays
+
+
+@dataclass
+class DeviceIndex:
+    """Host-prepared, device-resident index tensors."""
+
+    unique_hashes: np.ndarray  # u64[U] sorted (host only, for query mapping)
+    row_id: jnp.ndarray  # i32[T] index into unique_hashes
+    row_parent: jnp.ndarray  # f32[T]
+    row_child: jnp.ndarray  # f32[T]
+    row_node: jnp.ndarray  # i32[T]
+    euler_in: jnp.ndarray  # i32[N]
+    euler_out: jnp.ndarray  # i32[N]
+    n_nodes: int
+    root_rows: tuple  # (start, end) row range of the root node
+
+
+def prepare_device_index(idx: IndexArrays) -> DeviceIndex:
+    uniq, row_id = np.unique(idx.seed_hashes, return_inverse=True)
+    n_nodes = len(idx.node_offsets) - 1
+    offs = idx.node_offsets.astype(np.int64)
+    row_node = np.repeat(np.arange(n_nodes, dtype=np.int32), np.diff(offs))
+
+    # Euler tour from the parent array (children in DFS order)
+    parent = idx.parent_index.astype(np.int64)
+    # subtree sizes via reverse DFS-order accumulation
+    sizes = np.ones(n_nodes, dtype=np.int64)
+    for i in range(n_nodes - 1, 0, -1):
+        sizes[parent[i]] += sizes[i]
+    # entry = dfs index + number of exits before it; with pre-order numbering,
+    # euler_in[i] = 2*i - ... simpler: compute via stack simulation vectorized:
+    # in a preorder DFS, euler_in[i] = i + (#nodes that closed before i) =
+    # i + (i - depth[i]) where depth = number of open ancestors.
+    depth = np.zeros(n_nodes, dtype=np.int64)
+    for i in range(1, n_nodes):
+        depth[i] = depth[parent[i]] + 1
+    euler_in = 2 * np.arange(n_nodes, dtype=np.int64) - depth
+    euler_out = euler_in + 2 * sizes - 1  # exit slot
+    return DeviceIndex(
+        unique_hashes=uniq,
+        row_id=jnp.asarray(row_id.astype(np.int32)),
+        row_parent=jnp.asarray(idx.parent_counts.astype(np.float32)),
+        row_child=jnp.asarray(idx.child_counts.astype(np.float32)),
+        row_node=jnp.asarray(row_node),
+        euler_in=jnp.asarray(euler_in.astype(np.int32)),
+        euler_out=jnp.asarray(euler_out.astype(np.int32)),
+        n_nodes=n_nodes,
+        root_rows=(int(offs[0]), int(offs[1])),
+    )
+
+
+def map_read_table(dev: DeviceIndex, seed_freq: dict, min_support: int):
+    """Host: read seed-frequency dict -> (sorted ids i32, log counts f32)."""
+    if not seed_freq:
+        return (np.empty(0, np.int32), np.empty(0, np.float32), 0.0, 0, 0.0)
+    hashes = np.fromiter(seed_freq.keys(), dtype=np.uint64, count=len(seed_freq))
+    counts = np.fromiter(seed_freq.values(), dtype=np.int64, count=len(seed_freq))
+    keep = counts >= min_support
+    hashes, counts = hashes[keep], counts[keep]
+    log_counts = np.log1p(counts.astype(np.float64))
+    log_mag = float(np.sqrt((log_counts**2).sum()))
+    logcont_den = float(log_counts.sum())
+    n_unique = len(hashes)
+    ii = np.searchsorted(dev.unique_hashes, hashes)
+    iic = np.minimum(ii, max(len(dev.unique_hashes) - 1, 0))
+    found = (len(dev.unique_hashes) > 0) & (dev.unique_hashes[iic] == hashes)
+    ids = iic[found].astype(np.int32)
+    lc = log_counts[found].astype(np.float32)
+    order = np.argsort(ids)
+    return ids[order], lc[order], log_mag, n_unique, logcont_den
+
+
+def make_score_fn(n_nodes: int, n_rows: int):
+    """Jitted scoring over fixed-size row/read tables."""
+
+    @jax.jit
+    def score(row_id, row_parent, row_child, row_node, euler_in, euler_out,
+              read_ids, read_logc):
+        # join rows -> read table
+        pos = jnp.searchsorted(read_ids, row_id)
+        posc = jnp.clip(pos, 0, jnp.maximum(read_ids.shape[0] - 1, 0))
+        found = jnp.where(read_ids.shape[0] > 0, read_ids[posc] == row_id, False)
+        lrc = jnp.where(found, read_logc[posc], 0.0)
+
+        P = row_parent
+        C = row_child
+        log_child = jnp.where(C > 0, jnp.log1p(C), 0.0)
+        log_parent = jnp.where(P > 0, jnp.log1p(P), 0.0)
+        mag_delta = log_child * log_child - log_parent * log_parent
+        active = ((C - P) != 0) & found
+        became_present = ((P == 0) & (C != 0)).astype(jnp.float32)
+        became_absent = ((C == 0) & (P != 0)).astype(jnp.float32)
+        presence_delta = jnp.where(active, became_present - became_absent, 0.0)
+        old_contrib = jnp.where(P > 0, lrc / jnp.maximum(P, 1.0), 0.0)
+        new_contrib = jnp.where(C > 0, lrc / jnp.maximum(C, 1.0), 0.0)
+        old_wc = jnp.where(P > 0, 1.0 / jnp.maximum(P, 1.0), 0.0)
+        new_wc = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1.0), 0.0)
+        lograw_delta = jnp.where(active, new_contrib - old_contrib, 0.0)
+        logcos_delta = jnp.where(active, lrc * (log_child - log_parent), 0.0)
+        wc_delta = jnp.where(active, new_wc - old_wc, 0.0)
+        logcont_delta = presence_delta * lrc
+
+        deltas = jnp.stack(
+            [mag_delta, lograw_delta, logcos_delta, wc_delta, logcont_delta,
+             presence_delta], axis=1)
+        node_sums = jax.ops.segment_sum(deltas, row_node, num_segments=n_nodes)
+
+        # Euler-tour ancestor prefix: +delta at entry, -delta at exit
+        slots = jnp.zeros((2 * n_nodes + 1, deltas.shape[1]), dtype=jnp.float32)
+        slots = slots.at[euler_in].add(node_sums)
+        slots = slots.at[euler_out + 1].add(-node_sums)
+        pref = jnp.cumsum(slots, axis=0)
+        acc = pref[euler_in]
+        return acc
+
+    return score
+
+
+def compute_scores_tpu(dev: DeviceIndex, read_ids, read_logc, log_mag: float,
+                       read_unique: int, logcont_den: float,
+                       seed_inv_root=None):
+    """Returns f32 scores [N,5] in METRICS order."""
+    fn = make_score_fn(dev.n_nodes, int(dev.row_id.shape[0]))
+    acc = np.asarray(
+        fn(dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
+           dev.euler_in, dev.euler_out, jnp.asarray(read_ids),
+           jnp.asarray(read_logc))
+    )
+    genome_mag_sq, lograw, logcos, wc_num, logcont, presence = acc.T
+    scores = np.zeros((dev.n_nodes, 5), dtype=np.float64)
+    if log_mag > 0:
+        scores[:, 0] = lograw / log_mag
+        gm = np.sqrt(np.maximum(genome_mag_sq, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(gm > 0, logcos / (log_mag * gm), 0.0)
+        scores[:, 1] = np.clip(cos, 0.0, 1.0)
+    if read_unique > 0:
+        scores[:, 2] = presence / read_unique
+    # weighted containment denominator from root rows (host, f64)
+    a, b = dev.root_rows
+    rc = np.asarray(dev.row_child[a:b])
+    rid = np.asarray(dev.row_id[a:b])
+    pos = np.searchsorted(read_ids, rid)
+    posc = np.minimum(pos, max(len(read_ids) - 1, 0))
+    found = (len(read_ids) > 0) & (read_ids[posc] == rid)
+    inv = np.where((rc > 0) & found, 1.0 / np.maximum(rc, 1.0), 0.0)
+    wc_den = float(inv.sum())
+    if wc_den > 0:
+        scores[:, 3] = wc_num / wc_den
+    if logcont_den > 0:
+        scores[:, 4] = logcont / logcont_den
+    return scores

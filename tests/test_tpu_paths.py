@@ -1,0 +1,142 @@
+"""Device-path tests: batched JAX sketching and scoring must agree with the
+bit-exact CPU implementations (run on the CPU backend with a virtual 8-device
+mesh, per the conftest)."""
+
+import numpy as np
+import pytest
+
+from panmap_tpu.sketch import cpu as sk
+
+
+def random_dna(rng, n):
+    return "".join(rng.choice(list("ACGT")) for _ in range(n))
+
+
+@pytest.fixture
+def rng():
+    import random
+
+    return random.Random(7)
+
+
+def test_syncmer_scan_batch_matches_cpu(rng):
+    from panmap_tpu.sketch.tpu import encode_reads_batch, syncmer_scan_batch
+
+    k, s, t = 19, 8, 0
+    seqs = [random_dna(rng, 150) for _ in range(8)]
+    seqs[3] = seqs[3][:40] + "N" + seqs[3][41:]
+    seqs[5] = seqs[5][:97]  # shorter read exercises the length mask
+    reads, lens = encode_reads_batch(seqs, pad_to=150)
+    hh, hl, is_sync = syncmer_scan_batch(reads, lens, k, s, t, False)
+    hh, hl, is_sync = np.asarray(hh), np.asarray(hl), np.asarray(is_sync)
+    for i, seq in enumerate(seqs):
+        hashes, is_rev, ref_sync = sk.rolling_syncmers(seq, k, s, False, t)
+        m = len(hashes)
+        assert np.array_equal(is_sync[i, :m], ref_sync)
+        got = (hh[i, :m].astype(np.uint64) << np.uint64(32)) | hl[i, :m].astype(np.uint64)
+        assert np.array_equal(got[ref_sync], hashes[ref_sync])
+        assert not is_sync[i, m:].any()
+
+
+def test_kminmer_batch_matches_cpu(rng):
+    from panmap_tpu.sketch.tpu import (
+        encode_reads_batch,
+        kminmer_batch,
+        syncmer_scan_batch,
+    )
+
+    k, s, t, l = 19, 8, 0, 3
+    seqs = [random_dna(rng, 150) for _ in range(6)]
+    reads, lens = encode_reads_batch(seqs, pad_to=150)
+    hh, hl, is_sync = syncmer_scan_batch(reads, lens, k, s, t, False)
+    kh, kl, valid = kminmer_batch(hh, hl, is_sync, k, l)
+    kh, kl, valid = np.asarray(kh), np.asarray(kl), np.asarray(valid)
+    for i, seq in enumerate(seqs):
+        _, H, _ = sk.syncmer_list(seq, k, s, False, t)
+        km, vmask = sk.kminmer_hashes(H, k, l)
+        expect = km[vmask]
+        got = (kh[i].astype(np.uint64) << np.uint64(32)) | kl[i].astype(np.uint64)
+        got = got[valid[i]]
+        assert np.array_equal(np.sort(got), np.sort(expect))
+
+
+def test_device_scoring_matches_f64_engine():
+    """TPU scoring path vs the exact engine on a small synthetic index."""
+    from panmap_tpu.index.builder import IndexArrays, IndexParams
+    from panmap_tpu.place.engine import ReadSketch, score_nodes
+    from panmap_tpu.place import engine_tpu as et
+
+    rng = np.random.default_rng(0)
+    n_nodes = 9
+    parent = np.array([0, 0, 1, 1, 0, 4, 4, 6, 6], dtype=np.uint32)
+    rows_per_node = rng.integers(1, 6, n_nodes)
+    offsets = np.zeros(n_nodes + 1, dtype=np.uint64)
+    offsets[1:] = np.cumsum(rows_per_node)
+    T = int(offsets[-1])
+    hashes = rng.integers(0, 50, T).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    parents = rng.integers(0, 4, T).astype(np.int16)
+    childs = rng.integers(0, 4, T).astype(np.int16)
+    idx = IndexArrays(
+        params=IndexParams(),
+        node_ids=[f"n{i}" for i in range(n_nodes)],
+        parent_index=parent,
+        identical_to_parent=np.zeros(n_nodes, bool),
+        block_ranges=np.zeros((1, 2), np.uint32),
+        seed_hashes=hashes,
+        parent_counts=parents,
+        child_counts=childs,
+        node_offsets=offsets,
+    )
+    # read sketch over a subset of the hashes
+    uniq = np.unique(hashes)
+    chosen = uniq[::2]
+    freq = {int(h): int(c) for h, c in zip(chosen, rng.integers(1, 9, len(chosen)))}
+
+    from panmap_tpu.place.engine import prepare_read_sketch
+
+    sk_ = prepare_read_sketch(freq, 19, 100, min_read_support=1)
+    exact = score_nodes(idx, sk_)
+
+    dev = et.prepare_device_index(idx)
+    ids, lc, mag, nuniq, lden = et.map_read_table(dev, sk_.seed_freq, 1)
+    # prepare_read_sketch removed homopolymer seeds already; recompute stats to match
+    scores = et.compute_scores_tpu(dev, ids, lc, sk_.log_read_magnitude,
+                                   sk_.read_unique_seed_count,
+                                   sk_.log_containment_denominator)
+    assert np.allclose(scores, exact.scores, atol=2e-4)
+
+
+def test_sharded_scoring_matches_single_device():
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from panmap_tpu.parallel.mesh import make_mesh, make_sharded_score_fn, pad_rows
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n_nodes = 5
+    T = 64
+    row_id = rng.integers(0, 10, T).astype(np.int32)
+    rp = rng.integers(0, 3, T).astype(np.float32)
+    rc = rng.integers(0, 3, T).astype(np.float32)
+    row_node = np.sort(rng.integers(0, n_nodes, T)).astype(np.int32)
+    euler_in = np.array([0, 1, 3, 5, 7], dtype=np.int32)
+    euler_out = np.array([9, 2, 4, 6, 8], dtype=np.int32)
+    read_ids = np.arange(0, 10, 2, dtype=np.int32)
+    read_logc = rng.random(5).astype(np.float32)
+
+    mesh = make_mesh(8)
+    fn = make_sharded_score_fn(mesh, n_nodes)
+    acc = np.asarray(fn(row_id, rp, rc, row_node,
+                        jnp.asarray(euler_in), jnp.asarray(euler_out),
+                        jnp.asarray(read_ids), jnp.asarray(read_logc)))
+
+    from panmap_tpu.place.engine_tpu import make_score_fn
+
+    single = make_score_fn(n_nodes, T)
+    acc1 = np.asarray(single(jnp.asarray(row_id), jnp.asarray(rp), jnp.asarray(rc),
+                             jnp.asarray(row_node), jnp.asarray(euler_in),
+                             jnp.asarray(euler_out), jnp.asarray(read_ids),
+                             jnp.asarray(read_logc)))
+    assert np.allclose(acc, acc1, atol=1e-5)
