@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..io.panman import NUC_CODE_BYTE, NUC_FROM_CODE, PanmanTree, COMP_TABLE
-from ..sketch.cpu import U64, kminmer_hashes, rolling_syncmers, hpc_compress_with_mapping
+from ..sketch.cpu import U64, kminmer_hashes_oriented, rolling_syncmers, hpc_compress_with_mapping
 
 GAP = ord("-")
 _COMP_LUT = np.frombuffer(COMP_TABLE, dtype=np.uint8)
@@ -140,8 +140,12 @@ def _empty_state():
     return (
         np.empty(0, np.int64),  # syncmer positions (reading-order scalar), sorted
         np.empty(0, U64),  # syncmer hashes (position order)
+        np.empty(0, bool),  # syncmer is_reverse flags
         np.empty(0, U64),  # unique kminmer hashes (sorted)
         np.empty(0, np.int64),  # counts per unique kminmer hash
+        np.empty(0, U64),  # positioned kminmer hashes
+        np.empty(0, bool),  # positioned kminmer orientations
+        np.empty(0, np.int64),  # positioned kminmer start positions
     )
 
 
@@ -154,9 +158,12 @@ class _NodeEdits:
     blocks_turned_off: list  # block ids whose existence flipped on->off
 
 
-def build_index(tree: PanmanTree, params: IndexParams | None = None,
-                progress=None) -> IndexArrays:
-    params = params or IndexParams()
+def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None):
+    """Shared builder DFS: applies mutations down the tree maintaining the
+    syncmer/k-min-mer state, calling emit(dfs_index, parent_state, child_state,
+    changed) at every node.  Returns the identical-to-parent flags.
+    Both the single-sample count-delta index and the meta positional-delta
+    index are emitters over this walk."""
     space = ScalarSpace(tree)
     k, s, t, l = params.k, params.s, params.t, params.l
     flank = params.flank_mask_bp
@@ -168,7 +175,6 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
     br = space.block_ranges.astype(np.int64)
 
     n_nodes = len(tree.dfs_order)
-    node_deltas: list[tuple | None] = [None] * n_nodes
     identical = np.zeros(n_nodes, dtype=bool)
 
     def reading_scalar(sc: int, b: int) -> int:
@@ -301,11 +307,11 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
         else:
             hms, hme = 0, 1 << 62
 
-        p_pos, p_hash = parent_state[0], parent_state[1]
+        p_pos, p_hash, p_rev = parent_state[0], parent_state[1], parent_state[2]
 
         if hms is None or (not edits.spans and not edits.potential_dels
                            and not edits.blocks_turned_off):
-            child_pos, child_hash = p_pos, p_hash
+            child_pos, child_hash, child_rev = p_pos, p_hash, p_rev
         else:
             last_scalar = space.n - 1
             # ---- recompute windows (computeNewSyncmerRangesJump semantics) ----
@@ -353,6 +359,7 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
                 hashes, is_rev, is_sync = rolling_syncmers(seq, k, s, params.open, t)
             else:
                 hashes = np.empty(0, U64)
+                is_rev = np.empty(0, bool)
                 is_sync = np.empty(0, bool)
 
             scan_parts = []
@@ -365,8 +372,10 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
             pos_scan = nz[scan_idx] if len(scan_idx) else np.empty(0, np.int64)
             sync_scan = is_sync[scan_idx] if len(scan_idx) else np.empty(0, bool)
             hash_scan = hashes[scan_idx] if len(scan_idx) else np.empty(0, U64)
+            rev_scan = is_rev[scan_idx] if len(scan_idx) else np.empty(0, bool)
             unm = (pos_scan >= hms) & (pos_scan <= hme)
-            pos_scan, sync_scan, hash_scan = pos_scan[unm], sync_scan[unm], hash_scan[unm]
+            pos_scan, sync_scan, hash_scan, rev_scan = (
+                pos_scan[unm], sync_scan[unm], hash_scan[unm], rev_scan[unm])
 
             # ---- explicit deletions ----
             dels = []
@@ -415,21 +424,65 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
                 keep = np.ones(len(p_pos), dtype=bool)
             add_pos = pos_scan[sync_scan]
             add_hash = hash_scan[sync_scan]
+            add_rev = rev_scan[sync_scan]
             child_pos = np.concatenate([p_pos[keep], add_pos])
             child_hash = np.concatenate([p_hash[keep], add_hash])
+            child_rev = np.concatenate([p_rev[keep], add_rev])
             order = np.argsort(child_pos, kind="stable")
             child_pos = child_pos[order]
             child_hash = child_hash[order]
+            child_rev = child_rev[order]
 
         # ---- k-min-mers over the position-sorted syncmer list ----
-        km, valid = kminmer_hashes(child_hash, k, l)
-        km = km[valid]
-        uniq, counts = np.unique(km, return_counts=True)
-        return (child_pos, child_hash, uniq, counts.astype(np.int64))
+        km, valid, km_rev = kminmer_hashes_oriented(child_hash, k, l, child_rev)
+        km_pos = child_pos[: len(km)][valid]
+        km_hash = km[valid]
+        km_rev = km_rev[valid]
+        uniq, counts = np.unique(km_hash, return_counts=True)
+        return (child_pos, child_hash, child_rev, uniq, counts.astype(np.int64),
+                km_hash, km_rev, km_pos)
+
+    # iterative DFS with explicit state stack
+    root = tree.root
+    stack: list[_BuildFrame] = []
+    undo_c, undo_b, edits = apply_node(root)
+    root_state = compute_state(_empty_state(), edits)
+    emit(root.dfs_index, _empty_state(), root_state, True)
+    stack.append(_BuildFrame(root, iter(root.children), undo_c, undo_b, root_state))
+    processed = 1
+
+    while stack:
+        frame = stack[-1]
+        child = next(frame.child_iter, None)
+        if child is None:
+            undo_node(frame.undo_chars, frame.undo_blocks)
+            stack.pop()
+            continue
+        undo_c, undo_b, edits = apply_node(child)
+        if not edits.spans and not edits.potential_dels and not edits.blocks_turned_off:
+            state = frame.state
+            emit(child.dfs_index, frame.state, state, False)
+        else:
+            state = compute_state(frame.state, edits)
+            emit(child.dfs_index, frame.state, state, True)
+        processed += 1
+        if progress and processed % 2000 == 0:
+            progress(processed, n_nodes)
+        stack.append(_BuildFrame(child, iter(child.children), undo_c, undo_b, state))
+
+    return identical, space
+
+
+def build_index(tree: PanmanTree, params: IndexParams | None = None,
+                progress=None) -> IndexArrays:
+    params = params or IndexParams()
+    n_nodes = len(tree.dfs_order)
+    node_deltas: list[tuple | None] = [None] * n_nodes
+    empty_delta = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
 
     def count_delta(parent_state, child_state):
-        ph, pc = parent_state[2], parent_state[3]
-        ch, cc = child_state[2], child_state[3]
+        ph, pc = parent_state[3], parent_state[4]
+        ch, cc = child_state[3], child_state[4]
         allh = np.union1d(ph, ch)
         pcnt = np.zeros(len(allh), dtype=np.int64)
         if len(ph):
@@ -444,38 +497,13 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
         diff = pcnt != ccnt
         return allh[diff], pcnt[diff].astype(np.int16), ccnt[diff].astype(np.int16)
 
-    # iterative DFS with explicit state stack
-    root = tree.root
-    stack: list[_BuildFrame] = []
-    undo_c, undo_b, edits = apply_node(root)
-    root_state = compute_state(_empty_state(), edits)
-    node_deltas[root.dfs_index] = count_delta(_empty_state(), root_state)
-    stack.append(_BuildFrame(root, iter(root.children), undo_c, undo_b, root_state))
-    processed = 1
-    empty_delta = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
-
-    while stack:
-        frame = stack[-1]
-        child = next(frame.child_iter, None)
-        if child is None:
-            undo_node(frame.undo_chars, frame.undo_blocks)
-            stack.pop()
-            continue
-        undo_c, undo_b, edits = apply_node(child)
-        if not edits.spans and not edits.potential_dels and not edits.blocks_turned_off:
-            state = frame.state
-            if child.block_mutations or child.nuc_mutations:
-                # mutations applied but none affect the genome arrangement
-                node_deltas[child.dfs_index] = empty_delta
-            else:
-                node_deltas[child.dfs_index] = empty_delta
+    def emit(dfs_index, parent_state, child_state, changed):
+        if not changed:
+            node_deltas[dfs_index] = empty_delta
         else:
-            state = compute_state(frame.state, edits)
-            node_deltas[child.dfs_index] = count_delta(frame.state, state)
-        processed += 1
-        if progress and processed % 2000 == 0:
-            progress(processed, n_nodes)
-        stack.append(_BuildFrame(child, iter(child.children), undo_c, undo_b, state))
+            node_deltas[dfs_index] = count_delta(parent_state, child_state)
+
+    identical, space = run_dfs(tree, params, emit, progress)
 
     # flatten per-node deltas (already hash-sorted from union1d)
     total = sum(len(d[0]) for d in node_deltas)

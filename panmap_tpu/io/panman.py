@@ -325,7 +325,9 @@ def load_panman(path: str, tree_index: int = 0) -> PanmanTree:
         muts = nrec.ptr(0)
         if muts is not None:
             for m in muts.structs():
-                block_id = m.i64(0)
+                # blockId packs (primaryBlockId << 32 | secondary); secondary is
+                # retired in panmap (always 0/none), keep the primary
+                block_id = m.i64(0) >> 32
                 flags = m.u8(8)
                 if flags & 2:  # blockMutExist
                     node.block_mutations.append(
@@ -352,7 +354,7 @@ def load_panman(path: str, tree_index: int = 0) -> PanmanTree:
     blocks: dict[int, Block] = {}
     if cmap is not None:
         for e in cmap.structs():
-            block_ids = e.ptr(0).as_numpy("<u8")
+            block_ids = e.ptr(0).as_numpy("<u8") >> np.uint64(32)
             codes = _decode_consensus(e.ptr(1).as_numpy("<u4"))
             for bid in block_ids.tolist():
                 blocks[int(bid)] = Block(block_id=int(bid), consensus_codes=codes)
@@ -361,9 +363,10 @@ def load_panman(path: str, tree_index: int = 0) -> PanmanTree:
     gaps = t.ptr(3)
     if gaps is not None and gaps.count:
         for g in gaps.structs():
-            bid = g.i64(0)
-            posl = g.ptr(0)
-            lenl = g.ptr(1)
+            bid = g.i64(0) >> 32
+            # wire order: ptr0 = nucGapLength, ptr1 = nucPosition
+            lenl = g.ptr(0)
+            posl = g.ptr(1)
             tree.gaps.append(
                 GapList(
                     block_id=bid,

@@ -1,0 +1,160 @@
+"""Metagenomic (--meta) driver: abundance deconvolution pipeline.
+
+Mirrors src/main.cpp runMetagenomic/runDeconvolution (:1192-1313): meta index
+(cached next to the panman), read sketching + dust filter, overlap-coefficient
+ranking, identical-node collapsing, per-read scoring, unmapped/low-parsimony
+discards, SQUAREM EM rounds, abundance output with identical-group expansion.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..index.builder import IndexParams
+from ..io import fastq
+from ..io.panman import load_panman
+from .engine import MetaScorer, run_squarem, sketch_meta_reads
+from .index import (
+    MetaIndexArrays,
+    build_meta_index,
+    load_meta_index,
+    read_meta_params,
+    save_meta_index,
+)
+
+
+@dataclass
+class MetaConfig:
+    panman: str = ""
+    reads1: str = ""
+    reads2: str = ""
+    output: str = "sample"
+    k: int = 19
+    s: int = 8
+    t: int = 0
+    l: int = 3
+    open: bool = False
+    em_convergence_threshold: float = 1e-5
+    em_delta_threshold: float = 0.0
+    em_maximum_rounds: int = 5
+    em_maximum_iterations: int = 1000
+    top_oc: int = 1000
+    dust: float = 100.0
+    discard: float = 0.0
+    filter_and_assign: bool = False
+    taxonomy_path: str = ""
+    taxonomic_rank: str = "Family"
+    breadth_ratio: bool = False
+    leaves_only: bool = False
+    stop: str = ""
+    log=print
+
+
+def ensure_meta_index(cfg: MetaConfig, tree=None):
+    path = cfg.panman + ".ptmidx.npz"
+    want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open)
+    if os.path.exists(path):
+        try:
+            hdr = read_meta_params(path)
+            if (all(hdr.get(kk) == vv for kk, vv in want.items())
+                    and os.path.getmtime(path) >= os.path.getmtime(cfg.panman)):
+                return load_meta_index(path), tree
+        except Exception:
+            pass
+    if tree is None:
+        tree = load_panman(cfg.panman)
+    t0 = time.time()
+    midx = build_meta_index(
+        tree, IndexParams(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open))
+    cfg.log(f"[meta-index] built in {time.time()-t0:.1f}s "
+            f"({len(midx.delta_seed)} deltas, {len(midx.seed_hash)} seeds)")
+    try:
+        save_meta_index(path, midx)
+    except OSError:
+        cfg.log(f"[meta-index] warning: could not cache at {path}")
+    return midx, tree
+
+
+def run_meta(cfg: MetaConfig) -> int:
+    midx, tree = ensure_meta_index(cfg)
+    if cfg.stop == "index" or not cfg.reads1:
+        return 0
+
+    if cfg.filter_and_assign:
+        from .assign import run_filter_and_assign
+
+        return run_filter_and_assign(cfg, midx)
+
+    seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
+    p = midx.params
+    reads, n_dust = sketch_meta_reads(seqs, p.k, p.s, p.t, p.l, p.open,
+                                      dust_threshold=cfg.dust)
+    cfg.log(f"[meta] {len(seqs)} reads -> {len(reads)} unique seedmer sets "
+            f"({n_dust} low-complexity discarded)")
+
+    scorer = MetaScorer(midx, reads)
+    oc = scorer.overlap_coefficients()
+    # shared-rank assignment over surviving nodes (mgsr.cpp:141-154)
+    kept_nodes = [n for n in oc if scorer.tree.keep[n]]
+    kept_sorted = sorted(kept_nodes, key=lambda n: -oc[n])
+    candidates = []
+    rank = 0
+    prev = None
+    for n in kept_sorted:
+        if prev is None or oc[n] != prev:
+            prev = oc[n]
+            rank += 1
+            if rank > cfg.top_oc:
+                break
+        candidates.append(n)
+    cfg.log(f"[meta] {len(candidates)} candidate nodes from overlap coefficients")
+
+    t0 = time.time()
+    max_score, snap = scorer.score_all(candidates)
+    cfg.log(f"[meta] scored {len(reads)} read sets over the tree in {time.time()-t0:.1f}s")
+
+    read_lens = np.array([len(r.hashes) for r in reads], dtype=np.int64)
+    weights = np.array([r.n_dup for r in reads], dtype=np.float64)
+    eff_max = max_score.copy()
+    n_unmapped = int((eff_max == 0).sum())
+    low = eff_max < (read_lens * cfg.discard)
+    eff_max[low] = 0
+    weights[eff_max == 0] = 0.0
+    cfg.log(f"[meta] {n_unmapped} unmapped, {int(low.sum())} discarded by "
+            f"--discard {cfg.discard}")
+    if (weights > 0).sum() == 0:
+        cfg.log("[meta] no reads remain for EM")
+        return 0
+
+    cand_names = [midx.node_ids[n] for n in candidates]
+    res = run_squarem(
+        snap, read_lens, weights, cand_names,
+        eta=cfg.em_convergence_threshold,
+        max_change_threshold=cfg.em_delta_threshold,
+        max_iterations=cfg.em_maximum_iterations,
+        max_rounds=cfg.em_maximum_rounds,
+    )
+
+    # identical-member expansion: collapsed-away nodes ride with their keeper
+    id_to_index = {nm: i for i, nm in enumerate(midx.node_ids)}
+    members_of: dict = {}
+    for keeper, absorbed in scorer.tree.identical_members.items():
+        members_of[midx.node_ids[keeper]] = [midx.node_ids[a] for a in absorbed]
+
+    order = np.argsort(-res.props)
+    out_path = cfg.output + ".mgsr.abundance.out"
+    with open(out_path, "w") as fh:
+        for i in order:
+            name = res.node_names[i]
+            parts = [name] + members_of.get(name, [])
+            for g in res.identical_groups.get(name, []):
+                parts.append(g)
+                parts.extend(members_of.get(g, []))
+            fh.write(",".join(parts) + f"\t{res.props[i]:.5f}\n")
+    cfg.log(f"[meta] wrote {out_path}")
+    return 0

@@ -1,0 +1,411 @@
+"""Metagenomic read scoring + SQUAREM abundance EM.
+
+Reimplements the reference's mgsr runtime (src/mgsr.cpp):
+
+ - read seedmer lists with in-read duplicates and per-occurrence orientation,
+   deduplicated across reads by identical lists (:1850-1990);
+ - DUST low-complexity filter (:1518-1568);
+ - tree collapsing: delta-free nodes, then nodes whose deltas never touch a
+   read seedmer (:777-847), accumulating identicalNodeIdentifiers for output;
+ - overlap coefficients (distinct node hashes present in the read set over
+   distinct node hashes, :5685-5791) with shared-rank assignment (:141-154);
+ - per-read forward/reverse match counters maintained down the DFS: a read
+   occurrence of hash h gains/loses a forward (orientation-agreeing) or
+   reverse match when the node's per-orientation presence of h flips
+   (:7225-7470); score = max(fwd, rev);
+ - SQUAREM-accelerated EM over probs(j,i) = err^(m_j - s_ij) (1-err)^s_ij with
+   read-duplicate weights, likelihood-guarded extrapolation, low-proportion
+   node dropping between rounds (:4341-4491, :7988-8201).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..sketch.cpu import kminmer_hashes_oriented, syncmer_list
+from .index import MetaIndexArrays
+
+ERROR_RATE = 0.005
+PROP_THRESHOLD_TO_REMOVE = 0.005
+
+# DUST constants (mgsr.cpp getDust: 3-mer window algorithm)
+_DUST_K = 3
+_DUST_MASK = (1 << (2 * _DUST_K)) - 1
+_DUST_BASE = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _DUST_BASE[ord(_c)] = _i
+    _DUST_BASE[ord(_c.lower())] = _i
+
+
+def dust_score(seq: str, window_size: int = 64) -> float:
+    """Prinseq-scale low-complexity score (mgsr.cpp:1518-1568)."""
+    kmer_counts = np.zeros(1 << (2 * _DUST_K), dtype=np.int64)
+    window_kmers = np.zeros(window_size, dtype=np.int64)
+    cur_score = 0
+    max_score = 0
+    cur = 0
+    valid = -_DUST_K
+    for ch in seq.encode():
+        b = _DUST_BASE[ch]
+        if b > 3:
+            continue
+        cur = ((cur << 2) | int(b)) & _DUST_MASK
+        valid += 1
+        if valid < 0:
+            continue
+        wp = valid % window_size
+        if valid >= window_size:
+            out = window_kmers[wp]
+            if kmer_counts[out] > 0:
+                kmer_counts[out] -= 1
+                cur_score -= kmer_counts[out]
+            cur_score += kmer_counts[cur]
+            kmer_counts[cur] += 1
+            max_score = max(max_score, cur_score)
+        else:
+            cur_score += kmer_counts[cur]
+            kmer_counts[cur] += 1
+        window_kmers[wp] = cur
+    n_kmers = valid + 1
+    if valid >= window_size:
+        return (200.0 * max_score) / (window_size * (window_size - 1))
+    if n_kmers > 1:
+        return (200.0 * cur_score) / (valid * (valid + 1))
+    return 0.0
+
+
+@dataclass
+class MetaRead:
+    """One deduplicated read: its seedmer occurrence list + duplicate count."""
+
+    hashes: np.ndarray  # u64 per occurrence
+    revs: np.ndarray  # bool per occurrence
+    n_dup: int = 1
+    max_score: int = 0
+
+
+def sketch_meta_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
+                      dust_threshold: float = 100.0):
+    """Read seedmer lists, dust filter, dedup identical lists.
+
+    Returns (reads: list[MetaRead], n_low_complexity)."""
+    lists: dict[tuple, list] = {}
+    n_dust = 0
+    for seq in seqs:
+        if dust_threshold < 100.0 and dust_score(seq) > dust_threshold:
+            n_dust += 1
+            continue
+        pos, H, rev = syncmer_list(seq, k, s, open_, t)
+        if len(H) < l:
+            key = ()
+        else:
+            km, valid, km_rev = kminmer_hashes_oriented(H, k, l, rev)
+            key = tuple(zip(km[valid].tolist(), km_rev[valid].tolist()))
+        lists.setdefault(key, []).append(None)
+    reads = []
+    for key, members in lists.items():
+        if not key:
+            continue
+        hashes = np.array([h for h, _ in key], dtype=np.uint64)
+        revs = np.array([r for _, r in key], dtype=bool)
+        reads.append(MetaRead(hashes=hashes, revs=revs, n_dup=len(members)))
+    return reads, n_dust
+
+
+@dataclass
+class CollapsedTree:
+    """Meta tree after empty/irrelevant-node collapsing."""
+
+    keep: np.ndarray  # bool[N] survives
+    collapsed_parent: np.ndarray  # i32[N] surviving ancestor (self if kept)
+    identical_members: dict  # kept node -> [absorbed node indices]
+    children: list  # kept-node adjacency (indices)
+
+
+def collapse_tree(midx: MetaIndexArrays, relevant_rows_per_node) -> CollapsedTree:
+    """Collapse nodes with no relevant delta rows into their parents
+    (collapseEmptyNodes + collapseIdenticalScoringNodes combined)."""
+    n = len(midx.node_ids)
+    parent = midx.parent_index.astype(np.int64)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = True
+    for i in range(1, n):
+        keep[i] = len(relevant_rows_per_node[i]) > 0
+    collapsed_parent = np.zeros(n, dtype=np.int64)
+    identical_members: dict = defaultdict(list)
+    for i in range(n):
+        if keep[i]:
+            collapsed_parent[i] = i
+        else:
+            cp = collapsed_parent[parent[i]]
+            collapsed_parent[i] = cp
+            identical_members[cp].append(i)
+    children: list = [[] for _ in range(n)]
+    for i in range(1, n):
+        if keep[i]:
+            p = collapsed_parent[parent[i]]
+            children[p].append(i)
+    return CollapsedTree(keep=keep, collapsed_parent=collapsed_parent,
+                         identical_members=identical_members, children=children)
+
+
+class MetaScorer:
+    """DFS scorer over the collapsed tree."""
+
+    def __init__(self, midx: MetaIndexArrays, reads: list):
+        self.midx = midx
+        self.reads = reads
+        self.n_nodes = len(midx.node_ids)
+
+        # read-occurrence inverted index: hash -> (read idx array, occ rev array)
+        occ_read: dict = defaultdict(list)
+        occ_rev: dict = defaultdict(list)
+        for ridx, rd in enumerate(reads):
+            for h, rv in zip(rd.hashes.tolist(), rd.revs.tolist()):
+                occ_read[h].append(ridx)
+                occ_rev[h].append(rv)
+        self.occ_read = {h: np.array(v, dtype=np.int64) for h, v in occ_read.items()}
+        self.occ_rev = {h: np.array(occ_rev[h], dtype=bool) for h in occ_read}
+        self.read_hash_set = set(self.occ_read.keys())
+
+        # per-node relevant delta rows (hash in read set), vectorized
+        offs = midx.node_offsets
+        row_hash = midx.seed_hash[midx.delta_seed]
+        rh_sorted = np.sort(np.fromiter(self.read_hash_set, dtype=np.uint64,
+                                        count=len(self.read_hash_set)))
+        if len(rh_sorted):
+            ii = np.searchsorted(rh_sorted, row_hash)
+            iic = np.minimum(ii, len(rh_sorted) - 1)
+            relevant = rh_sorted[iic] == row_hash
+        else:
+            relevant = np.zeros(len(row_hash), dtype=bool)
+        self.rows_per_node = [
+            (np.flatnonzero(relevant[int(offs[i]) : int(offs[i + 1])])
+             + int(offs[i])).tolist()
+            for i in range(self.n_nodes)
+        ]
+
+        # nodes with ANY deltas (for empty-collapse parity the reference first
+        # collapses delta-free nodes, then read-irrelevant ones; combined here)
+        self.tree = collapse_tree(midx, self.rows_per_node)
+
+    # ------------------------------------------------------------------
+    def overlap_coefficients(self):
+        """(node_index -> OC) over surviving nodes, via delta DFS."""
+        midx = self.midx
+        offs = midx.node_offsets
+        counts: dict = defaultdict(lambda: [0, 0])  # hash -> [fwd, rev]
+        overlap = 0
+        oc: dict = {}
+        read_set = self.read_hash_set
+
+        def apply_row(r, sign):
+            nonlocal overlap
+            sid = midx.delta_seed[r]
+            h = int(midx.seed_hash[sid])
+            rv = bool(midx.seed_rev[sid])
+            isdel = bool(midx.delta_is_del[r]) ^ (sign < 0)
+            c = counts[h]
+            if not isdel:
+                c[1 if rv else 0] += 1
+                if c[0] + c[1] == 1 and h in read_set:
+                    overlap += 1
+            else:
+                was = c[0] + c[1]
+                c[1 if rv else 0] -= 1
+                if was == 1 and h in read_set:
+                    overlap -= 1
+                if c[0] + c[1] == 0:
+                    del counts[h]
+
+        stack = [(0, False)]
+        while stack:
+            node, done = stack.pop()
+            rows = range(int(offs[node]), int(offs[node + 1]))
+            if done:
+                for r in reversed(rows):
+                    apply_row(r, -1)
+                continue
+            for r in rows:
+                apply_row(r, +1)
+            denom = len(counts)
+            oc[node] = overlap / denom if denom else 0.0
+            stack.append((node, True))
+            kids = self.tree.children[node] if self.tree.keep[node] else []
+            # traverse the FULL tree (oc recorded for kept nodes only)
+            for c in reversed(self._raw_children(node)):
+                stack.append((c, False))
+        return oc
+
+    def _raw_children(self, node):
+        if not hasattr(self, "_rawch"):
+            n = self.n_nodes
+            ch: list = [[] for _ in range(n)]
+            par = self.midx.parent_index
+            for i in range(1, n):
+                ch[par[i]].append(i)
+            self._rawch = ch
+        return self._rawch[node]
+
+    # ------------------------------------------------------------------
+    def score_all(self, candidate_nodes: list):
+        """DFS applying presence-flip events to per-read fwd/rev counters.
+
+        Returns (max_score i32[R], score_matrix u16[len(candidates), R])."""
+        R = len(self.reads)
+        fwd = np.zeros(R, dtype=np.int32)
+        rev = np.zeros(R, dtype=np.int32)
+        max_score = np.zeros(R, dtype=np.int32)
+        cand_set = {n: i for i, n in enumerate(candidate_nodes)}
+        snap = np.zeros((len(candidate_nodes), R), dtype=np.uint16)
+        counts: dict = defaultdict(lambda: [0, 0])
+        midx = self.midx
+
+        def apply_row(r, sign):
+            sid = midx.delta_seed[r]
+            h = int(midx.seed_hash[sid])
+            rv = bool(midx.seed_rev[sid])
+            isdel = bool(midx.delta_is_del[r]) ^ (sign < 0)
+            c = counts[h]
+            oi = 1 if rv else 0
+            if not isdel:
+                c[oi] += 1
+                fire = c[oi] == 1
+                delta = 1
+            else:
+                fire = c[oi] == 1
+                c[oi] -= 1
+                delta = -1
+            if not fire:
+                return None
+            ri = self.occ_read.get(h)
+            if ri is None:
+                return None
+            agree = self.occ_rev[h] == rv
+            np.add.at(fwd, ri[agree], delta)
+            np.add.at(rev, ri[~agree], delta)
+            return ri
+
+        stack = [(0, False)]
+        while stack:
+            node, done = stack.pop()
+            rows = self.rows_per_node[node]
+            if done:
+                for r in reversed(rows):
+                    apply_row(r, -1)
+                continue
+            touched = []
+            for r in rows:
+                ri = apply_row(r, +1)
+                if ri is not None:
+                    touched.append(ri)
+            if touched:
+                tr = np.unique(np.concatenate(touched))
+                np.maximum(max_score[tr], np.maximum(fwd[tr], rev[tr]),
+                           out=max_score[tr])
+            ci = cand_set.get(node)
+            if ci is not None:
+                snap[ci] = np.maximum(fwd, rev).astype(np.uint16)
+            stack.append((node, True))
+            for c in reversed(self._raw_children(node)):
+                stack.append((c, False))
+        return max_score, snap
+
+
+# ----------------------------------------------------------------------
+# SQUAREM EM (mgsr.cpp:4341-4443, squareEM ctor :7988-8201)
+# ----------------------------------------------------------------------
+@dataclass
+class EMResult:
+    node_names: list  # representative per column
+    props: np.ndarray
+    identical_groups: dict  # representative -> [other node names]
+
+
+def run_squarem(score_matrix: np.ndarray, read_lens: np.ndarray,
+                read_weights: np.ndarray, node_names: list,
+                eta: float = 1e-5, max_change_threshold: float = 0.0,
+                max_iterations: int = 1000, max_rounds: int = 5) -> EMResult:
+    """score_matrix: [nodes, reads] u16;  read_lens m_j;  weights = duplicate counts."""
+    # collapse identical score vectors into groups
+    uniq_cols: dict = {}
+    identical_groups: dict = defaultdict(list)
+    reps = []
+    keep_rows = []
+    for i, name in enumerate(node_names):
+        key = score_matrix[i].tobytes()
+        if key in uniq_cols:
+            identical_groups[uniq_cols[key]].append(name)
+        else:
+            uniq_cols[key] = name
+            reps.append(name)
+            keep_rows.append(i)
+    S = score_matrix[keep_rows].astype(np.float64)  # [M, R]
+    M, R = S.shape
+    probs = (ERROR_RATE ** (read_lens[None, :] - S)) * ((1 - ERROR_RATE) ** S)
+    probs = probs.T  # [R, M]
+    w = read_weights.astype(np.float64)
+
+    names = list(reps)
+
+    def em_step(p):
+        denoms = probs @ p
+        inv = np.where(denoms > 0, 1.0 / denoms, 0.0)
+        out = (w[:, None] * probs * p[None, :] * inv[:, None]).sum(axis=0)
+        return out / w.sum()
+
+    def normalize(p):
+        p = np.where(p <= 0, 1e-12, p)
+        return p / p.sum()
+
+    def llh(p):
+        v = probs @ p
+        return float((w * np.log(np.where(v > 0, v, 1e-300))).sum())
+
+    def run_once():
+        m = probs.shape[1]
+        p = np.full(m, 1.0 / m)
+        cur_llh = -np.inf
+        for _ in range(max_iterations):
+            p0 = p
+            p1 = normalize(em_step(p0))
+            p2 = normalize(em_step(p1))
+            r = p1 - p0
+            v = (p2 - p1) - r
+            vn = np.linalg.norm(v)
+            alpha = -np.linalg.norm(r) / vn if vn > 0 else -1.0
+            psq = normalize(p0 - 2.0 * alpha * r + alpha * alpha * v)
+            l2 = llh(p2)
+            lsq = llh(psq)
+            if lsq > l2 - eta:
+                p = psq
+                diff = lsq - cur_llh
+                cur_llh = lsq
+            else:
+                p = p2
+                diff = l2 - cur_llh
+                cur_llh = l2
+            if max_change_threshold == 0:
+                if abs(diff) < eta:
+                    break
+            elif np.abs(p - p0).max() < max_change_threshold:
+                break
+        return p
+
+    p = np.full(probs.shape[1], 1.0 / probs.shape[1])
+    for _round in range(max_rounds):
+        p = run_once()
+        passed = p >= PROP_THRESHOLD_TO_REMOVE
+        if passed.all():
+            break
+        probs = probs[:, passed]
+        names = [nm for nm, ok in zip(names, passed) if ok]
+        if probs.shape[1] == 0:
+            break
+        # the reference resets to uniform and re-runs in the next round
+        p = np.full(probs.shape[1], 1.0 / probs.shape[1])
+    return EMResult(node_names=names, props=p,
+                    identical_groups=dict(identical_groups))

@@ -58,12 +58,11 @@ class TpuPlacer:
         self._sketch_count = sketch_count
         self._score = et.make_score_fn(self.dev.n_nodes, int(self.dev.row_id.shape[0]))
 
-    def seed_table(self, seqs: list):
-        """hash->count over the read batch (device sketch, host merge)."""
-        from collections import defaultdict
-
-        counts: dict[int, int] = defaultdict(int)
+    def seed_table_arrays(self, seqs: list):
+        """(hashes u64 sorted unique, counts i64) over the read batch."""
         B = self.batch
+        parts_h = []
+        parts_c = []
         for off in range(0, len(seqs), B):
             chunk = seqs[off : off + B]
             reads, lens = encode_reads_batch(chunk, pad_to=self.pad_len)
@@ -71,7 +70,6 @@ class TpuPlacer:
                 pad = B - len(chunk)
                 reads = np.concatenate([reads, np.full((pad, self.pad_len), 4, np.uint8)])
                 lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-            # long reads fall back to host sketching
             hi_s, lo_s, v_s, first = self._sketch_count(reads, lens)
             hi_s = np.asarray(hi_s)
             lo_s = np.asarray(lo_s)
@@ -84,31 +82,58 @@ class TpuPlacer:
             bounds = np.append(all_starts, len(v_s))
             ends = bounds[np.searchsorted(all_starts, starts) + 1]
             # only count valid entries inside the run (padding shares the
-            # all-ones key and is excluded by v_s cumsum)
+            # all-ones key and is excluded by the v_s cumsum)
             cv = np.concatenate([[0], np.cumsum(v_s)])
             run_counts = cv[ends] - cv[starts]
             hashes = (hi_s[starts].astype(np.uint64) << np.uint64(32)) | lo_s[starts]
-            for h, c in zip(hashes.tolist(), run_counts.tolist()):
-                counts[h] += int(c)
-        # reads longer than pad_len: host path for their tails is skipped by
-        # design (bench batches are uniform); pipeline callers pass pad_len
-        # >= max read length.
-        return dict(counts)
+            parts_h.append(hashes)
+            parts_c.append(run_counts)
+        if not parts_h:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        allh = np.concatenate(parts_h)
+        allc = np.concatenate(parts_c)
+        uh, inv = np.unique(allh, return_inverse=True)
+        uc = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
+        return uh, uc
+
+    def seed_table(self, seqs: list):
+        """hash->count over the read batch (device sketch, host merge)."""
+        uh, uc = self.seed_table_arrays(seqs)
+        return dict(zip(uh.tolist(), uc.tolist()))
 
     def place(self, seqs: list, min_read_support: int = -1,
               seed_mask_fraction: float = 0.0):
-        from .engine import homopolymer_hashes, resolve_min_read_support
+        from .engine import homopolymer_hashes
 
-        freq = self.seed_table(seqs)
-        for h in homopolymer_hashes(self.params.k):
-            freq.pop(h, None)
-        if seed_mask_fraction > 0.0 and freq:
-            n_mask = int(seed_mask_fraction * len(freq))
+        uh, uc = self.seed_table_arrays(seqs)
+        homo = np.array(homopolymer_hashes(self.params.k), dtype=np.uint64)
+        keep = ~np.isin(uh, homo)
+        uh, uc = uh[keep], uc[keep]
+        if seed_mask_fraction > 0.0 and len(uh):
+            n_mask = int(seed_mask_fraction * len(uh))
             if n_mask > 0:
-                for h, _ in sorted(freq.items(), key=lambda kv: -kv[1])[:n_mask]:
-                    del freq[h]
-        min_support = resolve_min_read_support(freq, min_read_support)
-        ids, lc, mag, nuniq, lden = et.map_read_table(self.dev, freq, min_support)
+                drop = np.argpartition(-uc, n_mask - 1)[:n_mask]
+                mask = np.ones(len(uh), bool)
+                mask[drop] = False
+                uh, uc = uh[mask], uc[mask]
+        if min_read_support < 0:
+            multi = uc >= 2
+            est = float(uc[multi].mean()) if multi.any() else 0.0
+            min_support = 2 if est > 3.0 else 1
+        else:
+            min_support = min_read_support
+        keep = uc >= min_support
+        uh, uc = uh[keep], uc[keep]
+        log_counts = np.log1p(uc.astype(np.float64))
+        mag = float(np.sqrt((log_counts**2).sum()))
+        lden = float(log_counts.sum())
+        nuniq = len(uh)
+        U = self.dev.unique_hashes
+        ii = np.searchsorted(U, uh)
+        iic = np.minimum(ii, max(len(U) - 1, 0))
+        found = (len(U) > 0) & (U[iic] == uh)
+        ids = iic[found].astype(np.int32)
+        lc = log_counts[found].astype(np.float32)
         acc = np.asarray(
             self._score(self.dev.row_id, self.dev.row_parent, self.dev.row_child,
                         self.dev.row_node, self.dev.euler_in, self.dev.euler_out,

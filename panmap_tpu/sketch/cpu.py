@@ -172,18 +172,32 @@ def syncmer_list(seq, k: int, s: int, open_: bool, t: int = 0):
     return pos, hashes[pos], is_rev[pos]
 
 
-def kminmer_hashes(H: np.ndarray, k: int, l: int, is_rev: np.ndarray | None = None):
+def kminmer_hashes(H: np.ndarray, k: int, l: int):
     """Combine l consecutive syncmer hashes into k-min-mers.
 
     Returns (canonical u64[m-l+1], valid bool[m-l+1]) where valid=False marks
     palindromic windows (fwd==rev), which the reference skips.
     For l==1 the k-min-mer is the syncmer hash itself and nothing is skipped.
     """
+    canon, valid, _ = kminmer_hashes_oriented(H, k, l)
+    return canon, valid
+
+
+def kminmer_hashes_oriented(H: np.ndarray, k: int, l: int,
+                            syncmer_rev: np.ndarray | None = None):
+    """Like kminmer_hashes but also returns is_rev (reverse combine < forward).
+
+    For l==1 the orientation is the syncmer's own strand (pass syncmer_rev);
+    the reference treats the opposite-strand hash as +inf there
+    (index_single_mode.cpp:1991-2003)."""
     m = len(H)
     if m < l:
-        return np.empty(0, U64), np.empty(0, bool)
+        z = np.empty(0, U64)
+        return z, np.empty(0, bool), np.empty(0, bool)
     if l == 1:
-        return H.astype(U64, copy=True), np.ones(m, dtype=bool)
+        rev = (syncmer_rev.astype(bool) if syncmer_rev is not None
+               else np.zeros(m, dtype=bool))
+        return H.astype(U64, copy=True), np.ones(m, dtype=bool), rev
     c = m - l + 1
     F = np.zeros(c, dtype=U64)
     R = np.zeros(c, dtype=U64)
@@ -191,7 +205,7 @@ def kminmer_hashes(H: np.ndarray, k: int, l: int, is_rev: np.ndarray | None = No
         F ^= rol(H[wdx : wdx + c], k * (l - 1 - wdx))
         R ^= rol(H[l - 1 - wdx : l - 1 - wdx + c], k * (l - 1 - wdx))
     valid = F != R
-    return np.minimum(F, R), valid
+    return np.minimum(F, R), valid, R < F
 
 
 def read_kminmer_counts(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
