@@ -304,8 +304,8 @@ class MetaScorer:
                     touched.append(ri)
             if touched:
                 tr = np.unique(np.concatenate(touched))
-                np.maximum(max_score[tr], np.maximum(fwd[tr], rev[tr]),
-                           out=max_score[tr])
+                max_score[tr] = np.maximum(max_score[tr],
+                                           np.maximum(fwd[tr], rev[tr]))
             ci = cand_set.get(node)
             if ci is not None:
                 snap[ci] = np.maximum(fwd, rev).astype(np.uint16)
