@@ -1,0 +1,274 @@
+"""Batched short-read alignment: the whole read set as array programs.
+
+Same semantics as align/core.py (minimap2-sr-equivalent seeding, thresholds,
+verify + prefix-max soft-clip trim, DP rescue), but vectorized across the full
+batch: one minimizer scan over the [N, L] read matrix, one searchsorted join
+into the reference minimizer table, sort+reduceat diagonal clustering, and a
+batched gather/compare/trim for the (dominant) substitution-only path.  Only
+reads that need indel rescue drop into the per-read banded DP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import (
+    Alignment,
+    END_BONUS,
+    KMER,
+    MATCH,
+    MAX_GAP,
+    MIN_CHAIN_SCORE,
+    MIN_CNT,
+    MIN_DP_MAX,
+    MISMATCH,
+    WINDOW,
+    Aligner,
+    _hash64,
+    banded_affine_dp,
+    encode,
+)
+
+_RC = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
+
+
+def batch_minimizers(reads: np.ndarray, lens: np.ndarray, k: int = KMER,
+                     w: int = WINDOW):
+    """[N, L] u8 codes -> flattened minimizer anchors (read, qpos, hash, strand)."""
+    N, L = reads.shape
+    m = L - k + 1
+    if m <= 0:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.uint64), np.empty(0, np.uint8)
+    x = reads.astype(np.uint64)
+    xr = (np.uint64(3) - np.minimum(reads, 3).astype(np.uint64))
+    fwd = np.zeros((N, m), dtype=np.uint64)
+    rev = np.zeros((N, m), dtype=np.uint64)
+    for i in range(k):
+        fwd = (fwd << np.uint64(2)) | x[:, i : i + m]
+        rev |= xr[:, i : i + m] << np.uint64(2 * i)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    fwd &= mask
+    rev &= mask
+    bad = (reads >= 4).astype(np.int32)
+    cb = np.cumsum(bad, axis=1)
+    amb = (cb[:, k - 1 :] - np.concatenate(
+        [np.zeros((N, 1), np.int32), cb[:, : m - 1]], axis=1)) > 0
+    in_read = (np.arange(m)[None, :] + k) <= lens[:, None]
+    strand = (rev < fwd).astype(np.uint8)
+    canon = np.where(strand == 1, rev, fwd)
+    ok = ~amb & (fwd != rev) & in_read
+    h = _hash64(canon, mask)
+    BIG = np.uint64(0xFFFFFFFFFFFFFFFF)
+    h = np.where(ok, h, BIG)
+    if m <= w:
+        jm = h.argmin(axis=1)
+        sel = np.zeros((N, m), dtype=bool)
+        sel[np.arange(N), jm] = h[np.arange(N), jm] != BIG
+    else:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wm = sliding_window_view(h, w, axis=1).min(axis=-1)
+        nwin = wm.shape[1]
+        sel = np.zeros((N, m), dtype=bool)
+        for off in range(w):
+            idx = np.arange(nwin) + off
+            sel[:, idx] |= h[:, idx] == wm
+        sel &= h != BIG
+    ridx, qpos = np.nonzero(sel)
+    return ridx.astype(np.int64), qpos.astype(np.int64), h[ridx, qpos], strand[ridx, qpos]
+
+
+class BatchAligner(Aligner):
+    """Aligner with a vectorized batch front-end."""
+
+    def align_batch(self, seqs: list):
+        """Returns list[Alignment] (one per read)."""
+        N = len(seqs)
+        out = [Alignment() for _ in range(N)]
+        if N == 0:
+            return out
+        L = max(len(s) for s in seqs)
+        from ..sketch.tpu import encode_reads_batch
+
+        reads, lens = encode_reads_batch(seqs, pad_to=L)
+        ridx, qpos, qh, qstrand = batch_minimizers(reads, lens, self.k, self.w)
+
+        start, end = self.index.lookup_many(qh)
+        counts = (end - start).astype(np.int64)
+        tot = int(counts.sum())
+        if tot == 0:
+            return out
+        # expand anchor hits
+        rep = np.repeat(np.arange(len(qh)), counts)
+        within = np.arange(tot) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        tpos = self.index.pos[np.repeat(start, counts) + within].astype(np.int64)
+        a_read = ridx[rep]
+        a_qpos = qpos[rep]
+        a_rel = (self.index.strand[np.repeat(start, counts) + within]
+                 ^ qstrand[rep]).astype(np.int64)
+        a_len = lens[a_read].astype(np.int64)
+        diag = np.where(a_rel == 0, tpos - a_qpos,
+                        tpos - (a_len - self.k - a_qpos))
+        a_qv = np.where(a_rel == 0, a_qpos, a_len - self.k - a_qpos)
+
+        # cluster per (read, strand): sort then split on diag jumps
+        order = np.lexsort((diag, a_rel, a_read))
+        r_s = a_read[order]
+        rel_s = a_rel[order]
+        d_s = diag[order]
+        qv_s = a_qv[order]
+        new_grp = np.concatenate(
+            ([True],
+             (r_s[1:] != r_s[:-1]) | (rel_s[1:] != rel_s[:-1])
+             | (np.diff(d_s) > MAX_GAP)))
+        gstart = np.flatnonzero(new_grp)
+        gend = np.append(gstart[1:], len(r_s))
+        votes = gend - gstart
+        qmin = np.minimum.reduceat(qv_s, gstart)
+        qmax = np.maximum.reduceat(qv_s, gstart)
+        span = np.minimum(qmax - qmin + self.k, lens[r_s[gstart]])
+        dmin = d_s[gstart]
+        dmax = d_s[gend - 1]
+        # median diagonal per cluster
+        med = d_s[(gstart + gend - 1) // 2]
+        g_read = r_s[gstart]
+        g_rel = rel_s[gstart]
+
+        # best + second-best votes per read
+        corder = np.lexsort((-votes, g_read))
+        first_of_read = np.concatenate(
+            ([True], g_read[corder][1:] != g_read[corder][:-1]))
+        best_rows = corder[first_of_read]
+        second_votes = np.zeros(N, dtype=np.int64)
+        rest = corder[~first_of_read]
+        if len(rest):
+            fr = np.concatenate(
+                ([True], g_read[rest][1:] != g_read[rest][:-1]))
+            second_rows = rest[fr]
+            second_votes[g_read[second_rows]] = votes[second_rows]
+
+        sel = best_rows[(votes[best_rows] >= MIN_CNT)
+                        & (span[best_rows] >= MIN_CHAIN_SCORE)]
+        if len(sel) == 0:
+            return out
+
+        # ---- vectorized verify for single-diagonal clusters ----
+        ref = self.index.codes2
+        lr = len(ref)
+        b_read = g_read[sel]
+        b_rel = g_rel[sel]
+        b_diag = med[sel]
+        b_single = dmin[sel] == dmax[sel]
+        b_votes = votes[sel]
+        b_sec = second_votes[b_read]
+
+        oriented = np.where(b_rel[:, None] == 0, reads[b_read],
+                            _RC[reads[b_read][:, ::-1]])
+        lq = lens[b_read].astype(np.int64)
+        # align oriented reads so base j corresponds to original padded... for
+        # reversed reads the padding ends up on the LEFT; shift per row
+        pad = (reads.shape[1] - lq)
+        shift = np.where(b_rel == 1, pad, 0)
+        # gather ref at diag + j - shift (reversed reads' content starts at pad)
+        j = np.arange(reads.shape[1])[None, :]
+        qcol = j - shift[:, None]
+        rpos = b_diag[:, None] + qcol
+        okcol = (qcol >= 0) & (qcol < lq[:, None]) & (rpos >= 0) & (rpos < lr)
+        refg = np.where(okcol, ref[np.clip(rpos, 0, lr - 1)], 255)
+        qg = oriented
+        match = okcol & (qg == refg) & (qg < 4)
+        contrib = np.where(okcol, np.where(match, MATCH, -MISMATCH), 0).astype(np.int64)
+
+        # best sub-segment with end bonuses, batched prefix-max over columns
+        S = np.concatenate(
+            [np.zeros((len(sel), 1), np.int64), np.cumsum(contrib, axis=1)], axis=1)
+        n_col = contrib.shape[1]
+        q_lo = np.maximum(0, -b_diag)  # first in-ref query column
+        q_hi = np.minimum(lq, lr - b_diag)
+        col = np.arange(n_col + 1)[None, :]
+        lo_col = (np.maximum(q_lo, 0) + shift)[:, None]
+        hi_col = (q_hi + shift)[:, None]
+        NEG = np.int64(-(1 << 40))
+        start_bonus = np.where(col == lo_col,
+                               np.where(q_lo == 0, END_BONUS, 0)[:, None], 0)
+        lead = np.where((col >= lo_col) & (col <= hi_col), -S + start_bonus, NEG)
+        best_lead = np.maximum.accumulate(lead, axis=1)
+        end_bonus = np.where(col == hi_col,
+                             np.where(q_hi == lq, END_BONUS, 0)[:, None], 0)
+        totals = np.where((col >= lo_col) & (col <= hi_col),
+                          S + end_bonus + best_lead, NEG)
+        jbest = np.argmax(totals[:, 1:], axis=1) + 1
+        rows = np.arange(len(sel))
+        score = totals[rows, jbest]
+        # recover the segment start: first column (<= jbest) where lead hits
+        # the prefix max at jbest
+        target = best_lead[rows, jbest]
+        hitmask = (lead == target[:, None]) & (col <= jbest[:, None])
+        ibest = np.argmax(hitmask, axis=1)
+
+        qs_o = ibest - shift
+        qe_o = jbest - shift
+        rawsc = score.copy()
+        rawsc -= np.where((q_lo == 0) & (qs_o == q_lo), END_BONUS, 0)
+        rawsc -= np.where((q_hi == lq) & (qe_o == q_hi), END_BONUS, 0)
+        clip5 = qs_o
+        clip3 = lq - qe_o
+        needs_dp = (~b_single) | (clip5 >= 10) | (clip3 >= 10) | (score <= 0)
+        fast_ok = (~needs_dp) & (rawsc >= MIN_DP_MAX) & (qe_o - qs_o >= self.k)
+
+        # nm per fast row: mismatches inside the kept segment
+        seg_mask = (col[:, :-1] >= (shift + qs_o)[:, None]) & (
+            col[:, :-1] < (shift + qe_o)[:, None])
+        nm_all = (seg_mask & ~match).sum(axis=1)
+        mapq_all = np.where(
+            (b_votes >= 3) & (b_sec * 2 <= b_votes), 60,
+            np.clip((40 * (1 - (b_sec + 1) / (b_votes + 1))).astype(np.int64), 1, 60))
+
+        for r in np.flatnonzero(fast_ok):
+            i = int(b_read[r])
+            aln = out[i]
+            aln.mapped = True
+            aln.score = int(rawsc[r])
+            aln.rev = bool(b_rel[r])
+            q0, q1 = int(qs_o[r]), int(qe_o[r])
+            aln.rs = int(b_diag[r]) + q0
+            aln.re = int(b_diag[r]) + q1
+            aln.cigar = [(q1 - q0, "M")]
+            aln.nm = int(nm_all[r])
+            aln.mapq = int(mapq_all[r])
+            if aln.rev:
+                aln.qs, aln.qe = int(lq[r]) - q1, int(lq[r]) - q0
+            else:
+                aln.qs, aln.qe = q0, q1
+
+        b_dmin = dmin[sel]
+        b_dmax = dmax[sel]
+        for r in np.flatnonzero(~fast_ok):
+            i = int(b_read[r])
+            res = self._extend(
+                oriented[r, shift[r] : shift[r] + lq[r]].copy(),
+                int(b_diag[r]), int(b_dmin[r]), int(b_dmax[r]),
+                int(b_votes[r]), int(b_sec[r]))
+            if res.mapped:
+                res.rev = bool(b_rel[r])
+                if res.rev:
+                    res.qs, res.qe = int(lq[r]) - res.qe, int(lq[r]) - res.qs
+                out[i] = res
+        return out
+
+    def align_pairs_batch(self, seqs: list, paired: bool):
+        alns = self.align_batch(seqs)
+        out = []
+        if paired:
+            for i in range(0, len(seqs) - 1, 2):
+                a1, a2 = alns[i], alns[i + 1]
+                if a1.mapped and a2.mapped:
+                    a1.proper_frag = a2.proper_frag = self._proper(a1, a2)
+                else:
+                    a1.mapped = a2.mapped = False
+                out.append((a1, a2))
+        else:
+            out = [(a, None) for a in alns]
+        return out

@@ -245,6 +245,97 @@ def banded_affine_dp(q: np.ndarray, r: np.ndarray):
     return score, i, bi, j, bj, cigar
 
 
+def _collapse(ops: list) -> list:
+    out = []
+    for ln, op in ops:
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + ln, op)
+        else:
+            out.append((ln, op))
+    return out
+
+
+def extension_dp(q: np.ndarray, r: np.ndarray):
+    """Affine-gap extension from the origin (ksw2-extension equivalent): the
+    alignment is anchored at (0,0) and may end anywhere; reaching the query end
+    earns END_BONUS.  Returns (score, qe, re, cigar) with score<=0 => no gain.
+    Small inputs only (clipped tails), row-vectorized like banded_affine_dp."""
+    lq, lr = len(q), len(r)
+    if lq == 0 or lr == 0:
+        return 0, 0, 0, []
+    NEG = np.int32(-(1 << 28))
+    H = np.full((lq + 1, lr + 1), NEG, dtype=np.int32)
+    E = np.full((lq + 1, lr + 1), NEG, dtype=np.int32)
+    F = np.full((lq + 1, lr + 1), NEG, dtype=np.int32)
+    H[0, 0] = 0
+    idx = np.arange(lr + 1, dtype=np.int32)
+    H[0, 1:] = -(GAP_OPEN + (idx[1:] - 1) * GAP_EXT)
+    sub = np.where((q[:, None] == r[None, :]) & (q[:, None] < 4),
+                   MATCH, -MISMATCH).astype(np.int32)
+    best = (0, 0, 0)
+    for i in range(1, lq + 1):
+        F[i] = np.maximum(H[i - 1] - GAP_OPEN, F[i - 1] - GAP_EXT)
+        base = np.full(lr + 1, NEG, dtype=np.int32)
+        base[1:] = np.maximum(H[i - 1, :-1] + sub[i - 1], F[i, 1:])
+        base[0] = -(GAP_OPEN + (i - 1) * GAP_EXT)
+        pm = np.maximum.accumulate(base + idx * GAP_EXT)
+        E[i, 1:] = pm[:-1] - GAP_OPEN - (idx[1:] - 1) * GAP_EXT
+        H[i] = np.maximum(base, E[i])
+        jmax = int(np.argmax(H[i]))
+        sc = int(H[i][jmax]) + (END_BONUS if i == lq else 0)
+        if sc > best[0]:
+            best = (sc, i, jmax)
+    score, bi, bj = best
+    if score <= 0:
+        return 0, 0, 0, []
+    i, j = bi, bj
+    ops = []
+    state = "H"
+    while i > 0 or j > 0:
+        if state == "H":
+            if i == 0:
+                ops.extend("D" * j)
+                break
+            if j == 0:
+                ops.extend("I" * i)
+                break
+            h = H[i, j]
+            if h == H[i - 1, j - 1] + sub[i - 1, j - 1]:
+                ops.append("M")
+                i -= 1
+                j -= 1
+            elif h == E[i, j]:
+                state = "E"
+            elif h == F[i, j]:
+                state = "F"
+            else:
+                ops.append("M")
+                i -= 1
+                j -= 1
+        elif state == "E":
+            ops.append("D")
+            if j > 1 and E[i, j] == E[i, j - 1] - GAP_EXT:
+                j -= 1
+            else:
+                j -= 1
+                state = "H"
+        else:
+            ops.append("I")
+            if i > 1 and F[i, j] == F[i - 1, j] - GAP_EXT:
+                i -= 1
+            else:
+                i -= 1
+                state = "H"
+    ops.reverse()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    return score, bi, bj, cigar
+
+
 class Aligner:
     """Map a batch of reads against one reference (minimap2-sr equivalent)."""
 
@@ -380,23 +471,53 @@ class Aligner:
             qe = q_lo + j
             clip5 = qs
             clip3 = lq - qe
-            # clips large enough to hide an indel-rescuable tail go to DP
-            if score > 0 and clip5 < 10 and clip3 < 10:
+            if score > 0 and (clip5 < 10 and clip3 < 10):
                 return finish(raw_score, qs, qe, rs0 + qs, rs0 + qe,
                               [(qe - qs, "M")], int((~match[i:j]).sum()))
-        # DP path (multi-diagonal cluster or clipped ends)
+            if score > 0:
+                # gapped tail rescue: extend clipped ends from the core segment
+                # (minimap2 extends outward from the terminal anchors)
+                core_score = raw_score
+                cigar = [(qe - qs, "M")]
+                nm = int((~match[i:j]).sum())
+                rs = rs0 + qs
+                re_ = rs0 + qe
+                if clip3 >= 10:
+                    tail = q[qe:]
+                    rwin = ref[re_: min(lr, re_ + len(tail) + MAX_GAP + 16)]
+                    esc, qext, rext, ecig = extension_dp(tail, rwin)
+                    if esc > 0 and ecig:
+                        cigar = _collapse(cigar + ecig)
+                        nm += sum(ln for ln, op in ecig if op != "M")
+                        qe += qext
+                        re_ += rext
+                        core_score += esc - (END_BONUS if qe == lq else 0)
+                if clip5 >= 10:
+                    head = q[:qs][::-1]
+                    wlo = max(0, rs - len(head) - MAX_GAP - 16)
+                    rwin = ref[wlo:rs][::-1]
+                    esc, qext, rext, ecig = extension_dp(head, rwin)
+                    if esc > 0 and ecig:
+                        ecig = list(reversed(ecig))
+                        cigar = _collapse(ecig + cigar)
+                        nm += sum(ln for ln, op in ecig if op != "M")
+                        qs -= qext
+                        rs -= rext
+                        core_score += esc - (END_BONUS if qs == 0 else 0)
+                return finish(core_score, qs, qe, rs, re_, cigar, nm)
+        # DP path (multi-diagonal cluster => likely indel inside the span)
         lo = max(0, min(dmin, dmax) - MAX_GAP - 10)
         hi = min(lr, max(dmin, dmax) + lq + MAX_GAP + 10)
         if hi <= lo:
             return aln
+        if lq * (hi - lo) > 8_000_000 and dmin != dmax:
+            # genome-scale query: full DP would blow up; anchor on the best
+            # diagonal and let the verify+extension path handle it
+            return self._extend(q, diag, diag, diag, votes, second_votes)
         window = ref[lo:hi]
         score, qs, qe, rsw, rew, cigar = banded_affine_dp(q, window)
         if score <= 0 or not cigar:
             return aln
-        raw_score = score
-        if qs == 0 or qe == lq:
-            # remove the end bonus contribution for thresholding symmetry
-            pass
         nm = sum(ln for ln, op in cigar if op != "M")
         return finish(score, qs, qe, lo + rsw, lo + rew, cigar, nm)
 

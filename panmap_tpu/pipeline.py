@@ -132,8 +132,10 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
     names, seqs, quals = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None)
     paired = bool(cfg.reads2)
     t0 = time.time()
-    aligner = Aligner(ref)
-    pairs = aligner.align_pairs(seqs, paired)
+    from .align.batch import BatchAligner
+
+    aligner = BatchAligner(ref)
+    pairs = aligner.align_pairs_batch(seqs, paired)
     cfg.log(f"[align] {len(seqs)} reads in {time.time()-t0:.1f}s")
 
     # BAM records (conversion.cpp:390-538 conventions)

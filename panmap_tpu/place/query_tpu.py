@@ -1,13 +1,17 @@
 """End-to-end TPU placement query: read batch -> seed table -> per-node scores.
 
-This is the throughput path the bench measures: the whole read batch is padded
-into [B, L] device tensors, sketched with the batched syncmer/k-min-mer kernels
-(sketch/tpu.py), the per-read k-min-mers are sorted+counted on device
-(lax.sort with two u32 keys = native u64 ordering), and the resulting seed
-table feeds the row-delta scoring program (place/engine_tpu.py).
+The throughput path the bench measures.  Everything stays on device: the read
+batch is sketched with the batched syncmer/k-min-mer kernels (sketch/tpu.py),
+per-read k-min-mers are sorted + run-length-counted with lax.sort (two u32 keys
+= native u64 ordering), support/homopolymer filtering and the log-magnitude
+statistics are fused in, the seed table joins against the index's unique-hash
+table with a vectorized 2-key binary search, and the row-delta scoring program
+(place/engine_tpu.py math) finishes with segment sums + the Euler-tour prefix.
+Only the [N,6] accumulator and 4 scalars come back over the host link — that
+matters here because the axon tunnel makes device->host copies expensive.
 
-The reference equivalent is the whole of src/placement.cpp:1128-1930 (read
-sketching, frequency table, BFS scoring) — here it is three jitted programs.
+Reference equivalent: src/placement.cpp:1128-1930 (read sketching, frequency
+table, BFS scoring) as three python loops of jitted programs.
 """
 
 from __future__ import annotations
@@ -22,23 +26,32 @@ from . import engine_tpu as et
 from ..sketch.tpu import encode_reads_batch, kminmer_batch, syncmer_scan_batch
 
 
-def _count_sorted(kh, kl, valid):
-    """Device: sort (hi,lo) pairs and emit per-position run info.
+def _bsearch2(uhi, ulo, qhi, qlo):
+    """Vectorized lexicographic binary search of (qhi,qlo) in sorted (uhi,ulo).
+    Returns (idx, found)."""
+    n = uhi.shape[0]
+    steps = max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)
 
-    Returns sorted (hi, lo, run_start bool) flattened; counts are derived on
-    host from run boundaries (tiny transfer: three arrays of total seeds)."""
-    hi = jnp.where(valid, kh, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-    lo = jnp.where(valid, kl, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-    v = valid.reshape(-1)
-    hi_s, lo_s, v_s = jax.lax.sort((hi, lo, v), num_keys=2)
-    first = jnp.concatenate(
-        [jnp.ones(1, bool),
-         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
-    return hi_s, lo_s, v_s, first
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        mhi = uhi[mid]
+        mlo = ulo[mid]
+        less = (mhi < qhi) | ((mhi == qhi) & (mlo < qlo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo = jnp.zeros(qhi.shape, dtype=jnp.int32)
+    hi = jnp.full(qhi.shape, n, dtype=jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    idx = jnp.clip(lo, 0, max(n - 1, 0))
+    found = (uhi[idx] == qhi) & (ulo[idx] == qlo)
+    return idx, found
 
 
 class TpuPlacer:
-    """Holds device index tensors + compiled programs for repeated queries."""
+    """Device index tensors + compiled programs for repeated placement queries."""
 
     def __init__(self, idx: IndexArrays, pad_len: int = 160, batch: int = 16384):
         self.idx = idx
@@ -49,98 +62,152 @@ class TpuPlacer:
         p = self.params
         k, s, t, l, open_ = p.k, p.s, p.t, p.l, p.open
 
+        U = self.dev.unique_hashes
+        self.u_hi = jnp.asarray((U >> np.uint64(32)).astype(np.uint32))
+        self.u_lo = jnp.asarray((U & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+        from .engine import homopolymer_hashes
+
+        hp = np.array(homopolymer_hashes(k), dtype=np.uint64)
+        self.hp_hi = jnp.asarray((hp >> np.uint64(32)).astype(np.uint32))
+        self.hp_lo = jnp.asarray((hp & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
         @jax.jit
-        def sketch_count(reads, lengths):
+        def sketch_flat(reads, lengths):
             hh, hl, is_sync = syncmer_scan_batch(reads, lengths, k, s, t, open_)
             kh, kl, valid = kminmer_batch(hh, hl, is_sync, k, l)
-            return _count_sorted(kh, kl, valid)
+            return kh.reshape(-1), kl.reshape(-1), valid.reshape(-1)
 
-        self._sketch_count = sketch_count
-        self._score = et.make_score_fn(self.dev.n_nodes, int(self.dev.row_id.shape[0]))
+        self._sketch_flat = sketch_flat
+        self._finalize = self._make_finalize()
+        self._score_raw = et.make_score_fn(self.dev.n_nodes, int(self.dev.row_id.shape[0]))
 
-    def seed_table_arrays(self, seqs: list):
-        """(hashes u64 sorted unique, counts i64) over the read batch."""
+    def _make_finalize(self):
+        dev = self.dev
+        n_nodes = dev.n_nodes
+
+        @jax.jit
+        def finalize(kh, kl, valid, min_support_cfg):
+            order_keys = jax.lax.sort((kh, kl, valid.astype(jnp.uint32)), num_keys=2)
+            shi, slo, sv = order_keys
+            total = kh.shape[0]
+            iota = jnp.arange(total, dtype=jnp.int32)
+            first = jnp.concatenate(
+                [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+            # run-length counting without scatters: next run start per position
+            # via a reversed cummin, then a cumsum difference of valid flags
+            cand = jnp.where(first, iota, total)
+            nxt = jnp.concatenate(
+                [jax.lax.cummin(cand[1:][::-1])[::-1],
+                 jnp.full(1, total, jnp.int32)])
+            cvv = jnp.concatenate(
+                [jnp.zeros(1, jnp.float32), jnp.cumsum(sv.astype(jnp.float32))])
+            counts = jnp.where(first, cvv[nxt] - cvv[iota], 0.0)
+            is_seed = first & (counts > 0)
+
+            # homopolymer removal
+            hp_match = jnp.zeros_like(is_seed)
+            for i in range(self.hp_hi.shape[0]):
+                hp_match |= (shi == self.hp_hi[i]) & (slo == self.hp_lo[i])
+            is_seed &= ~hp_match
+
+            # auto min-read-support (placement.cpp:931-955)
+            multi = is_seed & (counts >= 2)
+            msum = jnp.sum(jnp.where(multi, counts, 0.0))
+            mcnt = jnp.sum(multi)
+            est = jnp.where(mcnt > 0, msum / jnp.maximum(mcnt, 1), 0.0)
+            auto_ms = jnp.where(est > 3.0, 2.0, 1.0)
+            ms = jnp.where(min_support_cfg < 0, auto_ms, min_support_cfg)
+            keep = is_seed & (counts >= ms)
+
+            logc = jnp.where(keep, jnp.log1p(counts), 0.0)
+            log_mag = jnp.sqrt(jnp.sum(logc * logc))
+            lden = jnp.sum(logc)
+            nuniq = jnp.sum(keep)
+            return shi, slo, logc, keep, log_mag, nuniq, lden
+
+        return finalize
+
+    def sketch_device(self, seqs: list):
+        parts = []
         B = self.batch
-        parts_h = []
-        parts_c = []
         for off in range(0, len(seqs), B):
             chunk = seqs[off : off + B]
             reads, lens = encode_reads_batch(chunk, pad_to=self.pad_len)
             if len(chunk) < B:
                 pad = B - len(chunk)
-                reads = np.concatenate([reads, np.full((pad, self.pad_len), 4, np.uint8)])
+                reads = np.concatenate(
+                    [reads, np.full((pad, self.pad_len), 4, np.uint8)])
                 lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-            hi_s, lo_s, v_s, first = self._sketch_count(reads, lens)
-            hi_s = np.asarray(hi_s)
-            lo_s = np.asarray(lo_s)
-            v_s = np.asarray(v_s)
-            first = np.asarray(first)
-            starts = np.flatnonzero(first & v_s)
-            if not len(starts):
-                continue
-            all_starts = np.flatnonzero(first)
-            bounds = np.append(all_starts, len(v_s))
-            ends = bounds[np.searchsorted(all_starts, starts) + 1]
-            # only count valid entries inside the run (padding shares the
-            # all-ones key and is excluded by the v_s cumsum)
-            cv = np.concatenate([[0], np.cumsum(v_s)])
-            run_counts = cv[ends] - cv[starts]
-            hashes = (hi_s[starts].astype(np.uint64) << np.uint64(32)) | lo_s[starts]
-            parts_h.append(hashes)
-            parts_c.append(run_counts)
-        if not parts_h:
-            return np.empty(0, np.uint64), np.empty(0, np.int64)
-        allh = np.concatenate(parts_h)
-        allc = np.concatenate(parts_c)
-        uh, inv = np.unique(allh, return_inverse=True)
-        uc = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
-        return uh, uc
+            parts.append(self._sketch_flat(reads, lens))
+        kh = jnp.concatenate([p[0] for p in parts])
+        kl = jnp.concatenate([p[1] for p in parts])
+        vv = jnp.concatenate([p[2] for p in parts])
+        return kh, kl, vv
 
-    def seed_table(self, seqs: list):
-        """hash->count over the read batch (device sketch, host merge)."""
-        uh, uc = self.seed_table_arrays(seqs)
-        return dict(zip(uh.tolist(), uc.tolist()))
+    def place(self, seqs: list, min_read_support: int = -1):
+        kh, kl, vv = self.sketch_device(seqs)
+        shi, slo, logc, keep, log_mag, nuniq, lden = self._finalize(
+            kh, kl, vv, float(min_read_support))
+        acc, wc_den = self._score_by_table(shi, slo, logc, keep)
+        self._last_wc_den = float(wc_den)
+        return self._finish_scores(np.asarray(acc), float(log_mag), int(nuniq),
+                                   float(lden))
 
-    def place(self, seqs: list, min_read_support: int = -1,
-              seed_mask_fraction: float = 0.0):
-        from .engine import homopolymer_hashes
+    def _score_by_table(self, shi, slo, logc, keep):
+        """Score rows by binary-searching each row hash in the sorted read
+        seed table (the lexicographic lower bound lands on the run start)."""
+        dev = self.dev
+        if not hasattr(self, "_score_tab_fn"):
+            n_nodes = dev.n_nodes
+            a, b = dev.root_rows
 
-        uh, uc = self.seed_table_arrays(seqs)
-        homo = np.array(homopolymer_hashes(self.params.k), dtype=np.uint64)
-        keep = ~np.isin(uh, homo)
-        uh, uc = uh[keep], uc[keep]
-        if seed_mask_fraction > 0.0 and len(uh):
-            n_mask = int(seed_mask_fraction * len(uh))
-            if n_mask > 0:
-                drop = np.argpartition(-uc, n_mask - 1)[:n_mask]
-                mask = np.ones(len(uh), bool)
-                mask[drop] = False
-                uh, uc = uh[mask], uc[mask]
-        if min_read_support < 0:
-            multi = uc >= 2
-            est = float(uc[multi].mean()) if multi.any() else 0.0
-            min_support = 2 if est > 3.0 else 1
-        else:
-            min_support = min_read_support
-        keep = uc >= min_support
-        uh, uc = uh[keep], uc[keep]
-        log_counts = np.log1p(uc.astype(np.float64))
-        mag = float(np.sqrt((log_counts**2).sum()))
-        lden = float(log_counts.sum())
-        nuniq = len(uh)
-        U = self.dev.unique_hashes
-        ii = np.searchsorted(U, uh)
-        iic = np.minimum(ii, max(len(U) - 1, 0))
-        found = (len(U) > 0) & (U[iic] == uh)
-        ids = iic[found].astype(np.int32)
-        lc = log_counts[found].astype(np.float32)
-        acc = np.asarray(
-            self._score(self.dev.row_id, self.dev.row_parent, self.dev.row_child,
-                        self.dev.row_node, self.dev.euler_in, self.dev.euler_out,
-                        jnp.asarray(ids), jnp.asarray(lc)))
-        return self._finish_scores(acc, ids, mag, nuniq, lden)
+            @jax.jit
+            def score(row_id, row_parent, row_child, row_node, euler_in,
+                      euler_out, u_hi, u_lo, shi, slo, logc, keep):
+                qhi = u_hi[row_id]
+                qlo = u_lo[row_id]
+                idxs, hit = _bsearch2(shi, slo, qhi, qlo)
+                found = hit & keep[idxs]
+                lrc = jnp.where(found, logc[idxs], 0.0)
+                P = row_parent
+                C = row_child
+                log_child = jnp.where(C > 0, jnp.log1p(C), 0.0)
+                log_parent = jnp.where(P > 0, jnp.log1p(P), 0.0)
+                mag_delta = log_child * log_child - log_parent * log_parent
+                active = ((C - P) != 0) & found
+                became_present = ((P == 0) & (C != 0)).astype(jnp.float32)
+                became_absent = ((C == 0) & (P != 0)).astype(jnp.float32)
+                presence_delta = jnp.where(active, became_present - became_absent, 0.0)
+                old_contrib = jnp.where(P > 0, lrc / jnp.maximum(P, 1.0), 0.0)
+                new_contrib = jnp.where(C > 0, lrc / jnp.maximum(C, 1.0), 0.0)
+                old_wc = jnp.where(P > 0, 1.0 / jnp.maximum(P, 1.0), 0.0)
+                new_wc = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1.0), 0.0)
+                lograw_delta = jnp.where(active, new_contrib - old_contrib, 0.0)
+                logcos_delta = jnp.where(active, lrc * (log_child - log_parent), 0.0)
+                wc_delta = jnp.where(active, new_wc - old_wc, 0.0)
+                logcont_delta = presence_delta * lrc
+                root_inv = jnp.where((C[a:b] > 0) & found[a:b],
+                                     1.0 / jnp.maximum(C[a:b], 1.0), 0.0)
+                wc_den = jnp.sum(root_inv)
+                deltas = jnp.stack(
+                    [mag_delta, lograw_delta, logcos_delta, wc_delta,
+                     logcont_delta, presence_delta], axis=1)
+                node_sums = jax.ops.segment_sum(deltas, row_node,
+                                                num_segments=n_nodes)
+                slots = jnp.zeros((2 * n_nodes + 1, 6), dtype=jnp.float32)
+                slots = slots.at[euler_in].add(node_sums)
+                slots = slots.at[euler_out + 1].add(-node_sums)
+                pref = jnp.cumsum(slots, axis=0)
+                return pref[euler_in], wc_den
 
-    def _finish_scores(self, acc, read_ids, log_mag, read_unique, logcont_den):
+            self._score_tab_fn = score
+        return self._score_tab_fn(
+            dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
+            dev.euler_in, dev.euler_out, self.u_hi, self.u_lo,
+            shi, slo, logc, keep)
+
+    def _finish_scores(self, acc, log_mag, read_unique, logcont_den):
         genome_mag_sq, lograw, logcos, wc_num, logcont, presence = acc.T
         n = self.dev.n_nodes
         scores = np.zeros((n, 5))
@@ -152,14 +219,7 @@ class TpuPlacer:
             scores[:, 1] = np.clip(cos, 0.0, 1.0)
         if read_unique > 0:
             scores[:, 2] = presence / read_unique
-        a, b = self.dev.root_rows
-        rc = np.asarray(self.dev.row_child[a:b])
-        rid = np.asarray(self.dev.row_id[a:b])
-        pos = np.searchsorted(read_ids, rid)
-        posc = np.minimum(pos, max(len(read_ids) - 1, 0))
-        found = (len(read_ids) > 0) & (read_ids[posc] == rid)
-        inv = np.where((rc > 0) & found, 1.0 / np.maximum(rc, 1.0), 0.0)
-        wc_den = float(inv.sum())
+        wc_den = getattr(self, "_last_wc_den", 0.0)
         if wc_den > 0:
             scores[:, 3] = wc_num / wc_den
         if logcont_den > 0:

@@ -173,15 +173,17 @@ def kminmer_batch(hash_hi, hash_lo, is_sync, k: int, l: int, max_seeds: int = 64
 
 
 def encode_reads_batch(seqs: list, pad_to: int | None = None):
-    """Host: list of read strings -> ([B, L] u8 codes, lengths i32)."""
+    """Host: list of read strings -> ([B, L] u8 codes, lengths i32).
+    Vectorized: one joined buffer + a single gather."""
     from ..align.core import _ENC
 
     L = pad_to or max((len(s) for s in seqs), default=1)
     B = len(seqs)
-    out = np.full((B, L), 4, dtype=np.uint8)
-    lens = np.zeros(B, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        b = _ENC[np.frombuffer(s[:L].encode(), dtype=np.uint8)]
-        out[i, : len(b)] = b
-        lens[i] = len(b)
+    lens = np.fromiter((min(len(s), L) for s in seqs), dtype=np.int32, count=B)
+    joined = np.frombuffer("".join(seqs).encode(), dtype=np.uint8)
+    full_lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=B)
+    starts = np.concatenate(([0], np.cumsum(full_lens)[:-1]))
+    pos = starts[:, None] + np.arange(L)[None, :]
+    valid = np.arange(L)[None, :] < lens[:, None]
+    out = np.where(valid, _ENC[joined[np.minimum(pos, len(joined) - 1)]], 4).astype(np.uint8)
     return out, lens

@@ -1,0 +1,125 @@
+"""End-to-end pipeline tests, porting the reference's e2e scenarios
+(src/test/e2e/run_e2e.sh) onto the rsv_4K fixture.  Slow: builds/caches the
+rsv_4K indexes under .cache/ on first run.  Run via ./run_tests.sh -m e2e."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.e2e
+
+DATA = "/root/reference/src/test/data"
+PANMAN = f"{DATA}/rsv_4K.panman"
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+IDX = os.path.join(CACHE, "rsv4k.ptidx.npz")
+
+
+def _read_fa(path):
+    return "".join(l.strip() for l in open(path) if not l.startswith(">")).upper()
+
+
+@pytest.fixture(scope="module")
+def rsv_index():
+    os.makedirs(CACHE, exist_ok=True)
+    if not os.path.exists(IDX):
+        from panmap_tpu.index.builder import IndexParams, build_index
+        from panmap_tpu.io.index_io import save_index
+        from panmap_tpu.io.panman import load_panman
+
+        tree = load_panman(PANMAN)
+        save_index(IDX, build_index(tree, IndexParams()))
+    return IDX
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+def run_pipe(rsv_index, outdir, reads, name, **kw):
+    from panmap_tpu.pipeline import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(
+        panman=PANMAN, reads1=str(reads), output=str(outdir / name),
+        index_path=rsv_index, **kw)
+    cfg.log = lambda *a: None
+    run_pipeline(cfg)
+    return str(outdir / name)
+
+
+def test_leaf_self_placement_and_zero_variants(rsv_index, outdir):
+    out = run_pipe(rsv_index, outdir, f"{DATA}/MZ515733.1.fa", "leaf")
+    tsv = open(out + ".placement.tsv").read()
+    assert "MZ515733.1" in tsv
+    score = float(re.search(r"log_raw\t([\d.]+)", tsv).group(1))
+    assert score > 50
+    nvars = sum(1 for l in open(out + ".vcf") if not l.startswith("#"))
+    assert nvars == 0
+    assert _read_fa(out + ".consensus.fa") == _read_fa(out + ".ref.fa")
+
+
+def test_internal_node_places_to_itself(rsv_index, outdir):
+    out = run_pipe(rsv_index, outdir, f"{DATA}/rsv_4K.panman.random.node_1330.fa",
+                   "node", stop="place")
+    tsv = open(out + ".placement.tsv").read()
+    assert "node_1330" in tsv
+    assert float(re.search(r"log_raw\t([\d.]+)", tsv).group(1)) > 50
+
+
+def test_fastq_input(rsv_index, outdir):
+    out = run_pipe(rsv_index, outdir, f"{DATA}/MZ515733.1.fastq", "fq", stop="place")
+    assert "MZ515733.1" in open(out + ".placement.tsv").read()
+
+
+def test_snp_truth(rsv_index, outdir, tmp_path):
+    g = list(_read_fa(f"{DATA}/MZ515733.1.fa"))
+    truth = []
+    for p in (4000, 7000, 10000):
+        ref = g[p]
+        alt = next(b for b in "ACGT" if b != ref)
+        g[p] = alt
+        truth.append((p + 1, ref, alt))
+    gs = "".join(g)
+    reads = tmp_path / "snp.fastq"
+    with open(reads, "w") as o:
+        for n, i in enumerate(range(0, len(gs) - 150, 5)):
+            o.write(f"@r{n}\n{gs[i:i+150]}\n+\n{'I'*150}\n")
+    out = run_pipe(rsv_index, outdir, reads, "snp", stop="genotype")
+    records = [l.split("\t") for l in open(out + ".vcf") if not l.startswith("#")]
+    called = {(int(r[1]), r[3], r[4]) for r in records}
+    for t in truth:
+        assert t in called, f"SNP {t} not called (got {called})"
+    assert len(records) == 3
+
+
+def test_meta_mixture_70_30(outdir, tmp_path):
+    from panmap_tpu.meta.driver import MetaConfig, run_meta
+
+    a = _read_fa(f"{DATA}/MZ515733.1.fa")
+    b = _read_fa(f"{DATA}/rsv_4K.panman.random.node_1330.fa")
+    reads = tmp_path / "mix.fastq"
+    with open(reads, "w") as out:
+        def emit(g, n, pre):
+            L = 150
+            step = max(1, (len(g) - L) // n)
+            c = i = 0
+            while c < n and i + L <= len(g):
+                out.write(f"@{pre}{c}\n{g[i:i+L]}\n+\n{'I'*L}\n")
+                c += 1
+                i += step
+        emit(a, 700, "A")
+        emit(b, 300, "B")
+    cfg = MetaConfig(panman=PANMAN, reads1=str(reads), output=str(outdir / "mix"))
+    cfg.log = lambda *a: None
+    run_meta(cfg)
+    lines = [l.split("\t") for l in open(str(outdir / "mix") + ".mgsr.abundance.out")]
+    props = {l[0].split(",")[0]: float(l[1]) for l in lines}
+    total = sum(props.values())
+    assert 0.99 < total < 1.01
+    # dominant/minor within the reference e2e bounds
+    maj = [k for k in props if "MZ515733.1" in k][0]
+    assert 0.55 < props[maj] < 0.82
+    minr = [k for k in props if "node_1330" in k][0]
+    assert 0.18 < props[minr] < 0.45
