@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version", version=f"panmap-tpu {__version__}")
     p.add_argument("--stop", default="", choices=["", "index", "place", "align", "genotype", "consensus"],
                    help="stop after this stage")
+    p.add_argument("--batch", default="", dest="batch_file",
+                   help="batch manifest: one sample per line, 'reads1 [reads2] [prefix]'")
 
     g = p.add_argument_group("index & seeding")
     g.add_argument("-k", "--kmer", type=int, default=19, help="syncmer k")
@@ -59,7 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--discard", type=float, default=0.0)
     g.add_argument("--taxonomic-metadata", default="")
     g.add_argument("--taxonomic-rank", default="Family")
+    g.add_argument("--maximum-taxon-number", type=int, default=1)
+    g.add_argument("--ambiguous-score-threshold", type=int, default=0)
+    g.add_argument("--ambiguous-score-threshold-ratio", type=float, default=0.0)
     g.add_argument("--breadth-ratio", action="store_true")
+    g.add_argument("--jplace", action="store_true")
     g.add_argument("--leaves-only", action="store_true")
 
     g = p.add_argument_group("developer")
@@ -88,7 +94,11 @@ def main(argv=None):
             filter_and_assign=args.filter_and_assign,
             taxonomy_path=args.taxonomic_metadata,
             taxonomic_rank=args.taxonomic_rank,
+            max_taxon_number=args.maximum_taxon_number,
+            ambiguous_score_threshold=args.ambiguous_score_threshold,
+            ambiguous_score_threshold_ratio=args.ambiguous_score_threshold_ratio,
             breadth_ratio=args.breadth_ratio,
+            jplace=args.jplace,
             leaves_only=args.leaves_only,
             stop=args.stop,
             log=log,
@@ -104,11 +114,10 @@ def main(argv=None):
         seed_mask_fraction=args.seed_mask_fraction,
         dedup_reads=args.dedup_reads, trim_start=args.trim_start,
         trim_end=args.trim_end, force_leaf=args.force_leaf, stop=args.stop,
-        threads=args.threads,
+        threads=args.threads, batch_file=args.batch_file,
     )
     cfg.log = log
-    run_pipeline(cfg)
-    return 0
+    return run_pipeline(cfg) or 0
 
 
 if __name__ == "__main__":

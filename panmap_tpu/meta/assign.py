@@ -1,6 +1,383 @@
-"""Filter-and-assign mode (placeholder — full implementation follows the
-abundance path; reference: src/main.cpp:720-1016 filterAndAssignBatch)."""
+"""Meta filter-and-assign: read -> max-parsimony node / LCA assignment.
+
+Reimplements src/main.cpp:720-1016 filterAndAssignBatch + the assignment DFS
+(src/mgsr.cpp:6415-6585):
+
+ - reads are sketched/deduplicated with the dust + discard filters;
+ - scoring as in engine.MetaScorer; a read is assigned to every collapsed node
+   achieving its maximum score (equally parsimonious placements), and to the
+   LCA of those nodes;
+ - taxonomy: leaf taxa from the metadata TSV roll up the tree; a node whose
+   taxon set exceeds --maximum-taxon-number is poisoned; reads whose
+   near-maximum nodes span too many taxa are dropped (checkTaxonIndicesBatch);
+ - outputs: <out>.mgsr.assignedReads.fastq (reads, write order defines the
+   indices), .mgsr.assignedReads.out and .mgsr.assignedReadsLCANode.out with
+   lines "node[,identical]\ttaxa\tcount\tidx,idx,...", plus the optional
+   breadth-ratio table (calculateBreadthRatio, src/mgsr.cpp:6518-6585).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from ..io import fastq
+from .engine import MetaScorer, sketch_meta_reads_full
 
 
-def run_filter_and_assign(cfg, midx):
-    raise NotImplementedError("--filter-and-assign lands with the next milestone")
+def load_taxonomy(path: str, rank: str):
+    """sample -> taxon index, plus the taxon name list
+    (mgsr.cpp:198-257 loadTaxonomicMetadata; whitespace-delimited)."""
+    taxons: list = []
+    taxon_to_index: dict = {}
+    sample_to_taxon: dict = {}
+    with open(path) as fh:
+        header = fh.readline().split()
+        if rank not in header or header.index(rank) == 0:
+            raise ValueError(f"taxonomic rank '{rank}' not found in {path}")
+        col = header.index(rank)
+        for line in fh:
+            parts = line.split()
+            if len(parts) <= col:
+                continue
+            sample, taxon = parts[0], parts[col]
+            if taxon == ".":
+                continue
+            if taxon not in taxon_to_index:
+                taxon_to_index[taxon] = len(taxons)
+                taxons.append(taxon)
+            sample_to_taxon[sample] = taxon_to_index[taxon]
+    return sample_to_taxon, taxons
+
+
+class Lca:
+    """Euler-tour + sparse-table LCA over the raw tree (mgsr.cpp:542-588)."""
+
+    def __init__(self, parent: np.ndarray):
+        n = len(parent)
+        children: list = [[] for _ in range(n)]
+        for i in range(1, n):
+            children[parent[i]].append(i)
+        tour = []
+        depth_at = []
+        first = np.full(n, -1, dtype=np.int64)
+        stack = [(0, 0, iter(children[0]))]
+        tour.append(0)
+        depth_at.append(0)
+        first[0] = 0
+        while stack:
+            node, d, it = stack[-1]
+            child = next(it, None)
+            if child is None:
+                stack.pop()
+                if stack:
+                    tour.append(stack[-1][0])
+                    depth_at.append(stack[-1][1])
+                continue
+            tour.append(child)
+            depth_at.append(d + 1)
+            if first[child] < 0:
+                first[child] = len(tour) - 1
+            stack.append((child, d + 1, iter(children[child])))
+        self.tour = np.array(tour, dtype=np.int64)
+        self.depth = np.array(depth_at, dtype=np.int64)
+        self.first = first
+        m = len(tour)
+        K = max(1, int(np.log2(max(m, 2))) + 1)
+        sp = np.zeros((K, m), dtype=np.int64)
+        sp[0] = np.arange(m)
+        for k in range(1, K):
+            span = 1 << k
+            half = span >> 1
+            prev = sp[k - 1]
+            idx = np.arange(m - span + 1)
+            a = prev[idx]
+            b = prev[idx + half]
+            sp[k, : m - span + 1] = np.where(self.depth[a] <= self.depth[b], a, b)
+        self.sp = sp
+
+    def lca(self, u: int, v: int) -> int:
+        a, b = self.first[u], self.first[v]
+        if a > b:
+            a, b = b, a
+        k = int(np.log2(max(b - a + 1, 1)))
+        i1 = self.sp[k, a]
+        i2 = self.sp[k, b - (1 << k) + 1]
+        best = i1 if self.depth[i1] <= self.depth[i2] else i2
+        return int(self.tour[best])
+
+
+def run_filter_and_assign(cfg, midx) -> int:
+    names, seqs, quals = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None) \
+        if cfg.reads2 else fastq.read_full(cfg.reads1)
+    p = midx.params
+    reads, dup_index, n_dust = sketch_meta_reads_full(
+        seqs, p.k, p.s, p.t, p.l, p.open, dust_threshold=cfg.dust)
+    cfg.log(f"[assign] {len(seqs)} reads -> {len(reads)} unique sets "
+            f"({n_dust} low-complexity)")
+
+    scorer = MetaScorer(midx, reads)
+    max_score, _snap, node_scores = scorer.score_all([], collect_node_scores=True)
+
+    read_lens = np.array([len(r.hashes) for r in reads], dtype=np.int64)
+    eff = max_score.copy()
+    eff[eff < read_lens * cfg.discard] = 0
+
+    # taxonomy roll-up over the raw tree
+    n_nodes = len(midx.node_ids)
+    parent = midx.parent_index.astype(np.int64)
+    taxons: list = []
+    node_taxa: list = [set() for _ in range(n_nodes)]
+    node_overmax = np.zeros(n_nodes, dtype=bool)
+    if cfg.taxonomy_path:
+        sample_to_taxon, taxons = load_taxonomy(cfg.taxonomy_path, cfg.taxonomic_rank)
+        is_parent = np.zeros(n_nodes, dtype=bool)
+        is_parent[parent[1:]] = True
+        for i, nm in enumerate(midx.node_ids):
+            if not is_parent[i] and nm in sample_to_taxon:
+                node_taxa[i].add(sample_to_taxon[nm])
+        maxtax = max(cfg.max_taxon_number, 1)
+        for i in range(n_nodes - 1, 0, -1):  # children before parents (DFS order)
+            if node_overmax[i]:
+                node_overmax[parent[i]] = True
+            elif not node_overmax[parent[i]]:
+                node_taxa[parent[i]] |= node_taxa[i]
+                if len(node_taxa[parent[i]]) > maxtax:
+                    node_overmax[parent[i]] = True
+                    node_taxa[parent[i]] = set()
+        # drop reads spanning too many taxa among near-max nodes
+        read_taxa: list = [set() for _ in range(len(reads))]
+        read_overmax = np.zeros(len(reads), dtype=bool)
+        for node, pairs in node_scores.items():
+            for ridx, sc in pairs:
+                if eff[ridx] == 0 or read_overmax[ridx]:
+                    continue
+                thr = max(cfg.ambiguous_score_threshold,
+                          int(eff[ridx] * cfg.ambiguous_score_threshold_ratio))
+                if sc == eff[ridx] or sc >= max(0, int(eff[ridx]) - thr):
+                    if node_overmax[node]:
+                        read_overmax[ridx] = True
+                        read_taxa[ridx] = set()
+                    else:
+                        read_taxa[ridx] |= node_taxa[node]
+                        if len(read_taxa[ridx]) > maxtax:
+                            read_overmax[ridx] = True
+                            read_taxa[ridx] = set()
+        eff[read_overmax] = 0
+
+    # assignment pass (assignReadsBatchHelper): replay the per-node score
+    # deltas down the tree; a read is assigned to every collapsed node where
+    # its running score equals its maximum; LCA accumulates at those nodes
+    lca = Lca(parent)
+    assigned_by_node: dict = defaultdict(set)
+    read_lca: dict = {}
+    cur_score = np.zeros(len(reads), dtype=np.int64)
+    mps: set = set()
+    children: list = [[] for _ in range(n_nodes)]
+    for i in range(1, n_nodes):
+        children[parent[i]].append(i)
+
+    stack = [(0, None)]
+    while stack:
+        node, back = stack.pop()
+        if back is not None:
+            # undo membership changes (reverse order for duplicate reads)
+            for ridx, was_member, old_sc in reversed(back):
+                cur_score[ridx] = old_sc
+                if was_member:
+                    mps.add(ridx)
+                else:
+                    mps.discard(ridx)
+            continue
+        backtrack = []
+        for ridx, sc in node_scores.get(node, []):
+            if eff[ridx] == 0:
+                continue
+            was = ridx in mps
+            backtrack.append((ridx, was, int(cur_score[ridx])))
+            cur_score[ridx] = sc
+            if sc == eff[ridx]:
+                mps.add(ridx)
+                read_lca[ridx] = (node if ridx not in read_lca
+                                  else lca.lca(read_lca[ridx], node))
+            else:
+                mps.discard(ridx)
+        if mps and scorer.tree.keep[node]:
+            assigned_by_node[node] |= mps
+        stack.append((node, backtrack))
+        for c in reversed(children[node]):
+            stack.append((c, None))
+
+    assigned_by_lca: dict = defaultdict(set)
+    for ridx, node in read_lca.items():
+        if eff[ridx] > 0:
+            assigned_by_lca[node].add(ridx)
+
+    # write the assigned-reads fastq; its write order defines the indices
+    fq_index: dict = {}
+    out_fq = cfg.output + ".mgsr.assignedReads.fastq"
+    with open(out_fq, "w") as fh:
+        for node in assigned_by_node:
+            for uridx in sorted(assigned_by_node[node]):
+                for orig in dup_index[uridx]:
+                    if orig not in fq_index:
+                        fq_index[orig] = len(fq_index)
+                        fh.write(f"@{names[orig]}\n{seqs[orig]}\n+\n{quals[orig]}\n")
+    cfg.log(f"[assign] {len(fq_index)} reads written to {out_fq}")
+
+    members_of = {}
+    for keeper, absorbed in scorer.tree.identical_members.items():
+        members_of[keeper] = [midx.node_ids[a] for a in absorbed]
+
+    def write_out(path, mapping):
+        with open(path, "w") as fh:
+            for node, uris in mapping.items():
+                name = midx.node_ids[node]
+                parts = [name] + members_of.get(node, [])
+                taxa = (",".join(taxons[t] for t in sorted(node_taxa[node]))
+                        if node_taxa[node] else ".")
+                idxs = sorted(fq_index[orig] for u in uris for orig in dup_index[u])
+                fh.write(",".join(parts) + f"\t{taxa}\t{len(idxs)}\t"
+                         + ",".join(map(str, idxs)) + "\n")
+
+    write_out(cfg.output + ".mgsr.assignedReads.out", assigned_by_node)
+    write_out(cfg.output + ".mgsr.assignedReadsLCANode.out", assigned_by_lca)
+
+    if getattr(cfg, "jplace", False):
+        read_names = [None] * len(fq_index)
+        for orig, widx in fq_index.items():
+            read_names[widx] = names[orig]
+        newick, edge_num = _jplace_newick(midx, children)
+        for mapping, suffix in ((assigned_by_node, ".mgsr.assignedReads.jplace"),
+                                (assigned_by_lca, ".mgsr.assignedReadsLCANode.jplace")):
+            _write_jplace(cfg.output + suffix, mapping, read_names, fq_index,
+                          dup_index, midx, members_of, newick, edge_num)
+        cfg.log(f"[assign] wrote jplace outputs")
+
+    if cfg.breadth_ratio:
+        _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index)
+    return 0
+
+
+def _jplace_newick(midx, children):
+    """Postorder newick with ":1.0{edge}" annotations; returns (newick, edge_num)
+    with edge numbers assigned children-first (main.cpp:850-874 toNewick)."""
+    n_nodes = len(midx.node_ids)
+    edge_num = np.zeros(n_nodes, dtype=np.int64)
+    parts: list = []
+    cur = [0]
+    stack = [(0, False)]
+    # iterative postorder emit: build strings bottom-up
+    frag: dict = {}
+    while stack:
+        node, done = stack.pop()
+        if not done:
+            stack.append((node, True))
+            for c in reversed(children[node]):
+                stack.append((c, False))
+            continue
+        edge_num[node] = cur[0]
+        inner = ("(" + ",".join(frag.pop(c) for c in children[node]) + ")"
+                 if children[node] else "")
+        frag[node] = f"{inner}{midx.node_ids[node]}:1.0{{{cur[0]}}}"
+        cur[0] += 1
+    del parts
+    return frag[0] + ";", edge_num
+
+
+def _write_jplace(path, mapping, read_names, fq_index, dup_index, midx,
+                  members_of, newick, edge_num):
+    """jplace v3 with fields [edge_num, node_id, identical_subtree_nodes]
+    (main.cpp:560-614 writeJplacement/writeAssignedReadsJplace)."""
+    by_read: list = [[] for _ in range(len(read_names))]
+    for node, uris in mapping.items():
+        for u in uris:
+            for orig in dup_index[u]:
+                by_read[fq_index[orig]].append(node)
+    with open(path, "w") as out:
+        out.write("{\n")
+        out.write('  "version": 3,\n')
+        out.write('  "metadata": {},\n')
+        out.write('  "fields": ["edge_num", "node_id", "identical_subtree_nodes"],\n')
+        out.write(f'  "tree": "{newick}",\n')
+        out.write('  "placements":\n  [\n')
+        for i, name in enumerate(read_names):
+            out.write('    {"p": [\n')
+            nodes = by_read[i]
+            for j, node in enumerate(nodes):
+                ident = ",".join(members_of.get(node, []))
+                out.write(f'      [{edge_num[node]}, "{midx.node_ids[node]}", "{ident}"]')
+                out.write("\n" if j == len(nodes) - 1 else ",\n")
+            out.write('      ],\n')
+            out.write(f'    "n": ["{name}"]\n')
+            out.write("    }")
+            out.write("\n" if i == len(read_names) - 1 else ",\n")
+        out.write("  ]\n}\n")
+
+
+def _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index):
+    """Observed vs expected coverage breadth per node (mgsr.cpp:6518-6585)."""
+    offs = midx.node_offsets
+    parent = midx.parent_index.astype(np.int64)
+    n_nodes = len(midx.node_ids)
+    # replay: per node, current distinct ref seed hashes
+    out_path = cfg.output + ".mgsr.breadths.out"
+    header = ("NodeId\tTotalRefSeeds\tObservedBreadthCount\tObservedBreadthRatio"
+              "\tTotalDepth\tMeanDepth\tExpectedBreadthRatio"
+              "\tObservedToExpectedBreadthRatio\n")
+    rows = []
+    counts: dict = defaultdict(int)
+
+    children: list = [[] for _ in range(n_nodes)]
+    for i in range(1, n_nodes):
+        children[parent[i]].append(i)
+
+    members_of = {}
+    for keeper, absorbed in scorer.tree.identical_members.items():
+        members_of[keeper] = [midx.node_ids[a] for a in absorbed]
+
+    stack = [(0, False)]
+    while stack:
+        node, done = stack.pop()
+        rng = range(int(offs[node]), int(offs[node + 1]))
+        if done:
+            for r in reversed(rng):
+                sid = midx.delta_seed[r]
+                h = int(midx.seed_hash[sid])
+                counts[h] += 1 if midx.delta_is_del[r] else -1
+                if counts[h] == 0:
+                    del counts[h]
+            continue
+        for r in rng:
+            sid = midx.delta_seed[r]
+            h = int(midx.seed_hash[sid])
+            counts[h] += -1 if midx.delta_is_del[r] else 1
+            if counts[h] == 0:
+                del counts[h]
+        if node in assigned_by_node:
+            seed_hits: dict = defaultdict(int)
+            total_depth = 0
+            for uridx in assigned_by_node[node]:
+                ndup = len(dup_index[uridx])
+                for h in set(scorer.reads[uridx].hashes.tolist()):
+                    if h in counts:
+                        seed_hits[h] += ndup
+                        total_depth += ndup
+            total_ref = len(counts)
+            obs = len(seed_hits)
+            obs_ratio = obs / total_ref if total_ref else 0.0
+            mean_depth = total_depth / total_ref if total_ref else 0.0
+            exp_ratio = 1.0 - np.exp(-mean_depth) if mean_depth > 0 else 0.0
+            o2e = obs_ratio / exp_ratio if exp_ratio > 0 else 0.0
+            name = ",".join([midx.node_ids[node]] + members_of.get(node, []))
+            rows.append(f"{name}\t{total_ref}\t{obs}\t{obs_ratio}\t{total_depth}"
+                        f"\t{mean_depth}\t{exp_ratio}\t{o2e}\n")
+        stack.append((node, True))
+        for c in reversed(children[node]):
+            stack.append((c, False))
+
+    with open(out_path, "w") as fh:
+        fh.write(header)
+        fh.writelines(rows)
+    cfg.log(f"[assign] wrote {out_path}")

@@ -49,10 +49,14 @@ class MetaConfig:
     filter_and_assign: bool = False
     taxonomy_path: str = ""
     taxonomic_rank: str = "Family"
+    max_taxon_number: int = 1
+    ambiguous_score_threshold: int = 0
+    ambiguous_score_threshold_ratio: float = 0.0
     breadth_ratio: bool = False
+    jplace: bool = False
     leaves_only: bool = False
     stop: str = ""
-    log=print
+    log: object = print
 
 
 def ensure_meta_index(cfg: MetaConfig, tree=None):

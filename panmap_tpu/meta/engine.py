@@ -87,14 +87,15 @@ class MetaRead:
     max_score: int = 0
 
 
-def sketch_meta_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
-                      dust_threshold: float = 100.0):
+def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
+                           open_: bool, dust_threshold: float = 100.0):
     """Read seedmer lists, dust filter, dedup identical lists.
 
-    Returns (reads: list[MetaRead], n_low_complexity)."""
+    Returns (reads: list[MetaRead], dup_index: list[list[int]] mapping each
+    unique set to the original read indices, n_low_complexity)."""
     lists: dict[tuple, list] = {}
     n_dust = 0
-    for seq in seqs:
+    for idx, seq in enumerate(seqs):
         if dust_threshold < 100.0 and dust_score(seq) > dust_threshold:
             n_dust += 1
             continue
@@ -104,14 +105,23 @@ def sketch_meta_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
         else:
             km, valid, km_rev = kminmer_hashes_oriented(H, k, l, rev)
             key = tuple(zip(km[valid].tolist(), km_rev[valid].tolist()))
-        lists.setdefault(key, []).append(None)
+        lists.setdefault(key, []).append(idx)
     reads = []
+    dup_index = []
     for key, members in lists.items():
         if not key:
             continue
         hashes = np.array([h for h, _ in key], dtype=np.uint64)
         revs = np.array([r for _, r in key], dtype=bool)
         reads.append(MetaRead(hashes=hashes, revs=revs, n_dup=len(members)))
+        dup_index.append(members)
+    return reads, dup_index, n_dust
+
+
+def sketch_meta_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
+                      dust_threshold: float = 100.0):
+    reads, _, n_dust = sketch_meta_reads_full(seqs, k, s, t, l, open_,
+                                              dust_threshold)
     return reads, n_dust
 
 
@@ -251,10 +261,12 @@ class MetaScorer:
         return self._rawch[node]
 
     # ------------------------------------------------------------------
-    def score_all(self, candidate_nodes: list):
+    def score_all(self, candidate_nodes: list, collect_node_scores: bool = False):
         """DFS applying presence-flip events to per-read fwd/rev counters.
 
-        Returns (max_score i32[R], score_matrix u16[len(candidates), R])."""
+        Returns (max_score i32[R], score_matrix u16[len(candidates), R]) and,
+        when collect_node_scores, a third dict node -> [(read, score-after)]
+        (the sparse readScoreDeltas the assignment pass replays)."""
         R = len(self.reads)
         fwd = np.zeros(R, dtype=np.int32)
         rev = np.zeros(R, dtype=np.int32)
@@ -262,6 +274,7 @@ class MetaScorer:
         cand_set = {n: i for i, n in enumerate(candidate_nodes)}
         snap = np.zeros((len(candidate_nodes), R), dtype=np.uint16)
         counts: dict = defaultdict(lambda: [0, 0])
+        node_scores: dict = {}
         midx = self.midx
 
         def apply_row(r, sign):
@@ -304,14 +317,18 @@ class MetaScorer:
                     touched.append(ri)
             if touched:
                 tr = np.unique(np.concatenate(touched))
-                max_score[tr] = np.maximum(max_score[tr],
-                                           np.maximum(fwd[tr], rev[tr]))
+                sc = np.maximum(fwd[tr], rev[tr])
+                max_score[tr] = np.maximum(max_score[tr], sc)
+                if collect_node_scores:
+                    node_scores[node] = list(zip(tr.tolist(), sc.tolist()))
             ci = cand_set.get(node)
             if ci is not None:
                 snap[ci] = np.maximum(fwd, rev).astype(np.uint16)
             stack.append((node, True))
             for c in reversed(self._raw_children(node)):
                 stack.append((c, False))
+        if collect_node_scores:
+            return max_score, snap, node_scores
         return max_score, snap
 
 

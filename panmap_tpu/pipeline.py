@@ -60,7 +60,8 @@ class PipelineConfig:
     force_leaf: bool = False
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
-    log=print
+    batch_file: str = ""
+    log: object = print
 
 
 def default_prefix(reads1: str) -> str:
@@ -235,7 +236,96 @@ def run_consensus(cfg: PipelineConfig, ref: str, best_node: str, final_records):
     cfg.log(f"[build] {cfg.output}.consensus.fa")
 
 
+def read_batch_file(path: str):
+    """Batch manifest: one sample per line, `reads1 [reads2] [prefix]`
+    (main.cpp:1025-1090 readBatchFiles).  A single optional second field is
+    reads2 if it looks like FASTQ, else an output prefix; a missing prefix is
+    derived from reads1 with _R1/_1-style suffixes stripped, keeping the
+    directory."""
+    entries = []
+    with open(path) as fh:
+        for lineno, line in enumerate(fh, 1):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            reads1, reads2, prefix = parts[0], "", ""
+            if len(parts) >= 3:
+                reads2, prefix = parts[1], parts[2]
+            elif len(parts) == 2:
+                low = parts[1].lower()
+                if ".fastq" in low or ".fq" in low:
+                    reads2 = parts[1]
+                else:
+                    prefix = parts[1]
+            if not prefix:
+                prefix = os.path.join(os.path.dirname(reads1) or ".",
+                                      default_prefix(reads1))
+            if not os.path.exists(reads1):
+                raise FileNotFoundError(f"batch line {lineno}: {reads1}")
+            if reads2 and not os.path.exists(reads2):
+                raise FileNotFoundError(f"batch line {lineno}: {reads2}")
+            entries.append((reads1, reads2, prefix))
+    return entries
+
+
+def run_batch(cfg: PipelineConfig):
+    """Batch placement (main.cpp:1464-1700 runBatchPlacement): the index and
+    tree are loaded once and shared read-only across all samples."""
+    import copy
+
+    try:
+        samples = read_batch_file(cfg.batch_file)
+    except (OSError, FileNotFoundError) as exc:
+        cfg.log(f"[batch] error: {exc}")
+        return 1
+    if not samples:
+        cfg.log("[batch] no samples in batch file")
+        return 1
+    cfg.log(f"[batch] {len(samples)} samples")
+    tree = None
+    idx, tree = ensure_index(cfg, tree)
+    if cfg.stop == "index":
+        return 0
+    need_tree = cfg.stop not in ("index", "place")
+    if need_tree and tree is None:
+        tree = load_panman(cfg.panman)
+    n_ok = n_fail = 0
+    t_all = time.time()
+    for i, (reads1, reads2, prefix) in enumerate(samples, 1):
+        scfg = copy.copy(cfg)
+        scfg.reads1, scfg.reads2, scfg.output = reads1, reads2, prefix
+        scfg.log = lambda *a, **k: None
+        out_dir = os.path.dirname(prefix)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        t0 = time.time()
+        try:
+            res, best_id, _ = run_placement(scfg, idx)
+            if not best_id:
+                cfg.log(f"[{i}/{len(samples)}] {prefix} -> NO PLACEMENT "
+                        f"({time.time()-t0:.1f}s)")
+                n_fail += 1
+                continue
+            if need_tree:
+                ref, placed = run_alignment(scfg, tree, best_id)
+                if cfg.stop != "align":
+                    final = run_genotyping(scfg, idx, ref, best_id, placed)
+                    if cfg.stop != "genotype":
+                        run_consensus(scfg, ref, best_id, final)
+            cfg.log(f"[{i}/{len(samples)}] {prefix} -> {best_id} "
+                    f"({time.time()-t0:.1f}s)")
+            n_ok += 1
+        except Exception as exc:  # keep going: one bad sample must not kill the batch
+            cfg.log(f"[{i}/{len(samples)}] {prefix} -> FAILED ({exc})")
+            n_fail += 1
+    cfg.log(f"[batch] {n_ok} succeeded, {n_fail} failed in {time.time()-t_all:.1f}s")
+    return 0 if n_fail == 0 else 1
+
+
 def run_pipeline(cfg: PipelineConfig):
+    if cfg.batch_file:
+        return run_batch(cfg)
     tree = None
     idx, tree = ensure_index(cfg, tree)
     if cfg.stop == "index" or not cfg.reads1:
