@@ -1,0 +1,159 @@
+"""Pallas TPU kernel: batched banded affine-gap Smith-Waterman scoring.
+
+The DP extension inner loop named in BASELINE.json — replaces the reference's
+ksw2 SSE kernels (src/3rdparty/minimap2/ksw2_*.c) with a TPU formulation:
+
+ - each grid step processes a tile of 8 read/window pairs, so every DP row
+   update is a native (8, 128k) VPU op across the reference windows;
+ - rows advance with a fori_loop; the left-gap state E — a sequential scan in
+   ksw2 — is resolved with a log-step max-scan over the row (the prefix-max
+   identity: a gap re-opened from a gap-derived cell never wins under affine
+   costs);
+ - scores and best (i, j) with query-end bonuses match
+   align/core.py::banded_affine_dp exactly, so the host re-runs the tiny numpy
+   DP for traceback only on reads that end up needing CIGARs.
+
+Shapes are static: Q [B, LQ] (2-bit codes, 4 = pad), R [B, LW]; B and LQ/LW are
+padded to multiples of (8, 128).  Scoring constants mirror the sr preset
+(match 2 / mismatch 8 / gap 12+2k / end bonus 10; align/core.py:31-45).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .core import END_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
+
+NEG = -(1 << 28)
+TILE = 8
+
+
+def _row_max_scan(x):
+    """Inclusive running max along the last axis via log-step doubling."""
+    n = x.shape[-1]
+    shift = 1
+    while shift < n:
+        shifted = jnp.pad(x, ((0, 0), (shift, 0)), constant_values=NEG)[:, :n]
+        x = jnp.maximum(x, shifted)
+        shift *= 2
+    return x
+
+
+def _sw_kernel(q_ref, qsm_ref, r_ref, qlen_ref, out_ref, h_scr, f_scr):
+    """A TILE of (query, window) pairs per grid step.  Query codes are read
+    from the SMEM copy (dynamic lane-dim slicing is not addressable in VMEM);
+    the VMEM copy only sets the pipelined block layout."""
+    lq = q_ref.shape[1]
+    lw = r_ref.shape[1]
+    qlen = qlen_ref[:, 0]  # [TILE]
+
+    r_codes = r_ref[:]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, lw), 1)
+    gap_pen = idx * GAP_EXT
+
+    h_scr[:] = jnp.full((TILE, lw), END_BONUS, jnp.int32)
+    f_scr[:] = jnp.full((TILE, lw), NEG, jnp.int32)
+
+    def body(i, best):
+        best_sc, best_i, best_j = best
+        h_prev = h_scr[:]
+        f_prev = f_scr[:]
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+        qc = jnp.zeros((TILE, 1), jnp.int32)
+        for rr in range(TILE):
+            qc = jnp.where(rowid == rr, qsm_ref[rr, i], qc)
+        sub = jnp.where((r_codes == qc) & (qc < 4), MATCH, -MISMATCH)
+        f_row = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
+        # boundary column (numpy's j=0): END_BONUS on row 0, local floor after
+        first_val = jnp.where(i == 0, END_BONUS, 0)
+        diag = jnp.concatenate(
+            [jnp.full((TILE, 1), 0, jnp.int32) + first_val,
+             h_prev[:, : lw - 1]], axis=1) + sub
+        base = jnp.maximum(jnp.maximum(diag, f_row), 0)
+        pm = _row_max_scan(base + gap_pen)
+        pm_shift = jnp.pad(pm, ((0, 0), (1, 0)), constant_values=NEG)[:, :lw]
+        e_row = pm_shift - GAP_OPEN - jnp.maximum(gap_pen - GAP_EXT, 0)
+        h_row = jnp.maximum(base, e_row)
+        h_scr[:] = h_row
+        f_scr[:] = f_row
+
+        in_query = i < qlen
+        bonus = jnp.where(i == qlen - 1, END_BONUS, 0)
+        rowmax = jnp.max(h_row, axis=1)
+        row_best = rowmax + bonus
+        # int argmax is unsupported in Mosaic: first-match via masked min-index
+        jrow = jnp.min(jnp.where(h_row == rowmax[:, None], idx, lw),
+                       axis=1).astype(jnp.int32)
+        better = in_query & (row_best > best_sc)
+        return (
+            jnp.where(better, row_best, best_sc),
+            jnp.where(better, i + 1, best_i),
+            jnp.where(better, jrow + 1, best_j),
+        )
+
+    zero = jnp.zeros((TILE,), jnp.int32)
+    score, bi, bj = jax.lax.fori_loop(0, lq, body, (zero, zero, zero))
+    colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    out = jnp.where(colid == 0, score[:, None],
+                    jnp.where(colid == 1, bi[:, None],
+                              jnp.where(colid == 2, bj[:, None], 0)))
+    out_ref[:] = out
+
+
+def _pad_to(x, mult, axis, fill):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=fill)
+
+
+def banded_sw_scores(q_batch, r_batch, qlens, interpret: bool = False):
+    """q_batch [B, LQ] codes, r_batch [B, LW], qlens [B] i32.
+    Returns [B, 3] i32: (score incl. end bonuses, query end, window end)."""
+    q_batch = np.asarray(q_batch)
+    r_batch = np.asarray(r_batch)
+    qlens = np.asarray(qlens, dtype=np.int32)
+    B0 = q_batch.shape[0]
+    q_batch = _pad_to(_pad_to(q_batch, 128, 1, 4), TILE, 0, 4)
+    r_batch = _pad_to(_pad_to(r_batch, 128, 1, 4), TILE, 0, 4)
+    qlens = _pad_to(qlens, TILE, 0, 0)
+    out = _sw_call(
+        jnp.asarray(q_batch.astype(np.int32)),
+        jnp.asarray(r_batch.astype(np.int32)),
+        jnp.asarray(np.repeat(qlens[:, None], 128, axis=1)),
+        interpret,
+    )
+    return np.asarray(out)[:B0, :3]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sw_call(q, r, qlens, interpret):
+    B, LQ = q.shape
+    LW = r.shape[1]
+    grid = (B // TILE,)
+    return pl.pallas_call(
+        _sw_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, LQ), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, LQ), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, LW), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, LW), jnp.int32),
+            pltpu.VMEM((TILE, LW), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, q, r, qlens)

@@ -82,9 +82,14 @@ class TpuPlacer:
         self._finalize = self._make_finalize()
         self._score_raw = et.make_score_fn(self.dev.n_nodes, int(self.dev.row_id.shape[0]))
 
+    MAXU = 1 << 18  # compacted read-seed slots (>= distinct seeds in any sample)
+
     def _make_finalize(self):
         dev = self.dev
         n_nodes = dev.n_nodes
+        n_unique = int(dev.unique_hashes.shape[0])
+        MAXU = self.MAXU
+        u_hi, u_lo = self.u_hi, self.u_lo
 
         @jax.jit
         def finalize(kh, kl, valid, min_support_cfg):
@@ -124,7 +129,22 @@ class TpuPlacer:
             log_mag = jnp.sqrt(jnp.sum(logc * logc))
             lden = jnp.sum(logc)
             nuniq = jnp.sum(keep)
-            return shi, slo, logc, keep, log_mag, nuniq, lden
+
+            # compact kept run-starts into MAXU slots (scatter with OOB drop),
+            # then join the few read seeds against the index's unique-hash
+            # table once — scoring gathers per row instead of searching per row
+            slot = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, MAXU)
+            rq_hi = jnp.zeros(MAXU, jnp.uint32).at[slot].set(shi, mode="drop")
+            rq_lo = jnp.zeros(MAXU, jnp.uint32).at[slot].set(slo, mode="drop")
+            rq_lc = jnp.zeros(MAXU, jnp.float32).at[slot].set(logc, mode="drop")
+            rq_ok = jnp.arange(MAXU) < nuniq
+            uidx, hit = _bsearch2(u_hi, u_lo, rq_hi, rq_lo)
+            put = jnp.where(hit & rq_ok, uidx, n_unique)
+            uid_logc = jnp.zeros(n_unique, jnp.float32).at[put].set(
+                rq_lc, mode="drop")
+            uid_found = jnp.zeros(n_unique, bool).at[put].set(
+                hit & rq_ok, mode="drop")
+            return uid_logc, uid_found, log_mag, nuniq, lden
 
         return finalize
 
@@ -147,16 +167,17 @@ class TpuPlacer:
 
     def place(self, seqs: list, min_read_support: int = -1):
         kh, kl, vv = self.sketch_device(seqs)
-        shi, slo, logc, keep, log_mag, nuniq, lden = self._finalize(
+        uid_logc, uid_found, log_mag, nuniq, lden = self._finalize(
             kh, kl, vv, float(min_read_support))
-        acc, wc_den = self._score_by_table(shi, slo, logc, keep)
+        acc, wc_den = self._score_by_table(uid_logc, uid_found)
         self._last_wc_den = float(wc_den)
         return self._finish_scores(np.asarray(acc), float(log_mag), int(nuniq),
                                    float(lden))
 
-    def _score_by_table(self, shi, slo, logc, keep):
-        """Score rows by binary-searching each row hash in the sorted read
-        seed table (the lexicographic lower bound lands on the run start)."""
+    def _score_by_table(self, uid_logc, uid_found):
+        """Score rows by gathering each row's unique-hash id from the dense
+        per-uid read tables built in finalize (one gather per row; the
+        expensive join already happened on the compacted read seeds)."""
         dev = self.dev
         if not hasattr(self, "_score_tab_fn"):
             n_nodes = dev.n_nodes
@@ -164,12 +185,9 @@ class TpuPlacer:
 
             @jax.jit
             def score(row_id, row_parent, row_child, row_node, euler_in,
-                      euler_out, u_hi, u_lo, shi, slo, logc, keep):
-                qhi = u_hi[row_id]
-                qlo = u_lo[row_id]
-                idxs, hit = _bsearch2(shi, slo, qhi, qlo)
-                found = hit & keep[idxs]
-                lrc = jnp.where(found, logc[idxs], 0.0)
+                      euler_out, uid_logc, uid_found):
+                found = uid_found[row_id]
+                lrc = uid_logc[row_id]
                 P = row_parent
                 C = row_child
                 log_child = jnp.where(C > 0, jnp.log1p(C), 0.0)
@@ -204,8 +222,7 @@ class TpuPlacer:
             self._score_tab_fn = score
         return self._score_tab_fn(
             dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
-            dev.euler_in, dev.euler_out, self.u_hi, self.u_lo,
-            shi, slo, logc, keep)
+            dev.euler_in, dev.euler_out, uid_logc, uid_found)
 
     def _finish_scores(self, acc, log_mag, read_unique, logcont_den):
         genome_mag_sq, lograw, logcos, wc_num, logcont, presence = acc.T
