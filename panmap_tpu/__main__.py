@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--trim-start", type=int, default=0)
     g.add_argument("--trim-end", type=int, default=0)
     g.add_argument("--force-leaf", action="store_true")
+    g.add_argument("--no-mutation-spectrum", action="store_true",
+                   help="disable mutation-spectrum priors in genotyping")
+    g.add_argument("--mutation-matrix", default="",
+                   help=".mm mutation-matrix file overriding the index spectrum")
 
     g = p.add_argument_group("metagenomic")
     g.add_argument("--meta", action="store_true", help="metagenomic mode")
@@ -112,6 +116,8 @@ def main(argv=None):
         min_depth=args.min_depth, min_qual=args.min_qual,
         min_read_support=args.min_read_support,
         seed_mask_fraction=args.seed_mask_fraction,
+        no_mutation_spectrum=args.no_mutation_spectrum,
+        mutation_matrix=args.mutation_matrix,
         dedup_reads=args.dedup_reads, trim_start=args.trim_start,
         trim_end=args.trim_end, force_leaf=args.force_leaf, stop=args.stop,
         threads=args.threads, batch_file=args.batch_file,

@@ -1,0 +1,248 @@
+"""Long-read alignment presets (map-ont / map-hifi equivalents).
+
+The reference selects a minimap2 preset by mean read length
+(src/mm_align.c:38-118: <500 -> sr, <5000 -> map-ont, else map-hifi;
+preset constants from src/3rdparty/minimap2/options.c:5-114).  This module
+provides the long-read side: (w,k)-minimizer anchoring (same hash/sketch as
+the sr path), diagonal-band chaining, and a shifted-band affine-gap DP whose
+memory scales with read_len x band instead of read_len x window — the sr
+whole-matrix DP would need GBs at ONT lengths.
+
+Deviations from minimap2 (documented, capability-level): single affine gap
+cost (no q2/e2 long-gap tier), no z-drop mid-alignment split, chain score is
+anchor coverage rather than the minimap2 chain DP.  Short reads keep using
+the bit-exact sr path in align/core.py / align/batch.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .core import Alignment, RefIndex, _RC_CODE, encode, minimizer_sketch
+
+
+@dataclass(frozen=True)
+class LongPreset:
+    name: str
+    k: int
+    w: int
+    match: int
+    mismatch: int
+    gap_open: int
+    gap_ext: int
+    min_cnt: int
+    min_chain_score: int  # in matching bases
+    min_dp_max: int
+    bw: int
+    max_gap: int
+
+
+# options.c:14-63 defaults (= map-ont) and :108-114 map-hifi overrides
+MAP_ONT = LongPreset("map-ont", k=15, w=10, match=2, mismatch=4, gap_open=4,
+                     gap_ext=2, min_cnt=3, min_chain_score=40, min_dp_max=80,
+                     bw=500, max_gap=5000)
+MAP_HIFI = LongPreset("map-hifi", k=19, w=19, match=1, mismatch=4, gap_open=6,
+                      gap_ext=2, min_cnt=3, min_chain_score=40, min_dp_max=200,
+                      bw=500, max_gap=10000)
+
+
+def pick_preset(avg_len: float) -> LongPreset:
+    """mm_align.c:39-41 length thresholds (sr below 500 is handled upstream)."""
+    return MAP_ONT if avg_len < 5000 else MAP_HIFI
+
+
+def banded_dp_shifted(q: np.ndarray, r: np.ndarray, dlo: int, dhi: int,
+                      pre: LongPreset):
+    """Local affine DP in a diagonal band: row i covers ref positions
+    [dlo + i, dhi + i] (band coordinates shift with the row, so storage is
+    lq x band).  Returns (score, qs, qe, rs, re, cigar)."""
+    lq, lr = len(q), len(r)
+    W = dhi - dlo + 1
+    NEG = np.int32(-(1 << 28))
+    A, B, GO, GE = pre.match, pre.mismatch, pre.gap_open, pre.gap_ext
+
+    H = np.zeros((lq + 1, W), dtype=np.int32)
+    E = np.full((lq + 1, W), NEG, dtype=np.int32)
+    F = np.full((lq + 1, W), NEG, dtype=np.int32)
+    cidx = np.arange(W, dtype=np.int64)
+
+    best = (0, 0, 0)
+    for i in range(1, lq + 1):
+        off = dlo + i  # ref position of band column 0 at this row
+        j = cidx + off  # 1-based ref column per band cell
+        inb = (j >= 1) & (j <= lr)
+        # diagonal: (i-1, j-1) sits at the SAME band column of the prev row
+        qc = q[i - 1]
+        rj = np.where(inb, r[np.clip(j - 1, 0, lr - 1)], 4)
+        sub = np.where((rj == qc) & (qc < 4), A, -B).astype(np.int32)
+        diag = H[i - 1] + sub
+        # insertion (consume query): (i-1, j) = band column c+1 of prev row
+        up = np.full(W, NEG, dtype=np.int32)
+        up[:-1] = np.maximum(H[i - 1, 1:] - GO, F[i - 1, 1:] - GE)
+        F[i] = up
+        base = np.maximum(np.maximum(diag, up), 0)
+        base = np.where(inb, base, NEG)
+        # deletion (consume ref): same-row prefix-max over band columns
+        pm = np.maximum.accumulate(base + cidx.astype(np.int32) * GE)
+        E[i, 1:] = pm[:-1] - GO - (cidx[1:].astype(np.int32) - 1) * GE
+        E[i, 0] = NEG
+        H[i] = np.where(inb, np.maximum(base, E[i]), 0)
+        cmax = int(np.argmax(H[i]))
+        if int(H[i, cmax]) > best[0]:
+            best = (int(H[i, cmax]), i, cmax)
+
+    score, bi, bc = best
+    if score <= 0:
+        return 0, 0, 0, 0, 0, []
+    # traceback
+    i, c = bi, bc
+    ops = []
+    state = "H"
+    while i > 0:
+        j = c + dlo + i
+        if j <= 0:
+            break
+        if state == "H":
+            h = int(H[i, c])
+            if h == 0:
+                break
+            qc = q[i - 1]
+            rj = r[j - 1] if 1 <= j <= lr else 4
+            s = A if (rj == qc and qc < 4) else -B
+            if h == H[i - 1, c] + s:
+                ops.append("M")
+                i -= 1  # same band column: diagonal move
+            elif h == E[i, c]:
+                state = "E"
+            elif h == F[i, c]:
+                state = "F"
+            else:
+                ops.append("M")
+                i -= 1
+        elif state == "E":
+            ops.append("D")
+            if c > 1 and E[i, c] == E[i, c - 1] - GE:
+                c -= 1
+            else:
+                c -= 1
+                state = "H"
+        else:  # F: insertion, predecessor at (i-1, band column c+1)
+            ops.append("I")
+            nc = c + 1
+            cont = nc < W and i > 1 and F[i, c] == F[i - 1, nc] - GE
+            i -= 1
+            c = nc
+            if not cont:
+                state = "H"
+        if c < 0 or c >= W:
+            break
+    ops.reverse()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    qs = i
+    rs = c + dlo + i
+    qe = bi
+    re_ = bc + dlo + bi
+    return score, qs, qe, max(rs, 0), re_, cigar
+
+
+class LongReadAligner:
+    """Single-reference long-read mapper: minimizer anchors -> diagonal-band
+    cluster -> shifted-band DP (mm_align.c:105-118 map-ont/map-hifi path)."""
+
+    def __init__(self, ref: str, preset: LongPreset):
+        self.pre = preset
+        self.ref = ref
+        self.index = RefIndex(ref, preset.k, preset.w)
+
+    def align_read(self, seq: str) -> Alignment:
+        pre = self.pre
+        codes2 = encode(np.frombuffer(seq.encode(), dtype=np.uint8))
+        lq = len(codes2)
+        qpos, qh, qstrand = minimizer_sketch(codes2, pre.k, pre.w)
+        aln = Alignment()
+        if len(qpos) == 0:
+            return aln
+        start, end = self.index.lookup_many(qh)
+        counts = (end - start).astype(np.int64)
+        tot = int(counts.sum())
+        if tot == 0:
+            return aln
+        rpos = np.empty(tot, np.int64)
+        qq = np.empty(tot, np.int64)
+        rel = np.empty(tot, np.uint8)
+        o = 0
+        for a in range(len(qpos)):
+            c = int(counts[a])
+            if c == 0:
+                continue
+            s0, e0 = int(start[a]), int(end[a])
+            rpos[o : o + c] = self.index.pos[s0:e0]
+            qq[o : o + c] = qpos[a]
+            rel[o : o + c] = self.index.strand[s0:e0] ^ qstrand[a]
+            o += c
+
+        best = None
+        second_votes = 0
+        for strand_rel in (0, 1):
+            m = rel == strand_rel
+            if not m.any():
+                continue
+            if strand_rel == 0:
+                diags = rpos[m] - qq[m]
+                qv = qq[m]
+            else:
+                diags = rpos[m] - (lq - pre.k - qq[m])
+                qv = lq - pre.k - qq[m]
+            order = np.argsort(diags, kind="stable")
+            d = diags[order]
+            q_o = qv[order]
+            splits = np.flatnonzero(np.diff(d) > pre.bw)
+            starts = np.concatenate(([0], splits + 1))
+            ends = np.concatenate((splits + 1, [len(d)]))
+            for a0, b0 in zip(starts, ends):
+                votes = b0 - a0
+                qmin, qmax = int(q_o[a0:b0].min()), int(q_o[a0:b0].max())
+                span = min(qmax - qmin + pre.k, lq)
+                cand = (votes, span, strand_rel,
+                        int(d[a0:b0].min()), int(d[a0:b0].max()))
+                if best is None or (votes, span) > (best[0], best[1]):
+                    if best is not None:
+                        second_votes = max(second_votes, best[0])
+                    best = cand
+                elif votes > second_votes:
+                    second_votes = votes
+        if best is None:
+            return aln
+        votes, span, strand_rel, dmin, dmax = best
+        if votes < pre.min_cnt or span < pre.min_chain_score:
+            return aln
+
+        oriented = codes2 if strand_rel == 0 else _RC_CODE[codes2[::-1]]
+        dlo = int(dmin) - pre.bw
+        dhi = int(dmax) + pre.bw
+        score, qs, qe, rs, re_, cigar = banded_dp_shifted(
+            oriented, self.index.codes2, dlo, dhi, self.pre)
+        if score < pre.min_dp_max or not cigar:
+            return aln
+        aln.mapped = True
+        aln.score = score
+        aln.qs, aln.qe, aln.rs, aln.re = qs, qe, rs, re_
+        aln.cigar = cigar
+        aln.rev = bool(strand_rel)
+        if aln.rev:
+            aln.qs, aln.qe = lq - aln.qe, lq - aln.qs
+        if votes >= 3 and second_votes * 2 <= votes:
+            aln.mapq = 60
+        else:
+            aln.mapq = max(1, min(60, int(40 * (1 - (second_votes + 1) / (votes + 1)))))
+        return aln
+
+    def align_batch(self, seqs: list) -> list:
+        return [self.align_read(s) for s in seqs]

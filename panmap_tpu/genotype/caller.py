@@ -402,6 +402,37 @@ def phred_scale_matrix(substitution_matrix: np.ndarray):
     return phred
 
 
+def load_mutation_matrix(path: str):
+    """Parse a .mm mutation-matrix file (genotyping.cpp:42-109
+    fillMutationMatricesFromFile): 4 rows of 4 phred-scaled substitution
+    probabilities, then one "size:prob" row each for insertions and
+    deletions.  Returns (submat f64[4,4], insmat dict, delmat dict)."""
+    submat = np.zeros((4, 4), dtype=np.float64)
+    insmat: dict = {}
+    delmat: dict = {}
+    idx = 0
+    with open(path) as fh:
+        for line in fh:
+            fields = line.split()
+            if not fields:
+                break
+            if idx < 4:
+                if len(fields) != 4:
+                    raise ValueError("invalid mutation matrix (.mm) file")
+                submat[idx] = [float(f) for f in fields]
+            elif idx in (4, 5):
+                out = insmat if idx == 4 else delmat
+                for f in fields:
+                    size, _, prob = f.partition(":")
+                    if not prob:
+                        raise ValueError("invalid size:prob field in .mm file")
+                    out[int(size)] = float(prob)
+            idx += 1
+    if idx != 6:
+        raise ValueError("invalid mutation matrix (.mm) file")
+    return submat, insmat, delmat
+
+
 def apply_spectrum(records: list, phred: np.ndarray | None, min_depth: int,
                    min_qual: float) -> list:
     """applyMutationSpectrum + consensus gate (src/genotyping.cpp:200-279)."""

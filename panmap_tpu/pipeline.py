@@ -58,6 +58,8 @@ class PipelineConfig:
     trim_start: int = 0
     trim_end: int = 0
     force_leaf: bool = False
+    no_mutation_spectrum: bool = False
+    mutation_matrix: str = ""  # .mm file overriding the index spectrum
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
     batch_file: str = ""
@@ -133,10 +135,21 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
     names, seqs, quals = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None)
     paired = bool(cfg.reads2)
     t0 = time.time()
-    from .align.batch import BatchAligner
+    avg_len = sum(len(s) for s in seqs) / max(len(seqs), 1)
+    if avg_len >= 500:
+        # long reads: preset by mean length (mm_align.c:38-41), unpaired
+        from .align.longread import LongReadAligner, pick_preset
 
-    aligner = BatchAligner(ref)
-    pairs = aligner.align_pairs_batch(seqs, paired)
+        pre = pick_preset(avg_len)
+        cfg.log(f"[align] long-read preset {pre.name} (avg len {avg_len:.0f})")
+        lr = LongReadAligner(ref, pre)
+        paired = False
+        pairs = [(a, None) for a in lr.align_batch(seqs)]
+    else:
+        from .align.batch import BatchAligner
+
+        aligner = BatchAligner(ref)
+        pairs = aligner.align_pairs_batch(seqs, paired)
     cfg.log(f"[align] {len(seqs)} reads in {time.time()-t0:.1f}s")
 
     # BAM records (conversion.cpp:390-538 conventions)
@@ -220,7 +233,14 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
 def run_genotyping(cfg: PipelineConfig, idx: IndexArrays, ref: str,
                    best_node: str, placed):
     records = pileup_call(ref, placed)
-    phred = phred_scale_matrix(idx.substitution_matrix)
+    if cfg.no_mutation_spectrum:
+        phred = None  # main.cpp:2450: gate-only filtering, no prior
+    elif cfg.mutation_matrix:
+        from .genotype.caller import load_mutation_matrix
+
+        phred, _, _ = load_mutation_matrix(cfg.mutation_matrix)
+    else:
+        phred = phred_scale_matrix(idx.substitution_matrix)
     final = apply_spectrum(records, phred, cfg.min_depth, cfg.min_qual)
     write_vcf(cfg.output + ".vcf", best_node, len(ref), final)
     cfg.log(f"[call] {len(final)} variants -> {cfg.output}.vcf")

@@ -1,0 +1,81 @@
+"""Long-read aligner (map-ont / map-hifi presets): mapping accuracy and
+cigar consistency on synthetic error-laden reads."""
+
+import random
+
+import numpy as np
+
+from panmap_tpu.align.longread import (
+    LongReadAligner,
+    MAP_HIFI,
+    MAP_ONT,
+    pick_preset,
+)
+
+
+def _rc(s):
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def _mutate(rng, s, err):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < err * 0.4:
+            out.append(rng.choice("ACGT"))
+        elif r < err * 0.7:
+            pass
+        elif r < err:
+            out.append(ch)
+            out.append(rng.choice("ACGT"))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def test_preset_selection():
+    assert pick_preset(800) is MAP_ONT
+    assert pick_preset(4999) is MAP_ONT
+    assert pick_preset(5000) is MAP_HIFI
+
+
+def test_ont_reads_map_to_truth_locus():
+    rng = random.Random(7)
+    ref = "".join(rng.choice("ACGT") for _ in range(20000))
+    alner = LongReadAligner(ref, MAP_ONT)
+    for trial in range(6):
+        start = rng.randint(0, 16000)
+        ln = rng.randint(800, 2500)
+        read = _mutate(rng, ref[start : start + ln], err=0.08)
+        if trial % 2:
+            read = _rc(read)
+        a = alner.align_read(read)
+        assert a.mapped
+        assert abs(a.rs - start) < 50
+        assert a.rev == bool(trial % 2)
+        # cigar spans must match the reported intervals
+        mref = sum(l for l, op in a.cigar if op in "MD")
+        mq = sum(l for l, op in a.cigar if op in "MI")
+        assert mref == a.re - a.rs
+        assert mq == a.qe - a.qs
+
+
+def test_hifi_low_error_high_identity():
+    rng = random.Random(11)
+    ref = "".join(rng.choice("ACGT") for _ in range(30000))
+    alner = LongReadAligner(ref, MAP_HIFI)
+    start, ln = 4000, 6000
+    read = _mutate(rng, ref[start : start + ln], err=0.01)
+    a = alner.align_read(read)
+    assert a.mapped and abs(a.rs - start) < 20
+    matches = sum(l for l, op in a.cigar if op == "M")
+    assert matches / ln > 0.97
+
+
+def test_garbage_read_unmapped():
+    rng = random.Random(3)
+    ref = "".join(rng.choice("ACGT") for _ in range(20000))
+    alner = LongReadAligner(ref, MAP_ONT)
+    junk = "".join(rng.choice("ACGT") for _ in range(1500))
+    a = alner.align_read(junk)
+    assert not a.mapped
