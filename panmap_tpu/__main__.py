@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--trim-start", type=int, default=0)
     g.add_argument("--trim-end", type=int, default=0)
     g.add_argument("--force-leaf", action="store_true")
+    g.add_argument("-a", "--aligner", default="minimap2", choices=["minimap2", "bwa"],
+                   help="alignment backend (bwa = whole-read ancient-DNA mode)")
+    g.add_argument("--refine", action="store_true",
+                   help="alignment-based refinement of top placement candidates")
+    g.add_argument("--refine-top-pct", type=float, default=0.01)
+    g.add_argument("--refine-max-top-n", type=int, default=150)
+    g.add_argument("--refine-neighbor-radius", type=int, default=2)
+    g.add_argument("--refine-max-neighbor-n", type=int, default=150)
     g.add_argument("--no-mutation-spectrum", action="store_true",
                    help="disable mutation-spectrum priors in genotyping")
     g.add_argument("--mutation-matrix", default="",
@@ -70,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--ambiguous-score-threshold-ratio", type=float, default=0.0)
     g.add_argument("--breadth-ratio", action="store_true")
     g.add_argument("--jplace", action="store_true")
+    g.add_argument("--align-reads", action="store_true",
+                   help="align assigned reads to their nodes (meta filter-and-assign)")
+    g.add_argument("--min-num-align", type=int, default=10)
     g.add_argument("--leaves-only", action="store_true")
 
     g = p.add_argument_group("developer")
@@ -103,6 +114,8 @@ def main(argv=None):
             ambiguous_score_threshold_ratio=args.ambiguous_score_threshold_ratio,
             breadth_ratio=args.breadth_ratio,
             jplace=args.jplace,
+            align_reads=args.align_reads,
+            min_num_align=args.min_num_align,
             leaves_only=args.leaves_only,
             stop=args.stop,
             log=log,
@@ -116,6 +129,11 @@ def main(argv=None):
         min_depth=args.min_depth, min_qual=args.min_qual,
         min_read_support=args.min_read_support,
         seed_mask_fraction=args.seed_mask_fraction,
+        aligner=args.aligner,
+        refine=args.refine, refine_top_pct=args.refine_top_pct,
+        refine_max_top_n=args.refine_max_top_n,
+        refine_neighbor_radius=args.refine_neighbor_radius,
+        refine_max_neighbor_n=args.refine_max_neighbor_n,
         no_mutation_spectrum=args.no_mutation_spectrum,
         mutation_matrix=args.mutation_matrix,
         dedup_reads=args.dedup_reads, trim_start=args.trim_start,

@@ -257,7 +257,71 @@ def run_filter_and_assign(cfg, midx) -> int:
 
     if cfg.breadth_ratio:
         _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index)
+
+    if getattr(cfg, "align_reads", False):
+        _align_assigned_reads(cfg, midx, assigned_by_node, dup_index,
+                              fq_index, names, seqs, quals)
     return 0
+
+
+def _align_assigned_reads(cfg, midx, assigned_by_node, dup_index, fq_index,
+                          names, seqs, quals):
+    """--align-reads: per assigned node with >= --min-num-align reads, align
+    its reads (whole-read aDNA mode) and write <prefix>_mgsr_aligned/
+    <node>.bam plus a combined reference.fa (main.cpp:616-718
+    alignAssignedReads; reference backend is bwa aln)."""
+    import os
+
+    from ..align.adna import AdnaAligner
+    from ..io.bam import compute_sam_flags, write_bam
+    from ..io.panman import load_panman
+    from ..sketch.cpu import reverse_complement
+
+    tree = load_panman(cfg.panman)
+    align_dir = cfg.output + "_mgsr_aligned"
+    os.makedirs(align_dir, exist_ok=True)
+
+    def sanitize(s):
+        return "".join("_" if (c in "/\\" or c.isspace()) else c for c in s)
+
+    min_align = max(getattr(cfg, "min_num_align", 10), 0)
+    n_aligned = n_skipped = 0
+    with open(os.path.join(align_dir, "reference.fa"), "w") as ref_fa:
+        for node, uris in assigned_by_node.items():
+            origs = sorted(o for u in uris for o in dup_index[u])
+            if len(origs) < min_align:
+                n_skipped += 1
+                continue
+            node_id = midx.node_ids[node]
+            ref = tree.get_string(node_id)
+            if not ref:
+                continue
+            ref_fa.write(f">{node_id}\n")
+            for i in range(0, len(ref), 80):
+                ref_fa.write(ref[i : i + 80] + "\n")
+            ad = AdnaAligner(ref)
+            entries = []
+            for o in origs:
+                a = ad.align_read(seqs[o])
+                if not a.mapped:
+                    continue
+                if a.rev:
+                    bam_seq = reverse_complement(seqs[o])
+                    bam_qual = bytes(ord(c) - 33 for c in reversed(quals[o]))
+                else:
+                    bam_seq = seqs[o]
+                    bam_qual = bytes(ord(c) - 33 for c in quals[o])
+                flag = compute_sam_flags(False, False, a.rev, False, False, False)
+                entries.append(dict(qname=names[o], flag=flag, pos=a.rs,
+                                    mapq=a.mapq, cigar=a.cigar, mtid=-1,
+                                    mpos=-1, tlen=0, seq=bam_seq,
+                                    qual=bam_qual))
+            entries.sort(key=lambda e: e["pos"])
+            write_bam(os.path.join(align_dir, sanitize(node_id) + ".bam"),
+                      node_id, len(ref), entries)
+            n_aligned += 1
+    cfg.log(f"[assign] aligned reads for {n_aligned} nodes "
+            f"({n_skipped} below min-num-align={min_align})")
 
 
 def _jplace_newick(midx, children):

@@ -54,6 +54,8 @@ class MetaConfig:
     ambiguous_score_threshold_ratio: float = 0.0
     breadth_ratio: bool = False
     jplace: bool = False
+    align_reads: bool = False
+    min_num_align: int = 10
     leaves_only: bool = False
     stop: str = ""
     log: object = print

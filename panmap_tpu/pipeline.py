@@ -58,6 +58,12 @@ class PipelineConfig:
     trim_start: int = 0
     trim_end: int = 0
     force_leaf: bool = False
+    aligner: str = "minimap2"  # minimap2 | bwa (aDNA whole-read mode)
+    refine: bool = False
+    refine_top_pct: float = 0.01
+    refine_max_top_n: int = 150
+    refine_neighbor_radius: int = 2
+    refine_max_neighbor_n: int = 150
     no_mutation_spectrum: bool = False
     mutation_matrix: str = ""  # .mm file overriding the index spectrum
     stop: str = ""  # "", "index", "place", "align", "genotype"
@@ -136,7 +142,14 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
     paired = bool(cfg.reads2)
     t0 = time.time()
     avg_len = sum(len(s) for s in seqs) / max(len(seqs), 1)
-    if avg_len >= 500:
+    if cfg.aligner == "bwa":
+        # ancient-DNA whole-read mode (main.cpp:1979, bwa_align.c)
+        from .align.adna import AdnaAligner
+
+        ad = AdnaAligner(ref)
+        paired = False
+        pairs = [(a, None) for a in ad.align_batch(seqs)]
+    elif avg_len >= 500:
         # long reads: preset by mean length (mm_align.c:38-41), unpaired
         from .align.longread import LongReadAligner, pick_preset
 
@@ -351,6 +364,18 @@ def run_pipeline(cfg: PipelineConfig):
     if cfg.stop == "index" or not cfg.reads1:
         return
     res, best_id, n_reads = run_placement(cfg, idx)
+    if cfg.refine and best_id:
+        if tree is None:
+            tree = load_panman(cfg.panman)
+        from .place.refine import append_refined_tsv, refine_top_candidates
+
+        _, rseqs, _ = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None)
+        refined = refine_top_candidates(
+            idx, tree, res.scores, res.best_index, rseqs, bool(cfg.reads2),
+            top_pct=cfg.refine_top_pct, max_top_n=cfg.refine_max_top_n,
+            neighbor_radius=cfg.refine_neighbor_radius,
+            max_neighbor_n=cfg.refine_max_neighbor_n, log=cfg.log)
+        append_refined_tsv(cfg.output + ".placement.tsv", refined)
     if cfg.stop == "place" or not best_id:
         return
     if tree is None:
