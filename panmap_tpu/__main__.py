@@ -71,6 +71,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--top-oc", type=int, default=1000)
     g.add_argument("--dust", type=float, default=100.0)
     g.add_argument("--discard", type=float, default=0.0)
+    g.add_argument("--mask-reads", type=int, default=0,
+                   help="mask reads containing k-min-mers with occurrence <= N")
+    g.add_argument("--mask-seeds", type=int, default=0,
+                   help="mask query k-min-mers with occurrence <= N")
+    g.add_argument("--mask-reads-relative-frequency", type=float, default=0.0,
+                   dest="mask_reads_rf")
+    g.add_argument("--mask-seeds-relative-frequency", type=float, default=0.0,
+                   dest="mask_seeds_rf")
+    g.add_argument("--amplicon-depth", default="",
+                   help="readId<TAB>primerId TSV for per-amplicon masking")
+    g.add_argument("--mask-read-ends", type=int, default=0,
+                   help="trim N bases from both read ends (aDNA damage)")
     g.add_argument("--taxonomic-metadata", default="")
     g.add_argument("--taxonomic-rank", default="Family")
     g.add_argument("--maximum-taxon-number", type=int, default=1)
@@ -106,6 +118,10 @@ def main(argv=None):
             em_maximum_rounds=args.em_maximum_rounds,
             em_maximum_iterations=args.em_maximum_iterations,
             top_oc=args.top_oc, dust=args.dust, discard=args.discard,
+            mask_reads=args.mask_reads, mask_seeds=args.mask_seeds,
+            mask_reads_rf=args.mask_reads_rf, mask_seeds_rf=args.mask_seeds_rf,
+            amplicon_depth=args.amplicon_depth,
+            mask_read_ends=args.mask_read_ends,
             filter_and_assign=args.filter_and_assign,
             taxonomy_path=args.taxonomic_metadata,
             taxonomic_rank=args.taxonomic_rank,

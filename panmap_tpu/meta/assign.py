@@ -112,10 +112,23 @@ def run_filter_and_assign(cfg, midx) -> int:
     names, seqs, quals = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None) \
         if cfg.reads2 else fastq.read_full(cfg.reads1)
     p = midx.params
-    reads, dup_index, n_dust = sketch_meta_reads_full(
-        seqs, p.k, p.s, p.t, p.l, p.open, dust_threshold=cfg.dust)
-    cfg.log(f"[assign] {len(seqs)} reads -> {len(reads)} unique sets "
-            f"({n_dust} low-complexity)")
+    masking = (getattr(cfg, "mask_reads", 0) or getattr(cfg, "mask_seeds", 0)
+               or getattr(cfg, "mask_reads_rf", 0.0)
+               or getattr(cfg, "mask_seeds_rf", 0.0)
+               or getattr(cfg, "amplicon_depth", "")
+               or getattr(cfg, "mask_read_ends", 0))
+    if masking:
+        from .engine import sketch_meta_reads_grouped
+
+        reads, dup_index, n_dust, n_masked = sketch_meta_reads_grouped(
+            seqs, names, p, cfg)
+        cfg.log(f"[assign] {len(seqs)} reads -> {len(reads)} unique sets "
+                f"({n_dust} low-complexity, {n_masked} masked)")
+    else:
+        reads, dup_index, n_dust = sketch_meta_reads_full(
+            seqs, p.k, p.s, p.t, p.l, p.open, dust_threshold=cfg.dust)
+        cfg.log(f"[assign] {len(seqs)} reads -> {len(reads)} unique sets "
+                f"({n_dust} low-complexity)")
 
     scorer = MetaScorer(midx, reads)
     max_score, _snap, node_scores = scorer.score_all([], collect_node_scores=True)

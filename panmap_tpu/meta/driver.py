@@ -46,6 +46,12 @@ class MetaConfig:
     top_oc: int = 1000
     dust: float = 100.0
     discard: float = 0.0
+    mask_reads: int = 0
+    mask_seeds: int = 0
+    mask_reads_rf: float = 0.0
+    mask_seeds_rf: float = 0.0
+    amplicon_depth: str = ""
+    mask_read_ends: int = 0
     filter_and_assign: bool = False
     taxonomy_path: str = ""
     taxonomic_rank: str = "Family"
@@ -96,12 +102,27 @@ def run_meta(cfg: MetaConfig) -> int:
 
         return run_filter_and_assign(cfg, midx)
 
-    seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
     p = midx.params
-    reads, n_dust = sketch_meta_reads(seqs, p.k, p.s, p.t, p.l, p.open,
-                                      dust_threshold=cfg.dust)
-    cfg.log(f"[meta] {len(seqs)} reads -> {len(reads)} unique seedmer sets "
-            f"({n_dust} low-complexity discarded)")
+    masking = (cfg.mask_reads or cfg.mask_seeds or cfg.mask_reads_rf
+               or cfg.mask_seeds_rf or cfg.amplicon_depth or cfg.mask_read_ends)
+    if masking:
+        from .engine import sketch_meta_reads_grouped
+
+        names, seqs, _ = fastq.read_full(cfg.reads1)
+        if cfg.reads2:
+            n2, s2, _ = fastq.read_full(cfg.reads2)
+            names += n2
+            seqs += s2
+        reads, _, n_dust, n_masked = sketch_meta_reads_grouped(
+            seqs, names, p, cfg)
+        cfg.log(f"[meta] {len(seqs)} reads -> {len(reads)} unique seedmer sets"
+                f" ({n_dust} low-complexity, {n_masked} masked)")
+    else:
+        seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
+        reads, n_dust = sketch_meta_reads(seqs, p.k, p.s, p.t, p.l, p.open,
+                                          dust_threshold=cfg.dust)
+        cfg.log(f"[meta] {len(seqs)} reads -> {len(reads)} unique seedmer sets "
+                f"({n_dust} low-complexity discarded)")
 
     scorer = MetaScorer(midx, reads)
     oc = scorer.overlap_coefficients()

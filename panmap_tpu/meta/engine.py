@@ -87,8 +87,83 @@ class MetaRead:
     max_score: int = 0
 
 
+def load_amplicon_groups(path: str, names: list):
+    """Amplicon-depth TSV (readId \t primerId; mgsr.cpp:1218-1265): returns
+    (group_of int[n_reads], n_groups) with unlisted reads in the LAST group."""
+    primer_to_group: dict = {}
+    read_to_group: dict = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            rid, pid = parts[0], parts[1]
+            if pid not in primer_to_group:
+                primer_to_group[pid] = len(primer_to_group)
+            read_to_group[rid] = primer_to_group[pid]
+    n_groups = len(primer_to_group) + 1
+    group_of = np.full(len(names), n_groups - 1, dtype=np.int64)
+    for i, nm in enumerate(names):
+        g = read_to_group.get(nm.split()[0].rsplit("/", 1)[0], None)
+        if g is None:
+            g = read_to_group.get(nm, n_groups - 1)
+        group_of[i] = g
+    return group_of, n_groups
+
+
+def apply_seed_masking(reads: list, dup_index: list, mask_reads: int = 0,
+                       mask_seeds: int = 0, group_size: int = 0,
+                       mask_reads_rf: float = 0.0,
+                       mask_seeds_rf: float = 0.0, is_last_group: bool = True):
+    """Low-occurrence k-min-mer masking over one amplicon group
+    (mgsr.cpp:2049-2160): counts are per unique hash weighted by read
+    duplicates; mask-reads drops reads containing any seedmer at or below the
+    threshold, mask-seeds strips those seedmers instead.  Relative-frequency
+    thresholds scale with the group size; the catch-all last group always
+    uses the absolute thresholds.  Returns (reads, dup_index, n_masked)."""
+    active = sum(x > 0 for x in (mask_reads, mask_seeds,
+                                 mask_reads_rf, mask_seeds_rf))
+    if active == 0:
+        return reads, dup_index, 0
+    if active > 1:
+        raise ValueError("Only one masking parameter can be set at a time")
+    counts: dict = {}
+    for r, members in zip(reads, dup_index):
+        for h in set(r.hashes.tolist()):
+            counts[h] = counts.get(h, 0) + len(members)
+    read_thr = int(mask_reads_rf * group_size) if mask_reads_rf > 0 else mask_reads
+    seed_thr = int(mask_seeds_rf * group_size) if mask_seeds_rf > 0 else mask_seeds
+    if is_last_group:
+        read_thr = mask_reads
+        seed_thr = mask_seeds
+    n_masked = 0
+    out_reads, out_dups = [], []
+    if read_thr > 0:
+        for r, members in zip(reads, dup_index):
+            if any(counts[h] <= read_thr for h in r.hashes.tolist()):
+                n_masked += 1
+                continue
+            out_reads.append(r)
+            out_dups.append(members)
+    elif seed_thr > 0:
+        for r, members in zip(reads, dup_index):
+            keep = np.array([counts[h] > seed_thr for h in r.hashes.tolist()])
+            n_masked += int((~keep).sum())
+            if not keep.any():
+                continue
+            if not keep.all():
+                r = MetaRead(hashes=r.hashes[keep], revs=r.revs[keep],
+                             n_dup=r.n_dup)
+            out_reads.append(r)
+            out_dups.append(members)
+    else:
+        return reads, dup_index, 0
+    return out_reads, out_dups, n_masked
+
+
 def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
-                           open_: bool, dust_threshold: float = 100.0):
+                           open_: bool, dust_threshold: float = 100.0,
+                           mask_read_ends: int = 0):
     """Read seedmer lists, dust filter, dedup identical lists.
 
     Returns (reads: list[MetaRead], dup_index: list[list[int]] mapping each
@@ -96,6 +171,9 @@ def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
     lists: dict[tuple, list] = {}
     n_dust = 0
     for idx, seq in enumerate(seqs):
+        if mask_read_ends > 0 and len(seq) > 2 * mask_read_ends:
+            # aDNA end-damage trim (mgsr.cpp:1274-1308)
+            seq = seq[mask_read_ends : len(seq) - mask_read_ends]
         if dust_threshold < 100.0 and dust_score(seq) > dust_threshold:
             n_dust += 1
             continue
@@ -119,10 +197,42 @@ def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
 
 
 def sketch_meta_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
-                      dust_threshold: float = 100.0):
+                      dust_threshold: float = 100.0, mask_read_ends: int = 0):
     reads, _, n_dust = sketch_meta_reads_full(seqs, k, s, t, l, open_,
-                                              dust_threshold)
+                                              dust_threshold, mask_read_ends)
     return reads, n_dust
+
+
+def sketch_meta_reads_grouped(seqs: list, names: list, p, cfg):
+    """Per-amplicon-group sketch + mask pipeline (the masking thresholds are
+    group-relative when --amplicon-depth is given).  Returns
+    (reads, dup_index, n_dust, n_masked)."""
+    if getattr(cfg, "amplicon_depth", ""):
+        group_of, n_groups = load_amplicon_groups(cfg.amplicon_depth, names)
+    else:
+        group_of = np.zeros(len(seqs), dtype=np.int64)
+        n_groups = 1
+    all_reads, all_dups = [], []
+    n_dust_total = n_masked_total = 0
+    for g in range(n_groups):
+        idxs = np.flatnonzero(group_of == g)
+        if len(idxs) == 0:
+            continue
+        gseqs = [seqs[i] for i in idxs]
+        reads, dups, n_dust = sketch_meta_reads_full(
+            gseqs, p.k, p.s, p.t, p.l, p.open,
+            dust_threshold=cfg.dust, mask_read_ends=cfg.mask_read_ends)
+        dups = [[int(idxs[j]) for j in mem] for mem in dups]
+        reads, dups, n_masked = apply_seed_masking(
+            reads, dups, mask_reads=cfg.mask_reads, mask_seeds=cfg.mask_seeds,
+            group_size=len(idxs), mask_reads_rf=cfg.mask_reads_rf,
+            mask_seeds_rf=cfg.mask_seeds_rf,
+            is_last_group=(g == n_groups - 1))
+        all_reads.extend(reads)
+        all_dups.extend(dups)
+        n_dust_total += n_dust
+        n_masked_total += n_masked
+    return all_reads, all_dups, n_dust_total, n_masked_total
 
 
 @dataclass
