@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("metagenomic")
     g.add_argument("--meta", action="store_true", help="metagenomic mode")
     g.add_argument("--filter-and-assign", action="store_true")
+    g.add_argument("--pseudochain", action="store_true",
+                   help="colinear pseudo-chain read scoring (default: presence counts)")
     g.add_argument("--em-convergence-threshold", type=float, default=1e-5)
     g.add_argument("--em-delta-threshold", type=float, default=0.0)
     g.add_argument("--em-maximum-rounds", type=int, default=5)
@@ -122,6 +124,7 @@ def main(argv=None):
             mask_reads_rf=args.mask_reads_rf, mask_seeds_rf=args.mask_seeds_rf,
             amplicon_depth=args.amplicon_depth,
             mask_read_ends=args.mask_read_ends,
+            pseudochain=args.pseudochain,
             filter_and_assign=args.filter_and_assign,
             taxonomy_path=args.taxonomic_metadata,
             taxonomic_rank=args.taxonomic_rank,
@@ -155,6 +158,7 @@ def main(argv=None):
         dedup_reads=args.dedup_reads, trim_start=args.trim_start,
         trim_end=args.trim_end, force_leaf=args.force_leaf, stop=args.stop,
         threads=args.threads, batch_file=args.batch_file,
+        dump_all_scores=args.dump_all_scores,
     )
     cfg.log = log
     return run_pipeline(cfg) or 0

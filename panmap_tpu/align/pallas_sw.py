@@ -3,18 +3,21 @@
 The DP extension inner loop named in BASELINE.json — replaces the reference's
 ksw2 SSE kernels (src/3rdparty/minimap2/ksw2_*.c) with a TPU formulation:
 
- - each grid step processes a tile of 8 read/window pairs, so every DP row
-   update is a native (8, 128k) VPU op across the reference windows;
- - rows advance with a fori_loop; the left-gap state E — a sequential scan in
-   ksw2 — is resolved with a log-step max-scan over the row (the prefix-max
-   identity: a gap re-opened from a gap-derived cell never wins under affine
-   costs);
+ - grid = (batch tiles, query rows): each grid step advances one DP row for a
+   tile of TILE read/window pairs, so every row update is a native
+   (TILE, 128k) VPU op across the reference windows.  The H/F rows and the
+   running best live in VMEM scratch, which persists across grid steps — the
+   idiomatic Pallas sequential-carry pattern (no fori_loop in the kernel, so
+   Mosaic pipelines the row stream instead of unrolling it);
+ - the left-gap state E — a sequential scan in ksw2 — is resolved with a
+   log-step max-scan over the row (the prefix-max identity: a gap re-opened
+   from a gap-derived cell never wins under affine costs);
  - scores and best (i, j) with query-end bonuses match
    align/core.py::banded_affine_dp exactly, so the host re-runs the tiny numpy
    DP for traceback only on reads that end up needing CIGARs.
 
 Shapes are static: Q [B, LQ] (2-bit codes, 4 = pad), R [B, LW]; B and LQ/LW are
-padded to multiples of (8, 128).  Scoring constants mirror the sr preset
+padded to multiples of (TILE, 128).  Scoring constants mirror the sr preset
 (match 2 / mismatch 8 / gap 12+2k / end bonus 10; align/core.py:31-45).
 """
 
@@ -32,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .core import END_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 NEG = -(1 << 28)
-TILE = 8
+TILE = 64
 
 
 def _row_max_scan(x):
@@ -46,11 +49,14 @@ def _row_max_scan(x):
     return x
 
 
-def _sw_kernel(q_ref, qsm_ref, r_ref, qlen_ref, out_ref, h_scr, f_scr):
-    """A TILE of (query, window) pairs per grid step.  Query codes are read
-    from the SMEM copy (dynamic lane-dim slicing is not addressable in VMEM);
-    the VMEM copy only sets the pipelined block layout."""
-    lq = q_ref.shape[1]
+def _sw_kernel(q_ref, r_ref, qlen_ref, out_ref,
+               h_scr, f_scr, bs_scr, bi_scr, bj_scr):
+    """One DP row for a TILE of (query, window) pairs per grid step.  The
+    query column for row i is extracted with a one-hot dot product (dynamic
+    lane indexing is not addressable in VMEM, but a (TILE,LQ)x(LQ,1) matvec
+    is); state carries across the row-grid dimension in VMEM scratch."""
+    i = pl.program_id(1)
+    lq = pl.num_programs(1)
     lw = r_ref.shape[1]
     qlen = qlen_ref[:, 0]  # [TILE]
 
@@ -58,53 +64,54 @@ def _sw_kernel(q_ref, qsm_ref, r_ref, qlen_ref, out_ref, h_scr, f_scr):
     idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, lw), 1)
     gap_pen = idx * GAP_EXT
 
-    h_scr[:] = jnp.full((TILE, lw), END_BONUS, jnp.int32)
-    f_scr[:] = jnp.full((TILE, lw), NEG, jnp.int32)
+    @pl.when(i == 0)
+    def _init():
+        h_scr[:] = jnp.full((TILE, lw), END_BONUS, jnp.int32)
+        f_scr[:] = jnp.full((TILE, lw), NEG, jnp.int32)
+        bs_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
+        bi_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
+        bj_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
 
-    def body(i, best):
-        best_sc, best_i, best_j = best
-        h_prev = h_scr[:]
-        f_prev = f_scr[:]
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-        qc = jnp.zeros((TILE, 1), jnp.int32)
-        for rr in range(TILE):
-            qc = jnp.where(rowid == rr, qsm_ref[rr, i], qc)
-        sub = jnp.where((r_codes == qc) & (qc < 4), MATCH, -MISMATCH)
-        f_row = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
-        # boundary column (numpy's j=0): END_BONUS on row 0, local floor after
-        first_val = jnp.where(i == 0, END_BONUS, 0)
-        diag = jnp.concatenate(
-            [jnp.full((TILE, 1), 0, jnp.int32) + first_val,
-             h_prev[:, : lw - 1]], axis=1) + sub
-        base = jnp.maximum(jnp.maximum(diag, f_row), 0)
-        pm = _row_max_scan(base + gap_pen)
-        pm_shift = jnp.pad(pm, ((0, 0), (1, 0)), constant_values=NEG)[:, :lw]
-        e_row = pm_shift - GAP_OPEN - jnp.maximum(gap_pen - GAP_EXT, 0)
-        h_row = jnp.maximum(base, e_row)
-        h_scr[:] = h_row
-        f_scr[:] = f_row
+    h_prev = h_scr[:]
+    f_prev = f_scr[:]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], 1), 0)
+           == i).astype(jnp.float32)
+    qc = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    qc = qc.astype(jnp.int32)  # (TILE, 1) query code at row i
+    sub = jnp.where((r_codes == qc) & (qc < 4), MATCH, -MISMATCH)
+    f_row = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
+    # boundary column (numpy's j=0): END_BONUS on row 0, local floor after
+    first_val = jnp.where(i == 0, END_BONUS, 0)
+    diag = jnp.concatenate(
+        [jnp.full((TILE, 1), 0, jnp.int32) + first_val,
+         h_prev[:, : lw - 1]], axis=1) + sub
+    base = jnp.maximum(jnp.maximum(diag, f_row), 0)
+    pm = _row_max_scan(base + gap_pen)
+    pm_shift = jnp.pad(pm, ((0, 0), (1, 0)), constant_values=NEG)[:, :lw]
+    e_row = pm_shift - GAP_OPEN - jnp.maximum(gap_pen - GAP_EXT, 0)
+    h_row = jnp.maximum(base, e_row)
+    h_scr[:] = h_row
+    f_scr[:] = f_row
 
-        in_query = i < qlen
-        bonus = jnp.where(i == qlen - 1, END_BONUS, 0)
-        rowmax = jnp.max(h_row, axis=1)
-        row_best = rowmax + bonus
-        # int argmax is unsupported in Mosaic: first-match via masked min-index
-        jrow = jnp.min(jnp.where(h_row == rowmax[:, None], idx, lw),
-                       axis=1).astype(jnp.int32)
-        better = in_query & (row_best > best_sc)
-        return (
-            jnp.where(better, row_best, best_sc),
-            jnp.where(better, i + 1, best_i),
-            jnp.where(better, jrow + 1, best_j),
-        )
+    in_query = (i < qlen)[:, None]
+    bonus = jnp.where(i == qlen - 1, END_BONUS, 0)[:, None]
+    rowmax = jnp.max(h_row, axis=1, keepdims=True)
+    row_best = rowmax + bonus
+    # int argmax is unsupported in Mosaic: first-match via masked min-index
+    jrow = jnp.min(jnp.where(h_row == rowmax, idx, lw),
+                   axis=1, keepdims=True).astype(jnp.int32)
+    better = in_query & (row_best > bs_scr[:])  # lanes all equal: safe compare
+    bs_scr[:] = jnp.where(better, row_best, bs_scr[:])
+    bi_scr[:] = jnp.where(better, i + 1, bi_scr[:])
+    bj_scr[:] = jnp.where(better, jrow + 1, bj_scr[:])
 
-    zero = jnp.zeros((TILE,), jnp.int32)
-    score, bi, bj = jax.lax.fori_loop(0, lq, body, (zero, zero, zero))
-    colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
-    out = jnp.where(colid == 0, score[:, None],
-                    jnp.where(colid == 1, bi[:, None],
-                              jnp.where(colid == 2, bj[:, None], 0)))
-    out_ref[:] = out
+    @pl.when(i == lq - 1)
+    def _emit():
+        colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+        out_ref[:] = jnp.where(colid == 0, bs_scr[:],
+                               jnp.where(colid == 1, bi_scr[:],
+                                         jnp.where(colid == 2, bj_scr[:], 0)))
 
 
 def _pad_to(x, mult, axis, fill):
@@ -127,33 +134,40 @@ def banded_sw_scores(q_batch, r_batch, qlens, interpret: bool = False):
     r_batch = _pad_to(_pad_to(r_batch, 128, 1, 4), TILE, 0, 4)
     qlens = _pad_to(qlens, TILE, 0, 0)
     out = _sw_call(
-        jnp.asarray(q_batch.astype(np.int32)),
-        jnp.asarray(r_batch.astype(np.int32)),
-        jnp.asarray(np.repeat(qlens[:, None], 128, axis=1)),
+        jnp.asarray(q_batch.astype(np.int8)),
+        jnp.asarray(r_batch.astype(np.int8)),
+        jnp.asarray(qlens),
         interpret,
     )
     return np.asarray(out)[:B0, :3]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _sw_call(q, r, qlens, interpret):
+def _sw_call(q8, r8, qlens1, interpret):
+    # int8 over the host link (the axon tunnel is the bottleneck), widened here
+    q = q8.astype(jnp.float32)
+    r = r8.astype(jnp.int32)
+    qlens = jnp.repeat(qlens1[:, None], 128, axis=1)
     B, LQ = q.shape
     LW = r.shape[1]
-    grid = (B // TILE,)
+    grid = (B // TILE, LQ)
     return pl.pallas_call(
         _sw_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, LQ), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, LQ), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE, LW), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, LQ), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, LW), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TILE, 128), lambda b, i: (b, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((TILE, LW), jnp.int32),
             pltpu.VMEM((TILE, LW), jnp.int32),
+            pltpu.VMEM((TILE, 128), jnp.int32),
+            pltpu.VMEM((TILE, 128), jnp.int32),
+            pltpu.VMEM((TILE, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(q, q, r, qlens)
+    )(q, r, qlens)

@@ -131,7 +131,12 @@ def run_filter_and_assign(cfg, midx) -> int:
                 f"({n_dust} low-complexity)")
 
     scorer = MetaScorer(midx, reads)
-    max_score, _snap, node_scores = scorer.score_all([], collect_node_scores=True)
+    if getattr(cfg, "pseudochain", False):
+        max_score, _snap, node_scores = scorer.score_all_pseudo(
+            [], collect_node_scores=True)
+    else:
+        max_score, _snap, node_scores = scorer.score_all(
+            [], collect_node_scores=True)
 
     read_lens = np.array([len(r.hashes) for r in reads], dtype=np.int64)
     eff = max_score.copy()

@@ -52,6 +52,7 @@ class MetaConfig:
     mask_seeds_rf: float = 0.0
     amplicon_depth: str = ""
     mask_read_ends: int = 0
+    pseudochain: bool = False
     filter_and_assign: bool = False
     taxonomy_path: str = ""
     taxonomic_rank: str = "Family"
@@ -142,7 +143,10 @@ def run_meta(cfg: MetaConfig) -> int:
     cfg.log(f"[meta] {len(candidates)} candidate nodes from overlap coefficients")
 
     t0 = time.time()
-    max_score, snap = scorer.score_all(candidates)
+    if cfg.pseudochain:
+        max_score, snap = scorer.score_all_pseudo(candidates)
+    else:
+        max_score, snap = scorer.score_all(candidates)
     cfg.log(f"[meta] scored {len(reads)} read sets over the tree in {time.time()-t0:.1f}s")
 
     read_lens = np.array([len(r.hashes) for r in reads], dtype=np.int64)

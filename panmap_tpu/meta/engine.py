@@ -85,6 +85,8 @@ class MetaRead:
     revs: np.ndarray  # bool per occurrence
     n_dup: int = 1
     max_score: int = 0
+    qbeg: np.ndarray | None = None  # i64 read-coordinate begin per seedmer
+    qend: np.ndarray | None = None  # i64 read-coordinate end (inclusive)
 
 
 def load_amplicon_groups(path: str, names: list):
@@ -182,16 +184,23 @@ def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
             key = ()
         else:
             km, valid, km_rev = kminmer_hashes_oriented(H, k, l, rev)
-            key = tuple(zip(km[valid].tolist(), km_rev[valid].tolist()))
+            # seedmer i spans syncmers [i, i+l-1]: read-coordinate extent
+            qb = pos[: len(km)][valid]
+            qe = pos[l - 1 : l - 1 + len(km)][valid] + (k - 1)
+            key = tuple(zip(km[valid].tolist(), km_rev[valid].tolist(),
+                            qb.tolist(), qe.tolist()))
         lists.setdefault(key, []).append(idx)
     reads = []
     dup_index = []
     for key, members in lists.items():
         if not key:
             continue
-        hashes = np.array([h for h, _ in key], dtype=np.uint64)
-        revs = np.array([r for _, r in key], dtype=bool)
-        reads.append(MetaRead(hashes=hashes, revs=revs, n_dup=len(members)))
+        hashes = np.array([h for h, _, _, _ in key], dtype=np.uint64)
+        revs = np.array([r for _, r, _, _ in key], dtype=bool)
+        qbeg = np.array([b for _, _, b, _ in key], dtype=np.int64)
+        qend = np.array([e for _, _, _, e in key], dtype=np.int64)
+        reads.append(MetaRead(hashes=hashes, revs=revs, n_dup=len(members),
+                              qbeg=qbeg, qend=qend))
         dup_index.append(members)
     return reads, dup_index, n_dust
 
@@ -434,6 +443,157 @@ class MetaScorer:
             ci = cand_set.get(node)
             if ci is not None:
                 snap[ci] = np.maximum(fwd, rev).astype(np.uint16)
+            stack.append((node, True))
+            for c in reversed(self._raw_children(node)):
+                stack.append((c, False))
+        if collect_node_scores:
+            return max_score, snap, node_scores
+        return max_score, snap
+
+    # ------------------------------------------------------------------
+    def score_all_pseudo(self, candidate_nodes: list,
+                         collect_node_scores: bool = False,
+                         maximum_gap: int = 50):
+        """Pseudochain scoring (--pseudochain; mgsr.cpp:4616-5526): per node,
+        affected reads are rescored as minichains — maximal runs of read
+        seedmers uniquely present in the node's seed set with consistent
+        orientation and ADJACENT reference positions — and the score is the
+        longest chain plus same-orientation chains colinear with it
+        (|qgap - rgap| < maximumGap, preset 50; mgsr.hpp:826).
+
+        Deviation: ref gaps use scalar MSA coordinates (the reference degaps
+        via its gap map); chains are rebuilt from scratch for affected reads
+        instead of incrementally patched, which is strictly more accurate."""
+        midx = self.midx
+        R = len(self.reads)
+        score = np.zeros(R, dtype=np.int32)
+        max_score = np.zeros(R, dtype=np.int32)
+        cand_set = {n: i for i, n in enumerate(candidate_nodes)}
+        snap = np.zeros((len(candidate_nodes), R), dtype=np.uint16)
+        node_scores: dict = {}
+
+        hash_pos: dict = defaultdict(dict)  # h -> {pos: refRev}
+        pos_arr = np.empty(0, dtype=np.int64)  # sorted active positions
+
+        def apply_row(r, sign):
+            """Returns the hash whose uniqueness state may have changed."""
+            nonlocal pos_arr
+            sid = midx.delta_seed[r]
+            h = int(midx.seed_hash[sid])
+            rv = bool(midx.seed_rev[sid])
+            p = int(midx.seed_pos[sid])
+            isdel = bool(midx.delta_is_del[r]) ^ (sign < 0)
+            d = hash_pos[h]
+            i = np.searchsorted(pos_arr, p)
+            if not isdel:
+                d[p] = rv
+                pos_arr = np.insert(pos_arr, i, p)
+            else:
+                d.pop(p, None)
+                if i < len(pos_arr) and pos_arr[i] == p:
+                    pos_arr = np.delete(pos_arr, i)
+                if not d:
+                    del hash_pos[h]
+            return h
+
+        def chain_score(rd) -> int:
+            hs = rd.hashes
+            rvs = rd.revs
+            n = len(hs)
+            chains = []  # (beg_i, end_i, rev, rpos_of_beg, rpos_of_end)
+            i = 0
+            while i < n:
+                h = int(hs[i])
+                d = hash_pos.get(h)
+                c = 1
+                if d is not None and len(d) == 1:
+                    p, refrev = next(iter(d.items()))
+                    rev = bool(rvs[i]) != refrev
+                    j = i
+                    curp = p
+                    ia = int(np.searchsorted(pos_arr, curp))
+                    while j + 1 < n:
+                        nd = hash_pos.get(int(hs[j + 1]))
+                        if nd is None or len(nd) != 1:
+                            break
+                        np_, nrefrev = next(iter(nd.items()))
+                        if (bool(rvs[j + 1]) != nrefrev) != rev:
+                            break
+                        if rev:
+                            if ia == 0 or pos_arr[ia - 1] != np_:
+                                break
+                            ia -= 1
+                        else:
+                            if ia + 1 >= len(pos_arr) or pos_arr[ia + 1] != np_:
+                                break
+                            ia += 1
+                        j += 1
+                        curp = np_
+                        c += 1
+                    chains.append((i, j, rev, p, curp))
+                i += c
+            if not chains:
+                return 0
+            if len(chains) == 1:
+                b, e, *_ = chains[0]
+                return e - b + 1
+            li = max(range(len(chains)),
+                     key=lambda x: chains[x][1] - chains[x][0])
+            lb, le, lrev, lpb, lpe = chains[li]
+            total = le - lb + 1
+            for x, (b, e, rev, pb, pe) in enumerate(chains):
+                if x == li or rev != lrev:
+                    continue
+                first, second = ((chains[li], chains[x]) if li < x
+                                 else (chains[x], chains[li]))
+                f_b, f_e, _, f_pb, f_pe = first
+                s_b, s_e, _, s_pb, s_pe = second
+                qgap = abs(int(rd.qbeg[s_b]) - int(rd.qend[f_e]))
+                if not rev:
+                    rgap = abs(s_pb - f_pe)
+                    ok = f_pb < s_pb and abs(qgap - rgap) < maximum_gap
+                else:
+                    rgap = abs(f_pb - s_pe)
+                    ok = s_pb < f_pb and abs(qgap - rgap) < maximum_gap
+                if ok:
+                    total += e - b + 1
+            return total
+
+        def touched_reads(rows):
+            touched = set()
+            for r in rows:
+                h = int(midx.seed_hash[midx.delta_seed[r]])
+                ri = self.occ_read.get(h)
+                if ri is not None:
+                    touched.update(ri.tolist())
+            return touched
+
+        stack = [(0, False)]
+        while stack:
+            node, done = stack.pop()
+            rows = self.rows_per_node[node]
+            if done:
+                for r in reversed(rows):
+                    apply_row(r, -1)
+                # scores are cached per read, so ascending must restore the
+                # parent's values for reads this node perturbed
+                for ridx in touched_reads(rows):
+                    score[ridx] = chain_score(self.reads[ridx])
+                continue
+            touched = set()
+            for r in rows:
+                apply_row(r, +1)
+            touched = touched_reads(rows)
+            if touched:
+                tr = sorted(touched)
+                for ridx in tr:
+                    score[ridx] = chain_score(self.reads[ridx])
+                np.maximum.at(max_score, tr, score[tr])
+                if collect_node_scores:
+                    node_scores[node] = [(x, int(score[x])) for x in tr]
+            ci = cand_set.get(node)
+            if ci is not None:
+                snap[ci] = score.astype(np.uint16)
             stack.append((node, True))
             for c in reversed(self._raw_children(node)):
                 stack.append((c, False))

@@ -69,6 +69,7 @@ class PipelineConfig:
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
     batch_file: str = ""
+    dump_all_scores: str = ""
     log: object = print
 
 
@@ -125,6 +126,17 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
                              seed_mask_fraction=cfg.seed_mask_fraction)
     res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
     write_placement_tsv(cfg.output + ".placement.tsv", idx, res)
+    if cfg.dump_all_scores:
+        # main.cpp:1720-1742: positive-score nodes, descending logRaw
+        s = res.scores
+        keep = (s[:, 0] > 0) | (s[:, 1] > 0) | (s[:, 2] > 0) | (s[:, 4] > 0)
+        order = np.flatnonzero(keep)[np.argsort(-s[keep, 0], kind="stable")]
+        with open(cfg.dump_all_scores, "w") as fh:
+            fh.write("node\tlogRaw\tlogCosine\tcontainment\tlogContainment\n")
+            for i in order:
+                fh.write(f"{idx.node_ids[i]}\t{s[i,0]:g}\t{s[i,1]:g}"
+                         f"\t{s[i,2]:g}\t{s[i,4]:g}\n")
+        cfg.log(f"[place] dumped {len(order)} node scores to {cfg.dump_all_scores}")
     best = res.best_index["log_containment"]
     best_id = idx.node_ids[best] if best is not None else ""
     cfg.log(f"[place] best log_containment node: {best_id} "
