@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("developer")
     g.add_argument("--dump-all-scores", default="")
+    g.add_argument("--dump-node", default="", help="write one node's sequence as FASTA")
+    g.add_argument("--dump-random-nodeIDs", type=int, default=0,
+                   dest="dump_random_node_ids")
+    g.add_argument("--dump-sequences", nargs="+", default=[],
+                   help="node id groups to dump (optionally with --simulate-snps)")
+    g.add_argument("--simulate-snps", nargs="+", type=int, default=[],
+                   help="SNP counts matching --dump-sequences positions")
+    g.add_argument("--random-seed", default="")
     g.add_argument("--quiet", action="store_true")
     return p
 
@@ -107,6 +115,21 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     out = args.output or (default_prefix(args.reads1) if args.reads1 else "panmap")
     log = (lambda *a, **k: None) if args.quiet else (lambda m: print(m, file=sys.stderr))
+
+    if args.dump_node:
+        from .tools import run_dump_node
+
+        return run_dump_node(args.panman, args.dump_node, args.output, log)
+    if args.dump_random_node_ids > 0:
+        from .tools import run_dump_random_node_ids
+
+        return run_dump_random_node_ids(args.panman, args.dump_random_node_ids,
+                                        out, args.random_seed, log)
+    if args.dump_sequences:
+        from .tools import run_dump_sequences
+
+        return run_dump_sequences(args.panman, args.dump_sequences,
+                                  args.simulate_snps, out, args.random_seed, log)
 
     if args.meta:
         from .meta.driver import MetaConfig, run_meta
