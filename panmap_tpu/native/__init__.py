@@ -1,0 +1,103 @@
+"""ctypes bindings for the native host kernels (libpanmap_native.so).
+
+The library is optional: every entry point has a bit-exact numpy twin in
+sketch/cpu.py, and callers fall back automatically when the .so is absent.
+Build with `bash panmap_tpu/native/build.sh`; the first import also attempts
+a build if a toolchain is available (cached — one attempt per tree).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libpanmap_native.so")
+_STAMP = os.path.join(_DIR, ".build_failed")
+
+_lib = None
+
+
+def _try_build():
+    if os.path.exists(_STAMP):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             os.path.join(_DIR, "panmap_native.cpp"), "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        try:
+            open(_STAMP, "w").close()
+        except OSError:
+            pass
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib or None
+    if not os.path.exists(_SO):
+        src = os.path.join(_DIR, "panmap_native.cpp")
+        newer = (not os.path.exists(_SO)
+                 or os.path.getmtime(src) > os.path.getmtime(_SO))
+        if newer and not _try_build():
+            _lib = False
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        _lib = False
+        return None
+    lib.pt_rolling_syncmers.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.pt_encode_reads.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def rolling_syncmers_native(b: np.ndarray, k: int, s: int, t: int,
+                            open_: bool):
+    """Native twin of sketch.cpu.rolling_syncmers; returns None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(b)
+    m = n - k + 1
+    if m <= 0:
+        z = np.empty(0, np.uint64)
+        return z, np.empty(0, bool), np.empty(0, bool)
+    b = np.ascontiguousarray(b)
+    hashes = np.empty(m, dtype=np.uint64)
+    is_rev = np.empty(m, dtype=np.uint8)
+    is_sync = np.empty(m, dtype=np.uint8)
+    lib.pt_rolling_syncmers(
+        b.ctypes.data, n, k, s, t, int(open_),
+        hashes.ctypes.data, is_rev.ctypes.data, is_sync.ctypes.data)
+    return hashes, is_rev.astype(bool), is_sync.astype(bool)
+
+
+def encode_reads_native(seqs: list, pad_to: int):
+    """Native twin of the encode loop in sketch.tpu.encode_reads_batch;
+    returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    joined = "".join(seqs).encode()
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    out = np.empty((len(seqs), pad_to), dtype=np.uint8)
+    lib.pt_encode_reads(buf.ctypes.data, offsets.ctypes.data, len(seqs),
+                        pad_to, out.ctypes.data)
+    return out, np.minimum(lens, pad_to).astype(np.int32)

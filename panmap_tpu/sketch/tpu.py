@@ -178,6 +178,14 @@ def encode_reads_batch(seqs: list, pad_to: int | None = None):
     from ..align.core import _ENC
 
     L = pad_to or max((len(s) for s in seqs), default=1)
+    try:  # native twin (panmap_tpu/native): bit-exact, avoids the B*L gather
+        from ..native import encode_reads_native
+
+        out = encode_reads_native(seqs, L)
+        if out is not None:
+            return out
+    except ImportError:  # pragma: no cover
+        pass
     B = len(seqs)
     lens = np.fromiter((min(len(s), L) for s in seqs), dtype=np.int32, count=B)
     joined = np.frombuffer("".join(seqs).encode(), dtype=np.uint8)

@@ -1,0 +1,76 @@
+"""Native C++ host kernels vs their numpy twins (bit-exact contracts)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from panmap_tpu.native import (
+    encode_reads_native,
+    get_lib,
+    rolling_syncmers_native,
+)
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native library unavailable")
+
+
+def _numpy_rolling(b, k, s, t, open_):
+    # call the pure-numpy path by going through the module internals
+    from panmap_tpu.sketch import cpu
+
+    h = cpu.CHASH[b]
+    hc = cpu.CHASH_COMP[b]
+    n = len(b)
+    m = n - k + 1
+    Fk, Rk = cpu._window_hashes(h, hc, k)
+    Fs, Rs = cpu._window_hashes(h, hc, s)
+    w = k - s + 1
+    Fmin = cpu._sliding_min(Fs, w)
+    Rmin = cpu._sliding_min(Rs, w)
+    if open_:
+        fwd = Fs[t : t + m] == Fmin
+        rev = Rs[k - s - t : k - s - t + m] == Rmin
+    else:
+        fwd = (Fs[t : t + m] == Fmin) | (Fs[k - s - t : k - s - t + m] == Fmin)
+        rev = (Rs[k - s - t : k - s - t + m] == Rmin) | (Rs[t : t + m] == Rmin)
+    bad = (h == 0).astype(np.int32)
+    cbad = np.concatenate(([0], np.cumsum(bad)))
+    amb = (cbad[k:] - cbad[:-k]) > 0
+    is_sync = (fwd | rev) & ~amb & (Fk != Rk)
+    is_rev = (Rk < Fk) & is_sync
+    hashes = np.where(is_sync, np.minimum(Fk, Rk), cpu.U64_MAX)
+    return hashes, is_rev, is_sync
+
+
+def test_rolling_syncmers_parity():
+    rng = random.Random(11)
+    for trial in range(25):
+        n = rng.randint(25, 2500)
+        alpha = "ACGTN" if trial % 4 == 0 else "ACGT"
+        seq = "".join(rng.choice(alpha) for _ in range(n))
+        b = np.frombuffer(seq.encode(), dtype=np.uint8)
+        for (k, s, t, op) in [(19, 8, 0, False), (19, 8, 0, True),
+                              (15, 7, 2, False)]:
+            if n < k:
+                continue
+            ref = _numpy_rolling(b, k, s, t, op)
+            out = rolling_syncmers_native(b, k, s, t, op)
+            for a, c in zip(ref, out):
+                assert np.array_equal(a, c)
+
+
+def test_encode_reads_parity():
+    rng = random.Random(5)
+    seqs = ["".join(rng.choice("ACGTNacgt") for _ in range(rng.randint(5, 120)))
+            for _ in range(200)]
+    out, lens = encode_reads_native(seqs, 128)
+    ENC = np.full(256, 4, np.uint8)
+    for i, c in enumerate("ACGT"):
+        ENC[ord(c)] = i
+        ENC[ord(c.lower())] = i
+    for i, s in enumerate(seqs):
+        a = ENC[np.frombuffer(s.encode(), np.uint8)]
+        assert np.array_equal(out[i, : len(a)], a)
+        assert (out[i, len(a):] == 4).all()
+        assert lens[i] == len(s)
