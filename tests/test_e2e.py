@@ -123,3 +123,66 @@ def test_meta_mixture_70_30(outdir, tmp_path):
     assert 0.55 < props[maj] < 0.82
     minr = [k for k in props if "node_1330" in k][0]
     assert 0.18 < props[minr] < 0.45
+
+
+def test_index_delta_replay_matches_direct_sketch(rsv_index):
+    """Index oracle: replaying seed-count deltas root->node must equal the
+    seed multiset sketched directly from the node's materialized sequence
+    (flank-masked), for a handful of nodes across the tree."""
+    from collections import Counter
+
+    from panmap_tpu.io.index_io import load_index
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.sketch.cpu import kminmer_hashes_oriented, syncmer_list
+
+    idx = load_index(rsv_index)
+    tree = load_panman(PANMAN)
+    p = idx.params
+
+    parent = idx.parent_index
+    # pick a few nodes: root, two leaves, one internal
+    targets = [0, 1330, 2500, len(idx.node_ids) - 1]
+    # path replay helper
+    children_counts = {}
+    for tgt in targets:
+        path = []
+        n = tgt
+        while True:
+            path.append(n)
+            if n == 0:
+                break
+            n = int(parent[n])
+        path.reverse()
+        counts = Counter()
+        for node in path:
+            a, b = int(idx.node_offsets[node]), int(idx.node_offsets[node + 1])
+            for r in range(a, b):
+                h = int(idx.seed_hashes[r])
+                counts[h] += int(idx.child_counts[r]) - int(idx.parent_counts[r])
+        counts = Counter({h: c for h, c in counts.items() if c > 0})
+
+        seq = tree.get_string(idx.node_ids[tgt])
+        # flank mask: drop seeds whose window starts within 250 non-gap chars
+        # of either end (the builder's hard mask)
+        fb = 250
+        core = seq[:]  # get_string returns ungapped sequence
+        direct = Counter()
+        if len(core) > 2 * fb:
+            pos, H, rev = syncmer_list(core, p.k, p.s, p.open, p.t)
+            km, valid, _ = kminmer_hashes_oriented(H, p.k, p.l, rev)
+            # k-min-mer i spans syncmers [i, i+l-1]
+            for i in np.flatnonzero(valid):
+                beg = pos[i]
+                end = pos[i + p.l - 1] + p.k - 1
+                if beg >= fb and end < len(core) - fb:
+                    direct[int(km[i])] += 1
+        # flank-masked positions keep the PARENT's seed state (the builder's
+        # mask is path-dependent by design), so the replayed multiset can
+        # legitimately differ from the direct sketch within the two flank
+        # windows — bound the divergence by the flank fraction
+        inter_replay = {h: c for h, c in counts.items() if c > 0}
+        diff = set(inter_replay.items()) ^ set(direct.items())
+        budget = max(8, int(4 * fb / max(len(core), 1) * len(direct)) + 8)
+        assert len(diff) <= budget, (
+            f"node {idx.node_ids[tgt]}: {len(diff)} differing seed entries "
+            f"(budget {budget})")
