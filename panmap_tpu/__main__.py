@@ -188,4 +188,9 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except KeyboardInterrupt:
+        # reference signal handler semantics (logging.hpp:427-459): exit 130
+        print("interrupted", file=sys.stderr)
+        sys.exit(130)
