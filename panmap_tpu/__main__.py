@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--min-depth", type=int, default=1)
     g.add_argument("--min-qual", type=float, default=30.0)
     g.add_argument("--min-read-support", type=int, default=-1)
+    g.add_argument("--min-seed-quality", type=float, default=0.0,
+                   help="drop seeds whose mean Phred quality is below N")
+    g.add_argument("--reference-node", default="",
+                   help="skip placement; use this node as the reference")
+    g.add_argument("--reindex", action="store_true",
+                   help="rebuild the index even if a valid cache exists")
     g.add_argument("--seed-mask-fraction", type=float, default=0.0)
     g.add_argument("--dedup", action="store_true", dest="dedup_reads")
     g.add_argument("--trim-start", type=int, default=0)
@@ -95,7 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--align-reads", action="store_true",
                    help="align assigned reads to their nodes (meta filter-and-assign)")
     g.add_argument("--min-num-align", type=int, default=10)
-    g.add_argument("--leaves-only", action="store_true")
+    g.add_argument("--em-leaves-only", "--leaves-only", action="store_true",
+                   dest="leaves_only", help="only run EM on leaf (sample) nodes")
+    g.add_argument("--write-ocranks", action="store_true",
+                   help="write overlap-coefficient ranks to TSV")
 
     g = p.add_argument_group("developer")
     g.add_argument("--dump-all-scores", default="")
@@ -159,6 +168,7 @@ def main(argv=None):
             align_reads=args.align_reads,
             min_num_align=args.min_num_align,
             leaves_only=args.leaves_only,
+            write_ocranks=args.write_ocranks,
             stop=args.stop,
             log=log,
         )
@@ -170,6 +180,8 @@ def main(argv=None):
         l=args.lmer, open=args.open, hpc=args.hpc, flank_mask_bp=args.flank_mask,
         min_depth=args.min_depth, min_qual=args.min_qual,
         min_read_support=args.min_read_support,
+        min_seed_quality=args.min_seed_quality,
+        reference_node=args.reference_node, reindex=args.reindex,
         seed_mask_fraction=args.seed_mask_fraction,
         aligner=args.aligner,
         refine=args.refine, refine_top_pct=args.refine_top_pct,

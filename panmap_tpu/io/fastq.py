@@ -127,6 +127,18 @@ def read_paired_for_placement(path1: str, path2: str | None) -> list[str]:
     return seqs
 
 
+def read_paired_for_placement_with_quals(path1: str, path2: str | None):
+    """(seqs, quals) in the placement convention (raw orientation, pair
+    interleave) — used by the --min-seed-quality sketch path."""
+    _, s1, q1 = read_full(path1)
+    if path2:
+        _, s2, q2 = read_full(path2)
+        if len(s2) != len(s1):
+            raise ValueError(f"{path2} does not contain the same number of reads as {path1}")
+        return perfect_shuffle(s1 + s2), perfect_shuffle(q1 + q2)
+    return s1, q1
+
+
 def read_paired_for_alignment(path1: str, path2: str | None):
     """(names, seqs, quals) with R2 reverse-complemented and quals reversed,
     pair-interleaved — alignment convention (src/seeding.cpp:231-269)."""

@@ -63,6 +63,7 @@ class MetaConfig:
     jplace: bool = False
     align_reads: bool = False
     min_num_align: int = 10
+    write_ocranks: bool = False
     leaves_only: bool = False
     stop: str = ""
     log: object = print
@@ -127,8 +128,26 @@ def run_meta(cfg: MetaConfig) -> int:
 
     scorer = MetaScorer(midx, reads)
     oc = scorer.overlap_coefficients()
+    if getattr(cfg, "write_ocranks", False):
+        # shared-rank TSV (main.cpp:430-445 writeOCRanks)
+        path = cfg.output + ".overlapCoefficients.tsv"
+        with open(path, "w") as fh:
+            rank = 0
+            prev_oc = None
+            for n, v in sorted(oc.items(), key=lambda kv: -kv[1]):
+                if prev_oc is not None and v != prev_oc:
+                    rank += 1
+                prev_oc = v
+                fh.write(f"{midx.node_ids[n]}\t{v:.6f}\t{rank}\n")
+        cfg.log(f"[meta] wrote {path}")
     # shared-rank assignment over surviving nodes (mgsr.cpp:141-154)
     kept_nodes = [n for n in oc if scorer.tree.keep[n]]
+    if cfg.leaves_only:
+        # --em-leaves-only (mgsr.cpp:8018): candidates restricted to leaves
+        n_nodes = len(midx.node_ids)
+        has_child = np.zeros(n_nodes, dtype=bool)
+        has_child[midx.parent_index[1:]] = True
+        kept_nodes = [n for n in kept_nodes if not has_child[n]]
     kept_sorted = sorted(kept_nodes, key=lambda n: -oc[n])
     candidates = []
     rank = 0

@@ -53,6 +53,9 @@ class PipelineConfig:
     min_depth: int = 1
     min_qual: float = 30.0
     min_read_support: int = -1
+    min_seed_quality: float = 0.0
+    reference_node: str = ""  # skip placement, use this node
+    reindex: bool = False  # ignore any cached index
     seed_mask_fraction: float = 0.0
     dedup_reads: bool = False
     trim_start: int = 0
@@ -94,7 +97,7 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     path = cfg.index_path or cfg.panman + ".ptidx.npz"
     want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open, hpc=cfg.hpc,
                 flank_mask_bp=cfg.flank_mask_bp)
-    if os.path.exists(path):
+    if os.path.exists(path) and not cfg.reindex:
         try:
             hdr = read_index_params(path)
             if (all(hdr.get(key) == val for key, val in want.items())
@@ -118,9 +121,18 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
 def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     p = idx.params
     seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
-    freq = sketch_reads(seqs, p.k, p.s, p.t, p.l, p.open,
-                        dedup_reads=cfg.dedup_reads, trim_start=cfg.trim_start,
-                        trim_end=cfg.trim_end, hpc=p.hpc)
+    if cfg.min_seed_quality > 0:
+        from .place.engine import sketch_reads_quality
+
+        qseqs, quals = fastq.read_paired_for_placement_with_quals(
+            cfg.reads1, cfg.reads2 or None)
+        freq = sketch_reads_quality(
+            qseqs, quals, p.k, p.s, p.t, p.l, p.open, cfg.min_seed_quality,
+            trim_start=cfg.trim_start, trim_end=cfg.trim_end)
+    else:
+        freq = sketch_reads(seqs, p.k, p.s, p.t, p.l, p.open,
+                            dedup_reads=cfg.dedup_reads, trim_start=cfg.trim_start,
+                            trim_end=cfg.trim_end, hpc=p.hpc)
     sk = prepare_read_sketch(freq, p.k, len(seqs),
                              min_read_support=cfg.min_read_support,
                              seed_mask_fraction=cfg.seed_mask_fraction)
@@ -375,8 +387,13 @@ def run_pipeline(cfg: PipelineConfig):
     idx, tree = ensure_index(cfg, tree)
     if cfg.stop == "index" or not cfg.reads1:
         return
-    res, best_id, n_reads = run_placement(cfg, idx)
-    if cfg.refine and best_id:
+    if cfg.reference_node:
+        # main.cpp:2473-2475: skip placement, force the reference node
+        cfg.log(f"[place] placement skipped, forced reference {cfg.reference_node}")
+        res, best_id = None, cfg.reference_node
+    else:
+        res, best_id, n_reads = run_placement(cfg, idx)
+    if cfg.refine and best_id and res is not None:
         if tree is None:
             tree = load_panman(cfg.panman)
         from .place.refine import append_refined_tsv, refine_top_candidates

@@ -73,6 +73,42 @@ def sketch_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
     return read_kminmer_counts(useqs, k, s, t, l, open_, mult, trim_start, trim_end)
 
 
+def sketch_reads_quality(seqs: list, quals: list, k: int, s: int, t: int,
+                         l: int, open_: bool, min_seed_quality: float,
+                         trim_start: int = 0, trim_end: int = 0) -> dict:
+    """Quality-filtered sketch (--min-seed-quality; placement.cpp:1388-1545):
+    a syncmer passes when the mean Phred over its k-mer reaches the threshold
+    and its start is inside the primer-trim range; a k-min-mer counts only
+    when all l member syncmers pass."""
+    from ..sketch.cpu import kminmer_hashes_oriented, syncmer_list
+
+    freq: dict = {}
+    for seq, qual in zip(seqs, quals):
+        pos, H, rev = syncmer_list(seq, k, s, open_, t)
+        if len(H) < l:
+            continue
+        q = np.frombuffer(qual.encode(), dtype=np.uint8).astype(np.float64) - 33.0
+        cq = np.concatenate(([0.0], np.cumsum(q)))
+        lo = trim_start
+        hi = len(seq) - trim_end - k
+        passes = np.empty(len(pos), dtype=bool)
+        for j, p in enumerate(pos):
+            avg = (cq[min(p + k, len(q))] - cq[p]) / k
+            passes[j] = lo <= p <= hi and avg >= min_seed_quality
+        if l == 1:
+            for h, ok in zip(H.tolist(), passes.tolist()):
+                if ok:
+                    freq[h] = freq.get(h, 0) + 1
+            continue
+        km, valid, _ = kminmer_hashes_oriented(H, k, l, rev)
+        win_ok = np.ones(len(km), dtype=bool)
+        for j in range(l):
+            win_ok &= passes[j : j + len(km)]
+        for h in km[valid & win_ok].tolist():
+            freq[h] = freq.get(h, 0) + 1
+    return freq
+
+
 def resolve_min_read_support(seed_freq: dict, configured: int) -> int:
     """Auto min-read-support from estimated coverage (src/placement.cpp:931-955)."""
     if configured >= 0:
