@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--open", action="store_true", help="open syncmers")
     g.add_argument("--hpc", action="store_true", help="homopolymer-compressed seeds")
     g.add_argument("--flank-mask", type=int, default=250, help="mask bp at genome ends")
+    g.add_argument("--impute", action="store_true",
+                   help="impute N's from parent (skip canonical->ambiguous mutations)")
     g.add_argument("--index", default="", help="index path override")
 
     g = p.add_argument_group("single-sample")
@@ -178,6 +180,7 @@ def main(argv=None):
         panman=args.panman, reads1=args.reads1, reads2=args.reads2, output=out,
         index_path=args.index, k=args.kmer, s=args.syncmer, t=args.offset,
         l=args.lmer, open=args.open, hpc=args.hpc, flank_mask_bp=args.flank_mask,
+        impute=args.impute,
         min_depth=args.min_depth, min_qual=args.min_qual,
         min_read_support=args.min_read_support,
         min_seed_quality=args.min_seed_quality,

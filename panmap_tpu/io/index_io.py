@@ -28,6 +28,7 @@ def save_index(path: str, idx: IndexArrays, compressed: bool = False):
         "open": idx.params.open,
         "hpc": idx.params.hpc,
         "flank_mask_bp": idx.params.flank_mask_bp,
+        "impute_amb": idx.params.impute_amb,
     }
     arrays = dict(
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
@@ -63,6 +64,7 @@ def load_index(path: str) -> IndexArrays:
     params = IndexParams(
         k=header["k"], s=header["s"], t=header["t"], l=header["l"],
         open=header["open"], hpc=header["hpc"], flank_mask_bp=header["flank_mask_bp"],
+        impute_amb=header.get("impute_amb", False),
     )
     return IndexArrays(
         params=params,

@@ -50,6 +50,7 @@ class PipelineConfig:
     open: bool = False
     hpc: bool = False
     flank_mask_bp: int = 250
+    impute: bool = False  # skip canonical->ambiguous mutations in indexing
     min_depth: int = 1
     min_qual: float = 30.0
     min_read_support: int = -1
@@ -96,11 +97,11 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     main.cpp:371-396: params must match, index newer than panman)."""
     path = cfg.index_path or cfg.panman + ".ptidx.npz"
     want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open, hpc=cfg.hpc,
-                flank_mask_bp=cfg.flank_mask_bp)
+                flank_mask_bp=cfg.flank_mask_bp, impute_amb=cfg.impute)
     if os.path.exists(path) and not cfg.reindex:
         try:
             hdr = read_index_params(path)
-            if (all(hdr.get(key) == val for key, val in want.items())
+            if (all(hdr.get(key, False) == val for key, val in want.items())
                     and os.path.getmtime(path) >= os.path.getmtime(cfg.panman)):
                 return load_index(path), tree
         except Exception:
