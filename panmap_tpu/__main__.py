@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="leaves_only", help="only run EM on leaf (sample) nodes")
     g.add_argument("--write-ocranks", action="store_true",
                    help="write overlap-coefficient ranks to TSV")
+    g.add_argument("--write-meta-read-scores-unfiltered", action="store_true")
+    g.add_argument("--write-meta-read-scores-filtered", action="store_true")
+    g.add_argument("--batch-size", type=int, default=1000000,
+                   help="reads per processing batch (meta filter-and-assign)")
 
     g = p.add_argument_group("developer")
     g.add_argument("--dump-all-scores", default="")
@@ -171,6 +175,8 @@ def main(argv=None):
             min_num_align=args.min_num_align,
             leaves_only=args.leaves_only,
             write_ocranks=args.write_ocranks,
+            write_read_scores_unfiltered=args.write_meta_read_scores_unfiltered,
+            write_read_scores_filtered=args.write_meta_read_scores_filtered,
             stop=args.stop,
             log=log,
         )

@@ -273,6 +273,17 @@ def run_filter_and_assign(cfg, midx) -> int:
                           dup_index, midx, members_of, newick, edge_num)
         cfg.log(f"[assign] wrote jplace outputs")
 
+    if getattr(cfg, "write_read_scores_filtered", False):
+        from .engine import count_epp, write_read_scores_tsv
+
+        epp = count_epp(node_scores, eff, parent, scorer.tree.keep, len(reads))
+        read_overmax_col = (read_overmax if cfg.taxonomy_path
+                            else np.zeros(len(reads), dtype=bool))
+        path = cfg.output + ".read_scores_info.filtered.tsv"
+        write_read_scores_tsv(path, reads, dup_index, eff, epp,
+                              overmax=read_overmax_col)
+        cfg.log(f"[assign] wrote {path}")
+
     if cfg.breadth_ratio:
         _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index)
 

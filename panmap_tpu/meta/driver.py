@@ -64,6 +64,8 @@ class MetaConfig:
     align_reads: bool = False
     min_num_align: int = 10
     write_ocranks: bool = False
+    write_read_scores_unfiltered: bool = False
+    write_read_scores_filtered: bool = False
     leaves_only: bool = False
     stop: str = ""
     log: object = print
@@ -115,14 +117,16 @@ def run_meta(cfg: MetaConfig) -> int:
             n2, s2, _ = fastq.read_full(cfg.reads2)
             names += n2
             seqs += s2
-        reads, _, n_dust, n_masked = sketch_meta_reads_grouped(
+        reads, dup_index, n_dust, n_masked = sketch_meta_reads_grouped(
             seqs, names, p, cfg)
         cfg.log(f"[meta] {len(seqs)} reads -> {len(reads)} unique seedmer sets"
                 f" ({n_dust} low-complexity, {n_masked} masked)")
     else:
+        from .engine import sketch_meta_reads_full
+
         seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
-        reads, n_dust = sketch_meta_reads(seqs, p.k, p.s, p.t, p.l, p.open,
-                                          dust_threshold=cfg.dust)
+        reads, dup_index, n_dust = sketch_meta_reads_full(
+            seqs, p.k, p.s, p.t, p.l, p.open, dust_threshold=cfg.dust)
         cfg.log(f"[meta] {len(seqs)} reads -> {len(reads)} unique seedmer sets "
                 f"({n_dust} low-complexity discarded)")
 
@@ -162,11 +166,25 @@ def run_meta(cfg: MetaConfig) -> int:
     cfg.log(f"[meta] {len(candidates)} candidate nodes from overlap coefficients")
 
     t0 = time.time()
-    if cfg.pseudochain:
-        max_score, snap = scorer.score_all_pseudo(candidates)
+    want_scores_tsv = getattr(cfg, "write_read_scores_unfiltered", False)
+    score_fn = (scorer.score_all_pseudo if cfg.pseudochain
+                else scorer.score_all)
+    if want_scores_tsv:
+        max_score, snap, node_scores = score_fn(candidates,
+                                                collect_node_scores=True)
     else:
-        max_score, snap = scorer.score_all(candidates)
+        max_score, snap = score_fn(candidates)
     cfg.log(f"[meta] scored {len(reads)} read sets over the tree in {time.time()-t0:.1f}s")
+
+    if want_scores_tsv:
+        from .engine import count_epp, write_read_scores_tsv
+
+        epp = count_epp(node_scores, max_score,
+                        midx.parent_index.astype(np.int64), scorer.tree.keep,
+                        len(reads))
+        path = cfg.output + ".read_scores_info.unfiltered.tsv"
+        write_read_scores_tsv(path, reads, dup_index, max_score, epp)
+        cfg.log(f"[meta] wrote {path}")
 
     read_lens = np.array([len(r.hashes) for r in reads], dtype=np.int64)
     weights = np.array([r.n_dup for r in reads], dtype=np.float64)

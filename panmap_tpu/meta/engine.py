@@ -602,6 +602,60 @@ class MetaScorer:
         return max_score, snap
 
 
+def count_epp(node_scores: dict, max_score: np.ndarray, parent: np.ndarray,
+              keep: np.ndarray, n_reads: int) -> np.ndarray:
+    """Equally-parsimonious-placement counts: per read, the number of kept
+    nodes at which its running score equals its max (mgsr.hpp:491-516 epp)."""
+    n_nodes = len(parent)
+    children: list = [[] for _ in range(n_nodes)]
+    for i in range(1, n_nodes):
+        children[parent[i]].append(i)
+    cur = np.zeros(n_reads, dtype=np.int64)
+    is_max = np.zeros(n_reads, dtype=bool)
+    epp = np.zeros(n_reads, dtype=np.int64)
+    stack = [(0, None)]
+    while stack:
+        node, back = stack.pop()
+        if back is not None:
+            for ridx, old_sc, old_m in reversed(back):
+                cur[ridx] = old_sc
+                is_max[ridx] = old_m
+            continue
+        backtrack = []
+        for ridx, sc in node_scores.get(node, []):
+            if max_score[ridx] == 0:
+                continue
+            backtrack.append((ridx, int(cur[ridx]), bool(is_max[ridx])))
+            cur[ridx] = sc
+            is_max[ridx] = sc == max_score[ridx]
+        if keep[node]:
+            epp[is_max] += 1
+        stack.append((node, backtrack))
+        for c in reversed(children[node]):
+            stack.append((c, None))
+    return epp
+
+
+def write_read_scores_tsv(path: str, reads: list, dup_index: list,
+                          max_score: np.ndarray, epp: np.ndarray,
+                          overmax=None):
+    """<out>.read_scores_info.*.tsv (main.cpp:446-470 writeMetaReadScores)."""
+    with open(path, "w") as fh:
+        fh.write("ReadIndex\tNumDuplicates\tTotalScore\tMaxScore"
+                 "\tNumMaxScoreNodes\t")
+        if overmax is not None:
+            fh.write("OvermaximumTaxonNumber\t")
+        fh.write("RawReadsIndices\n")
+        for i, rd in enumerate(reads):
+            if max_score[i] == 0:
+                continue
+            fh.write(f"{i}\t{len(dup_index[i])}\t{len(rd.hashes)}"
+                     f"\t{max_score[i]}\t{epp[i]}\t")
+            if overmax is not None:
+                fh.write(f"{int(overmax[i])}\t")
+            fh.write(",".join(map(str, dup_index[i])) + "\n")
+
+
 # ----------------------------------------------------------------------
 # SQUAREM EM (mgsr.cpp:4341-4443, squareEM ctor :7988-8201)
 # ----------------------------------------------------------------------
