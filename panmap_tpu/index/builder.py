@@ -158,12 +158,31 @@ class _NodeEdits:
     blocks_turned_off: list  # block ids whose existence flipped on->off
 
 
-def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None):
+def subtree_ends(tree: PanmanTree) -> np.ndarray:
+    """dfs_index -> exclusive end of the node's DFS interval."""
+    n_nodes = len(tree.dfs_order)
+    end = np.arange(1, n_nodes + 1, dtype=np.int64)
+    for node in reversed(tree.dfs_order):
+        if node.parent is not None:
+            p = node.parent.dfs_index
+            if end[node.dfs_index] > end[p]:
+                end[p] = end[node.dfs_index]
+    return end
+
+
+def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
+            dfs_range=None):
     """Shared builder DFS: applies mutations down the tree maintaining the
     syncmer/k-min-mer state, calling emit(dfs_index, parent_state, child_state,
     changed) at every node.  Returns the identical-to-parent flags.
     Both the single-sample count-delta index and the meta positional-delta
-    index are emitters over this walk."""
+    index are emitters over this walk.
+
+    dfs_range=(a, b) restricts the walk to subtrees intersecting the DFS
+    interval [a, b): out-of-range subtrees are pruned entirely, ancestors on
+    paths into the range are applied (state must be exact) but the emitter
+    decides what to record — the chunked-DFS parallel build
+    (index_single_mode.cpp:2291-2571 buildIndexParallel) partitions on this."""
     space = ScalarSpace(tree)
     k, s, t, l = params.k, params.s, params.t, params.l
     flank = params.flank_mask_bp
@@ -354,25 +373,33 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None):
                 ranges.append((ja, jb, walk_beg, walk_end, reached_end))
                 i += 1
 
-            # ---- full-genome scan once; select window scan positions ----
-            if nnz >= k:
-                hashes, is_rev, is_sync = rolling_syncmers(seq, k, s, params.open, t)
-            else:
-                hashes = np.empty(0, U64)
-                is_rev = np.empty(0, bool)
-                is_sync = np.empty(0, bool)
-
-            scan_parts = []
+            # ---- window-local scans (a syncmer at p depends only on bases
+            # [p, p+k-1], so scanning seq[ja:jb+1] is exact for positions
+            # ja..jb-k+1 — no full-genome rescan per node) ----
+            idx_parts, hash_parts, rev_parts, sync_parts = [], [], [], []
             for ja, jb, _, _, _ in ranges:
                 hi_idx = min(jb - k + 1, nnz - k) if nnz >= k else -1
-                if hi_idx >= ja:
-                    scan_parts.append(np.arange(ja, hi_idx + 1, dtype=np.int64))
-            scan_idx = (np.concatenate(scan_parts) if scan_parts
-                        else np.empty(0, np.int64))
-            pos_scan = nz[scan_idx] if len(scan_idx) else np.empty(0, np.int64)
-            sync_scan = is_sync[scan_idx] if len(scan_idx) else np.empty(0, bool)
-            hash_scan = hashes[scan_idx] if len(scan_idx) else np.empty(0, U64)
-            rev_scan = is_rev[scan_idx] if len(scan_idx) else np.empty(0, bool)
+                if hi_idx < ja:
+                    continue
+                h_w, r_w, s_w = rolling_syncmers(seq[ja : jb + 1], k, s,
+                                                 params.open, t)
+                nloc = hi_idx - ja + 1
+                idx_parts.append(np.arange(ja, hi_idx + 1, dtype=np.int64))
+                hash_parts.append(h_w[:nloc])
+                rev_parts.append(r_w[:nloc])
+                sync_parts.append(s_w[:nloc])
+            if idx_parts:
+                scan_idx = np.concatenate(idx_parts)
+                pos_scan = nz[scan_idx]
+                hash_scan = np.concatenate(hash_parts)
+                rev_scan = np.concatenate(rev_parts)
+                sync_scan = np.concatenate(sync_parts)
+            else:
+                scan_idx = np.empty(0, np.int64)
+                pos_scan = np.empty(0, np.int64)
+                hash_scan = np.empty(0, U64)
+                rev_scan = np.empty(0, bool)
+                sync_scan = np.empty(0, bool)
             unm = (pos_scan >= hms) & (pos_scan <= hme)
             pos_scan, sync_scan, hash_scan, rev_scan = (
                 pos_scan[unm], sync_scan[unm], hash_scan[unm], rev_scan[unm])
@@ -442,6 +469,17 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None):
         return (child_pos, child_hash, child_rev, uniq, counts.astype(np.int64),
                 km_hash, km_rev, km_pos)
 
+    if dfs_range is not None:
+        a, b = dfs_range
+        end = subtree_ends(tree)
+
+        def in_walk(node):
+            i = node.dfs_index
+            return i < b and end[i] > a
+    else:
+        def in_walk(node):
+            return True
+
     # iterative DFS with explicit state stack
     root = tree.root
     stack: list[_BuildFrame] = []
@@ -458,6 +496,8 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None):
             undo_node(frame.undo_chars, frame.undo_blocks)
             stack.pop()
             continue
+        if not in_walk(child):
+            continue
         undo_c, undo_b, edits = apply_node(child)
         if not edits.spans and not edits.potential_dels and not edits.blocks_turned_off:
             state = frame.state
@@ -473,29 +513,59 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None):
     return identical, space
 
 
+_EMPTY_DELTA = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
+
+
+def _count_delta(parent_state, child_state):
+    ph, pc = parent_state[3], parent_state[4]
+    ch, cc = child_state[3], child_state[4]
+    allh = np.union1d(ph, ch)
+    pcnt = np.zeros(len(allh), dtype=np.int64)
+    if len(ph):
+        ii = np.searchsorted(ph, allh)
+        ok = (ii < len(ph)) & (ph[np.minimum(ii, len(ph) - 1)] == allh)
+        pcnt[ok] = pc[ii[ok]]
+    ccnt = np.zeros(len(allh), dtype=np.int64)
+    if len(ch):
+        ii = np.searchsorted(ch, allh)
+        ok = (ii < len(ch)) & (ch[np.minimum(ii, len(ch) - 1)] == allh)
+        ccnt[ok] = cc[ii[ok]]
+    diff = pcnt != ccnt
+    return allh[diff], pcnt[diff].astype(np.int16), ccnt[diff].astype(np.int16)
+
+
+# fork-inherited worker context for build_index(workers > 1)
+_PAR_CTX: dict = {}
+
+
+def _build_range_worker(rng):
+    a, b = rng
+    tree = _PAR_CTX["tree"]
+    params = _PAR_CTX["params"]
+    deltas: dict = {}
+
+    def emit(dfs_index, parent_state, child_state, changed):
+        if a <= dfs_index < b:
+            deltas[dfs_index] = (_EMPTY_DELTA if not changed
+                                 else _count_delta(parent_state, child_state))
+
+    identical, _ = run_dfs(tree, params, emit, dfs_range=(a, b))
+    hh = np.concatenate([deltas[i][0] for i in range(a, b)]) if b > a else np.empty(0, U64)
+    pp = np.concatenate([deltas[i][1] for i in range(a, b)]) if b > a else np.empty(0, np.int16)
+    cc = np.concatenate([deltas[i][2] for i in range(a, b)]) if b > a else np.empty(0, np.int16)
+    sizes = np.array([len(deltas[i][0]) for i in range(a, b)], dtype=np.int64)
+    return a, hh, pp, cc, sizes, identical[a:b]
+
+
 def build_index(tree: PanmanTree, params: IndexParams | None = None,
-                progress=None) -> IndexArrays:
+                progress=None, workers: int = 0) -> IndexArrays:
     params = params or IndexParams()
     n_nodes = len(tree.dfs_order)
+    if workers and workers > 1 and n_nodes > workers:
+        return _build_index_parallel(tree, params, workers)
     node_deltas: list[tuple | None] = [None] * n_nodes
-    empty_delta = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
-
-    def count_delta(parent_state, child_state):
-        ph, pc = parent_state[3], parent_state[4]
-        ch, cc = child_state[3], child_state[4]
-        allh = np.union1d(ph, ch)
-        pcnt = np.zeros(len(allh), dtype=np.int64)
-        if len(ph):
-            ii = np.searchsorted(ph, allh)
-            ok = (ii < len(ph)) & (ph[np.minimum(ii, len(ph) - 1)] == allh)
-            pcnt[ok] = pc[ii[ok]]
-        ccnt = np.zeros(len(allh), dtype=np.int64)
-        if len(ch):
-            ii = np.searchsorted(ch, allh)
-            ok = (ii < len(ch)) & (ch[np.minimum(ii, len(ch) - 1)] == allh)
-            ccnt[ok] = cc[ii[ok]]
-        diff = pcnt != ccnt
-        return allh[diff], pcnt[diff].astype(np.int16), ccnt[diff].astype(np.int16)
+    empty_delta = _EMPTY_DELTA
+    count_delta = _count_delta
 
     def emit(dfs_index, parent_state, child_state, changed):
         if not changed:
@@ -525,6 +595,56 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
     for node in tree.dfs_order:
         parent_index[node.dfs_index] = node.parent.dfs_index if node.parent else 0
 
+    return IndexArrays(
+        params=params,
+        node_ids=[n.identifier for n in tree.dfs_order],
+        parent_index=parent_index,
+        identical_to_parent=identical,
+        block_ranges=space.block_ranges,
+        seed_hashes=seed_hashes,
+        parent_counts=parent_counts,
+        child_counts=child_counts,
+        node_offsets=node_offsets,
+        substitution_matrix=compute_substitution_spectrum(tree),
+    )
+
+
+def _build_index_parallel(tree: PanmanTree, params: IndexParams,
+                          workers: int) -> IndexArrays:
+    """Chunked-DFS parallel build (index_single_mode.cpp:2291-2571): the DFS
+    order is split into contiguous ranges; each forked worker prunes to the
+    subtrees intersecting its range (ancestor paths are replayed for exact
+    state, emission happens only inside the range)."""
+    import multiprocessing as mp
+
+    n_nodes = len(tree.dfs_order)
+    bounds = np.linspace(0, n_nodes, workers + 1).astype(np.int64)
+    ranges = [(int(bounds[i]), int(bounds[i + 1])) for i in range(workers)
+              if bounds[i] < bounds[i + 1]]
+
+    _PAR_CTX["tree"] = tree
+    _PAR_CTX["params"] = params
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(len(ranges)) as pool:
+            results = pool.map(_build_range_worker, ranges)
+    finally:
+        _PAR_CTX.clear()
+
+    results.sort(key=lambda r: r[0])
+    seed_hashes = np.concatenate([r[1] for r in results])
+    parent_counts = np.concatenate([r[2] for r in results])
+    child_counts = np.concatenate([r[3] for r in results])
+    sizes = np.concatenate([r[4] for r in results])
+    identical = np.concatenate([r[5] for r in results])
+    node_offsets = np.zeros(n_nodes + 1, dtype=np.uint64)
+    node_offsets[1:] = np.cumsum(sizes)
+
+    parent_index = np.zeros(n_nodes, dtype=np.uint32)
+    for node in tree.dfs_order:
+        parent_index[node.dfs_index] = node.parent.dfs_index if node.parent else 0
+
+    space = ScalarSpace(tree)
     return IndexArrays(
         params=params,
         node_ids=[n.identifier for n in tree.dfs_order],

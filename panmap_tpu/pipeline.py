@@ -109,7 +109,7 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     if tree is None:
         tree = load_panman(cfg.panman)
     t0 = time.time()
-    idx = build_index(tree, IndexParams(**want))
+    idx = build_index(tree, IndexParams(**want), workers=cfg.threads)
     cfg.log(f"[index] built in {time.time()-t0:.1f}s "
             f"({len(idx.seed_hashes)} seed changes, {len(idx.node_ids)} nodes)")
     try:
