@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--refine-max-top-n", type=int, default=150)
     g.add_argument("--refine-neighbor-radius", type=int, default=2)
     g.add_argument("--refine-max-neighbor-n", type=int, default=150)
+    g.add_argument("--baq", action="store_true",
+                   help="enable BAQ (base alignment quality) in the pileup")
     g.add_argument("--no-mutation-spectrum", action="store_true",
                    help="disable mutation-spectrum priors in genotyping")
     g.add_argument("--mutation-matrix", default="",
@@ -199,6 +201,7 @@ def main(argv=None):
         refine_max_neighbor_n=args.refine_max_neighbor_n,
         no_mutation_spectrum=args.no_mutation_spectrum,
         mutation_matrix=args.mutation_matrix,
+        baq=args.baq,
         dedup_reads=args.dedup_reads, trim_start=args.trim_start,
         trim_end=args.trim_end, force_leaf=args.force_leaf, stop=args.stop,
         threads=args.threads, batch_file=args.batch_file,

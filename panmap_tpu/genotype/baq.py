@@ -1,0 +1,243 @@
+"""BAQ (Base Alignment Quality): probabilistic realignment quality caps.
+
+Reimplements the --baq path of the reference's genotyping stack:
+ - the banded glocal profile-HMM posterior runs in the native library
+   (panmap_native.cpp pt_baq_glocal; htslib probaln.c:77-420 semantics);
+ - per-read gluing mirrors htslib realn.c:106-330 sam_prob_realn with
+   BAQ_APPLY|BAQ_EXTEND (flag 3, as bcftools mpileup passes): window
+   derivation from the cigar, extended-BAQ min-of-running-maxima smoothing,
+   and qual[i] -= bq[i] - 64 application;
+ - column gating mirrors bcftools mpileup.c:420-545 mplp_realn with
+   MPLP_REALN_PARTIAL: a column triggers realignment only when its read
+   stack shows indel/clip evidence, and individual reads that span the
+   column by a comfortable margin of pure matches are left alone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..native import baq_glocal_native
+
+_BIDX = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+def _codes(s: str) -> np.ndarray:
+    out = np.full(len(s), 4, dtype=np.uint8)
+    for i, ch in enumerate(s):
+        out[i] = _BIDX.get(ch, 4)
+    return out
+
+
+def baq_realign_read(read, ref_codes: np.ndarray) -> bool:
+    """Adjust read.quals in place (sam_prob_realn, BAQ_APPLY|BAQ_EXTEND).
+    `read` is a PlacedRead whose cigar covers read.seq[qs:...] from ref rs.
+    Returns True if adjusted."""
+    lq = len(read.seq)
+    if lq == 0:
+        return False
+    # alignment extent in query (y) and ref (x) coords over M ops
+    x, y = read.rs, read.qs
+    xb = yb = xe = ye = -1
+    for ln, op in read.cigar:
+        if op in ("M", "=", "X"):
+            if yb < 0:
+                yb = y
+            if xb < 0:
+                xb = x
+            ye, xe = y + ln, x + ln
+            x += ln
+            y += ln
+        elif op == "I":
+            y += ln
+        elif op in ("D", "N"):
+            x += ln
+    if xb < 0:
+        return False
+    bw = 7
+    if abs((xe - xb) - (ye - yb)) > bw:
+        bw = abs((xe - xb) - (ye - yb)) + 3
+    xb -= yb + bw // 2
+    if xb < 0:
+        xb = 0
+    xe += lq - ye + bw // 2
+    if xe - xb - lq > bw:
+        shrink = (xe - xb - lq - bw) // 2
+        xb += shrink
+        xe -= shrink
+    xe = min(xe, len(ref_codes))
+    if xe <= xb:
+        return False
+
+    tref = ref_codes[xb:xe]
+    tseq = _codes(read.seq)
+    quals = np.array(read.quals, dtype=np.uint8)
+    out = baq_glocal_native(tref, tseq, quals, bw, 0.001, 0.1)
+    if out is None:
+        return False
+    state, q = out
+
+    bq = quals.copy()
+    # extended BAQ over merged M runs: posterior where aligned on-diagonal,
+    # 0 elsewhere, then min(running-left-max, running-right-max)
+    runs = []  # (y_start, length, x_start) merged M segments
+    x, y = read.rs, read.qs
+    pend = None
+    for ln, op in read.cigar:
+        if op in ("M", "=", "X"):
+            if pend is not None and pend[0] + pend[1] == y:
+                pend = (pend[0], pend[1] + ln, pend[2])
+            else:
+                if pend is not None:
+                    runs.append(pend)
+                pend = (y, ln, x)
+            x += ln
+            y += ln
+        elif op == "I":
+            if pend is not None:
+                runs.append(pend)
+                pend = None
+            y += ln
+        elif op in ("D", "N"):
+            if pend is not None:
+                runs.append(pend)
+                pend = None
+            x += ln
+    if pend is not None:
+        runs.append(pend)
+
+    for y0, ln, x0 in runs:
+        ln = min(ln, lq - y0)
+        if ln <= 0:
+            continue
+        seg = np.empty(ln, dtype=np.int32)
+        for i in range(ln):
+            yi = y0 + i
+            on_diag = (state[yi] & 3) == 0 and (state[yi] >> 2) == (x0 - xb + i)
+            seg[i] = q[yi] if on_diag else 0
+        left = np.maximum.accumulate(seg)
+        right = np.maximum.accumulate(seg[::-1])[::-1]
+        bq[y0 : y0 + ln] = np.minimum(left, right)
+
+    # apply: qual -= (bq_final - 64) with bq_final = 64 + max(0, qual - baq)
+    adj = np.maximum(quals.astype(np.int32) - bq.astype(np.int32), 0)
+    new_quals = quals.astype(np.int32) - adj
+    read.quals = np.maximum(new_quals, 0).astype(np.int64).tolist()
+    return True
+
+
+def _read_has_indel(read) -> bool:
+    return any(op in ("I", "D", "N") for _, op in read.cigar)
+
+
+def _realn_column_gate(stack: list, pos: int) -> bool:
+    """mplp_realn's MPLP_REALN_PARTIAL column trigger (mpileup.c:424-451)."""
+    nt = len(stack)
+    if nt == 0:
+        return False
+    has_indel = sum(1 for r in stack if _read_has_indel(r))
+    has_clip = sum(1 for r in stack if getattr(r, "has_clip", False))
+    indels = [_indel_after(r, pos) for r in stack]
+    if has_indel == 0:
+        return False
+    if (has_clip < 0.2 * nt and max(indels) == min(indels)
+            and (has_indel < 0.1 * nt or has_indel == 1)):
+        return False
+    return True
+
+
+def _indel_after(read, pos: int) -> int:
+    """Length of the indel immediately following ref position pos (+ins/-del),
+    the pileup p->indel field."""
+    x = read.rs
+    for j, (ln, op) in enumerate(read.cigar):
+        if op in ("M", "=", "X"):
+            if x <= pos < x + ln:
+                if pos == x + ln - 1 and j + 1 < len(read.cigar):
+                    nop = read.cigar[j + 1]
+                    if nop[1] == "I":
+                        return nop[0]
+                    if nop[1] in ("D", "N"):
+                        return -nop[0]
+                return 0
+            x += ln
+        elif op in ("D", "N"):
+            x += ln
+    return 0
+
+
+def _read_gate(read, nt: int, has_clip_n: int) -> bool:
+    """Per-read skip rules (mpileup.c:470-545): spanning the region with long
+    clean match flanks means BAQ will not help."""
+    realn_dist = 40 + 10 * (nt < 40) + 10 * (nt < 20)
+    cig = read.cigar
+    if len(cig) > 1:
+        lm = 0
+        nm = 0
+        for ln, op in cig:
+            if op in ("M", "=", "X"):
+                lm += ln
+                nm += 1
+            else:
+                break
+        if nm != len(cig):
+            rm = 0
+            for ln, op in reversed(cig):
+                if op in ("M", "=", "X"):
+                    rm += ln
+                else:
+                    break
+            if lm >= realn_dist * 4 and rm >= realn_dist * 4:
+                return False
+            if (lm >= realn_dist and rm >= realn_dist
+                    and has_clip_n < (0.15 + 0.05 * (nt > 20)) * nt):
+                return False
+    return True
+
+
+def apply_baq(reads: list, ref: str, max_read_len: int = 500) -> int:
+    """Column-gated BAQ pass over the placed reads (quals adjusted in place).
+    Returns the number of realigned reads."""
+    ref_codes = _codes(ref)
+    events = []  # (ref_pos, read) start events
+    for r in reads:
+        events.append(r)
+    events.sort(key=lambda r: r.rs)
+    # active stacks per column would be O(n^2); instead walk columns where
+    # indel evidence can exist: positions adjacent to any read's indels
+    cand_cols = set()
+    for r in events:
+        x = r.rs
+        for ln, op in r.cigar:
+            if op in ("M", "=", "X"):
+                x += ln
+            elif op in ("D", "N"):
+                cand_cols.add(x - 1)
+                x += ln
+            elif op == "I":
+                cand_cols.add(x - 1)
+    if not cand_cols:
+        return 0
+    starts = np.array([r.rs for r in events], dtype=np.int64)
+    ends = np.array([r.ref_end() for r in events], dtype=np.int64)
+    realigned = set()
+    n_done = 0
+    for pos in sorted(cand_cols):
+        idx = np.flatnonzero((starts <= pos) & (pos < ends))
+        stack = [events[i] for i in idx]
+        if not _realn_column_gate(stack, pos):
+            continue
+        nt = len(stack)
+        has_clip_n = sum(1 for r in stack if getattr(r, "has_clip", False))
+        for i in idx:
+            r = events[i]
+            if id(r) in realigned:
+                continue
+            realigned.add(id(r))
+            if len(r.seq) > max_read_len:
+                continue
+            if not _read_gate(r, nt, has_clip_n):
+                continue
+            if baq_realign_read(r, ref_codes):
+                n_done += 1
+    return n_done

@@ -164,6 +164,7 @@ class PlacedRead:
     is_paired: bool = True
     mapq: int = 60
     rev: bool = False
+    has_clip: bool = False  # soft-clip present (BAQ column heuristics)
 
     def ref_end(self) -> int:
         return self.rs + sum(ln for ln, op in self.cigar if op in "MDN=X")
@@ -225,8 +226,13 @@ def _ref_to_seq_map(r: PlacedRead) -> dict:
     return out
 
 
-def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH):
+def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
+                baq: bool = False):
     """reads: list[PlacedRead]. Returns list[SiteRecord] for alt-bearing sites."""
+    if baq:
+        from .baq import apply_baq
+
+        apply_baq(reads, ref)
     n = len(ref)
     ref_idx = np.full(n, 4, dtype=np.int8)
     for i, ch in enumerate(ref):

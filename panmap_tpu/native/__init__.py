@@ -61,8 +61,33 @@ def get_lib():
     lib.pt_encode_reads.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p]
+    lib.pt_baq_glocal.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.pt_baq_glocal.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def baq_glocal_native(ref_codes: np.ndarray, q_codes: np.ndarray,
+                      quals: np.ndarray, bw: int, gapd: float, gape: float):
+    """Banded glocal HMM posterior (BAQ core); returns (state, q) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    q_codes = np.ascontiguousarray(q_codes, dtype=np.uint8)
+    quals = np.ascontiguousarray(quals, dtype=np.uint8)
+    lq = len(q_codes)
+    state = np.empty(lq, dtype=np.int32)
+    q = np.empty(lq, dtype=np.uint8)
+    rc = lib.pt_baq_glocal(ref_codes.ctypes.data, len(ref_codes),
+                           q_codes.ctypes.data, lq, quals.ctypes.data,
+                           bw, gapd, gape, state.ctypes.data, q.ctypes.data)
+    if rc != 0:
+        return None
+    return state, q
 
 
 def rolling_syncmers_native(b: np.ndarray, k: int, s: int, t: int,

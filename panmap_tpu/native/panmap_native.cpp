@@ -11,6 +11,7 @@
 //
 // Build: bash panmap_tpu/native/build.sh   (g++ -O3 -march=native -shared)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -153,6 +154,179 @@ void pt_encode_reads(const uint8_t* joined, const int64_t* offsets, int64_t b,
         for (; i < len; ++i) dst[i] = enc[src[i]];
         for (; i < pad_to; ++i) dst[i] = 4;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAQ: banded glocal profile-HMM posterior (htslib probaln.c semantics).
+//
+// States M/I/D over ref positions; query enters at any ref column (glocal).
+// Forward/backward with per-row scaling, then per-query-base MAP state and
+// phred-scaled posterior error q[i]; state[i] = (ref_col << 2) | state_tag.
+// Transition parameters: gap open d, gap extend e, band width bw.
+// ---------------------------------------------------------------------------
+
+namespace {
+constexpr double BAQ_EI = 0.25;
+constexpr double BAQ_EM = 1.0 / 3.0;
+
+inline int band_u(int bw, int i, int k) {
+    int x = i - bw;
+    if (x < 0) x = 0;
+    return (k - x + 1) * 3;
+}
+}  // namespace
+
+extern "C" {
+
+// ref/query: 0..3 codes (>=4 ambiguous); qual: phred per query base.
+// state/q: l_query outputs.  Returns 0 on success.
+int pt_baq_glocal(const uint8_t* ref, int l_ref, const uint8_t* query,
+                  int l_query, const uint8_t* qual_in, int bw_cap, double gapd,
+                  double gape, int* state, uint8_t* q) {
+    if (l_ref <= 0 || l_query <= 0) return -1;
+    int bw = l_ref > l_query ? l_ref : l_query;
+    if (bw > bw_cap) bw = bw_cap;
+    int diff = l_ref - l_query;
+    if (diff < 0) diff = -diff;
+    if (bw < diff) bw = diff;
+    int bw2 = bw * 2 + 1;
+    size_t i_dim = (bw2 < l_ref ? (size_t)bw2 * 3 + 6 : (size_t)l_ref * 3 + 6);
+
+    std::vector<double> f((size_t)(l_query + 1) * i_dim, 0.0);
+    std::vector<double> b((size_t)(l_query + 1) * i_dim, 0.0);
+    std::vector<double> s(l_query + 2, 0.0);
+    std::vector<double> qp(l_query);
+    for (int i = 0; i < l_query; ++i)
+        qp[i] = pow(10.0, -(double)qual_in[i] / 10.0);
+
+    double sM = 1.0 / (2 * l_query + 2), sI = sM;
+    double m[9];
+    m[0] = (1 - gapd - gapd) * (1 - sM);
+    m[1] = m[2] = gapd * (1 - sM);
+    m[3] = (1 - gape) * (1 - sI);
+    m[4] = gape * (1 - sI);
+    m[5] = 0.0;
+    m[6] = 1 - gape;
+    m[7] = 0.0;
+    m[8] = gape;
+    double bM = (1 - gapd) / l_ref;
+    double bI = gapd / l_ref;
+
+    // ---- forward ----
+    f[band_u(bw, 0, 0)] = s[0] = 1.0;
+    {
+        double* fi = &f[1 * i_dim];
+        int end = l_ref < bw + 1 ? l_ref : bw + 1;
+        double sum = 0.0;
+        for (int k = 1; k <= end; ++k) {
+            double e = (ref[k - 1] > 3 || query[0] > 3)
+                           ? 1.0
+                           : (ref[k - 1] == query[0] ? 1.0 - qp[0]
+                                                     : qp[0] * BAQ_EM);
+            int u = band_u(bw, 1, k);
+            fi[u + 0] = e * bM;
+            fi[u + 1] = BAQ_EI * bI;
+            sum += fi[u] + fi[u + 1];
+        }
+        s[1] = sum;
+    }
+    for (int i = 2; i <= l_query; ++i) {
+        double* fi = &f[(size_t)i * i_dim];
+        double* fi1 = &f[(size_t)(i - 1) * i_dim];
+        double qli = qp[i - 1];
+        uint8_t qyi = query[i - 1];
+        int beg = 1 > i - bw ? 1 : i - bw;
+        int end = l_ref < i + bw ? l_ref : i + bw;
+        double E[4] = {qli * BAQ_EM, 1.0 - qli, 1.0, 1.0};
+        double M = 1.0 / s[i - 1];
+        double sum = 0.0;
+        for (int k = beg; k <= end; ++k) {
+            int u = band_u(bw, i, k);
+            int v11 = band_u(bw, i - 1, k - 1);
+            int v10 = band_u(bw, i - 1, k);
+            int v01 = band_u(bw, i, k - 1);
+            double e = E[(ref[k - 1] > 3 || qyi > 3) * 2 + (ref[k - 1] == qyi)];
+            fi[u + 0] = e * (m[0] * M * fi1[v11 + 0] + m[3] * M * fi1[v11 + 1] +
+                             m[6] * M * fi1[v11 + 2]);
+            fi[u + 1] = BAQ_EI * (m[1] * M * fi1[v10 + 0] + m[4] * M * fi1[v10 + 1]);
+            fi[u + 2] = m[2] * fi[v01 + 0] + m[8] * fi[v01 + 2];
+            sum += fi[u] + fi[u + 1] + fi[u + 2];
+        }
+        s[i] = sum;
+    }
+    {
+        double sum = 0.0;
+        double M = 1.0 / s[l_query];
+        for (int k = 1; k <= l_ref; ++k) {
+            int u = band_u(bw, l_query, k);
+            if (u < 3 || (size_t)u >= i_dim) continue;
+            sum += M * f[(size_t)l_query * i_dim + u + 0] * sM +
+                   M * f[(size_t)l_query * i_dim + u + 1] * sI;
+        }
+        s[l_query + 1] = sum;
+    }
+
+    // ---- backward ----
+    for (int k = 1; k <= l_ref; ++k) {
+        int u = band_u(bw, l_query, k);
+        if (u < 3 || (size_t)u >= i_dim) continue;
+        double* bi = &b[(size_t)l_query * i_dim];
+        bi[u + 0] = sM / s[l_query] / s[l_query + 1];
+        bi[u + 1] = sI / s[l_query] / s[l_query + 1];
+    }
+    for (int i = l_query - 1; i >= 1; --i) {
+        double* bi = &b[(size_t)i * i_dim];
+        double* bi1 = &b[(size_t)(i + 1) * i_dim];
+        double y = (i > 1) ? 1.0 : 0.0;
+        double qli1 = qp[i];
+        uint8_t qyi1 = query[i];
+        int beg = 1 > i - bw ? 1 : i - bw;
+        int end = l_ref < i + bw ? l_ref : i + bw;
+        double E[4] = {qli1 * BAQ_EM, 1.0 - qli1, 1.0, 1.0};
+        for (int k = end; k >= beg; --k) {
+            int u = band_u(bw, i, k);
+            int v11 = band_u(bw, i + 1, k + 1);
+            int v10 = band_u(bw, i + 1, k);
+            int v01 = band_u(bw, i, k + 1);
+            double e = (k >= l_ref)
+                           ? 0.0
+                           : E[(ref[k] > 3 || qyi1 > 3) * 2 + (ref[k] == qyi1)] *
+                                 bi1[v11];
+            bi[u + 0] = e * m[0] + BAQ_EI * m[1] * bi1[v10 + 1] + m[2] * bi[v01 + 2];
+            bi[u + 1] = e * m[3] + BAQ_EI * m[4] * bi1[v10 + 1];
+            bi[u + 2] = (e * m[6] + m[8] * bi[v01 + 2]) * y;
+        }
+        int ub = band_u(bw, i, beg), ue = band_u(bw, i, end) + 2;
+        double n = 1.0 / s[i];
+        for (int k = ub; k <= ue; ++k) bi[k] *= n;
+    }
+
+    // ---- MAP per query base ----
+    for (int i = 1; i <= l_query; ++i) {
+        double* fi = &f[(size_t)i * i_dim];
+        double* bi = &b[(size_t)i * i_dim];
+        int beg = 1 > i - bw ? 1 : i - bw;
+        int end = l_ref < i + bw ? l_ref : i + bw;
+        double M = 1.0 / s[i];
+        double sum = 0.0, mx = 0.0;
+        int max_k = -1;
+        for (int k = beg; k <= end; ++k) {
+            int u = band_u(bw, i, k);
+            double z = M * fi[u + 0] * bi[u + 0];
+            if (z > mx) { mx = z; max_k = (k - 1) << 2 | 0; }
+            sum += z;
+            z = M * fi[u + 1] * bi[u + 1];
+            if (z > mx) { mx = z; max_k = (k - 1) << 2 | 1; }
+            sum += z;
+        }
+        mx /= sum;
+        state[i - 1] = max_k;
+        int kq = (int)(-4.343 * log(1.0 - mx) + 0.499);
+        q[i - 1] = kq > 100 ? 99 : (uint8_t)kq;
+    }
+    return 0;
 }
 
 }  // extern "C"

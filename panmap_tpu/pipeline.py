@@ -70,6 +70,7 @@ class PipelineConfig:
     refine_max_neighbor_n: int = 150
     no_mutation_spectrum: bool = False
     mutation_matrix: str = ""  # .mm file overriding the index spectrum
+    baq: bool = False  # probabilistic realignment quality caps in pileup
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
     batch_file: str = ""
@@ -247,6 +248,7 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
             rs=aln.rs, cigar=aln.cigar, seq=oseq, quals=oq, qs=oqs,
             qname=clip_name(names[i]), is_proper=aln.proper_frag,
             is_paired=paired, mapq=aln.mapq, rev=(not aln.rev) if (paired and not is_read1) else aln.rev,
+            has_clip=bool(clip5 or clip3),
         ))
 
     if paired:
@@ -270,7 +272,7 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
 
 def run_genotyping(cfg: PipelineConfig, idx: IndexArrays, ref: str,
                    best_node: str, placed):
-    records = pileup_call(ref, placed)
+    records = pileup_call(ref, placed, baq=cfg.baq)
     if cfg.no_mutation_spectrum:
         phred = None  # main.cpp:2450: gate-only filtering, no prior
     elif cfg.mutation_matrix:
