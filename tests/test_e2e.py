@@ -186,3 +186,21 @@ def test_index_delta_replay_matches_direct_sketch(rsv_index):
         assert len(diff) <= budget, (
             f"node {idx.node_ids[tgt]}: {len(diff)} differing seed entries "
             f"(budget {budget})")
+
+
+def test_hpc_index_and_placement(outdir):
+    """--hpc end-to-end: build an HPC index and place a leaf's own reads."""
+    import os
+
+    from panmap_tpu.pipeline import PipelineConfig, run_pipeline
+
+    hpc_idx = os.path.join(CACHE, "rsv4k_hpc.ptidx.npz")
+    cfg = PipelineConfig(
+        panman=PANMAN, reads1=f"{DATA}/MZ515733.1.fastq",
+        output=str(outdir / "hpc"), index_path=hpc_idx, hpc=True, stop="place")
+    cfg.log = lambda *a: None
+    run_pipeline(cfg)
+    tsv = open(str(outdir / "hpc") + ".placement.tsv").read().splitlines()
+    best = dict(l.split("\t")[0:1] + [l.split("\t")[2]] for l in tsv[1:]
+                if l.split("\t")[0] == "log_containment")
+    assert "MZ515733.1" in best.get("log_containment", "")
