@@ -131,7 +131,22 @@ def run_meta(cfg: MetaConfig) -> int:
                 f"({n_dust} low-complexity discarded)")
 
     scorer = MetaScorer(midx, reads)
-    oc = scorer.overlap_coefficients()
+    want_scores_tsv = getattr(cfg, "write_read_scores_unfiltered", False)
+    # large read sets: event-based batched scorer (identical results; the
+    # python DFS is kept for pseudochain and node-score collection)
+    fast = None
+    if not cfg.pseudochain and not want_scores_tsv and len(reads) >= 2000:
+        from .engine_tpu import TpuMetaScorer
+
+        t0 = time.time()
+        fast = TpuMetaScorer(midx, reads)
+        cfg.log(f"[meta] presence events built in {time.time()-t0:.1f}s "
+                f"({len(fast.ev_pos)} events)")
+    if fast is not None:
+        oc_arr = fast.overlap_coefficients()
+        oc = {n: float(oc_arr[n]) for n in range(len(midx.node_ids))}
+    else:
+        oc = scorer.overlap_coefficients()
     if getattr(cfg, "write_ocranks", False):
         # shared-rank TSV (main.cpp:430-445 writeOCRanks)
         path = cfg.output + ".overlapCoefficients.tsv"
@@ -166,10 +181,11 @@ def run_meta(cfg: MetaConfig) -> int:
     cfg.log(f"[meta] {len(candidates)} candidate nodes from overlap coefficients")
 
     t0 = time.time()
-    want_scores_tsv = getattr(cfg, "write_read_scores_unfiltered", False)
     score_fn = (scorer.score_all_pseudo if cfg.pseudochain
                 else scorer.score_all)
-    if want_scores_tsv:
+    if fast is not None:
+        max_score, snap = fast.score_all(candidates)
+    elif want_scores_tsv:
         max_score, snap, node_scores = score_fn(candidates,
                                                 collect_node_scores=True)
     else:

@@ -666,10 +666,79 @@ class EMResult:
     identical_groups: dict  # representative -> [other node names]
 
 
+def _squarem_round_jax(S: np.ndarray, read_lens: np.ndarray, w: np.ndarray,
+                       eta: float, max_change_threshold: float,
+                       max_iterations: int) -> np.ndarray:
+    """One SQUAREM run on device in log-space f32 (S: [M, R] u16 scores).
+
+    The probability matrix err^(m-s)(1-err)^s underflows f32, so everything
+    runs as log-probabilities with softmax responsibilities; matvecs and
+    softmaxes are a single fused while_loop on the accelerator.  Convergence
+    uses the same llh-difference rule (f32 resolution caps effective eta)."""
+    import jax
+    import jax.numpy as jnp
+
+    M, R = S.shape
+    lp = (jnp.asarray(read_lens[None, :] - S.astype(np.int32), jnp.float32)
+          * float(np.log(ERROR_RATE))
+          + jnp.asarray(S, jnp.float32) * float(np.log1p(-ERROR_RATE))).T  # [R, M]
+    wj = jnp.asarray(w, jnp.float32)
+    wsum = float(w.sum())
+    eta32 = float(eta)
+
+    def em(p):
+        lg = lp + jnp.log(p)[None, :]
+        mx = jnp.max(lg, axis=1, keepdims=True)
+        e = jnp.exp(lg - mx)
+        den = jnp.sum(e, axis=1, keepdims=True)
+        return jnp.sum(wj[:, None] * (e / den), axis=0) / wsum
+
+    def llh(p):
+        lg = lp + jnp.log(p)[None, :]
+        mx = jnp.max(lg, axis=1)
+        return jnp.sum(wj * (mx + jnp.log(jnp.sum(jnp.exp(lg - mx[:, None]),
+                                                  axis=1))))
+
+    def norm(p):
+        p = jnp.where(p <= 0, 1e-12, p)
+        return p / jnp.sum(p)
+
+    def cond(carry):
+        _, _, it, done = carry
+        return (~done) & (it < max_iterations)
+
+    def body(carry):
+        p0, cur, it, _ = carry
+        p1 = norm(em(p0))
+        p2 = norm(em(p1))
+        r = p1 - p0
+        v = (p2 - p1) - r
+        vn = jnp.linalg.norm(v)
+        alpha = jnp.where(vn > 0, -jnp.linalg.norm(r) / vn, -1.0)
+        psq = norm(p0 - 2.0 * alpha * r + alpha * alpha * v)
+        l2 = llh(p2)
+        lsq = llh(psq)
+        use_sq = lsq > l2 - eta32
+        pn = jnp.where(use_sq, psq, p2)
+        ln = jnp.where(use_sq, lsq, l2)
+        diff = ln - cur
+        if max_change_threshold == 0:
+            done = jnp.abs(diff) < eta32
+        else:
+            done = jnp.max(jnp.abs(pn - p0)) < max_change_threshold
+        return pn, ln, it + 1, done
+
+    p0 = jnp.full(M, 1.0 / M, jnp.float32)
+    p, _, _, _ = jax.lax.while_loop(
+        cond, body, (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False)))
+    return np.asarray(p, dtype=np.float64)
+
+
 def run_squarem(score_matrix: np.ndarray, read_lens: np.ndarray,
                 read_weights: np.ndarray, node_names: list,
                 eta: float = 1e-5, max_change_threshold: float = 0.0,
-                max_iterations: int = 1000, max_rounds: int = 5) -> EMResult:
+                max_iterations: int = 1000, max_rounds: int = 5,
+                backend: str = "auto") -> EMResult:
     """score_matrix: [nodes, reads] u16;  read_lens m_j;  weights = duplicate counts."""
     # collapse identical score vectors into groups
     uniq_cols: dict = {}
@@ -684,13 +753,31 @@ def run_squarem(score_matrix: np.ndarray, read_lens: np.ndarray,
             uniq_cols[key] = name
             reps.append(name)
             keep_rows.append(i)
-    S = score_matrix[keep_rows].astype(np.float64)  # [M, R]
-    M, R = S.shape
+    Su = score_matrix[keep_rows]  # [M, R] u16
+    M, R = Su.shape
+    w = read_weights.astype(np.float64)
+    names = list(reps)
+
+    use_jax = backend == "jax" or (backend == "auto" and M * R > 5_000_000)
+    if use_jax and M > 0:
+        S_act = Su
+        p = np.full(M, 1.0 / M)
+        for _round in range(max_rounds):
+            p = _squarem_round_jax(S_act, read_lens, w, eta,
+                                   max_change_threshold, max_iterations)
+            passed = p >= PROP_THRESHOLD_TO_REMOVE
+            if passed.all():
+                break
+            S_act = S_act[passed]
+            names = [nm for nm, ok in zip(names, passed) if ok]
+            if S_act.shape[0] == 0:
+                break
+        return EMResult(node_names=names, props=p,
+                        identical_groups=dict(identical_groups))
+
+    S = Su.astype(np.float64)  # [M, R]
     probs = (ERROR_RATE ** (read_lens[None, :] - S)) * ((1 - ERROR_RATE) ** S)
     probs = probs.T  # [R, M]
-    w = read_weights.astype(np.float64)
-
-    names = list(reps)
 
     def em_step(p):
         denoms = probs @ p

@@ -1,0 +1,136 @@
+"""Presence-flip event extraction for the TPU meta scorer.
+
+The per-node seed deltas are path-dependent (a row's effect depends on the
+running count), so one sequential DFS replay converts them into ABSOLUTE
+subtree events: "hash h (ref-orientation o) becomes present/absent for the
+whole DFS interval below node n".  Scoring then needs no tree walk at all —
+a read's score at node n is a sum of interval indicators, evaluated for all
+nodes at once with an Euler scatter + prefix sum (mgsr.cpp:4500-4603's
+EXIST/NOT_EXIST transitions, re-expressed as interval arithmetic)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+def euler_intervals(parent: np.ndarray):
+    """(euler_in, euler_out): DFS interval [in, out] per node (dfs order)."""
+    n = len(parent)
+    size = np.ones(n, dtype=np.int64)
+    for i in range(n - 1, 0, -1):
+        size[parent[i]] += size[i]
+    euler_in = np.arange(n, dtype=np.int64)
+    euler_out = euler_in + size - 1
+    return euler_in, euler_out
+
+
+def presence_events(midx, read_hashes: np.ndarray):
+    """Replay the delta DFS once, emitting per-orientation presence flips for
+    hashes in `read_hashes` (sorted u64) plus total-presence flips for ALL
+    hashes (the overlap-coefficient denominator).
+
+    Returns dict with arrays:
+      ev_node, ev_uid, ev_rev, ev_delta  — read-relevant orientation flips,
+        uid = index into read_hashes
+      den_node, den_delta                — any-hash presence flips
+    """
+    offs = midx.node_offsets
+    n_nodes = len(midx.node_ids)
+    parent = midx.parent_index.astype(np.int64)
+    children: list = [[] for _ in range(n_nodes)]
+    for i in range(1, n_nodes):
+        children[parent[i]].append(i)
+
+    row_sid = midx.delta_seed
+    seed_hash = midx.seed_hash
+    seed_rev = midx.seed_rev
+    row_del = midx.delta_is_del
+
+    # uid lookup for read-relevant hashes
+    rh = np.asarray(read_hashes, dtype=np.uint64)
+    ii = np.searchsorted(rh, seed_hash[row_sid])
+    iic = np.minimum(ii, max(len(rh) - 1, 0))
+    relevant = (len(rh) > 0) & (rh[iic] == seed_hash[row_sid])
+    row_uid = np.where(relevant, iic, -1).astype(np.int64)
+
+    counts: dict = defaultdict(lambda: [0, 0])
+    _, euler_out = euler_intervals(parent)
+
+    ev_node, ev_uid, ev_rev, ev_delta = [], [], [], []
+    den_node, den_delta = [], []
+    ov_node, ov_delta = [], []  # any-orientation flips of read-relevant hashes
+
+    hashes_row = seed_hash[row_sid]
+    revs_row = seed_rev[row_sid]
+
+    def apply_row(r, node, sign):
+        h = int(hashes_row[r])
+        rv = bool(revs_row[r])
+        isdel = bool(row_del[r]) ^ (sign < 0)
+        c = counts[h]
+        oi = 1 if rv else 0
+        was_any = (c[0] + c[1]) > 0
+        if not isdel:
+            c[oi] += 1
+            fire = c[oi] == 1
+            delta = 1
+        else:
+            fire = c[oi] == 1
+            c[oi] -= 1
+            delta = -1
+        now_any = (c[0] + c[1]) > 0
+        if now_any != was_any:
+            den_node.append(node)
+            den_delta.append(1 if now_any else -1)
+            if row_uid[r] >= 0:
+                ov_node.append(node)
+                ov_delta.append(1 if now_any else -1)
+        if fire and row_uid[r] >= 0:
+            ev_node.append(node)
+            ev_uid.append(row_uid[r])
+            ev_rev.append(rv)
+            ev_delta.append(delta)
+
+    stack = [(0, False)]
+    while stack:
+        node, done = stack.pop()
+        rows = range(int(offs[node]), int(offs[node + 1]))
+        if done:
+            # ascent: the undo takes effect from the first preorder position
+            # AFTER this subtree
+            pos_after = int(euler_out[node]) + 1
+            for r in reversed(rows):
+                apply_row(r, pos_after, -1)
+            continue
+        for r in rows:
+            apply_row(r, node, +1)
+        stack.append((node, True))
+        for c in reversed(children[node]):
+            stack.append((c, False))
+
+    return dict(
+        ev_node=np.array(ev_node, dtype=np.int64),
+        ev_uid=np.array(ev_uid, dtype=np.int64),
+        ev_rev=np.array(ev_rev, dtype=bool),
+        ev_delta=np.array(ev_delta, dtype=np.int8),
+        den_node=np.array(den_node, dtype=np.int64),
+        den_delta=np.array(den_delta, dtype=np.int8),
+        ov_node=np.array(ov_node, dtype=np.int64),
+        ov_delta=np.array(ov_delta, dtype=np.int8),
+    )
+
+
+def overlap_coefficients_from_events(ev: dict, n_nodes: int) -> np.ndarray:
+    """OC per dfs index: |node seeds ∩ read seeds| / |node seeds|, both as
+    prefix sums of presence flips over the DFS order (mgsr.cpp:5685-5791)."""
+    den = np.zeros(n_nodes + 2, dtype=np.int64)
+    np.add.at(den, ev["den_node"], ev["den_delta"].astype(np.int64))
+    ov = np.zeros(n_nodes + 2, dtype=np.int64)
+    np.add.at(ov, ev["ov_node"], ev["ov_delta"].astype(np.int64))
+    denp = np.cumsum(den)[:n_nodes]
+    ovp = np.cumsum(ov)[:n_nodes]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        oc = np.where(denp > 0, ovp / np.maximum(denp, 1), 0.0)
+    return oc
