@@ -21,6 +21,78 @@ import jax.numpy as jnp
 from .events import overlap_coefficients_from_events, presence_events
 
 
+def sketch_meta_reads_batch(seqs: list, k: int, s: int, t: int, l: int,
+                            open_: bool, dust_threshold: float = 100.0,
+                            mask_read_ends: int = 0, batch: int = 16384,
+                            pad_len: int | None = None):
+    """Batched twin of engine.sketch_meta_reads_full for l >= 2: the
+    syncmer/k-min-mer scan runs on the accelerator per 16k-read batch and
+    dedup keys are row bytes of the canonical (hash, rev, qbeg, qend) lists.
+    Returns (reads, dup_index, n_dust)."""
+    import functools
+
+    from ..sketch.tpu import (
+        encode_reads_batch,
+        kminmer_batch_full,
+        syncmer_scan_batch,
+    )
+    from .engine import MetaRead, dust_score
+
+    if mask_read_ends > 0:
+        seqs = [x[mask_read_ends : len(x) - mask_read_ends]
+                if len(x) > 2 * mask_read_ends else x for x in seqs]
+    keep_idx = np.arange(len(seqs))
+    n_dust = 0
+    if dust_threshold < 100.0:
+        ok = np.array([dust_score(x) <= dust_threshold for x in seqs])
+        n_dust = int((~ok).sum())
+        keep_idx = keep_idx[ok]
+        seqs = [seqs[i] for i in keep_idx]
+    pad = pad_len or max((len(x) for x in seqs), default=k)
+    pad = max(pad, k + 1)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def sketch(reads, lens):
+        hh, hl, is_sync = syncmer_scan_batch(reads, lens, k, s, t, open_)
+        return kminmer_batch_full(hh, hl, is_sync, k, l)
+
+    lists: dict = {}
+    order_keys: list = []
+    for off in range(0, len(seqs), batch):
+        chunk = seqs[off : off + batch]
+        enc, lens = encode_reads_batch(chunk, pad_to=pad)
+        kh, kl, valid, rv, qb, qe = (np.asarray(x) for x in sketch(enc, lens))
+        H = (kh.astype(np.uint64) << np.uint64(32)) | kl.astype(np.uint64)
+        H = np.where(valid, H, 0)
+        nvalid = valid.sum(axis=1)
+        # canonical row key: trimmed-to-count is implied because invalid
+        # slots are zeroed and the count is part of the key
+        for j in range(len(chunk)):
+            nv = int(nvalid[j])
+            if nv == 0:
+                continue
+            key = (nv, H[j].tobytes(), rv[j].tobytes(), qb[j].tobytes(),
+                   qe[j].tobytes())
+            orig = int(keep_idx[off + j])
+            ent = lists.get(key)
+            if ent is None:
+                m = valid[j]
+                lists[key] = [MetaRead(hashes=H[j][m], revs=rv[j][m],
+                                       n_dup=0,
+                                       qbeg=qb[j][m].astype(np.int64),
+                                       qend=qe[j][m].astype(np.int64)),
+                              [orig]]
+            else:
+                ent[1].append(orig)
+    reads = []
+    dup_index = []
+    for rd, members in lists.values():
+        rd.n_dup = len(members)
+        reads.append(rd)
+        dup_index.append(members)
+    return reads, dup_index, n_dust
+
+
 def _pad_pow2(n: int, lo: int = 1 << 12) -> int:
     m = lo
     while m < n:

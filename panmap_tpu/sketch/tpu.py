@@ -172,6 +172,46 @@ def kminmer_batch(hash_hi, hash_lo, is_sync, k: int, l: int, max_seeds: int = 64
     return (jnp.where(valid, kh, ones), jnp.where(valid, kl, ones), valid)
 
 
+def kminmer_batch_full(hash_hi, hash_lo, is_sync, k: int, l: int,
+                       max_seeds: int = 64):
+    """kminmer_batch plus orientation and read coordinates:
+    returns (km_hi, km_lo, valid, is_rev, qbeg, qend) — qbeg is the first
+    member syncmer's base offset, qend the last member's offset + k - 1
+    (the meta seedmersList layout; l must be >= 2 here)."""
+    B, M = hash_hi.shape
+    keyp = jnp.where(is_sync, jnp.arange(M)[None, :], M + jnp.arange(M)[None, :])
+    order = jnp.argsort(keyp, axis=1)[:, :max_seeds]
+    gh = jnp.take_along_axis(hash_hi, order, axis=1)
+    gl = jnp.take_along_axis(hash_lo, order, axis=1)
+    count = jnp.sum(is_sync, axis=1)
+    pos = order.astype(jnp.int32)  # compacted syncmer base offsets
+
+    c = max_seeds - l + 1
+    Fh = jnp.zeros((B, c), dtype=U32)
+    Fl = jnp.zeros((B, c), dtype=U32)
+    Rh = jnp.zeros((B, c), dtype=U32)
+    Rl = jnp.zeros((B, c), dtype=U32)
+    for wdx in range(l):
+        rhi, rlo = rol_pair(gh[:, wdx : wdx + c], gl[:, wdx : wdx + c],
+                            (k * (l - 1 - wdx)) % 64)
+        Fh, Fl = Fh ^ rhi, Fl ^ rlo
+        rhi, rlo = rol_pair(gh[:, l - 1 - wdx : l - 1 - wdx + c],
+                            gl[:, l - 1 - wdx : l - 1 - wdx + c],
+                            (k * (l - 1 - wdx)) % 64)
+        Rh, Rl = Rh ^ rhi, Rl ^ rlo
+    palin = (Fh == Rh) & (Fl == Rl)
+    take_rev = _lex_lt(Rh, Rl, Fh, Fl)
+    kh = jnp.where(take_rev, Rh, Fh)
+    kl = jnp.where(take_rev, Rl, Fl)
+    valid = (jnp.arange(c)[None, :] + l) <= count[:, None]
+    valid = valid & ~palin
+    ones = jnp.uint32(0xFFFFFFFF)
+    qbeg = jnp.where(valid, pos[:, :c], 0)
+    qend = jnp.where(valid, pos[:, l - 1 : l - 1 + c] + (k - 1), 0)
+    return (jnp.where(valid, kh, ones), jnp.where(valid, kl, ones), valid,
+            valid & take_rev, qbeg, qend)
+
+
 def encode_reads_batch(seqs: list, pad_to: int | None = None):
     """Host: list of read strings -> ([B, L] u8 codes, lengths i32).
     Vectorized: one joined buffer + a single gather."""
