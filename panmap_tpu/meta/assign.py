@@ -131,7 +131,16 @@ def run_filter_and_assign(cfg, midx) -> int:
                 f"({n_dust} low-complexity)")
 
     scorer = MetaScorer(midx, reads)
-    if getattr(cfg, "pseudochain", False):
+    use_fast = (not getattr(cfg, "pseudochain", False) and len(reads) >= 2000)
+    fast = None
+    node_scores = None
+    if use_fast:
+        from .engine_tpu import TpuMetaScorer
+
+        fast = TpuMetaScorer(midx, reads)
+        max_score, _ = fast.score_all([])
+        cfg.log(f"[assign] batched scoring over {len(fast.ev_pos)} events")
+    elif getattr(cfg, "pseudochain", False):
         max_score, _snap, node_scores = scorer.score_all_pseudo(
             [], collect_node_scores=True)
     else:
@@ -164,68 +173,107 @@ def run_filter_and_assign(cfg, midx) -> int:
                 if len(node_taxa[parent[i]]) > maxtax:
                     node_overmax[parent[i]] = True
                     node_taxa[parent[i]] = set()
-        # drop reads spanning too many taxa among near-max nodes
         read_taxa: list = [set() for _ in range(len(reads))]
         read_overmax = np.zeros(len(reads), dtype=bool)
-        for node, pairs in node_scores.items():
-            for ridx, sc in pairs:
-                if eff[ridx] == 0 or read_overmax[ridx]:
-                    continue
-                thr = max(cfg.ambiguous_score_threshold,
-                          int(eff[ridx] * cfg.ambiguous_score_threshold_ratio))
-                if sc == eff[ridx] or sc >= max(0, int(eff[ridx]) - thr):
-                    if node_overmax[node]:
-                        read_overmax[ridx] = True
-                        read_taxa[ridx] = set()
-                    else:
-                        read_taxa[ridx] |= node_taxa[node]
-                        if len(read_taxa[ridx]) > maxtax:
+        if node_scores is not None:
+            # drop reads spanning too many taxa among near-max TOUCHED nodes
+            for node, pairs in node_scores.items():
+                for ridx, sc in pairs:
+                    if eff[ridx] == 0 or read_overmax[ridx]:
+                        continue
+                    thr = max(cfg.ambiguous_score_threshold,
+                              int(eff[ridx] * cfg.ambiguous_score_threshold_ratio))
+                    if sc == eff[ridx] or sc >= max(0, int(eff[ridx]) - thr):
+                        if node_overmax[node]:
                             read_overmax[ridx] = True
                             read_taxa[ridx] = set()
-        eff[read_overmax] = 0
+                        else:
+                            read_taxa[ridx] |= node_taxa[node]
+                            if len(read_taxa[ridx]) > maxtax:
+                                read_overmax[ridx] = True
+                                read_taxa[ridx] = set()
+            eff[read_overmax] = 0
 
-    # assignment pass (assignReadsBatchHelper): replay the per-node score
-    # deltas down the tree; a read is assigned to every collapsed node where
-    # its running score equals its maximum; LCA accumulates at those nodes
     lca = Lca(parent)
-    assigned_by_node: dict = defaultdict(set)
-    read_lca: dict = {}
-    cur_score = np.zeros(len(reads), dtype=np.int64)
-    mps: set = set()
     children: list = [[] for _ in range(n_nodes)]
     for i in range(1, n_nodes):
         children[parent[i]].append(i)
 
-    stack = [(0, None)]
-    while stack:
-        node, back = stack.pop()
-        if back is not None:
-            # undo membership changes (reverse order for duplicate reads)
-            for ridx, was_member, old_sc in reversed(back):
-                cur_score[ridx] = old_sc
-                if was_member:
+    epp_fast = None
+    if fast is not None:
+        # closed-form assignment: full score matrix per batch on device
+        assigned_raw, near_iter, epp_fast, (lca_lo, lca_hi) = \
+            fast.assignment_pass(scorer.tree.keep, eff,
+                                 cfg.ambiguous_score_threshold,
+                                 cfg.ambiguous_score_threshold_ratio)
+        if cfg.taxonomy_path:
+            for ridx, nodes in near_iter:
+                if eff[ridx] == 0:
+                    continue
+                tx = read_taxa[ridx]
+                for node in nodes.tolist():
+                    if node_overmax[node]:
+                        read_overmax[ridx] = True
+                        break
+                    tx |= node_taxa[node]
+                    if len(tx) > maxtax:
+                        read_overmax[ridx] = True
+                        break
+                if read_overmax[ridx]:
+                    read_taxa[ridx] = set()
+            eff[read_overmax] = 0
+            epp_fast = np.where(eff > 0, epp_fast, 0)
+        assigned_by_node = defaultdict(set)
+        for node, rl in assigned_raw.items():
+            s = {r for r in rl if eff[r] > 0}
+            if s:
+                assigned_by_node[node] = s
+        read_lca: dict = {}
+        for ridx in np.flatnonzero(eff > 0):
+            hi2 = int(lca_hi[ridx])
+            if hi2 >= 0:
+                lo2 = int(lca_lo[ridx])
+                read_lca[int(ridx)] = (lo2 if lo2 == hi2
+                                       else lca.lca(lo2, hi2))
+    else:
+        # assignment pass (assignReadsBatchHelper): replay the per-node score
+        # deltas down the tree; a read is assigned to every collapsed node
+        # where its running score equals its maximum; LCA accumulates there
+        assigned_by_node = defaultdict(set)
+        read_lca = {}
+        cur_score = np.zeros(len(reads), dtype=np.int64)
+        mps: set = set()
+
+        stack = [(0, None)]
+        while stack:
+            node, back = stack.pop()
+            if back is not None:
+                # undo membership changes (reverse order for duplicate reads)
+                for ridx, was_member, old_sc in reversed(back):
+                    cur_score[ridx] = old_sc
+                    if was_member:
+                        mps.add(ridx)
+                    else:
+                        mps.discard(ridx)
+                continue
+            backtrack = []
+            for ridx, sc in node_scores.get(node, []):
+                if eff[ridx] == 0:
+                    continue
+                was = ridx in mps
+                backtrack.append((ridx, was, int(cur_score[ridx])))
+                cur_score[ridx] = sc
+                if sc == eff[ridx]:
                     mps.add(ridx)
+                    read_lca[ridx] = (node if ridx not in read_lca
+                                      else lca.lca(read_lca[ridx], node))
                 else:
                     mps.discard(ridx)
-            continue
-        backtrack = []
-        for ridx, sc in node_scores.get(node, []):
-            if eff[ridx] == 0:
-                continue
-            was = ridx in mps
-            backtrack.append((ridx, was, int(cur_score[ridx])))
-            cur_score[ridx] = sc
-            if sc == eff[ridx]:
-                mps.add(ridx)
-                read_lca[ridx] = (node if ridx not in read_lca
-                                  else lca.lca(read_lca[ridx], node))
-            else:
-                mps.discard(ridx)
-        if mps and scorer.tree.keep[node]:
-            assigned_by_node[node] |= mps
-        stack.append((node, backtrack))
-        for c in reversed(children[node]):
-            stack.append((c, None))
+            if mps and scorer.tree.keep[node]:
+                assigned_by_node[node] |= mps
+            stack.append((node, backtrack))
+            for c in reversed(children[node]):
+                stack.append((c, None))
 
     assigned_by_lca: dict = defaultdict(set)
     for ridx, node in read_lca.items():
@@ -276,7 +324,9 @@ def run_filter_and_assign(cfg, midx) -> int:
     if getattr(cfg, "write_read_scores_filtered", False):
         from .engine import count_epp, write_read_scores_tsv
 
-        epp = count_epp(node_scores, eff, parent, scorer.tree.keep, len(reads))
+        epp = (epp_fast if epp_fast is not None
+               else count_epp(node_scores, eff, parent, scorer.tree.keep,
+                              len(reads)))
         read_overmax_col = (read_overmax if cfg.taxonomy_path
                             else np.zeros(len(reads), dtype=bool))
         path = cfg.output + ".read_scores_info.filtered.tsv"

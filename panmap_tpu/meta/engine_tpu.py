@@ -157,6 +157,111 @@ class TpuMetaScorer:
 
         return score
 
+    def _batch_coo(self, off, hi):
+        """Expand one read batch into COO (read_local, euler_pos, fwd, rev)."""
+        uid = self.r_uid[off:hi]
+        rev = self.r_rev[off:hi]
+        reads_rep, ev_idx, agree = [], [], []
+        for li, (u, rv) in enumerate(zip(uid, rev)):
+            ns = self.uid_start[u]
+            ne = self.uid_end[u]
+            cnt = ne - ns
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            idx = np.repeat(ns, cnt) + (
+                np.arange(tot)
+                - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt))
+            rrev = np.repeat(rv, cnt)
+            reads_rep.append(np.full(len(idx), li, dtype=np.int32))
+            ev_idx.append(idx)
+            agree.append(self.ev_rev[idx] == rrev)
+        if not ev_idx:
+            return None
+        reads_rep = np.concatenate(reads_rep)
+        ev_idx = np.concatenate(ev_idx)
+        agree = np.concatenate(agree)
+        deltas = self.ev_delta[ev_idx]
+        pos = self.ev_pos[ev_idx].astype(np.int32)
+        return (reads_rep, pos,
+                np.where(agree, deltas, 0).astype(np.int32),
+                np.where(agree, 0, deltas).astype(np.int32))
+
+    def assignment_pass(self, keep: np.ndarray, eff: np.ndarray,
+                        amb_thr: int = 0, amb_ratio: float = 0.0):
+        """Full-matrix assignment support (the python assignReadsBatch DFS,
+        evaluated in closed form): for each read with eff>0, the sets of
+        kept nodes where score == eff (max-parsimony placements) and where
+        score >= eff - threshold (near-max, for taxonomy ambiguity).
+
+        Returns (assigned_by_node: dict node -> list[read], near_iter:
+        list[(read, node_array)] for near-max nodes, epp i64[R],
+        lca_bounds (min_dfs, max_dfs) per read)."""
+        R = len(self.reads)
+        n_nodes = self.n_nodes
+        B = self.batch
+        keep_j = jnp.asarray(keep)
+        fns = {}
+
+        def make(npairs):
+            @jax.jit
+            def run(pr_read, pr_pos, pr_fwd, pr_rev, eff_b, thr_b):
+                width = n_nodes + 1
+                flat_f = jnp.zeros(B * width, jnp.int32).at[
+                    pr_read * width + pr_pos].add(pr_fwd, mode="drop")
+                flat_r = jnp.zeros(B * width, jnp.int32).at[
+                    pr_read * width + pr_pos].add(pr_rev, mode="drop")
+                sc = jnp.maximum(jnp.cumsum(flat_f.reshape(B, width), axis=1),
+                                 jnp.cumsum(flat_r.reshape(B, width), axis=1))[:, :n_nodes]
+                live = eff_b[:, None] > 0
+                is_max_all = (sc == eff_b[:, None]) & live
+                is_max = is_max_all & keep_j[None, :]
+                near = (sc >= (eff_b - thr_b)[:, None]) & live
+                iota = jnp.arange(n_nodes, dtype=jnp.int32)
+                # preorder LCA of a node set = LCA(min dfs, max dfs); bounds
+                # over ALL max nodes (kept or not), matching the python DFS
+                lca_min = jnp.min(jnp.where(is_max_all, iota, n_nodes), axis=1)
+                lca_max = jnp.max(jnp.where(is_max_all, iota, -1), axis=1)
+                return is_max, near, jnp.sum(is_max, axis=1), lca_min, lca_max
+            return run
+
+        assigned_by_node: dict = {}
+        near_iter = []
+        epp = np.zeros(R, dtype=np.int64)
+        lca_lo = np.full(R, -1, dtype=np.int64)
+        lca_hi = np.full(R, -1, dtype=np.int64)
+        for off in range(0, R, B):
+            hi = min(off + B, R)
+            coo = self._batch_coo(off, hi)
+            if coo is None:
+                continue
+            reads_rep, pos, fwd_val, rev_val = coo
+            npairs = _pad_pow2(len(pos))
+            padw = npairs - len(pos)
+            eff_b = np.zeros(B, dtype=np.int32)
+            eff_b[: hi - off] = eff[off:hi]
+            thr_b = np.maximum(amb_thr,
+                               (eff_b * amb_ratio).astype(np.int32))
+            if npairs not in fns:
+                fns[npairs] = make(npairs)
+            is_max, near, cnt, lmin, lmax = fns[npairs](
+                np.pad(reads_rep, (0, padw), constant_values=B),
+                np.pad(pos, (0, padw)), np.pad(fwd_val, (0, padw)),
+                np.pad(rev_val, (0, padw)), eff_b, thr_b)
+            is_max = np.asarray(is_max)[: hi - off]
+            near = np.asarray(near)[: hi - off]
+            epp[off:hi] = np.asarray(cnt)[: hi - off]
+            lca_lo[off:hi] = np.asarray(lmin)[: hi - off]
+            lca_hi[off:hi] = np.asarray(lmax)[: hi - off]
+            rr, nn = np.nonzero(is_max)
+            for r_loc, node in zip(rr.tolist(), nn.tolist()):
+                assigned_by_node.setdefault(node, []).append(off + r_loc)
+            for r_loc in range(hi - off):
+                nz = np.flatnonzero(near[r_loc])
+                if len(nz):
+                    near_iter.append((off + r_loc, nz))
+        return assigned_by_node, near_iter, epp, (lca_lo, lca_hi)
+
     def score_all(self, candidate_nodes: list):
         """Returns (max_score i32[R], snap u16[len(candidates), R])."""
         R = len(self.reads)
