@@ -21,7 +21,7 @@ Reimplements the reference's mgsr runtime (src/mgsr.cpp):
 from __future__ import annotations
 
 from collections import defaultdict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

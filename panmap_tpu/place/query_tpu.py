@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 from ..index.builder import IndexArrays
 from . import engine_tpu as et
-from ..sketch.tpu import encode_reads_batch, kminmer_batch, syncmer_scan_batch
+from ..sketch.tpu import (
+    encode_reads_batch,
+    kminmer_batch,
+    pack_reads_2bit,
+    syncmer_scan_batch,
+    unpack_reads_2bit,
+)
 
 
 def _bsearch2(uhi, ulo, qhi, qlo):
@@ -57,7 +63,7 @@ class TpuPlacer:
         self.idx = idx
         self.dev = et.prepare_device_index(idx)
         self.params = idx.params
-        self.pad_len = pad_len
+        self.pad_len = pad_len = ((pad_len + 7) // 8) * 8  # 2-bit pack needs L%8==0
         self.batch = batch
         p = self.params
         k, s, t, l, open_ = p.k, p.s, p.t, p.l, p.open
@@ -72,15 +78,17 @@ class TpuPlacer:
         self.hp_hi = jnp.asarray((hp >> np.uint64(32)).astype(np.uint32))
         self.hp_lo = jnp.asarray((hp & np.uint64(0xFFFFFFFF)).astype(np.uint32))
 
+        L = self.pad_len
+
         @jax.jit
-        def sketch_flat(reads, lengths):
+        def sketch_flat(packed, nmask, lengths):
+            reads = unpack_reads_2bit(packed, nmask, L)
             hh, hl, is_sync = syncmer_scan_batch(reads, lengths, k, s, t, open_)
             kh, kl, valid = kminmer_batch(hh, hl, is_sync, k, l)
             return kh.reshape(-1), kl.reshape(-1), valid.reshape(-1)
 
         self._sketch_flat = sketch_flat
         self._finalize = self._make_finalize()
-        self._score_raw = et.make_score_fn(self.dev.n_nodes, int(self.dev.row_id.shape[0]))
 
     MAXU = 1 << 18  # compacted read-seed slots (>= distinct seeds in any sample)
 
@@ -159,7 +167,8 @@ class TpuPlacer:
                 reads = np.concatenate(
                     [reads, np.full((pad, self.pad_len), 4, np.uint8)])
                 lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-            parts.append(self._sketch_flat(reads, lens))
+            packed, nmask = pack_reads_2bit(reads)
+            parts.append(self._sketch_flat(packed, nmask, lens))
         kh = jnp.concatenate([p[0] for p in parts])
         kl = jnp.concatenate([p[1] for p in parts])
         vv = jnp.concatenate([p[2] for p in parts])

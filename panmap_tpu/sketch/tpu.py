@@ -172,6 +172,36 @@ def kminmer_batch(hash_hi, hash_lo, is_sync, k: int, l: int, max_seeds: int = 64
     return (jnp.where(valid, kh, ones), jnp.where(valid, kl, ones), valid)
 
 
+def pack_reads_2bit(codes: np.ndarray):
+    """[B, L] u8 codes (0..3, 4=N/pad) -> ([B, L/4] u8 packed, [B, L/8] u8
+    N-bitmask).  L must be a multiple of 8; cuts the host->device transfer
+    ~2.7x (the axon link is the placement bottleneck)."""
+    B, L = codes.shape
+    assert L % 8 == 0
+    two = (codes & 3).reshape(B, L // 4, 4).astype(np.uint16)
+    packed = (two[:, :, 0] | (two[:, :, 1] << 2) | (two[:, :, 2] << 4)
+              | (two[:, :, 3] << 6)).astype(np.uint8)
+    isn = (codes >= 4).reshape(B, L // 8, 8)
+    nmask = np.zeros((B, L // 8), dtype=np.uint8)
+    for b in range(8):
+        nmask |= (isn[:, :, b] << b).astype(np.uint8)
+    return packed, nmask
+
+
+def unpack_reads_2bit(packed, nmask, L: int):
+    """Device-side inverse of pack_reads_2bit -> [B, L] int32 codes (4=N)."""
+    idx = jnp.arange(L, dtype=jnp.int32)
+    byte = jnp.take_along_axis(
+        packed.astype(jnp.int32), jnp.broadcast_to(idx[None, :] // 4,
+                                                   (packed.shape[0], L)), axis=1)
+    code = (byte >> ((idx % 4) * 2)[None, :]) & 3
+    nb = jnp.take_along_axis(
+        nmask.astype(jnp.int32), jnp.broadcast_to(idx[None, :] // 8,
+                                                  (nmask.shape[0], L)), axis=1)
+    is_n = (nb >> (idx % 8)[None, :]) & 1
+    return jnp.where(is_n == 1, 4, code).astype(jnp.uint8)
+
+
 def kminmer_batch_full(hash_hi, hash_lo, is_sync, k: int, l: int,
                        max_seeds: int = 64):
     """kminmer_batch plus orientation and read coordinates:
