@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--trim-start", type=int, default=0)
     g.add_argument("--trim-end", type=int, default=0)
     g.add_argument("--force-leaf", action="store_true")
+    g.add_argument("--device-place", action="store_true",
+                   help="batched on-device placement (sketch+score on the "
+                        "accelerator; f32 scores, ~1e-4 of the host engine)")
     g.add_argument("-a", "--aligner", default="minimap2", choices=["minimap2", "bwa"],
                    help="alignment backend (bwa = whole-read ancient-DNA mode)")
     g.add_argument("--refine", action="store_true",
@@ -124,14 +127,51 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--simulate-snps", nargs="+", type=int, default=[],
                    help="SNP counts matching --dump-sequences positions")
     g.add_argument("--random-seed", default="")
+    g.add_argument("--simulate", action="store_true",
+                   help="mutation/read simulator: mutate a node per the "
+                        "spectrum, write truth VCF + FASTA + reads")
+    g.add_argument("--sim-ref", default="RANDOM",
+                   help="node to mutate (RANDOM = sample leaves w/o replacement)")
+    g.add_argument("--mutnum", nargs=3, type=float, default=[10, 0, 0],
+                   metavar=("SNP", "INS", "DEL"),
+                   help="mutation counts per replicate")
+    g.add_argument("--indel-len", nargs=2, type=int, default=[1, 9],
+                   metavar=("MIN", "MAX"))
+    g.add_argument("--mut-spec-type", default="",
+                   choices=["", "snp", "indel", "both"],
+                   help="model mutations with --mutation-matrix")
+    g.add_argument("--mutation-rate", type=float, default=-1.0,
+                   help="scale factor applied to the SNP count")
+    g.add_argument("--rep", type=int, default=1, help="replicates")
+    g.add_argument("--n-reads", type=int, default=2000)
+    g.add_argument("--sim-model", default="NovaSeq",
+                   choices=["HiSeq", "NextSeq", "NovaSeq", "MiSeq"],
+                   help="read error model")
+    g.add_argument("--no-reads", action="store_true",
+                   help="simulate mutations only, skip read generation")
     g.add_argument("--quiet", action="store_true")
+    g.add_argument("--verbose", action="store_true",
+                   help="extra detail lines (timings, counters)")
+    g.add_argument("--plain", action="store_true",
+                   help="no ANSI color/progress (also honors NO_COLOR)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     out = args.output or (default_prefix(args.reads1) if args.reads1 else "panmap")
-    log = (lambda *a, **k: None) if args.quiet else (lambda m: print(m, file=sys.stderr))
+    from .ux import Output
+
+    log = Output(quiet=args.quiet, verbose=args.verbose, plain=args.plain)
+
+    if args.simulate:
+        from .simulate import run_simulate
+
+        return run_simulate(
+            args.panman, args.sim_ref, out, args.mutnum, args.indel_len,
+            args.mutation_matrix, args.mut_spec_type, args.mutation_rate,
+            args.rep, args.n_reads, args.sim_model, args.no_reads,
+            args.random_seed, log)
 
     if args.dump_node:
         from .tools import run_dump_node
@@ -203,7 +243,8 @@ def main(argv=None):
         mutation_matrix=args.mutation_matrix,
         baq=args.baq,
         dedup_reads=args.dedup_reads, trim_start=args.trim_start,
-        trim_end=args.trim_end, force_leaf=args.force_leaf, stop=args.stop,
+        trim_end=args.trim_end, force_leaf=args.force_leaf,
+        device_place=args.device_place, stop=args.stop,
         threads=args.threads, batch_file=args.batch_file,
         dump_all_scores=args.dump_all_scores,
     )

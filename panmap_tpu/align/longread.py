@@ -8,10 +8,14 @@ the sr path), diagonal-band chaining, and a shifted-band affine-gap DP whose
 memory scales with read_len x band instead of read_len x window — the sr
 whole-matrix DP would need GBs at ONT lengths.
 
-Deviations from minimap2 (documented, capability-level): single affine gap
-cost (no q2/e2 long-gap tier), no z-drop mid-alignment split, chain score is
-anchor coverage rather than the minimap2 chain DP.  Short reads keep using
-the bit-exact sr path in align/core.py / align/batch.py.
+Gap model: minimap2's dual affine cost min(q + |g|*e, q2 + |g|*e2)
+(options.c q/e defaults + the long-gap tier), realized as two E/F DP lanes.
+Extension stops on z-drop (row max falling more than `zdrop` below the global
+best ends the scan, mirroring ksw2's z-drop cutoff; the e*|diag-diff| slack
+term is omitted).  Remaining deviation from minimap2 (documented,
+capability-level): chain score is anchor coverage rather than the minimap2
+chain DP.  Short reads keep using the bit-exact sr path in align/core.py /
+align/batch.py.
 """
 
 from __future__ import annotations
@@ -37,15 +41,19 @@ class LongPreset:
     min_dp_max: int
     bw: int
     max_gap: int
+    gap_open2: int = 24  # long-gap tier (minimap2 -O q,q2 / -E e,e2)
+    gap_ext2: int = 1
+    zdrop: int = 400
 
 
 # options.c:14-63 defaults (= map-ont) and :108-114 map-hifi overrides
 MAP_ONT = LongPreset("map-ont", k=15, w=10, match=2, mismatch=4, gap_open=4,
                      gap_ext=2, min_cnt=3, min_chain_score=40, min_dp_max=80,
-                     bw=500, max_gap=5000)
+                     bw=500, max_gap=5000, gap_open2=24, gap_ext2=1, zdrop=400)
 MAP_HIFI = LongPreset("map-hifi", k=19, w=19, match=1, mismatch=4, gap_open=6,
                       gap_ext=2, min_cnt=3, min_chain_score=40, min_dp_max=200,
-                      bw=500, max_gap=10000)
+                      bw=500, max_gap=10000, gap_open2=26, gap_ext2=1,
+                      zdrop=400)
 
 
 def pick_preset(avg_len: float) -> LongPreset:
@@ -62,10 +70,13 @@ def banded_dp_shifted(q: np.ndarray, r: np.ndarray, dlo: int, dhi: int,
     W = dhi - dlo + 1
     NEG = np.int32(-(1 << 28))
     A, B, GO, GE = pre.match, pre.mismatch, pre.gap_open, pre.gap_ext
+    GO2, GE2 = pre.gap_open2, pre.gap_ext2
 
     H = np.zeros((lq + 1, W), dtype=np.int32)
-    E = np.full((lq + 1, W), NEG, dtype=np.int32)
-    F = np.full((lq + 1, W), NEG, dtype=np.int32)
+    E = np.full((lq + 1, W), NEG, dtype=np.int32)   # deletion, short tier
+    E2 = np.full((lq + 1, W), NEG, dtype=np.int32)  # deletion, long tier
+    F = np.full((lq + 1, W), NEG, dtype=np.int32)   # insertion, short tier
+    F2 = np.full((lq + 1, W), NEG, dtype=np.int32)  # insertion, long tier
     cidx = np.arange(W, dtype=np.int64)
 
     best = (0, 0, 0)
@@ -82,16 +93,26 @@ def banded_dp_shifted(q: np.ndarray, r: np.ndarray, dlo: int, dhi: int,
         up = np.full(W, NEG, dtype=np.int32)
         up[:-1] = np.maximum(H[i - 1, 1:] - GO, F[i - 1, 1:] - GE)
         F[i] = up
-        base = np.maximum(np.maximum(diag, up), 0)
+        up2 = np.full(W, NEG, dtype=np.int32)
+        up2[:-1] = np.maximum(H[i - 1, 1:] - GO2, F2[i - 1, 1:] - GE2)
+        F2[i] = up2
+        base = np.maximum(np.maximum(diag, np.maximum(up, up2)), 0)
         base = np.where(inb, base, NEG)
-        # deletion (consume ref): same-row prefix-max over band columns
+        # deletion (consume ref): same-row prefix-max over band columns,
+        # one prefix-max per gap tier
         pm = np.maximum.accumulate(base + cidx.astype(np.int32) * GE)
         E[i, 1:] = pm[:-1] - GO - (cidx[1:].astype(np.int32) - 1) * GE
         E[i, 0] = NEG
-        H[i] = np.where(inb, np.maximum(base, E[i]), 0)
+        pm2 = np.maximum.accumulate(base + cidx.astype(np.int32) * GE2)
+        E2[i, 1:] = pm2[:-1] - GO2 - (cidx[1:].astype(np.int32) - 1) * GE2
+        E2[i, 0] = NEG
+        H[i] = np.where(inb, np.maximum(base, np.maximum(E[i], E2[i])), 0)
         cmax = int(np.argmax(H[i]))
-        if int(H[i, cmax]) > best[0]:
-            best = (int(H[i, cmax]), i, cmax)
+        row_max = int(H[i, cmax])
+        if row_max > best[0]:
+            best = (row_max, i, cmax)
+        elif best[0] - row_max > pre.zdrop:
+            break  # z-drop: extension has collapsed; stop scanning
 
     score, bi, bc = best
     if score <= 0:
@@ -116,22 +137,26 @@ def banded_dp_shifted(q: np.ndarray, r: np.ndarray, dlo: int, dhi: int,
                 i -= 1  # same band column: diagonal move
             elif h == E[i, c]:
                 state = "E"
+            elif h == E2[i, c]:
+                state = "E2"
             elif h == F[i, c]:
                 state = "F"
+            elif h == F2[i, c]:
+                state = "F2"
             else:
                 ops.append("M")
                 i -= 1
-        elif state == "E":
+        elif state in ("E", "E2"):  # deletion run in one gap tier
+            lane, ext = (E, GE) if state == "E" else (E2, GE2)
             ops.append("D")
-            if c > 1 and E[i, c] == E[i, c - 1] - GE:
-                c -= 1
-            else:
-                c -= 1
+            if not (c > 1 and lane[i, c] == lane[i, c - 1] - ext):
                 state = "H"
-        else:  # F: insertion, predecessor at (i-1, band column c+1)
+            c -= 1
+        else:  # F/F2: insertion, predecessor at (i-1, band column c+1)
+            lane, ext = (F, GE) if state == "F" else (F2, GE2)
             ops.append("I")
             nc = c + 1
-            cont = nc < W and i > 1 and F[i, c] == F[i - 1, nc] - GE
+            cont = nc < W and i > 1 and lane[i, c] == lane[i - 1, nc] - ext
             i -= 1
             c = nc
             if not cont:

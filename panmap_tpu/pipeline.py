@@ -62,6 +62,7 @@ class PipelineConfig:
     trim_start: int = 0
     trim_end: int = 0
     force_leaf: bool = False
+    device_place: bool = False  # batched on-device sketch+score (TpuPlacer)
     aligner: str = "minimap2"  # minimap2 | bwa (aDNA whole-read mode)
     refine: bool = False
     refine_top_pct: float = 0.01
@@ -110,7 +111,20 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     if tree is None:
         tree = load_panman(cfg.panman)
     t0 = time.time()
-    idx = build_index(tree, IndexParams(**want), workers=cfg.threads)
+    prog_state = {}
+
+    def _prog(done, total):
+        if not hasattr(cfg.log, "progress"):
+            return
+        bar = prog_state.get("bar")
+        if bar is None:
+            bar = prog_state["bar"] = cfg.log.progress("index build", total)
+        bar.update(done - bar.n)
+
+    idx = build_index(tree, IndexParams(**want), progress=_prog,
+                      workers=cfg.threads)
+    if "bar" in prog_state:
+        prog_state["bar"].close()
     cfg.log(f"[index] built in {time.time()-t0:.1f}s "
             f"({len(idx.seed_hashes)} seed changes, {len(idx.node_ids)} nodes)")
     try:
@@ -123,6 +137,19 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
 def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     p = idx.params
     seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
+    if cfg.device_place:
+        blockers = [name for name, bad in [
+            ("--min-seed-quality", cfg.min_seed_quality > 0),
+            ("--trim", cfg.trim_start > 0 or cfg.trim_end > 0),
+            ("--dedup", cfg.dedup_reads),
+            ("--hpc", p.hpc),
+            ("--mask-seeds", cfg.seed_mask_fraction > 0),
+        ] if bad]
+        if blockers:
+            cfg.log(f"[place] --device-place unsupported with "
+                    f"{'/'.join(blockers)}; using the host engine")
+        else:
+            return _run_placement_device(cfg, idx, seqs)
     if cfg.min_seed_quality > 0:
         from .place.engine import sketch_reads_quality
 
@@ -139,6 +166,27 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
                              min_read_support=cfg.min_read_support,
                              seed_mask_fraction=cfg.seed_mask_fraction)
     res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
+    return _finish_placement(cfg, idx, res, len(seqs))
+
+
+def _run_placement_device(cfg: PipelineConfig, idx: IndexArrays, seqs: list):
+    """Placement via the batched on-device path (sketch + finalize + score as
+    compiled device programs; see place/query_tpu.py).  Scores are f32 on
+    device — equal to the host engine within ~1e-4, which can shift the last
+    printed decimal vs the byte-exact golden outputs; hence opt-in."""
+    from .place.engine import select_best
+    from .place.query_tpu import TpuPlacer
+
+    t0 = time.time()
+    placer = TpuPlacer(idx, pad_len=max((len(s) for s in seqs), default=160))
+    scores = placer.place(seqs, min_read_support=cfg.min_read_support)
+    cfg.log(f"[place] device path: {len(seqs)} reads in {time.time()-t0:.1f}s")
+    res = select_best(scores.astype(np.float64), idx.parent_index,
+                      force_leaf=cfg.force_leaf)
+    return _finish_placement(cfg, idx, res, len(seqs))
+
+
+def _finish_placement(cfg: PipelineConfig, idx: IndexArrays, res, n_reads: int):
     write_placement_tsv(cfg.output + ".placement.tsv", idx, res)
     if cfg.dump_all_scores:
         # main.cpp:1720-1742: positive-score nodes, descending logRaw
@@ -155,7 +203,7 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     best_id = idx.node_ids[best] if best is not None else ""
     cfg.log(f"[place] best log_containment node: {best_id} "
             f"({res.best_score['log_containment']:.4f})")
-    return res, best_id, len(seqs)
+    return res, best_id, n_reads
 
 
 def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):

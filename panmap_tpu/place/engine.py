@@ -257,13 +257,23 @@ def score_nodes(index: IndexArrays, sk: ReadSketch, force_leaf: bool = False,
     if sk.log_containment_denominator > 0:
         scores[:, 4] = logcont_num / sk.log_containment_denominator
 
+    return select_best(scores, parent, force_leaf=force_leaf,
+                       skip_node_index=skip_node_index)
+
+
+def select_best(scores: np.ndarray, parent_index: np.ndarray,
+                force_leaf: bool = False,
+                skip_node_index: int | None = None) -> PlacementScores:
+    """Tolerance-aware best/tie selection over a [N,5] score matrix
+    (src/placement.cpp:355-401); shared by the f64 engine and the TPU path."""
+    n_nodes = scores.shape[0]
     result = PlacementScores(scores=scores)
     eligible = np.ones(n_nodes, dtype=bool)
     if skip_node_index is not None:
         eligible[skip_node_index] = False
     if force_leaf:
         is_parent = np.zeros(n_nodes, dtype=bool)
-        is_parent[parent[1:]] = True
+        is_parent[parent_index[1:]] = True
         eligible &= ~is_parent
 
     for m, name in enumerate(METRICS):

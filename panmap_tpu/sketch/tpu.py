@@ -189,16 +189,16 @@ def pack_reads_2bit(codes: np.ndarray):
 
 
 def unpack_reads_2bit(packed, nmask, L: int):
-    """Device-side inverse of pack_reads_2bit -> [B, L] int32 codes (4=N)."""
-    idx = jnp.arange(L, dtype=jnp.int32)
-    byte = jnp.take_along_axis(
-        packed.astype(jnp.int32), jnp.broadcast_to(idx[None, :] // 4,
-                                                   (packed.shape[0], L)), axis=1)
-    code = (byte >> ((idx % 4) * 2)[None, :]) & 3
-    nb = jnp.take_along_axis(
-        nmask.astype(jnp.int32), jnp.broadcast_to(idx[None, :] // 8,
-                                                  (nmask.shape[0], L)), axis=1)
-    is_n = (nb >> (idx % 8)[None, :]) & 1
+    """Device-side inverse of pack_reads_2bit -> [B, L] uint8 codes (4=N).
+
+    Gather-free: four shifted copies stacked along a new minor axis then
+    reshaped back to [B, L] (position 4*i+j comes from byte i, shift 2*j)."""
+    B = packed.shape[0]
+    p = packed.astype(jnp.int32)
+    code = jnp.stack([p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3],
+                     axis=2).reshape(B, L)
+    m = nmask.astype(jnp.int32)
+    is_n = jnp.stack([(m >> b) & 1 for b in range(8)], axis=2).reshape(B, L)
     return jnp.where(is_n == 1, 4, code).astype(jnp.uint8)
 
 

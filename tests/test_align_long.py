@@ -79,3 +79,20 @@ def test_garbage_read_unmapped():
     junk = "".join(rng.choice("ACGT") for _ in range(1500))
     a = alner.align_read(junk)
     assert not a.mapped
+
+
+def test_long_gap_tier_spans_big_deletion():
+    """A 300bp deletion costs 24+300*1 via the long-gap tier (vs 4+300*2
+    single-tier, which would make clipping to one flank score higher): the
+    read must align across the deletion as one alignment with a ~300D op."""
+    rng = random.Random(11)
+    ref = "".join(rng.choice("ACGT") for _ in range(1200))
+    read = ref[100:300] + ref[600:800]  # 200bp flanks, 300bp deletion
+
+    la = LongReadAligner(ref, MAP_ONT)
+    aln = la.align_read(read)
+    assert aln.mapped
+    dels = [n for n, op in aln.cigar if op == "D"]
+    assert dels and max(dels) == 300
+    span = aln.re - aln.rs
+    assert span >= 650  # covers both flanks plus the deletion

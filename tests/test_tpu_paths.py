@@ -140,3 +140,64 @@ def test_sharded_scoring_matches_single_device():
                              jnp.asarray(euler_out), jnp.asarray(read_ids),
                              jnp.asarray(read_logc)))
     assert np.allclose(acc, acc1, atol=1e-5)
+
+
+def test_tpu_placer_matches_f64_engine(rng):
+    """Full device placement path (encode -> 2-bit pack -> batched sketch ->
+    compacted sort/count -> index join -> row scoring) against the exact host
+    engine, on a synthetic index whose seeds come from real read k-min-mers."""
+    from panmap_tpu.index.builder import IndexArrays, IndexParams
+    from panmap_tpu.place.engine import (
+        prepare_read_sketch,
+        score_nodes,
+        sketch_reads,
+    )
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    k, s, t, l = 19, 8, 0, 3
+    nprng = np.random.default_rng(3)
+    # reads with duplicates (exercises counts>1) and one N
+    base = [random_dna(rng, 150) for _ in range(20)]
+    seqs = base + base[:5]
+    seqs[2] = seqs[2][:70] + "N" + seqs[2][71:]
+
+    freq = sketch_reads(seqs, k, s, t, l, False)
+    read_hashes = np.array(sorted(freq), dtype=np.uint64)
+    assert len(read_hashes) > 30
+
+    # index: 9 nodes; rows mix read hashes with absent hashes
+    n_nodes = 9
+    parent = np.array([0, 0, 1, 1, 0, 4, 4, 6, 6], dtype=np.uint32)
+    rows_per_node = nprng.integers(4, 12, n_nodes)
+    offsets = np.zeros(n_nodes + 1, dtype=np.uint64)
+    offsets[1:] = np.cumsum(rows_per_node)
+    T = int(offsets[-1])
+    pick = nprng.integers(0, len(read_hashes), T)
+    hashes = read_hashes[pick]
+    miss = nprng.random(T) < 0.3  # 30% of rows reference absent seeds
+    hashes = np.where(
+        miss, nprng.integers(1, 1 << 62, T).astype(np.uint64), hashes)
+    idx = IndexArrays(
+        params=IndexParams(k=k, s=s, t=t, l=l, open=False),
+        node_ids=[f"n{i}" for i in range(n_nodes)],
+        parent_index=parent,
+        identical_to_parent=np.zeros(n_nodes, bool),
+        block_ranges=np.zeros((1, 2), np.uint32),
+        seed_hashes=hashes,
+        parent_counts=nprng.integers(0, 4, T).astype(np.int16),
+        child_counts=nprng.integers(0, 4, T).astype(np.int16),
+        node_offsets=offsets,
+    )
+
+    sk_ = prepare_read_sketch(freq, k, len(seqs), min_read_support=1)
+    exact = score_nodes(idx, sk_)
+
+    placer = TpuPlacer(idx, pad_len=152, batch=32)
+    got = placer.place(seqs, min_read_support=1)
+    assert np.allclose(got, exact.scores, atol=2e-4)
+
+    # auto min-read-support path agrees too
+    sk_auto = prepare_read_sketch(freq, k, len(seqs), min_read_support=-1)
+    exact_auto = score_nodes(idx, sk_auto)
+    got_auto = placer.place(seqs, min_read_support=-1)
+    assert np.allclose(got_auto, exact_auto.scores, atol=2e-4)
