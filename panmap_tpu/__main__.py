@@ -149,6 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read error model")
     g.add_argument("--no-reads", action="store_true",
                    help="simulate mutations only, skip read generation")
+    g.add_argument("--profile", default="", dest="profile_dir", metavar="DIR",
+                   help="write a jax.profiler device trace to DIR")
     g.add_argument("--quiet", action="store_true")
     g.add_argument("--verbose", action="store_true",
                    help="extra detail lines (timings, counters)")
@@ -247,6 +249,7 @@ def main(argv=None):
         device_place=args.device_place, stop=args.stop,
         threads=args.threads, batch_file=args.batch_file,
         dump_all_scores=args.dump_all_scores,
+        profile_dir=args.profile_dir,
     )
     cfg.log = log
     return run_pipeline(cfg) or 0

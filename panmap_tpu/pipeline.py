@@ -75,6 +75,7 @@ class PipelineConfig:
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
     batch_file: str = ""
+    profile_dir: str = ""  # jax.profiler trace output dir (--profile)
     dump_all_scores: str = ""
     log: object = print
 
@@ -432,6 +433,21 @@ def run_batch(cfg: PipelineConfig):
 
 
 def run_pipeline(cfg: PipelineConfig):
+    if cfg.profile_dir:
+        # aux observability (SURVEY §5.1): device-level trace viewable in
+        # XProf/TensorBoard alongside the per-stage wall-timer log lines
+        import jax
+
+        jax.profiler.start_trace(cfg.profile_dir)
+        try:
+            return _run_pipeline_inner(cfg)
+        finally:
+            jax.profiler.stop_trace()
+            cfg.log(f"[profile] trace written to {cfg.profile_dir}")
+    return _run_pipeline_inner(cfg)
+
+
+def _run_pipeline_inner(cfg: PipelineConfig):
     if cfg.batch_file:
         return run_batch(cfg)
     tree = None

@@ -32,6 +32,52 @@ from ..sketch.tpu import (
 )
 
 
+def build_cuckoo_table(u_hi: np.ndarray, u_lo: np.ndarray):
+    """Host-side 2-table cuckoo hash of the index's unique (hi, lo) hash
+    pairs -> (tab_hi, tab_lo, tab_idx) flat arrays of length 2*S.
+
+    Table 0 hashes by the low u32, table 1 by the high u32 (the seeds are
+    already ntHash outputs, so the two words are independent uniform bits).
+    Device lookup is exactly two probes = six 1D gathers — replacing the
+    42-gather binary search that dominated the fused placement program.
+    Build is vectorized eviction rounds (numpy); S doubles on the rare
+    build failure (classic cuckoo is reliable at load <= 0.5)."""
+    n = len(u_hi)
+    S = 1 << max(int(np.ceil(np.log2(max(n, 2)))), 4)
+    for _ in range(3):
+        mask = np.uint32(S - 1)
+        H = np.stack([(u_lo & mask).astype(np.int64),
+                      (u_hi & mask).astype(np.int64) + S])
+        owner = np.full(2 * S, -1, np.int64)
+        choice = np.zeros(n, np.int8)
+        active = np.arange(n)
+        for _round in range(500):
+            if active.size == 0:
+                break
+            slots = H[choice[active], active]
+            old = owner[slots]  # pre-round occupants (read before any write)
+            owner[slots] = active  # duplicate slots: last write wins
+            won = owner[slots] == active
+            evicted = old[won]
+            evicted = evicted[evicted >= 0]
+            losers = active[~won]
+            choice[evicted] ^= 1
+            choice[losers] ^= 1
+            active = np.concatenate([losers, evicted])
+        if active.size == 0:
+            tab_hi = np.full(2 * S, 0xFFFFFFFF, np.uint32)
+            tab_lo = np.full(2 * S, 0xFFFFFFFF, np.uint32)
+            tab_idx = np.zeros(2 * S, np.int32)
+            placed = owner >= 0
+            ids = owner[placed]
+            tab_hi[placed] = u_hi[ids]
+            tab_lo[placed] = u_lo[ids]
+            tab_idx[placed] = ids
+            return tab_hi, tab_lo, tab_idx, S
+        S *= 2
+    raise RuntimeError("cuckoo build failed at load <= 0.125")
+
+
 def _bsearch2(uhi, ulo, qhi, qlo):
     """Vectorized lexicographic binary search of (qhi,qlo) in sorted (uhi,ulo).
     Returns (idx, found)."""
@@ -68,9 +114,14 @@ class TpuPlacer:
         p = self.params
         k, s, t, l, open_ = p.k, p.s, p.t, p.l, p.open
 
-        U = self.dev.unique_hashes
-        self.u_hi = jnp.asarray((U >> np.uint64(32)).astype(np.uint32))
-        self.u_lo = jnp.asarray((U & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        U = np.asarray(self.dev.unique_hashes)
+        u_hi = (U >> np.uint64(32)).astype(np.uint32)
+        u_lo = (U & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        t_hi, t_lo, t_idx, S = build_cuckoo_table(u_hi, u_lo)
+        self.tab_hi = jnp.asarray(t_hi)
+        self.tab_lo = jnp.asarray(t_lo)
+        self.tab_idx = jnp.asarray(t_idx)
+        self.tab_size = S
 
         from .engine import homopolymer_hashes
 
@@ -100,32 +151,38 @@ class TpuPlacer:
 
         self._sketch_sparse = sketch_sparse
         self._finalize_score = self._make_finalize_score()
-        self._finalize_full_fn = None  # overflow fallback, compiled on demand
 
     MAXU = 1 << 18  # compacted read-seed slots (>= distinct seeds in any sample)
     MAXN = 4096     # sparse N-mask slots per chunk (else ship the dense mask)
 
-    def _finalize_stats(self, shi, slo, sv, min_support_cfg):
+    def _finalize_stats(self, shi, slo, min_support_cfg, tab_hi, tab_lo,
+                        tab_idx):
         """Shared post-sort stage: run-length counts over sorted (hi, lo)
         seeds, homopolymer removal, auto min-read-support
         (placement.cpp:931-955), log-count stats, and the one-time join of the
-        kept distinct read seeds against the index's unique-hash table.
-        Traced inside a jit; returns per-uid read tables + scalars."""
+        kept distinct read seeds against the index's unique-hash table via the
+        two-probe cuckoo lookup.  Invalid slots carry all-ones hashes, so they
+        form one trailing run and every other run is entirely valid: a run's
+        count is simply its LENGTH (a genuine all-ones seed hash — p ~ 2^-64 —
+        would be dropped).  Traced inside a jit; returns the per-uid logc
+        table (>0 marks a found+kept seed) + scalars."""
         n_unique = int(self.dev.unique_hashes.shape[0])
+        S = self.tab_size
         MAXU = self.MAXU
         n = shi.shape[0]
+        ones = jnp.uint32(0xFFFFFFFF)
         iota = jnp.arange(n, dtype=jnp.int32)
         first = jnp.concatenate(
             [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
-        # run-length counting without scatters: next run start per position
-        # via a reversed cummin, then a cumsum difference of valid flags
+        # run length without scatters or gathers: next run start per position
+        # via a reversed cummin; count at a run start = nxt - iota
         cand = jnp.where(first, iota, n)
         nxt = jnp.concatenate(
             [jax.lax.cummin(cand[1:][::-1])[::-1], jnp.full(1, n, jnp.int32)])
-        cvv = jnp.concatenate(
-            [jnp.zeros(1, jnp.float32), jnp.cumsum(sv.astype(jnp.float32))])
-        counts = jnp.where(first, cvv[nxt] - cvv[iota], 0.0)
-        is_seed = first & (counts > 0)
+        valid_run = ~((shi == ones) & (slo == ones))
+        counts = jnp.where(first & valid_run,
+                           (nxt - iota).astype(jnp.float32), 0.0)
+        is_seed = first & valid_run
 
         hp_match = jnp.zeros_like(is_seed)
         for i in range(self.hp_hi.shape[0]):
@@ -150,22 +207,29 @@ class TpuPlacer:
         rq_lo = jnp.zeros(MAXU, jnp.uint32).at[slot].set(slo, mode="drop")
         rq_lc = jnp.zeros(MAXU, jnp.float32).at[slot].set(logc, mode="drop")
         rq_ok = jnp.arange(MAXU) < nuniq
-        uidx, hit = _bsearch2(self.u_hi, self.u_lo, rq_hi, rq_lo)
+        # cuckoo probe: table 0 keyed by the low word, table 1 by the high
+        mask = jnp.uint32(S - 1)
+        s0 = (rq_lo & mask).astype(jnp.int32)
+        s1 = (rq_hi & mask).astype(jnp.int32) + S
+        m0 = (tab_hi[s0] == rq_hi) & (tab_lo[s0] == rq_lo)
+        m1 = (tab_hi[s1] == rq_hi) & (tab_lo[s1] == rq_lo)
+        uidx = jnp.where(m0, tab_idx[s0], tab_idx[s1])
+        hit = m0 | m1
         put = jnp.where(hit & rq_ok, uidx, n_unique)
         uid_logc = jnp.zeros(n_unique, jnp.float32).at[put].set(
             rq_lc, mode="drop")
-        uid_found = jnp.zeros(n_unique, bool).at[put].set(
-            hit & rq_ok, mode="drop")
-        return uid_logc, uid_found, log_mag, nuniq, lden
+        return uid_logc, log_mag, nuniq, lden
 
     def _score_rows(self, row_id, row_parent, row_child, row_node, euler_in,
-                    euler_out, uid_logc, uid_found):
+                    euler_out, uid_logc):
         """Row-delta metric accumulation + Euler-tour prefix (traced inside a
-        jit).  Same math as place/engine_tpu.py; see placement.cpp:242-345."""
+        jit).  Same math as place/engine_tpu.py; see placement.cpp:242-345.
+        uid_logc > 0 exactly marks found+kept seeds (log1p of a count >= 1 is
+        strictly positive), so one gather serves as both value and flag."""
         n_nodes = self.dev.n_nodes
         a, b = self.dev.root_rows
-        found = uid_found[row_id]
         lrc = uid_logc[row_id]
+        found = lrc > 0
         P = row_parent
         C = row_child
         log_child = jnp.where(C > 0, jnp.log1p(C), 0.0)
@@ -198,49 +262,24 @@ class TpuPlacer:
         return pref[euler_in], wc_den
 
     def _make_finalize_score(self):
-        """One fused program: compact the valid k-min-mer slots (typically
-        ~25% of the padded [reads x slots] grid) BEFORE the expensive 2-key
-        sort, then stats + index join + row scoring.  An all-ones hash marks
-        padding, so validity is recoverable after the sort (a genuine all-ones
-        seed hash — p ~ 2^-64 — would be dropped; the overflow flag triggers
-        the uncompacted fallback when >CAP valid slots appear)."""
+        """One fused program: 2-key sort of every padded k-min-mer slot
+        (TPU sort is fast — cheaper than compact-then-sort, whose scatter
+        costs 4x the full sort), then run-length stats, the cuckoo index
+        join, and row scoring."""
 
         @jax.jit
         def run(kh, kl, valid, min_support_cfg, row_id, row_parent, row_child,
-                row_node, euler_in, euler_out):
-            total = kh.shape[0]
-            CAP = max(total // 2, 1024)
-            ones = jnp.uint32(0xFFFFFFFF)
-            pos = jnp.cumsum(valid.astype(jnp.int32))
-            nvalid = pos[-1]
-            overflow = nvalid > CAP
-            slot = jnp.where(valid, pos - 1, CAP)
-            ckh = jnp.full(CAP, ones).at[slot].set(kh, mode="drop")
-            ckl = jnp.full(CAP, ones).at[slot].set(kl, mode="drop")
-            shi, slo = jax.lax.sort((ckh, ckl), num_keys=2)
-            sv = ~((shi == ones) & (slo == ones))
-            uid_logc, uid_found, log_mag, nuniq, lden = self._finalize_stats(
-                shi, slo, sv, min_support_cfg)
+                row_node, euler_in, euler_out, tab_hi, tab_lo, tab_idx):
+            del valid  # invalid slots already carry all-ones sentinel hashes
+            shi, slo = jax.lax.sort((kh, kl), num_keys=2)
+            uid_logc, log_mag, nuniq, lden = self._finalize_stats(
+                shi, slo, min_support_cfg, tab_hi, tab_lo, tab_idx)
             acc, wc_den = self._score_rows(
                 row_id, row_parent, row_child, row_node, euler_in, euler_out,
-                uid_logc, uid_found)
-            return acc, wc_den, log_mag, nuniq, lden, overflow
+                uid_logc)
+            return acc, wc_den, log_mag, nuniq, lden
 
         return run
-
-    def _finalize_full(self, kh, kl, valid, min_support_cfg):
-        """Uncompacted path (sorts every padded slot); only used if the
-        compacted buffer would overflow."""
-        if self._finalize_full_fn is None:
-
-            @jax.jit
-            def finalize(kh, kl, valid, min_support_cfg):
-                shi, slo, sv = jax.lax.sort(
-                    (kh, kl, valid.astype(jnp.uint32)), num_keys=2)
-                return self._finalize_stats(shi, slo, sv, min_support_cfg)
-
-            self._finalize_full_fn = finalize
-        return self._finalize_full_fn(kh, kl, valid, min_support_cfg)
 
     def sketch_device(self, seqs: list):
         parts = []
@@ -272,27 +311,24 @@ class TpuPlacer:
     def place(self, seqs: list, min_read_support: int = -1):
         kh, kl, vv = self.sketch_device(seqs)
         dev = self.dev
-        acc, wc_den, log_mag, nuniq, lden, overflow = self._finalize_score(
+        acc, wc_den, log_mag, nuniq, lden = self._finalize_score(
             kh, kl, vv, float(min_read_support), dev.row_id, dev.row_parent,
-            dev.row_child, dev.row_node, dev.euler_in, dev.euler_out)
-        if bool(overflow):  # >CAP distinct-slot seeds: redo without compaction
-            uid_logc, uid_found, log_mag, nuniq, lden = self._finalize_full(
-                kh, kl, vv, float(min_read_support))
-            acc, wc_den = self._score_by_table(uid_logc, uid_found)
+            dev.row_child, dev.row_node, dev.euler_in, dev.euler_out,
+            self.tab_hi, self.tab_lo, self.tab_idx)
         self._last_wc_den = float(wc_den)
         return self._finish_scores(np.asarray(acc), float(log_mag), int(nuniq),
                                    float(lden))
 
-    def _score_by_table(self, uid_logc, uid_found):
+    def _score_by_table(self, uid_logc):
         """Score rows by gathering each row's unique-hash id from the dense
-        per-uid read tables built in finalize (one gather per row; the
+        per-uid logc table built in finalize (one gather per row; the
         expensive join already happened on the compacted read seeds)."""
         dev = self.dev
         if not hasattr(self, "_score_tab_fn"):
             self._score_tab_fn = jax.jit(self._score_rows)
         return self._score_tab_fn(
             dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
-            dev.euler_in, dev.euler_out, uid_logc, uid_found)
+            dev.euler_in, dev.euler_out, uid_logc)
 
     def _finish_scores(self, acc, log_mag, read_unique, logcont_den):
         genome_mag_sq, lograw, logcos, wc_num, logcont, presence = acc.T

@@ -65,8 +65,8 @@ def main():
         kh = jax.numpy.concatenate([p[0] for p in parts])
         kl = jax.numpy.concatenate([p[1] for p in parts])
         vv = jax.numpy.concatenate([p[2] for p in parts])
-        kh.block_until_ready()
-        ts.append(time.time() - t0)
+        np.asarray(kh[-8:])  # force full materialization (axon's
+        ts.append(time.time() - t0)  # block_until_ready doesn't block)
     print(f"device sketch: {min(ts):.3f}s", file=sys.stderr)
 
     dev = placer.dev
@@ -75,12 +75,13 @@ def main():
         t0 = time.time()
         out = placer._finalize_score(kh, kl, vv, -1.0, dev.row_id,
                                      dev.row_parent, dev.row_child,
-                                     dev.row_node, dev.euler_in, dev.euler_out)
-        out[0].block_until_ready()
+                                     dev.row_node, dev.euler_in, dev.euler_out,
+                                     placer.tab_hi, placer.tab_lo,
+                                     placer.tab_idx)
+        np.asarray(out[0])
         ts.append(time.time() - t0)
     print(f"finalize+score (fused): {min(ts):.3f}s", file=sys.stderr)
-    acc, wc_den, log_mag, nuniq, lden, overflow = out
-    print(f"  overflow={bool(overflow)}", file=sys.stderr)
+    acc, wc_den, log_mag, nuniq, lden = out
 
     ts = []
     for _ in range(reps):
