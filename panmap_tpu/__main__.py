@@ -221,6 +221,7 @@ def main(argv=None):
             write_ocranks=args.write_ocranks,
             write_read_scores_unfiltered=args.write_meta_read_scores_unfiltered,
             write_read_scores_filtered=args.write_meta_read_scores_filtered,
+            threads=args.threads,
             stop=args.stop,
             log=log,
         )

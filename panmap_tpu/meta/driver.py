@@ -67,6 +67,7 @@ class MetaConfig:
     write_read_scores_unfiltered: bool = False
     write_read_scores_filtered: bool = False
     leaves_only: bool = False
+    threads: int = 0
     stop: str = ""
     log: object = print
 
@@ -86,7 +87,8 @@ def ensure_meta_index(cfg: MetaConfig, tree=None):
         tree = load_panman(cfg.panman)
     t0 = time.time()
     midx = build_meta_index(
-        tree, IndexParams(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open))
+        tree, IndexParams(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open),
+        workers=cfg.threads)
     cfg.log(f"[meta-index] built in {time.time()-t0:.1f}s "
             f"({len(midx.delta_seed)} deltas, {len(midx.seed_hash)} seeds)")
     try:
@@ -184,7 +186,8 @@ def run_meta(cfg: MetaConfig) -> int:
     score_fn = (scorer.score_all_pseudo if cfg.pseudochain
                 else scorer.score_all)
     if fast is not None:
-        max_score, snap = fast.score_all(candidates)
+        # snap stays on device; run_squarem consumes it there (no round-trip)
+        max_score, snap = fast.score_all(candidates, snap_device=True)
     elif want_scores_tsv:
         max_score, snap, node_scores = score_fn(candidates,
                                                 collect_node_scores=True)

@@ -666,80 +666,193 @@ class EMResult:
     identical_groups: dict  # representative -> [other node names]
 
 
-def _squarem_round_jax(S: np.ndarray, read_lens: np.ndarray, w: np.ndarray,
-                       eta: float, max_change_threshold: float,
-                       max_iterations: int) -> np.ndarray:
-    """One SQUAREM run on device in log-space f32 (S: [M, R] u16 scores).
+_MASKED_EM_CACHE: dict = {}
 
-    The probability matrix err^(m-s)(1-err)^s underflows f32, so everything
-    runs as log-probabilities with softmax responsibilities; matvecs and
-    softmaxes are a single fused while_loop on the accelerator.  Convergence
-    uses the same llh-difference rule (f32 resolution caps effective eta)."""
+
+def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
+                        max_iterations: int):
+    """Compile-once masked SQUAREM: S stays [Rpad, Mpad] u16 on device; dead
+    columns are those with alive=False (their p is pinned to 0, so
+    log(p) = -inf removes them from every softmax).  Rounds and repeat
+    samples reuse the same executable as long as the padded shapes match —
+    critical on a remote-compile backend where each XLA build costs minutes."""
+    key = (Mpad, Rpad, float(eta), float(mct), int(max_iterations))
+    fn = _MASKED_EM_CACHE.get(key)
+    if fn is not None:
+        return fn
     import jax
     import jax.numpy as jnp
 
-    M, R = S.shape
-    lp = (jnp.asarray(read_lens[None, :] - S.astype(np.int32), jnp.float32)
-          * float(np.log(ERROR_RATE))
-          + jnp.asarray(S, jnp.float32) * float(np.log1p(-ERROR_RATE))).T  # [R, M]
-    wj = jnp.asarray(w, jnp.float32)
-    wsum = float(w.sum())
+    log_err = float(np.log(ERROR_RATE))
+    log_1me = float(np.log1p(-ERROR_RATE))
     eta32 = float(eta)
 
-    def em(p):
-        lg = lp + jnp.log(p)[None, :]
-        mx = jnp.max(lg, axis=1, keepdims=True)
-        e = jnp.exp(lg - mx)
-        den = jnp.sum(e, axis=1, keepdims=True)
-        return jnp.sum(wj[:, None] * (e / den), axis=0) / wsum
+    @jax.jit
+    def run(S, lens, w, alive):
+        Sf = S.astype(jnp.float32)
+        lp = (lens.astype(jnp.float32)[:, None] - Sf) * log_err + Sf * log_1me
+        wsum = jnp.sum(w)
 
-    def llh(p):
-        lg = lp + jnp.log(p)[None, :]
-        mx = jnp.max(lg, axis=1)
-        return jnp.sum(wj * (mx + jnp.log(jnp.sum(jnp.exp(lg - mx[:, None]),
-                                                  axis=1))))
+        def em(p):
+            lg = lp + jnp.log(p)[None, :]
+            mx = jnp.max(lg, axis=1, keepdims=True)
+            e = jnp.exp(lg - mx)
+            den = jnp.sum(e, axis=1, keepdims=True)
+            return jnp.sum(w[:, None] * (e / den), axis=0) / wsum
 
-    def norm(p):
-        p = jnp.where(p <= 0, 1e-12, p)
-        return p / jnp.sum(p)
+        def llh(p):
+            lg = lp + jnp.log(p)[None, :]
+            mx = jnp.max(lg, axis=1)
+            return jnp.sum(w * (mx + jnp.log(
+                jnp.sum(jnp.exp(lg - mx[:, None]), axis=1))))
 
-    def cond(carry):
-        _, _, it, done = carry
-        return (~done) & (it < max_iterations)
+        def norm(p):
+            p = jnp.where(alive, jnp.maximum(p, 1e-12), 0.0)
+            return p / jnp.sum(p)
 
-    def body(carry):
-        p0, cur, it, _ = carry
-        p1 = norm(em(p0))
-        p2 = norm(em(p1))
-        r = p1 - p0
-        v = (p2 - p1) - r
-        vn = jnp.linalg.norm(v)
-        alpha = jnp.where(vn > 0, -jnp.linalg.norm(r) / vn, -1.0)
-        psq = norm(p0 - 2.0 * alpha * r + alpha * alpha * v)
-        l2 = llh(p2)
-        lsq = llh(psq)
-        use_sq = lsq > l2 - eta32
-        pn = jnp.where(use_sq, psq, p2)
-        ln = jnp.where(use_sq, lsq, l2)
-        diff = ln - cur
-        if max_change_threshold == 0:
-            done = jnp.abs(diff) < eta32
-        else:
-            done = jnp.max(jnp.abs(pn - p0)) < max_change_threshold
-        return pn, ln, it + 1, done
+        def cond(carry):
+            _, _, it, done = carry
+            return (~done) & (it < max_iterations)
 
-    p0 = jnp.full(M, 1.0 / M, jnp.float32)
-    p, _, _, _ = jax.lax.while_loop(
-        cond, body, (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False)))
-    return np.asarray(p, dtype=np.float64)
+        def body(carry):
+            p0, cur, it, _ = carry
+            p1 = norm(em(p0))
+            p2 = norm(em(p1))
+            r = p1 - p0
+            v = (p2 - p1) - r
+            vn = jnp.linalg.norm(v)
+            alpha = jnp.where(vn > 0, -jnp.linalg.norm(r) / vn, -1.0)
+            psq = norm(p0 - 2.0 * alpha * r + alpha * alpha * v)
+            l2 = llh(p2)
+            lsq = llh(psq)
+            use_sq = lsq > l2 - eta32
+            pn = jnp.where(use_sq, psq, p2)
+            ln = jnp.where(use_sq, lsq, l2)
+            diff = ln - cur
+            if mct == 0:
+                done = jnp.abs(diff) < eta32
+            else:
+                done = jnp.max(jnp.abs(pn - p0)) < mct
+            return pn, ln, it + 1, done
+
+        n_alive = jnp.sum(alive)
+        p0 = jnp.where(alive, 1.0 / jnp.maximum(n_alive, 1), 0.0)
+        p, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False)))
+        return p
+
+    _MASKED_EM_CACHE[key] = run
+    return run
 
 
-def run_squarem(score_matrix: np.ndarray, read_lens: np.ndarray,
+def _round_up(n: int, step: int) -> int:
+    return max(((n + step - 1) // step) * step, step)
+
+
+def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
+                       node_names: list, eta: float = 1e-5,
+                       max_change_threshold: float = 0.0,
+                       max_iterations: int = 1000,
+                       max_rounds: int = 5) -> EMResult:
+    """Device-resident SQUAREM: S_rm is a [R, M] u16 score matrix ALREADY on
+    device (TpuMetaScorer.score_all(snap_device=True)); nothing matrix-sized
+    crosses the host link.  Identical-column collapse uses two random f32
+    projections (identical columns always project identically) with exact
+    on-device verification of hash-matched pairs."""
+    import jax
+    import jax.numpy as jnp
+
+    R, M = S_rm.shape
+    if M == 0:
+        return EMResult(node_names=[], props=np.empty(0), identical_groups={})
+
+    rng = np.random.default_rng(12345)
+    r1 = jnp.asarray(rng.random(R).astype(np.float32))
+    r2 = jnp.asarray(rng.random(R).astype(np.float32))
+    k1, k2 = (np.asarray(x) for x in jax.jit(
+        lambda S, a, b: (a @ S.astype(jnp.float32),
+                         b @ S.astype(jnp.float32)))(S_rm, r1, r2))
+    buckets: dict = {}
+    for i in range(M):
+        buckets.setdefault((k1[i].tobytes(), k2[i].tobytes()), []).append(i)
+    pairs_a, pairs_b = [], []
+    for g in buckets.values():
+        for j in g[1:]:
+            pairs_a.append(g[0])
+            pairs_b.append(j)
+    same = np.ones(len(pairs_a), dtype=bool)
+    if pairs_a:
+        same = np.asarray(jax.jit(
+            lambda S, a, b: jnp.all(S[:, a] == S[:, b], axis=0))(
+                S_rm, jnp.asarray(np.array(pairs_a)),
+                jnp.asarray(np.array(pairs_b))))
+    identical_groups: dict = defaultdict(list)
+    keep = []
+    vi = 0
+    for g in buckets.values():
+        keep.append(g[0])
+        for j in g[1:]:
+            if same[vi]:
+                identical_groups[node_names[g[0]]].append(node_names[j])
+            else:
+                keep.append(j)  # projection collision: stands alone
+            vi += 1
+    keep.sort()
+    names = [node_names[i] for i in keep]
+    Mk = len(keep)
+
+    Mpad = _round_up(Mk, 256)
+    Rpad = _round_up(R, 16384)
+    S_pad = jnp.zeros((Rpad, Mpad), jnp.uint16).at[:R, :Mk].set(
+        S_rm[:, jnp.asarray(np.array(keep))])
+    lens_pad = jnp.zeros(Rpad, jnp.int32).at[:R].set(
+        jnp.asarray(read_lens.astype(np.int32)))
+    w_pad = jnp.zeros(Rpad, jnp.float32).at[:R].set(
+        jnp.asarray(read_weights.astype(np.float32)))
+
+    fn = _get_masked_squarem(Mpad, Rpad, eta, max_change_threshold,
+                             max_iterations)
+    alive = np.zeros(Mpad, dtype=bool)
+    alive[:Mk] = True
+    p_np = np.zeros(Mpad)
+    for _round in range(max_rounds):
+        p_np = np.asarray(fn(S_pad, lens_pad, w_pad, jnp.asarray(alive)),
+                          dtype=np.float64)
+        passed = alive & (p_np >= PROP_THRESHOLD_TO_REMOVE)
+        if passed.sum() == alive.sum():
+            break
+        alive = passed
+        if not alive.any():
+            break
+    sel = alive[:Mk]
+    return EMResult(
+        node_names=[nm for nm, ok in zip(names, sel) if ok],
+        props=p_np[:Mk][sel],
+        identical_groups=dict(identical_groups))
+
+
+def run_squarem(score_matrix, read_lens: np.ndarray,
                 read_weights: np.ndarray, node_names: list,
                 eta: float = 1e-5, max_change_threshold: float = 0.0,
                 max_iterations: int = 1000, max_rounds: int = 5,
                 backend: str = "auto") -> EMResult:
-    """score_matrix: [nodes, reads] u16;  read_lens m_j;  weights = duplicate counts."""
+    """score_matrix: [nodes, reads] u16 (numpy) — or a device [reads, nodes]
+    jax array, which dispatches to run_squarem_device.  read_lens m_j;
+    weights = duplicate counts."""
+    if not isinstance(score_matrix, np.ndarray):
+        return run_squarem_device(
+            score_matrix, read_lens, read_weights, node_names, eta=eta,
+            max_change_threshold=max_change_threshold,
+            max_iterations=max_iterations, max_rounds=max_rounds)
+    M0, R0 = score_matrix.shape
+    if backend == "jax" or (backend == "auto" and M0 * R0 > 5_000_000):
+        import jax.numpy as jnp
+
+        return run_squarem_device(
+            jnp.asarray(score_matrix.T), read_lens, read_weights, node_names,
+            eta=eta, max_change_threshold=max_change_threshold,
+            max_iterations=max_iterations, max_rounds=max_rounds)
     # collapse identical score vectors into groups
     uniq_cols: dict = {}
     identical_groups: dict = defaultdict(list)
@@ -757,23 +870,6 @@ def run_squarem(score_matrix: np.ndarray, read_lens: np.ndarray,
     M, R = Su.shape
     w = read_weights.astype(np.float64)
     names = list(reps)
-
-    use_jax = backend == "jax" or (backend == "auto" and M * R > 5_000_000)
-    if use_jax and M > 0:
-        S_act = Su
-        p = np.full(M, 1.0 / M)
-        for _round in range(max_rounds):
-            p = _squarem_round_jax(S_act, read_lens, w, eta,
-                                   max_change_threshold, max_iterations)
-            passed = p >= PROP_THRESHOLD_TO_REMOVE
-            if passed.all():
-                break
-            S_act = S_act[passed]
-            names = [nm for nm, ok in zip(names, passed) if ok]
-            if S_act.shape[0] == 0:
-                break
-        return EMResult(node_names=names, props=p,
-                        identical_groups=dict(identical_groups))
 
     S = Su.astype(np.float64)  # [M, R]
     probs = (ERROR_RATE ** (read_lens[None, :] - S)) * ((1 - ERROR_RATE) ** S)

@@ -27,9 +27,119 @@ def euler_intervals(parent: np.ndarray):
 
 
 def presence_events(midx, read_hashes: np.ndarray):
-    """Replay the delta DFS once, emitting per-orientation presence flips for
-    hashes in `read_hashes` (sorted u64) plus total-presence flips for ALL
-    hashes (the overlap-coefficient denominator).
+    """Vectorized presence-flip extraction (the semantics of
+    `presence_events_ref`, netted per preorder position).
+
+    Every delta row contributes two ±1 count steps for its (hash,
+    orientation): one at the node's preorder position, the undo at
+    euler_out+1.  Sorting all steps by (hash, position) turns each hash's
+    count history into a segmented cumsum; presence flips are transitions of
+    count>0 between consecutive distinct positions.  Same interval sums as
+    the sequential replay (same-position churn nets out, which only REMOVES
+    redundant events), at numpy speed instead of 2D python calls per row.
+
+    Returns dict with arrays:
+      ev_node, ev_uid, ev_rev, ev_delta  — read-relevant orientation flips,
+        uid = index into read_hashes
+      den_node, den_delta                — any-hash presence flips
+      ov_node, ov_delta                  — any-orientation flips of
+        read-relevant hashes (OC numerator)
+    """
+    offs = np.asarray(midx.node_offsets, dtype=np.int64)
+    n_nodes = len(midx.node_ids)
+    parent = midx.parent_index.astype(np.int64)
+    _, euler_out = euler_intervals(parent)
+
+    D = len(midx.delta_seed)
+    empty = dict(
+        ev_node=np.empty(0, np.int64), ev_uid=np.empty(0, np.int64),
+        ev_rev=np.empty(0, bool), ev_delta=np.empty(0, np.int8),
+        den_node=np.empty(0, np.int64), den_delta=np.empty(0, np.int8),
+        ov_node=np.empty(0, np.int64), ov_delta=np.empty(0, np.int8))
+    if D == 0:
+        return empty
+
+    row_node = np.repeat(np.arange(n_nodes, dtype=np.int64), np.diff(offs))
+    sid = midx.delta_seed
+    h_row = midx.seed_hash[sid]
+    rv_row = midx.seed_rev[sid]
+    sgn_row = np.where(midx.delta_is_del, -1, 1).astype(np.int8)
+
+    # two steps per row: apply at preorder pos, undo after the subtree
+    pos = np.concatenate([row_node, euler_out[row_node] + 1])
+    step = np.concatenate([sgn_row, -sgn_row])
+    h2 = np.concatenate([h_row, h_row])
+    rv2 = np.concatenate([rv_row, rv_row])
+
+    # group ids by hash
+    uniq_h, gid = np.unique(h2, return_inverse=True)
+    order = np.lexsort((pos, gid))
+    g = gid[order]
+    p = pos[order]
+    s = step[order].astype(np.int64)
+    r = rv2[order]
+
+    # segmented cumsums per (gid): counts after each entry
+    news = np.concatenate(([True], g[1:] != g[:-1]))
+    cs_fwd = np.cumsum(np.where(r, 0, s))
+    cs_rev = np.cumsum(np.where(r, s, 0))
+    seg_start = np.flatnonzero(news)
+    base_idx = np.repeat(seg_start, np.diff(np.append(seg_start, len(g))))
+    # value just before the segment start
+    pre_fwd = np.where(base_idx > 0, cs_fwd[np.maximum(base_idx - 1, 0)], 0)
+    pre_rev = np.where(base_idx > 0, cs_rev[np.maximum(base_idx - 1, 0)], 0)
+    c_fwd = cs_fwd - pre_fwd
+    c_rev = cs_rev - pre_rev
+
+    # state after the LAST entry of each (gid, pos) run
+    last = np.concatenate([(g[:-1] != g[1:]) | (p[:-1] != p[1:]), [True]])
+    lg = g[last]
+    lp = p[last]
+    lfwd = c_fwd[last] > 0
+    lrev = c_rev[last] > 0
+    lany = (c_fwd[last] + c_rev[last]) > 0
+    # previous state within the same gid (absent before the first entry)
+    firstg = np.concatenate(([True], lg[1:] != lg[:-1]))
+    prev_fwd = np.concatenate(([False], lfwd[:-1])) & ~firstg
+    prev_rev = np.concatenate(([False], lrev[:-1])) & ~firstg
+    prev_any = np.concatenate(([False], lany[:-1])) & ~firstg
+
+    rh = np.asarray(read_hashes, dtype=np.uint64)
+    if len(rh):
+        ii = np.searchsorted(rh, uniq_h)
+        iic = np.minimum(ii, len(rh) - 1)
+        g_rel = rh[iic] == uniq_h
+        g_uid = np.where(g_rel, iic, -1)
+    else:
+        g_rel = np.zeros(len(uniq_h), dtype=bool)
+        g_uid = np.full(len(uniq_h), -1, dtype=np.int64)
+    rel = g_rel[lg]
+    uid_l = g_uid[lg]
+
+    out_node, out_uid, out_rev, out_delta = [], [], [], []
+    for orient, cur, prv in ((False, lfwd, prev_fwd), (True, lrev, prev_rev)):
+        m = (cur != prv) & rel
+        out_node.append(lp[m])
+        out_uid.append(uid_l[m])
+        out_rev.append(np.full(int(m.sum()), orient, dtype=bool))
+        out_delta.append(np.where(cur[m], 1, -1).astype(np.int8))
+    ma = lany != prev_any
+    mo = ma & rel
+    return dict(
+        ev_node=np.concatenate(out_node),
+        ev_uid=np.concatenate(out_uid),
+        ev_rev=np.concatenate(out_rev),
+        ev_delta=np.concatenate(out_delta),
+        den_node=lp[ma],
+        den_delta=np.where(lany[ma], 1, -1).astype(np.int8),
+        ov_node=lp[mo],
+        ov_delta=np.where(lany[mo], 1, -1).astype(np.int8),
+    )
+
+
+def presence_events_ref(midx, read_hashes: np.ndarray):
+    """Sequential-replay reference implementation (kept as the oracle for
+    the vectorized `presence_events`; see tests/test_meta_events.py).
 
     Returns dict with arrays:
       ev_node, ev_uid, ev_rev, ev_delta  — read-relevant orientation flips,

@@ -35,60 +35,123 @@ class MetaIndexArrays:
     node_offsets: np.ndarray  # i64[N+1]
 
 
-def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
-                     progress=None) -> MetaIndexArrays:
-    params = params or IndexParams()
-    n_nodes = len(tree.dfs_order)
-    node_deltas: list[list] = [[] for _ in range(n_nodes)]
+_EMPTY_NODE = (np.empty(0, np.int64), np.empty(0, np.uint64),
+               np.empty(0, bool), np.empty(0, bool))
 
-    seed_key_to_id: dict = {}
-    seed_rows: list = []
 
-    def seed_id(pos: int, h: int, rev: bool) -> int:
-        key = (pos, h, rev)
-        sid = seed_key_to_id.get(key)
-        if sid is None:
-            sid = len(seed_rows)
-            seed_key_to_id[key] = sid
-            seed_rows.append(key)
-        return sid
+def _meta_node_delta(parent_state, child_state):
+    """Vectorized positioned-seed delta between parent and child states:
+    returns (pos, hash, rev, is_del) arrays ordered by position with
+    deletions before additions at equal positions (the merge order of the
+    reference's per-position walk)."""
+    p_hash, p_rev, p_pos = parent_state[5], parent_state[6], parent_state[7]
+    c_hash, c_rev, c_pos = child_state[5], child_state[6], child_state[7]
+    np_, nc = len(p_pos), len(c_pos)
+    if np_ == 0 and nc == 0:
+        return _EMPTY_NODE
+
+    if nc:
+        ii = np.clip(np.searchsorted(c_pos, p_pos), 0, nc - 1)
+        same_p = ((c_pos[ii] == p_pos) & (c_hash[ii] == p_hash)
+                  & (c_rev[ii] == p_rev))
+    else:
+        same_p = np.zeros(np_, bool)
+    if np_:
+        jj = np.clip(np.searchsorted(p_pos, c_pos), 0, np_ - 1)
+        same_c = ((p_pos[jj] == c_pos) & (p_hash[jj] == c_hash)
+                  & (p_rev[jj] == c_rev))
+    else:
+        same_c = np.zeros(nc, bool)
+
+    dm = ~same_p
+    am = ~same_c
+    pos = np.concatenate([p_pos[dm], c_pos[am]]).astype(np.int64)
+    hsh = np.concatenate([p_hash[dm], c_hash[am]]).astype(np.uint64)
+    rev = np.concatenate([p_rev[dm], c_rev[am]]).astype(bool)
+    isdel = np.concatenate([np.ones(int(dm.sum()), bool),
+                            np.zeros(int(am.sum()), bool)])
+    order = np.lexsort((~isdel, pos))  # ties: deletion first
+    return pos[order], hsh[order], rev[order], isdel[order]
+
+
+# fork-inherited worker context for build_meta_index(workers > 1)
+_META_PAR_CTX: dict = {}
+
+
+def _meta_range_worker(rng):
+    a, b = rng
+    tree = _META_PAR_CTX["tree"]
+    params = _META_PAR_CTX["params"]
+    deltas: dict = {}
 
     def emit(dfs_index, parent_state, child_state, changed):
-        if not changed:
-            return
-        p_hash, p_rev, p_pos = parent_state[5], parent_state[6], parent_state[7]
-        c_hash, c_rev, c_pos = child_state[5], child_state[6], child_state[7]
-        out = node_deltas[dfs_index]
-        i = j = 0
-        np_, nc = len(p_pos), len(c_pos)
-        while i < np_ or j < nc:
-            if j >= nc or (i < np_ and p_pos[i] < c_pos[j]):
-                out.append((seed_id(int(p_pos[i]), int(p_hash[i]), bool(p_rev[i])), True))
-                i += 1
-            elif i >= np_ or c_pos[j] < p_pos[i]:
-                out.append((seed_id(int(c_pos[j]), int(c_hash[j]), bool(c_rev[j])), False))
-                j += 1
-            else:
-                if p_hash[i] != c_hash[j] or p_rev[i] != c_rev[j]:
-                    out.append((seed_id(int(p_pos[i]), int(p_hash[i]), bool(p_rev[i])), True))
-                    out.append((seed_id(int(c_pos[j]), int(c_hash[j]), bool(c_rev[j])), False))
-                i += 1
-                j += 1
+        if a <= dfs_index < b:
+            deltas[dfs_index] = (_EMPTY_NODE if not changed
+                                 else _meta_node_delta(parent_state, child_state))
 
-    run_dfs(tree, params, emit, progress)
+    run_dfs(tree, params, emit, dfs_range=(a, b))
+    pos = np.concatenate([deltas[i][0] for i in range(a, b)]) if b > a else np.empty(0, np.int64)
+    hsh = np.concatenate([deltas[i][1] for i in range(a, b)]) if b > a else np.empty(0, np.uint64)
+    rev = np.concatenate([deltas[i][2] for i in range(a, b)]) if b > a else np.empty(0, bool)
+    isdel = np.concatenate([deltas[i][3] for i in range(a, b)]) if b > a else np.empty(0, bool)
+    sizes = np.array([len(deltas[i][0]) for i in range(a, b)], dtype=np.int64)
+    return a, pos, hsh, rev, isdel, sizes
 
-    total = sum(len(d) for d in node_deltas)
-    delta_seed = np.empty(total, dtype=np.int32)
-    delta_is_del = np.empty(total, dtype=bool)
+
+def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
+                     progress=None, workers: int = 0) -> MetaIndexArrays:
+    params = params or IndexParams()
+    n_nodes = len(tree.dfs_order)
+
+    if workers and workers > 1 and n_nodes > workers:
+        import multiprocessing as mp
+
+        bounds = np.linspace(0, n_nodes, workers + 1).astype(np.int64)
+        ranges = [(int(bounds[i]), int(bounds[i + 1])) for i in range(workers)
+                  if bounds[i] < bounds[i + 1]]
+        _META_PAR_CTX["tree"] = tree
+        _META_PAR_CTX["params"] = params
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(len(ranges)) as pool:
+                results = pool.map(_meta_range_worker, ranges)
+        finally:
+            _META_PAR_CTX.clear()
+        results.sort(key=lambda r: r[0])
+        pos_all = np.concatenate([r[1] for r in results])
+        hash_all = np.concatenate([r[2] for r in results])
+        rev_all = np.concatenate([r[3] for r in results])
+        del_all = np.concatenate([r[4] for r in results])
+        sizes = np.concatenate([r[5] for r in results])
+    else:
+        node_deltas: list = [_EMPTY_NODE] * n_nodes
+
+        def emit(dfs_index, parent_state, child_state, changed):
+            if changed:
+                node_deltas[dfs_index] = _meta_node_delta(parent_state,
+                                                          child_state)
+
+        run_dfs(tree, params, emit, progress)
+        pos_all = np.concatenate([d[0] for d in node_deltas])
+        hash_all = np.concatenate([d[1] for d in node_deltas])
+        rev_all = np.concatenate([d[2] for d in node_deltas])
+        del_all = np.concatenate([d[3] for d in node_deltas])
+        sizes = np.array([len(d[0]) for d in node_deltas], dtype=np.int64)
+
     node_offsets = np.zeros(n_nodes + 1, dtype=np.int64)
-    off = 0
-    for i, d in enumerate(node_deltas):
-        node_offsets[i] = off
-        for sid, isdel in d:
-            delta_seed[off] = sid
-            delta_is_del[off] = isdel
-            off += 1
-    node_offsets[n_nodes] = off
+    node_offsets[1:] = np.cumsum(sizes)
+
+    # global interning of (pos, hash, rev) -> seed id, vectorized
+    order = np.lexsort((rev_all, hash_all, pos_all))
+    sp, sh, sr = pos_all[order], hash_all[order], rev_all[order]
+    if len(sp):
+        first = np.concatenate(([True], (sp[1:] != sp[:-1])
+                                | (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])))
+    else:
+        first = np.empty(0, bool)
+    sid_sorted = np.cumsum(first) - 1
+    delta_seed = np.empty(len(pos_all), dtype=np.int32)
+    delta_seed[order] = sid_sorted.astype(np.int32)
 
     parent_index = np.zeros(n_nodes, dtype=np.uint32)
     for node in tree.dfs_order:
@@ -98,11 +161,11 @@ def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
         params=params,
         node_ids=[n.identifier for n in tree.dfs_order],
         parent_index=parent_index,
-        seed_hash=np.array([r[1] for r in seed_rows], dtype=np.uint64),
-        seed_rev=np.array([r[2] for r in seed_rows], dtype=bool),
-        seed_pos=np.array([r[0] for r in seed_rows], dtype=np.int64),
+        seed_hash=sh[first],
+        seed_rev=sr[first],
+        seed_pos=sp[first],
         delta_seed=delta_seed,
-        delta_is_del=delta_is_del,
+        delta_is_del=del_all,
         node_offsets=node_offsets,
     )
 

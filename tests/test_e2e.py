@@ -109,8 +109,10 @@ def test_meta_mixture_70_30(outdir, tmp_path):
                 out.write(f"@{pre}{c}\n{g[i:i+L]}\n+\n{'I'*L}\n")
                 c += 1
                 i += step
-        emit(a, 700, "A")
-        emit(b, 300, "B")
+        # >= 2000 reads triggers the fast path: TpuMetaScorer (event-based
+        # device scoring) + device-resident SQUAREM
+        emit(a, 1400, "A")
+        emit(b, 600, "B")
     cfg = MetaConfig(panman=PANMAN, reads1=str(reads), output=str(outdir / "mix"))
     cfg.log = lambda *a: None
     run_meta(cfg)
@@ -204,3 +206,52 @@ def test_hpc_index_and_placement(outdir):
     best = dict(l.split("\t")[0:1] + [l.split("\t")[2]] for l in tsv[1:]
                 if l.split("\t")[0] == "log_containment")
     assert "MZ515733.1" in best.get("log_containment", "")
+
+
+def test_meta_index_parallel_matches_sequential(outdir):
+    """Chunked-DFS parallel meta build must equal the sequential build
+    bit-for-bit (same interning order, same delta rows)."""
+    from panmap_tpu.index.builder import IndexParams
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.index import build_meta_index
+
+    tree = load_panman(PANMAN)
+    seq = build_meta_index(tree, IndexParams())
+    par = build_meta_index(tree, IndexParams(), workers=4)
+    assert np.array_equal(seq.node_offsets, par.node_offsets)
+    assert np.array_equal(seq.seed_hash, par.seed_hash)
+    assert np.array_equal(seq.seed_rev, par.seed_rev)
+    assert np.array_equal(seq.seed_pos, par.seed_pos)
+    assert np.array_equal(seq.delta_seed, par.delta_seed)
+    assert np.array_equal(seq.delta_is_del, par.delta_is_del)
+
+
+def test_tpu_meta_scorer_matches_python_dfs(tmp_path):
+    """Dense-bitmap device scorer vs the python delta-DFS scorer: identical
+    max scores and snapshot matrices on a real index."""
+    from panmap_tpu.index.builder import IndexParams
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.engine import MetaScorer, sketch_meta_reads_full
+    from panmap_tpu.meta.engine_tpu import TpuMetaScorer
+    from panmap_tpu.meta.index import build_meta_index
+
+    tree = load_panman(PANMAN)
+    midx = build_meta_index(tree, IndexParams(), workers=4)
+
+    a = _read_fa(f"{DATA}/MZ515733.1.fa")
+    b = _read_fa(f"{DATA}/rsv_4K.panman.random.node_1330.fa")
+    seqs = []
+    for g in (a, b):
+        step = max(1, (len(g) - 150) // 400)
+        seqs.extend(g[i:i + 150] for i in range(0, len(g) - 150, step))
+    p = midx.params
+    reads, _, _ = sketch_meta_reads_full(seqs, p.k, p.s, p.t, p.l, p.open)
+
+    slow = MetaScorer(midx, reads)
+    cand = [0, 7, 1330, 2500, len(midx.node_ids) - 1]
+    ms_slow, snap_slow = slow.score_all(cand)
+
+    fast = TpuMetaScorer(midx, reads)
+    ms_fast, snap_fast = fast.score_all(cand)
+    assert np.array_equal(ms_fast, ms_slow)
+    assert np.array_equal(snap_fast, snap_slow)

@@ -1,0 +1,66 @@
+"""SQUAREM EM backends: the device-resident masked implementation must agree
+with the f64 numpy reference path (same surviving nodes, close proportions,
+same identical-column collapse)."""
+
+import numpy as np
+import pytest
+
+
+def _synthetic(M=10, R=400, seed=0):
+    rng = np.random.default_rng(seed)
+    # two dominant haplotypes + noise nodes; duplicate one column pair
+    read_lens = rng.integers(10, 20, R).astype(np.int64)
+    truth = np.zeros((M, R), dtype=np.uint16)
+    owner = rng.choice([0, 1], R, p=[0.7, 0.3])
+    for j in range(R):
+        truth[owner[j], j] = read_lens[j]
+        for i in range(M):
+            if i != owner[j]:
+                truth[i, j] = max(0, int(read_lens[j]) - int(rng.integers(2, 8)))
+    truth[3] = truth[2]  # identical pair -> must collapse
+    weights = rng.integers(1, 4, R).astype(np.float64)
+    names = [f"n{i}" for i in range(M)]
+    return truth, read_lens, weights, names
+
+
+def test_device_em_matches_host_f64():
+    from panmap_tpu.meta.engine import run_squarem
+
+    S, lens, w, names = _synthetic()
+    host = run_squarem(S, lens, w, names, backend="none")
+    import jax.numpy as jnp
+
+    dev = run_squarem(jnp.asarray(S.T), lens, w, names)
+
+    # identical-column collapse found the duplicate pair in both
+    assert any("n3" in v for v in host.identical_groups.values())
+    assert any("n3" in v for v in dev.identical_groups.values())
+
+    h = dict(zip(host.node_names, host.props))
+    d = dict(zip(dev.node_names, dev.props))
+    assert set(h) == set(d)
+    for k in h:
+        assert abs(h[k] - d[k]) < 2e-3, (k, h[k], d[k])
+    assert abs(sum(d.values()) - 1.0) < 1e-3
+
+
+def test_device_em_drops_low_prop_nodes():
+    from panmap_tpu.meta.engine import run_squarem
+    import jax.numpy as jnp
+
+    S, lens, w, names = _synthetic(M=8, R=300, seed=5)
+    res = run_squarem(jnp.asarray(S.T), lens, w, names)
+    # every surviving proportion is at or above the removal threshold
+    assert (res.props >= 0.005).all()
+    assert abs(res.props.sum() - 1.0) < 1e-3
+
+
+def test_masked_em_compile_cache_reuse():
+    """Same padded shapes -> same compiled fn object (the whole point on a
+    remote-compile backend)."""
+    from panmap_tpu.meta.engine import _MASKED_EM_CACHE, _get_masked_squarem
+
+    a = _get_masked_squarem(256, 16384, 1e-5, 0.0, 1000)
+    b = _get_masked_squarem(256, 16384, 1e-5, 0.0, 1000)
+    assert a is b
+    assert (256, 16384, 1e-5, 0.0, 1000) in _MASKED_EM_CACHE
