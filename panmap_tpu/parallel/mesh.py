@@ -107,3 +107,86 @@ def make_sharded_sketch_fn(mesh: Mesh, k: int, s: int, t: int, open_: bool):
         out_specs=(P("data"), P("data"), P("data")),
         check_rep=False,
     )
+
+
+def make_sharded_em_fn(mesh: Mesh, eta: float = 1e-5,
+                       max_change_threshold: float = 0.0,
+                       max_iterations: int = 1000):
+    """SQUAREM EM with READS sharded over the mesh (SURVEY §5.8: E-step
+    sufficient statistics — per-node responsibility sums and the log
+    likelihood — are psum'd over ICI every iteration; proportions stay
+    replicated).  Mirrors meta.engine._get_masked_squarem numerically.
+
+    Inputs: S u16[R, M] score matrix (sharded on axis 0), lens i32[R],
+    w f32[R] (sharded), alive bool[M] (replicated).  R must divide the mesh.
+    Returns the replicated proportions f32[M]."""
+    import numpy as _np
+
+    from ..meta.engine import ERROR_RATE
+
+    log_err = float(_np.log(ERROR_RATE))
+    log_1me = float(_np.log1p(-ERROR_RATE))
+    eta32 = float(eta)
+    mct = float(max_change_threshold)
+
+    def _body(S, lens, w, alive):
+        Sf = S.astype(jnp.float32)
+        lp = (lens.astype(jnp.float32)[:, None] - Sf) * log_err + Sf * log_1me
+        wsum = jax.lax.psum(jnp.sum(w), "data")
+
+        def em(p):
+            lg = lp + jnp.log(p)[None, :]
+            mx = jnp.max(lg, axis=1, keepdims=True)
+            e = jnp.exp(lg - mx)
+            den = jnp.sum(e, axis=1, keepdims=True)
+            local = jnp.sum(w[:, None] * (e / den), axis=0)
+            return jax.lax.psum(local, "data") / wsum
+
+        def llh(p):
+            lg = lp + jnp.log(p)[None, :]
+            mx = jnp.max(lg, axis=1)
+            local = jnp.sum(w * (mx + jnp.log(
+                jnp.sum(jnp.exp(lg - mx[:, None]), axis=1))))
+            return jax.lax.psum(local, "data")
+
+        def norm(p):
+            p = jnp.where(alive, jnp.maximum(p, 1e-12), 0.0)
+            return p / jnp.sum(p)
+
+        def cond(carry):
+            _, _, it, done = carry
+            return (~done) & (it < max_iterations)
+
+        def body(carry):
+            p0, cur, it, _ = carry
+            p1 = norm(em(p0))
+            p2 = norm(em(p1))
+            r = p1 - p0
+            v = (p2 - p1) - r
+            vn = jnp.linalg.norm(v)
+            alpha = jnp.where(vn > 0, -jnp.linalg.norm(r) / vn, -1.0)
+            psq = norm(p0 - 2.0 * alpha * r + alpha * alpha * v)
+            l2 = llh(p2)
+            lsq = llh(psq)
+            use_sq = lsq > l2 - eta32
+            pn = jnp.where(use_sq, psq, p2)
+            ln = jnp.where(use_sq, lsq, l2)
+            diff = ln - cur
+            if mct == 0:
+                done = jnp.abs(diff) < eta32
+            else:
+                done = jnp.max(jnp.abs(pn - p0)) < mct
+            return pn, ln, it + 1, done
+
+        n_alive = jnp.sum(alive)
+        p0 = jnp.where(alive, 1.0 / jnp.maximum(n_alive, 1), 0.0)
+        p, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False)))
+        return p
+
+    sharded = shard_map(
+        _body, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P(None)),
+        out_specs=P(None), check_rep=False)
+    return jax.jit(sharded)

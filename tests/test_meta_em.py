@@ -64,3 +64,31 @@ def test_masked_em_compile_cache_reuse():
     b = _get_masked_squarem(256, 16384, 1e-5, 0.0, 1000)
     assert a is b
     assert (256, 16384, 1e-5, 0.0, 1000) in _MASKED_EM_CACHE
+
+
+def test_sharded_em_matches_single_device():
+    """Read-sharded SQUAREM over a virtual 8-device mesh must agree with the
+    single-device masked EM (psum'd sufficient statistics are exact sums)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    import jax.numpy as jnp
+
+    from panmap_tpu.meta.engine import _get_masked_squarem
+    from panmap_tpu.parallel.mesh import make_mesh, make_sharded_em_fn
+
+    S, lens, w, names = _synthetic(M=8, R=512, seed=2)
+    Srm = np.ascontiguousarray(S.T)  # [R, M]
+    alive = np.ones(8, dtype=bool)
+
+    single = _get_masked_squarem(8, 512, 1e-5, 0.0, 500)
+    p1 = np.asarray(single(jnp.asarray(Srm), jnp.asarray(lens.astype(np.int32)),
+                           jnp.asarray(w.astype(np.float32)),
+                           jnp.asarray(alive)))
+
+    mesh = make_mesh(8)
+    fn = make_sharded_em_fn(mesh, eta=1e-5, max_iterations=500)
+    p8 = np.asarray(fn(jnp.asarray(Srm), jnp.asarray(lens.astype(np.int32)),
+                       jnp.asarray(w.astype(np.float32)), jnp.asarray(alive)))
+    assert np.allclose(p1, p8, atol=2e-4), np.abs(p1 - p8).max()
