@@ -131,7 +131,8 @@ def run_filter_and_assign(cfg, midx) -> int:
                 f"({n_dust} low-complexity)")
 
     scorer = MetaScorer(midx, reads)
-    use_fast = (not getattr(cfg, "pseudochain", False) and len(reads) >= 2000)
+    use_fast = (not getattr(cfg, "pseudochain", False)
+                and len(reads) >= getattr(cfg, "fast_threshold", 2000))
     fast = None
     node_scores = None
     if use_fast:

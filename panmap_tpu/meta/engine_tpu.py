@@ -135,28 +135,37 @@ class TpuMetaScorer:
         # kept for events introspection / driver log lines
         self.ev_pos = self._evp_pos
 
-        # occurrence arrays, read-major
-        r_uid, r_rev = [], []
-        for r in reads:
-            r_uid.append(np.searchsorted(self.read_hashes,
-                                         r.hashes).astype(np.int64))
-            r_rev.append(np.asarray(r.revs, dtype=bool))
-        self.r_uid = r_uid
-        self.r_rev = r_rev
+        # occurrence arrays, SLOTTED: each read gets S fixed key slots
+        # (S = pow2 >= max seedmers per read).  Scoring is then a row-gather
+        # of P + a plain axis reduction — no scatter/segment_sum on the
+        # device, which halves the per-dispatch cost.
         R = len(reads)
-        nseeds = np.array([len(u) for u in r_uid], dtype=np.int64)
-        occ_uid = np.concatenate(r_uid) if reads else np.empty(0, np.int64)
-        occ_rev = np.concatenate(r_rev) if reads else np.empty(0, bool)
-        self.occ_read = np.repeat(np.arange(R, dtype=np.int64), nseeds)
-        # P row matching the occurrence's own orientation / the opposite one
-        self.occ_fwd_key = np.where(occ_rev, self.Upad + occ_uid, occ_uid)
-        self.occ_rev_key = np.where(occ_rev, occ_uid, self.Upad + occ_uid)
-        self.occ_bound = np.searchsorted(self.occ_read, np.arange(R + 1))
-        ob = self.occ_bound
-        rc = self.READ_CHUNK
-        starts = np.arange(0, R + rc, rc).clip(max=R)
-        self._max_occ = int(np.max(np.diff(ob[starts]))) if R else 0
-        self._obpad = _pad_pow2(max(self._max_occ, 1))
+        nseeds = np.array([len(r.hashes) for r in reads], dtype=np.int64)
+        occ_uid = np.searchsorted(self.read_hashes, all_h).astype(np.int64)
+        occ_rev = (np.concatenate([np.asarray(r.revs, dtype=bool)
+                                   for r in reads])
+                   if reads else np.empty(0, bool))
+        S = _pad_pow2(int(nseeds.max()) if R else 1, lo=8)
+        self.n_slots = S
+        dummy = self.n_rows - 1  # the all-zero P row
+        B = self.READ_CHUNK
+        Rpad = ((R + B - 1) // B) * B if R else B
+        self.Rpad = Rpad
+        fwd_sl = np.full((Rpad, S), dummy, dtype=np.int32)
+        rev_sl = np.full((Rpad, S), dummy, dtype=np.int32)
+        row_of = np.repeat(np.arange(R, dtype=np.int64), nseeds)
+        slot_of = (np.arange(len(occ_uid), dtype=np.int64)
+                   - np.repeat(np.cumsum(nseeds) - nseeds, nseeds))
+        fwd_sl[row_of, slot_of] = np.where(occ_rev, self.Upad + occ_uid,
+                                           occ_uid)
+        rev_sl[row_of, slot_of] = np.where(occ_rev, occ_uid,
+                                           self.Upad + occ_uid)
+        # resident [nB, B, S]: a fused per-node-chunk program scans the read
+        # blocks on device, so the whole read set costs ONE dispatch per chunk
+        self.n_blocks = Rpad // B
+        self._occ_fwd_dev = jnp.asarray(fwd_sl.reshape(self.n_blocks, B, S))
+        self._occ_rev_dev = jnp.asarray(rev_sl.reshape(self.n_blocks, B, S))
+        self._max_occ = int(nseeds.max()) if R else 0
 
         # per-node-chunk carry-in presence state (flips with pos < chunk lo)
         C = self.NODE_CHUNK
@@ -177,6 +186,21 @@ class TpuMetaScorer:
             self._max_ev = int(np.max(np.diff(bounds)))
         self._ev_bounds = bounds
         self._evpad = _pad_pow2(max(self._max_ev, 1))
+        # stacked padded per-chunk events + carry states, uploaded ONCE;
+        # per-chunk dispatches take device slices of these
+        nchunks = len(self._chunk_lo)
+        ev_key_st = np.full((nchunks, self._evpad), self.n_rows - 1, np.int32)
+        ev_col_st = np.zeros((nchunks, self._evpad), np.int32)
+        ev_del_st = np.zeros((nchunks, self._evpad), np.int32)
+        for ci, lo in enumerate(self._chunk_lo):
+            a, b = bounds[ci], bounds[ci + 1]
+            ev_key_st[ci, : b - a] = self._evp_key[a:b]
+            ev_col_st[ci, : b - a] = self._evp_pos[a:b] - lo
+            ev_del_st[ci, : b - a] = self._evp_delta[a:b]
+        self._ev_key_dev = jnp.asarray(ev_key_st)
+        self._ev_col_dev = jnp.asarray(ev_col_st)
+        self._ev_del_dev = jnp.asarray(ev_del_st)
+        self._carries_dev = jnp.asarray(np.stack(self._carries))
         self._build_fn = None
         self._score_fn = None
         self._assign_fn = None
@@ -205,44 +229,37 @@ class TpuMetaScorer:
         """Presence bitmap for node-chunk ci: i8 [n_rows, NODE_CHUNK]."""
         if self._build_fn is None:
             self._build_fn = self._make_build_fn()
-        lo = self._chunk_lo[ci]
-        a, b = self._ev_bounds[ci], self._ev_bounds[ci + 1]
-        n = b - a
-        pad = self._evpad - n
-        ev_key = np.concatenate([self._evp_key[a:b],
-                                 np.full(pad, self.n_rows - 1, np.int64)])
-        ev_col = np.concatenate([self._evp_pos[a:b] - lo, np.zeros(pad, np.int64)])
-        ev_delta = np.concatenate([self._evp_delta[a:b], np.zeros(pad, np.int32)])
-        return self._build_fn(self._carries[ci], ev_key.astype(np.int32),
-                              ev_col.astype(np.int32), ev_delta)
+        return self._build_fn(self._carries_dev[ci], self._ev_key_dev[ci],
+                              self._ev_col_dev[ci], self._ev_del_dev[ci])
 
-    def _read_chunk_args(self, off: int, hi: int):
-        a, b = int(self.occ_bound[off]), int(self.occ_bound[hi])
-        pad = self._obpad - (b - a)
-        dummy = self.n_rows - 1
-        fwd = np.concatenate([self.occ_fwd_key[a:b],
-                              np.full(pad, dummy, np.int64)])
-        rev = np.concatenate([self.occ_rev_key[a:b],
-                              np.full(pad, dummy, np.int64)])
-        loc = np.concatenate([self.occ_read[a:b] - off,
-                              np.full(pad, self.READ_CHUNK, np.int64)])
-        return (fwd.astype(np.int32), rev.astype(np.int32),
-                loc.astype(np.int32))
-
-    def _make_score_fn(self, W: int):
-        B = self.READ_CHUNK
+    def _make_chunk_score_fn(self):
+        """One dispatch per node chunk: build P from the chunk's flip events,
+        then lax.scan the resident read blocks over it — the per-dispatch
+        RPC latency of the remote device link dominated everything else, so
+        the whole read set rides a single program launch."""
+        n_rows, C = self.n_rows, self.NODE_CHUNK
 
         @jax.jit
-        def score(P, fwd_key, rev_key, readloc, cand_local):
-            gf = P[fwd_key].astype(jnp.int32)  # [OB, C]
-            gr = P[rev_key].astype(jnp.int32)
-            fwd = jax.ops.segment_sum(gf, readloc, num_segments=B + 1)[:B]
-            rev = jax.ops.segment_sum(gr, readloc, num_segments=B + 1)[:B]
-            sc = jnp.maximum(fwd, rev)  # [B, C]
-            return jnp.max(sc, axis=1), sc[:, cand_local]
+        def run(state, ev_key, ev_col, ev_delta, fwd_all, rev_all, cand_local):
+            flat = jnp.zeros(n_rows * C, jnp.int32).at[
+                ev_key * C + ev_col].add(ev_delta, mode="drop")
+            M = flat.reshape(n_rows, C).at[:, 0].add(state)
+            P = (jnp.cumsum(M, axis=1) > 0).astype(jnp.int8)
 
-        del W  # shape comes from cand_local; kept for cache keying clarity
-        return score
+            def blk(_, keys):
+                fwd_key, rev_key = keys
+                # [B, S] row-gathers of the bitmap, reduced over the slot
+                # axis — XLA fuses this into one streaming pass (no scatter)
+                fwd = jnp.sum(P[fwd_key], axis=1, dtype=jnp.int32)  # [B, C]
+                rev = jnp.sum(P[rev_key], axis=1, dtype=jnp.int32)
+                sc = jnp.maximum(fwd, rev)
+                return None, (jnp.max(sc, axis=1),
+                              sc[:, cand_local].astype(jnp.uint16))
+
+            _, (ms, sn) = jax.lax.scan(blk, None, (fwd_all, rev_all))
+            return ms, sn  # [nB, B], [nB, B, W]
+
+        return run
 
     def score_all(self, candidate_nodes: list, snap_device: bool = False):
         """Returns (max_score i32[R], snap).
@@ -265,66 +282,76 @@ class TpuMetaScorer:
             W = max(W, len(sel))
         W = _pad_pow2(W, lo=64)
         if self._score_fn is None:
-            self._score_fn = self._make_score_fn(W)
+            self._score_fn = self._make_chunk_score_fn()
 
-        read_starts = list(range(0, R, self.READ_CHUNK))
-        max_parts: list = [[] for _ in read_starts]
-        snap_parts: list = [[] for _ in read_starts]
+        max_parts: list = []
+        snap_parts: list = []
         col_order: list = []
-        rc_args = [self._read_chunk_args(off, min(off + self.READ_CHUNK, R))
-                   for off in read_starts]
         for ci in range(len(self._chunk_lo)):
             sel = per_chunk[ci]
-            P = self._p_chunk(ci)
             local = np.zeros(W, dtype=np.int32)
             local[: len(sel)] = cand[sel] - self._chunk_lo[ci]
             col_order.extend(sel.tolist())
-            for ri, (fwd, rev, loc) in enumerate(rc_args):
-                ms, sc = self._score_fn(P, fwd, rev, loc, local)
-                max_parts[ri].append(ms)
-                if len(sel):
-                    snap_parts[ri].append(sc[:, : len(sel)])
+            ms, sn = self._score_fn(
+                self._carries_dev[ci], self._ev_key_dev[ci],
+                self._ev_col_dev[ci], self._ev_del_dev[ci],
+                self._occ_fwd_dev, self._occ_rev_dev, local)
+            max_parts.append(ms)
+            if len(sel):
+                snap_parts.append(sn.reshape(self.Rpad, W)[:, : len(sel)])
 
-        max_rows = [jnp.max(jnp.stack(p), axis=0) for p in max_parts]
-        max_score = np.concatenate([np.asarray(m) for m in max_rows])[:R]
+        ms_all = jnp.max(jnp.stack(max_parts), axis=0).reshape(self.Rpad)
+        max_score = np.asarray(ms_all)[:R].astype(np.int32)
         if n_cand == 0:
             if snap_device:
-                return max_score.astype(np.int32), jnp.zeros((R, 0), jnp.uint16)
-            return max_score.astype(np.int32), np.zeros((0, R), np.uint16)
+                return max_score, jnp.zeros((R, 0), jnp.uint16)
+            return max_score, np.zeros((0, R), np.uint16)
         # assemble [R, n_cand] in ORIGINAL candidate order
         inv = np.empty(len(col_order), dtype=np.int64)
         inv[np.asarray(col_order)] = np.arange(len(col_order))
-        rows = [jnp.concatenate(p, axis=1) for p in snap_parts]
-        snap_dev = jnp.concatenate(rows, axis=0)[:R][:, jnp.asarray(inv)]
+        snap_dev = jnp.concatenate(snap_parts, axis=1)[:R][:, jnp.asarray(inv)]
         snap_dev = snap_dev.astype(jnp.uint16)
         if snap_device:
-            return max_score.astype(np.int32), snap_dev
-        return max_score.astype(np.int32), np.asarray(snap_dev).T.copy()
+            return max_score, snap_dev
+        return max_score, np.asarray(snap_dev).T.copy()
 
     def _make_assign_fn(self):
         B = self.READ_CHUNK
-        C = self.NODE_CHUNK
+        n_rows, C = self.n_rows, self.NODE_CHUNK
 
         @jax.jit
-        def run(P, fwd_key, rev_key, readloc, eff_b, thr_b, keep_c, iota_c):
-            gf = P[fwd_key].astype(jnp.int32)
-            gr = P[rev_key].astype(jnp.int32)
-            fwd = jax.ops.segment_sum(gf, readloc, num_segments=B + 1)[:B]
-            rev = jax.ops.segment_sum(gr, readloc, num_segments=B + 1)[:B]
-            sc = jnp.maximum(fwd, rev)
-            live = eff_b[:, None] > 0
-            is_max_all = (sc == eff_b[:, None]) & live
-            is_max = is_max_all & keep_c[None, :]
-            near = (sc >= (eff_b - thr_b)[:, None]) & live
-            lca_min = jnp.min(jnp.where(is_max_all, iota_c, 1 << 30), axis=1)
-            lca_max = jnp.max(jnp.where(is_max_all, iota_c, -1), axis=1)
+        def run(state, ev_key, ev_col, ev_delta, fwd_all, rev_all,
+                eff_all, thr_all, keep_c, iota_c):
+            flat = jnp.zeros(n_rows * C, jnp.int32).at[
+                ev_key * C + ev_col].add(ev_delta, mode="drop")
+            M = flat.reshape(n_rows, C).at[:, 0].add(state)
+            P = (jnp.cumsum(M, axis=1) > 0).astype(jnp.int8)
             pack = jnp.arange(8, dtype=jnp.int32)
-            bits_max = jnp.sum(is_max.reshape(B, C // 8, 8)
-                               << pack[None, None, :], axis=2).astype(jnp.uint8)
-            bits_near = jnp.sum(near.reshape(B, C // 8, 8)
-                                << pack[None, None, :], axis=2).astype(jnp.uint8)
-            return (bits_max, bits_near, jnp.sum(is_max, axis=1),
-                    lca_min, lca_max)
+
+            def blk(_, xs):
+                fwd_key, rev_key, eff_b, thr_b = xs
+                fwd = jnp.sum(P[fwd_key], axis=1, dtype=jnp.int32)
+                rev = jnp.sum(P[rev_key], axis=1, dtype=jnp.int32)
+                sc = jnp.maximum(fwd, rev)
+                live = eff_b[:, None] > 0
+                is_max_all = (sc == eff_b[:, None]) & live
+                is_max = is_max_all & keep_c[None, :]
+                near = (sc >= (eff_b - thr_b)[:, None]) & live
+                lca_min = jnp.min(jnp.where(is_max_all, iota_c, 1 << 30),
+                                  axis=1)
+                lca_max = jnp.max(jnp.where(is_max_all, iota_c, -1), axis=1)
+                bits_max = jnp.sum(is_max.reshape(B, C // 8, 8)
+                                   << pack[None, None, :],
+                                   axis=2).astype(jnp.uint8)
+                bits_near = jnp.sum(near.reshape(B, C // 8, 8)
+                                    << pack[None, None, :],
+                                    axis=2).astype(jnp.uint8)
+                return None, (bits_max, bits_near, jnp.sum(is_max, axis=1),
+                              lca_min, lca_max)
+
+            _, outs = jax.lax.scan(blk, None,
+                                   (fwd_all, rev_all, eff_all, thr_all))
+            return outs
 
         return run
 
@@ -336,53 +363,53 @@ class TpuMetaScorer:
         for taxonomy ambiguity).  Returns (assigned_by_node, near_iter, epp,
         (lca_lo, lca_hi)) — see meta/assign.py."""
         R = len(self.reads)
+        B = self.READ_CHUNK
         C = self.NODE_CHUNK
         if self._assign_fn is None:
             self._assign_fn = self._make_assign_fn()
+
+        eff_pad = np.zeros(self.Rpad, dtype=np.int32)
+        eff_pad[:R] = eff
+        thr_pad = np.maximum(amb_thr, (eff_pad * amb_ratio).astype(np.int32))
+        eff_dev = jnp.asarray(eff_pad.reshape(self.n_blocks, B))
+        thr_dev = jnp.asarray(thr_pad.reshape(self.n_blocks, B))
 
         assigned_by_node: dict = {}
         near_sets: dict = {}
         epp = np.zeros(R, dtype=np.int64)
         lca_lo = np.full(R, 1 << 30, dtype=np.int64)
         lca_hi = np.full(R, -1, dtype=np.int64)
-        read_starts = list(range(0, R, self.READ_CHUNK))
-        rc_args = [self._read_chunk_args(off, min(off + self.READ_CHUNK, R))
-                   for off in read_starts]
         for ci in range(len(self._chunk_lo)):
             lo = self._chunk_lo[ci]
             valid_c = min(C, self.n_nodes - lo)
             if valid_c <= 0:
                 continue
-            P = self._p_chunk(ci)
             keep_c = np.zeros(C, dtype=bool)
             keep_c[:valid_c] = keep[lo : lo + valid_c]
             iota_c = np.full(C, 1 << 30, dtype=np.int32)
             iota_c[:valid_c] = lo + np.arange(valid_c)
-            for ri, off in enumerate(read_starts):
-                hi = min(off + self.READ_CHUNK, R)
-                fwd, rev, loc = rc_args[ri]
-                eff_b = np.zeros(self.READ_CHUNK, dtype=np.int32)
-                eff_b[: hi - off] = eff[off:hi]
-                thr_b = np.maximum(amb_thr,
-                                   (eff_b * amb_ratio).astype(np.int32))
-                bm, bn, cnt, lmin, lmax = self._assign_fn(
-                    P, fwd, rev, loc, eff_b, thr_b, keep_c, iota_c)
-                n = hi - off
-                epp[off:hi] += np.asarray(cnt)[:n]
-                lmin = np.asarray(lmin)[:n]
-                lmax = np.asarray(lmax)[:n]
-                lca_lo[off:hi] = np.minimum(lca_lo[off:hi], lmin)
-                lca_hi[off:hi] = np.maximum(lca_hi[off:hi], lmax)
-                bm_h = np.unpackbits(np.asarray(bm)[:n], axis=1,
-                                     bitorder="little")[:, :valid_c]
-                rr, nn = np.nonzero(bm_h)
-                for r_loc, node in zip(rr.tolist(), nn.tolist()):
-                    assigned_by_node.setdefault(lo + node, []).append(off + r_loc)
-                bn_h = np.unpackbits(np.asarray(bn)[:n], axis=1,
-                                     bitorder="little")[:, :valid_c]
-                rr, nn = np.nonzero(bn_h)
-                for r_loc, node in zip(rr.tolist(), nn.tolist()):
-                    near_sets.setdefault(off + r_loc, []).append(lo + node)
+            bm, bn, cnt, lmin, lmax = self._assign_fn(
+                self._carries_dev[ci], self._ev_key_dev[ci],
+                self._ev_col_dev[ci], self._ev_del_dev[ci],
+                self._occ_fwd_dev, self._occ_rev_dev,
+                eff_dev, thr_dev, keep_c, iota_c)
+            epp += np.asarray(cnt).reshape(self.Rpad)[:R]
+            lca_lo = np.minimum(lca_lo,
+                                np.asarray(lmin).reshape(self.Rpad)[:R])
+            lca_hi = np.maximum(lca_hi,
+                                np.asarray(lmax).reshape(self.Rpad)[:R])
+            bm_h = np.unpackbits(
+                np.asarray(bm).reshape(self.Rpad, C // 8)[:R],
+                axis=1, bitorder="little")[:, :valid_c]
+            rr, nn = np.nonzero(bm_h)
+            for r, node in zip(rr.tolist(), nn.tolist()):
+                assigned_by_node.setdefault(lo + node, []).append(r)
+            bn_h = np.unpackbits(
+                np.asarray(bn).reshape(self.Rpad, C // 8)[:R],
+                axis=1, bitorder="little")[:, :valid_c]
+            rr, nn = np.nonzero(bn_h)
+            for r, node in zip(rr.tolist(), nn.tolist()):
+                near_sets.setdefault(r, []).append(lo + node)
         near_iter = [(r, np.array(sorted(ns), dtype=np.int64))
                      for r, ns in sorted(near_sets.items())]
         lca_lo[lca_lo == (1 << 30)] = -1
