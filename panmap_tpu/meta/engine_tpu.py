@@ -186,21 +186,30 @@ class TpuMetaScorer:
             self._max_ev = int(np.max(np.diff(bounds)))
         self._ev_bounds = bounds
         self._evpad = _pad_pow2(max(self._max_ev, 1))
-        # stacked padded per-chunk events + carry states, uploaded ONCE;
-        # per-chunk dispatches take device slices of these
+        # stacked padded per-chunk events + carry states, uploaded ONCE.
+        # Chunks are processed in GROUPS of G per dispatch (one outer-scan
+        # program, compiled once) so the [G, nB, B, C] score output stays
+        # under ~3 GB on big trees; the chunk axis is padded to a multiple
+        # of G with inert chunks (zero carries, dummy-row events).
         nchunks = len(self._chunk_lo)
-        ev_key_st = np.full((nchunks, self._evpad), self.n_rows - 1, np.int32)
-        ev_col_st = np.zeros((nchunks, self._evpad), np.int32)
-        ev_del_st = np.zeros((nchunks, self._evpad), np.int32)
+        per_chunk_sn = self.n_blocks * B * C  # u8 bytes
+        self.group = max(1, min(nchunks, int(3e9 // max(per_chunk_sn, 1))))
+        kpad = ((nchunks + self.group - 1) // self.group) * self.group
+        self.n_chunks = nchunks
+        ev_key_st = np.full((kpad, self._evpad), self.n_rows - 1, np.int32)
+        ev_col_st = np.zeros((kpad, self._evpad), np.int32)
+        ev_del_st = np.zeros((kpad, self._evpad), np.int32)
         for ci, lo in enumerate(self._chunk_lo):
             a, b = bounds[ci], bounds[ci + 1]
             ev_key_st[ci, : b - a] = self._evp_key[a:b]
             ev_col_st[ci, : b - a] = self._evp_pos[a:b] - lo
             ev_del_st[ci, : b - a] = self._evp_delta[a:b]
+        carr = np.zeros((kpad, self.n_rows), np.int32)
+        carr[:nchunks] = np.stack(self._carries)
         self._ev_key_dev = jnp.asarray(ev_key_st)
         self._ev_col_dev = jnp.asarray(ev_col_st)
         self._ev_del_dev = jnp.asarray(ev_del_st)
-        self._carries_dev = jnp.asarray(np.stack(self._carries))
+        self._carries_dev = jnp.asarray(carr)
         self._build_fn = None
         self._score_fn = None
         self._assign_fn = None
@@ -232,32 +241,57 @@ class TpuMetaScorer:
         return self._build_fn(self._carries_dev[ci], self._ev_key_dev[ci],
                               self._ev_col_dev[ci], self._ev_del_dev[ci])
 
-    def _make_chunk_score_fn(self):
-        """One dispatch per node chunk: build P from the chunk's flip events,
-        then lax.scan the resident read blocks over it — the per-dispatch
-        RPC latency of the remote device link dominated everything else, so
-        the whole read set rides a single program launch."""
+    def _make_score_all_fn(self):
+        """ONE dispatch for the whole scoring pass: an outer lax.scan walks
+        the node chunks (events + carry states are resident stacked tensors),
+        an inner scan walks the resident read blocks.  Remote-link dispatch
+        and sync overhead was the dominant cost of per-chunk launches.
+
+        The program is fully STATIC-shaped (no candidate-dependent gather
+        inside): it emits the full [B, C] score plane per block per chunk and
+        candidate-column selection happens outside as a trivial gather.
+        A candidate-width-parameterized gather inside the scan made XLA
+        compile times explode (548s at W=512 vs 12s of actual compute).
+
+        The presence bitmap is BIT-PACKED along the node axis (u32 words):
+        the row gathers are the bandwidth bottleneck, and packing cuts their
+        HBM traffic 8x (measured ~3x end-to-end vs the i8 bitmap)."""
         n_rows, C = self.n_rows, self.NODE_CHUNK
+        C32 = C // 32
+        sdt = jnp.uint8 if self.n_slots <= 255 else jnp.uint16
+        pack32 = jnp.arange(32, dtype=jnp.uint32)
 
         @jax.jit
-        def run(state, ev_key, ev_col, ev_delta, fwd_all, rev_all, cand_local):
-            flat = jnp.zeros(n_rows * C, jnp.int32).at[
-                ev_key * C + ev_col].add(ev_delta, mode="drop")
-            M = flat.reshape(n_rows, C).at[:, 0].add(state)
-            P = (jnp.cumsum(M, axis=1) > 0).astype(jnp.int8)
+        def run(carries, ev_keys, ev_cols, ev_dels, fwd_all, rev_all):
+            def chunk(_, xs):
+                state, ev_key, ev_col, ev_delta = xs
+                flat = jnp.zeros(n_rows * C, jnp.int32).at[
+                    ev_key * C + ev_col].add(ev_delta, mode="drop")
+                M = flat.reshape(n_rows, C).at[:, 0].add(state)
+                P = jnp.cumsum(M, axis=1) > 0
+                Pp = jnp.sum(P.reshape(n_rows, C32, 32).astype(jnp.uint32)
+                             << pack32[None, None, :], axis=2)
 
-            def blk(_, keys):
-                fwd_key, rev_key = keys
-                # [B, S] row-gathers of the bitmap, reduced over the slot
-                # axis — XLA fuses this into one streaming pass (no scatter)
-                fwd = jnp.sum(P[fwd_key], axis=1, dtype=jnp.int32)  # [B, C]
-                rev = jnp.sum(P[rev_key], axis=1, dtype=jnp.int32)
-                sc = jnp.maximum(fwd, rev)
-                return None, (jnp.max(sc, axis=1),
-                              sc[:, cand_local].astype(jnp.uint16))
+                def blk(_, keys):
+                    fwd_key, rev_key = keys
+                    # [B, S, C32] u32 row-gathers of the packed bitmap,
+                    # bit-expanded and reduced over the slot axis in one
+                    # fused streaming pass
+                    gf = Pp[fwd_key]
+                    gr = Pp[rev_key]
+                    fwd = jnp.sum((gf[:, :, :, None] >> pack32) & 1, axis=1,
+                                  dtype=jnp.int32).reshape(-1, C)
+                    rev = jnp.sum((gr[:, :, :, None] >> pack32) & 1, axis=1,
+                                  dtype=jnp.int32).reshape(-1, C)
+                    sc = jnp.maximum(fwd, rev)
+                    return None, (jnp.max(sc, axis=1), sc.astype(sdt))
 
-            _, (ms, sn) = jax.lax.scan(blk, None, (fwd_all, rev_all))
-            return ms, sn  # [nB, B], [nB, B, W]
+                _, (ms, sn) = jax.lax.scan(blk, None, (fwd_all, rev_all))
+                return None, (ms, sn)
+
+            _, (ms, sn) = jax.lax.scan(
+                chunk, None, (carries, ev_keys, ev_cols, ev_dels))
+            return ms, sn  # [K, nB, B], [K, nB, B, C]
 
         return run
 
@@ -271,36 +305,35 @@ class TpuMetaScorer:
         n_cand = len(candidate_nodes)
         C = self.NODE_CHUNK
         cand = np.asarray(candidate_nodes, dtype=np.int64)
-        # candidates grouped by node chunk; W = padded per-chunk width
+        # candidates grouped by node chunk
         cand_ci = (cand // C).astype(np.int64)
         cand_order = np.argsort(cand_ci, kind="stable")
-        W = 1
         per_chunk: dict = {}
         for ci in range(len(self._chunk_lo)):
-            sel = cand_order[cand_ci[cand_order] == ci]
-            per_chunk[ci] = sel
-            W = max(W, len(sel))
-        W = _pad_pow2(W, lo=64)
+            per_chunk[ci] = cand_order[cand_ci[cand_order] == ci]
         if self._score_fn is None:
-            self._score_fn = self._make_chunk_score_fn()
+            self._score_fn = self._make_score_all_fn()
 
-        max_parts: list = []
+        G = self.group
+        ms_parts: list = []
         snap_parts: list = []
         col_order: list = []
-        for ci in range(len(self._chunk_lo)):
-            sel = per_chunk[ci]
-            local = np.zeros(W, dtype=np.int32)
-            local[: len(sel)] = cand[sel] - self._chunk_lo[ci]
-            col_order.extend(sel.tolist())
+        for g0 in range(0, self.n_chunks, G):
             ms, sn = self._score_fn(
-                self._carries_dev[ci], self._ev_key_dev[ci],
-                self._ev_col_dev[ci], self._ev_del_dev[ci],
-                self._occ_fwd_dev, self._occ_rev_dev, local)
-            max_parts.append(ms)
-            if len(sel):
-                snap_parts.append(sn.reshape(self.Rpad, W)[:, : len(sel)])
+                self._carries_dev[g0 : g0 + G], self._ev_key_dev[g0 : g0 + G],
+                self._ev_col_dev[g0 : g0 + G], self._ev_del_dev[g0 : g0 + G],
+                self._occ_fwd_dev, self._occ_rev_dev)
+            ms_parts.append(jnp.max(ms, axis=0))
+            for ci in range(g0, min(g0 + G, self.n_chunks)):
+                sel = per_chunk[ci]
+                col_order.extend(sel.tolist())
+                if len(sel):
+                    local = jnp.asarray((cand[sel] - self._chunk_lo[ci])
+                                        .astype(np.int32))
+                    snap_parts.append(
+                        sn[ci - g0].reshape(self.Rpad, C)[:, local])
 
-        ms_all = jnp.max(jnp.stack(max_parts), axis=0).reshape(self.Rpad)
+        ms_all = jnp.max(jnp.stack(ms_parts), axis=0).reshape(self.Rpad)
         max_score = np.asarray(ms_all)[:R].astype(np.int32)
         if n_cand == 0:
             if snap_device:
@@ -319,38 +352,56 @@ class TpuMetaScorer:
         B = self.READ_CHUNK
         n_rows, C = self.n_rows, self.NODE_CHUNK
 
+        C32 = C // 32
+        pack32 = jnp.arange(32, dtype=jnp.uint32)
+
         @jax.jit
-        def run(state, ev_key, ev_col, ev_delta, fwd_all, rev_all,
-                eff_all, thr_all, keep_c, iota_c):
-            flat = jnp.zeros(n_rows * C, jnp.int32).at[
-                ev_key * C + ev_col].add(ev_delta, mode="drop")
-            M = flat.reshape(n_rows, C).at[:, 0].add(state)
-            P = (jnp.cumsum(M, axis=1) > 0).astype(jnp.int8)
+        def run(carries, ev_keys, ev_cols, ev_dels, fwd_all, rev_all,
+                eff_all, thr_all, keep_all, iota_all):
             pack = jnp.arange(8, dtype=jnp.int32)
 
-            def blk(_, xs):
-                fwd_key, rev_key, eff_b, thr_b = xs
-                fwd = jnp.sum(P[fwd_key], axis=1, dtype=jnp.int32)
-                rev = jnp.sum(P[rev_key], axis=1, dtype=jnp.int32)
-                sc = jnp.maximum(fwd, rev)
-                live = eff_b[:, None] > 0
-                is_max_all = (sc == eff_b[:, None]) & live
-                is_max = is_max_all & keep_c[None, :]
-                near = (sc >= (eff_b - thr_b)[:, None]) & live
-                lca_min = jnp.min(jnp.where(is_max_all, iota_c, 1 << 30),
-                                  axis=1)
-                lca_max = jnp.max(jnp.where(is_max_all, iota_c, -1), axis=1)
-                bits_max = jnp.sum(is_max.reshape(B, C // 8, 8)
-                                   << pack[None, None, :],
-                                   axis=2).astype(jnp.uint8)
-                bits_near = jnp.sum(near.reshape(B, C // 8, 8)
-                                    << pack[None, None, :],
-                                    axis=2).astype(jnp.uint8)
-                return None, (bits_max, bits_near, jnp.sum(is_max, axis=1),
-                              lca_min, lca_max)
+            def chunk(_, xs):
+                state, ev_key, ev_col, ev_delta, keep_c, iota_c = xs
+                flat = jnp.zeros(n_rows * C, jnp.int32).at[
+                    ev_key * C + ev_col].add(ev_delta, mode="drop")
+                M = flat.reshape(n_rows, C).at[:, 0].add(state)
+                P = jnp.cumsum(M, axis=1) > 0
+                Pp = jnp.sum(P.reshape(n_rows, C32, 32).astype(jnp.uint32)
+                             << pack32[None, None, :], axis=2)
 
-            _, outs = jax.lax.scan(blk, None,
-                                   (fwd_all, rev_all, eff_all, thr_all))
+                def blk(_, xs2):
+                    fwd_key, rev_key, eff_b, thr_b = xs2
+                    gf = Pp[fwd_key]
+                    gr = Pp[rev_key]
+                    fwd = jnp.sum((gf[:, :, :, None] >> pack32) & 1, axis=1,
+                                  dtype=jnp.int32).reshape(-1, C)
+                    rev = jnp.sum((gr[:, :, :, None] >> pack32) & 1, axis=1,
+                                  dtype=jnp.int32).reshape(-1, C)
+                    sc = jnp.maximum(fwd, rev)
+                    live = eff_b[:, None] > 0
+                    is_max_all = (sc == eff_b[:, None]) & live
+                    is_max = is_max_all & keep_c[None, :]
+                    near = (sc >= (eff_b - thr_b)[:, None]) & live
+                    lca_min = jnp.min(jnp.where(is_max_all, iota_c, 1 << 30),
+                                      axis=1)
+                    lca_max = jnp.max(jnp.where(is_max_all, iota_c, -1),
+                                      axis=1)
+                    bits_max = jnp.sum(is_max.reshape(B, C // 8, 8)
+                                       << pack[None, None, :],
+                                       axis=2).astype(jnp.uint8)
+                    bits_near = jnp.sum(near.reshape(B, C // 8, 8)
+                                        << pack[None, None, :],
+                                        axis=2).astype(jnp.uint8)
+                    return None, (bits_max, bits_near,
+                                  jnp.sum(is_max, axis=1), lca_min, lca_max)
+
+                _, outs = jax.lax.scan(blk, None,
+                                       (fwd_all, rev_all, eff_all, thr_all))
+                return None, outs
+
+            _, outs = jax.lax.scan(
+                chunk, None,
+                (carries, ev_keys, ev_cols, ev_dels, keep_all, iota_all))
             return outs
 
         return run
@@ -374,42 +425,59 @@ class TpuMetaScorer:
         eff_dev = jnp.asarray(eff_pad.reshape(self.n_blocks, B))
         thr_dev = jnp.asarray(thr_pad.reshape(self.n_blocks, B))
 
+        K = self.n_chunks
+        kpad = self._carries_dev.shape[0]
+        keep_all = np.zeros((kpad, C), dtype=bool)
+        iota_all = np.full((kpad, C), 1 << 30, dtype=np.int32)
+        for ci in range(K):
+            lo = self._chunk_lo[ci]
+            valid_c = min(C, self.n_nodes - lo)
+            if valid_c <= 0:
+                continue
+            keep_all[ci, :valid_c] = keep[lo : lo + valid_c]
+            iota_all[ci, :valid_c] = lo + np.arange(valid_c)
+        keep_dev = jnp.asarray(keep_all)
+        iota_dev = jnp.asarray(iota_all)
+
         assigned_by_node: dict = {}
         near_sets: dict = {}
         epp = np.zeros(R, dtype=np.int64)
         lca_lo = np.full(R, 1 << 30, dtype=np.int64)
         lca_hi = np.full(R, -1, dtype=np.int64)
-        for ci in range(len(self._chunk_lo)):
-            lo = self._chunk_lo[ci]
-            valid_c = min(C, self.n_nodes - lo)
-            if valid_c <= 0:
-                continue
-            keep_c = np.zeros(C, dtype=bool)
-            keep_c[:valid_c] = keep[lo : lo + valid_c]
-            iota_c = np.full(C, 1 << 30, dtype=np.int32)
-            iota_c[:valid_c] = lo + np.arange(valid_c)
+        G = self.group
+        for g0 in range(0, K, G):
             bm, bn, cnt, lmin, lmax = self._assign_fn(
-                self._carries_dev[ci], self._ev_key_dev[ci],
-                self._ev_col_dev[ci], self._ev_del_dev[ci],
+                self._carries_dev[g0 : g0 + G], self._ev_key_dev[g0 : g0 + G],
+                self._ev_col_dev[g0 : g0 + G], self._ev_del_dev[g0 : g0 + G],
                 self._occ_fwd_dev, self._occ_rev_dev,
-                eff_dev, thr_dev, keep_c, iota_c)
-            epp += np.asarray(cnt).reshape(self.Rpad)[:R]
-            lca_lo = np.minimum(lca_lo,
-                                np.asarray(lmin).reshape(self.Rpad)[:R])
-            lca_hi = np.maximum(lca_hi,
-                                np.asarray(lmax).reshape(self.Rpad)[:R])
-            bm_h = np.unpackbits(
-                np.asarray(bm).reshape(self.Rpad, C // 8)[:R],
-                axis=1, bitorder="little")[:, :valid_c]
-            rr, nn = np.nonzero(bm_h)
-            for r, node in zip(rr.tolist(), nn.tolist()):
-                assigned_by_node.setdefault(lo + node, []).append(r)
-            bn_h = np.unpackbits(
-                np.asarray(bn).reshape(self.Rpad, C // 8)[:R],
-                axis=1, bitorder="little")[:, :valid_c]
-            rr, nn = np.nonzero(bn_h)
-            for r, node in zip(rr.tolist(), nn.tolist()):
-                near_sets.setdefault(r, []).append(lo + node)
+                eff_dev, thr_dev, keep_dev[g0 : g0 + G],
+                iota_dev[g0 : g0 + G])
+            bm_h_all = np.asarray(bm)
+            bn_h_all = np.asarray(bn)
+            cnt = np.asarray(cnt)
+            lmin = np.asarray(lmin)
+            lmax = np.asarray(lmax)
+            for ci in range(g0, min(g0 + G, K)):
+                lo = self._chunk_lo[ci]
+                valid_c = min(C, self.n_nodes - lo)
+                if valid_c <= 0:
+                    continue
+                gi = ci - g0
+                epp += cnt[gi].reshape(self.Rpad)[:R]
+                lca_lo = np.minimum(lca_lo, lmin[gi].reshape(self.Rpad)[:R])
+                lca_hi = np.maximum(lca_hi, lmax[gi].reshape(self.Rpad)[:R])
+                bm_h = np.unpackbits(
+                    bm_h_all[gi].reshape(self.Rpad, C // 8)[:R],
+                    axis=1, bitorder="little")[:, :valid_c]
+                rr, nn = np.nonzero(bm_h)
+                for r, node in zip(rr.tolist(), nn.tolist()):
+                    assigned_by_node.setdefault(lo + node, []).append(r)
+                bn_h = np.unpackbits(
+                    bn_h_all[gi].reshape(self.Rpad, C // 8)[:R],
+                    axis=1, bitorder="little")[:, :valid_c]
+                rr, nn = np.nonzero(bn_h)
+                for r, node in zip(rr.tolist(), nn.tolist()):
+                    near_sets.setdefault(r, []).append(lo + node)
         near_iter = [(r, np.array(sorted(ns), dtype=np.int64))
                      for r, ns in sorted(near_sets.items())]
         lca_lo[lca_lo == (1 << 30)] = -1

@@ -63,19 +63,18 @@ def main():
     snap.block_until_ready()
     log(f"score_all #2: {time.time()-t0:.1f}s")
 
-    # per-chunk dispatch timing at the real W
+    # single grouped dispatch timing (host-synced via ms fetch)
     if fast._score_fn is None:
-        fast._score_fn = fast._make_chunk_score_fn()
-    local = np.zeros(W, dtype=np.int32)
-    for ci in [int(counts.argmax()), int(counts.argmin())]:
-        args = (fast._carries_dev[ci], fast._ev_key_dev[ci],
-                fast._ev_col_dev[ci], fast._ev_del_dev[ci],
-                fast._occ_fwd_dev, fast._occ_rev_dev, local)
-        for trial in range(2):
-            t0 = time.time()
-            ms1, sc1 = fast._score_fn(*args)
-            sc1.block_until_ready()
-            log(f"chunk {ci} dispatch (W={W}): {time.time()-t0:.3f}s")
+        fast._score_fn = fast._make_score_all_fn()
+    G = fast.group
+    args = (fast._carries_dev[:G], fast._ev_key_dev[:G],
+            fast._ev_col_dev[:G], fast._ev_del_dev[:G],
+            fast._occ_fwd_dev, fast._occ_rev_dev)
+    for trial in range(2):
+        t0 = time.time()
+        ms1, sc1 = fast._score_fn(*args)
+        np.asarray(ms1[:1])
+        log(f"group dispatch (G={G}): {time.time()-t0:.3f}s")
 
 
 if __name__ == "__main__":
