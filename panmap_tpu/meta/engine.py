@@ -170,7 +170,7 @@ def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
 
     Returns (reads: list[MetaRead], dup_index: list[list[int]] mapping each
     unique set to the original read indices, n_low_complexity)."""
-    lists: dict[tuple, list] = {}
+    lists: dict[bytes, list] = {}
     n_dust = 0
     for idx, seq in enumerate(seqs):
         if mask_read_ends > 0 and len(seq) > 2 * mask_read_ends:
@@ -181,26 +181,31 @@ def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
             continue
         pos, H, rev = syncmer_list(seq, k, s, open_, t)
         if len(H) < l:
-            key = ()
+            key = b""
         else:
             km, valid, km_rev = kminmer_hashes_oriented(H, k, l, rev)
             # seedmer i spans syncmers [i, i+l-1]: read-coordinate extent
-            qb = pos[: len(km)][valid]
+            qb = pos[: len(km)][valid].astype(np.int64)
             qe = pos[l - 1 : l - 1 + len(km)][valid] + (k - 1)
-            key = tuple(zip(km[valid].tolist(), km_rev[valid].tolist(),
-                            qb.tolist(), qe.tolist()))
-        lists.setdefault(key, []).append(idx)
+            kmv = km[valid]
+            rvv = km_rev[valid]
+            key = (kmv.tobytes() + rvv.tobytes() + qb.tobytes()
+                   + qe.astype(np.int64).tobytes())
+        ent = lists.get(key)
+        if ent is None:
+            arrays = None if not len(key) else (kmv, rvv, qb,
+                                                qe.astype(np.int64))
+            lists[key] = (arrays, [idx])
+        else:
+            ent[1].append(idx)
     reads = []
     dup_index = []
-    for key, members in lists.items():
-        if not key:
+    for arrays, members in lists.values():
+        if arrays is None:
             continue
-        hashes = np.array([h for h, _, _, _ in key], dtype=np.uint64)
-        revs = np.array([r for _, r, _, _ in key], dtype=bool)
-        qbeg = np.array([b for _, _, b, _ in key], dtype=np.int64)
-        qend = np.array([e for _, _, _, e in key], dtype=np.int64)
-        reads.append(MetaRead(hashes=hashes, revs=revs, n_dup=len(members),
-                              qbeg=qbeg, qend=qend))
+        kmv, rvv, qb, qe = arrays
+        reads.append(MetaRead(hashes=kmv, revs=rvv, n_dup=len(members),
+                              qbeg=qb, qend=qe))
         dup_index.append(members)
     return reads, dup_index, n_dust
 

@@ -259,7 +259,10 @@ class TpuMetaScorer:
         n_rows, C = self.n_rows, self.NODE_CHUNK
         C32 = C // 32
         sdt = jnp.uint8 if self.n_slots <= 255 else jnp.uint16
-        pack32 = jnp.arange(32, dtype=jnp.uint32)
+        # numpy, NOT jnp: a device-array closure constant is re-fetched at
+        # lowering time (mlir ir_constant -> Array._value), which on the
+        # remote-device link stalled lower() for ~100s per program
+        pack32 = np.arange(32, dtype=np.uint32)
 
         @jax.jit
         def run(carries, ev_keys, ev_cols, ev_dels, fwd_all, rev_all):
@@ -295,6 +298,20 @@ class TpuMetaScorer:
 
         return run
 
+    def _make_gather_fn(self):
+        """Candidate-column selection over a group's [G, nB, B, C] score
+        block as ONE compiled program (the per-chunk eager slices it replaces
+        cost a remote-link round trip each)."""
+
+        @jax.jit
+        def gather(ms, sn, cols):
+            G, nB, B, C = sn.shape
+            flat = jnp.moveaxis(sn, 0, 2).reshape(nB * B, G * C)
+            return (jnp.max(ms, axis=0).reshape(nB * B),
+                    flat[:, cols].astype(jnp.uint16))
+
+        return gather
+
     def score_all(self, candidate_nodes: list, snap_device: bool = False):
         """Returns (max_score i32[R], snap).
 
@@ -305,36 +322,38 @@ class TpuMetaScorer:
         n_cand = len(candidate_nodes)
         C = self.NODE_CHUNK
         cand = np.asarray(candidate_nodes, dtype=np.int64)
-        # candidates grouped by node chunk
-        cand_ci = (cand // C).astype(np.int64)
-        cand_order = np.argsort(cand_ci, kind="stable")
-        per_chunk: dict = {}
-        for ci in range(len(self._chunk_lo)):
-            per_chunk[ci] = cand_order[cand_ci[cand_order] == ci]
         if self._score_fn is None:
             self._score_fn = self._make_score_all_fn()
+        gather_fn = self._make_gather_fn()
 
+        # candidates sorted by group; per-group column ids within the group's
+        # [G*C] node span, padded to a fixed pow2 width (one compile)
         G = self.group
-        ms_parts: list = []
+        cand_grp = (cand // (G * C)).astype(np.int64)
+        cand_order = np.argsort(cand_grp, kind="stable")
+        groups = list(range(0, self.n_chunks, G))
+        counts = np.bincount(cand_grp[cand_order], minlength=len(groups))
+        W = _pad_pow2(max(int(counts.max()) if n_cand else 1, 1), lo=64)
+
+        ms_host = np.zeros(self.Rpad, dtype=np.int64)
         snap_parts: list = []
         col_order: list = []
-        for g0 in range(0, self.n_chunks, G):
+        off = 0
+        for gi, g0 in enumerate(groups):
             ms, sn = self._score_fn(
                 self._carries_dev[g0 : g0 + G], self._ev_key_dev[g0 : g0 + G],
                 self._ev_col_dev[g0 : g0 + G], self._ev_del_dev[g0 : g0 + G],
                 self._occ_fwd_dev, self._occ_rev_dev)
-            ms_parts.append(jnp.max(ms, axis=0))
-            for ci in range(g0, min(g0 + G, self.n_chunks)):
-                sel = per_chunk[ci]
+            sel = cand_order[off : off + counts[gi]]
+            off += counts[gi]
+            cols = np.zeros(W, dtype=np.int32)
+            cols[: len(sel)] = (cand[sel] - g0 * C).astype(np.int32)
+            ms_g, snap_g = gather_fn(ms, sn, jnp.asarray(cols))
+            ms_host = np.maximum(ms_host, np.asarray(ms_g))
+            if len(sel):
+                snap_parts.append(snap_g[:R, : len(sel)])
                 col_order.extend(sel.tolist())
-                if len(sel):
-                    local = jnp.asarray((cand[sel] - self._chunk_lo[ci])
-                                        .astype(np.int32))
-                    snap_parts.append(
-                        sn[ci - g0].reshape(self.Rpad, C)[:, local])
-
-        ms_all = jnp.max(jnp.stack(ms_parts), axis=0).reshape(self.Rpad)
-        max_score = np.asarray(ms_all)[:R].astype(np.int32)
+        max_score = ms_host[:R].astype(np.int32)
         if n_cand == 0:
             if snap_device:
                 return max_score, jnp.zeros((R, 0), jnp.uint16)
@@ -342,8 +361,9 @@ class TpuMetaScorer:
         # assemble [R, n_cand] in ORIGINAL candidate order
         inv = np.empty(len(col_order), dtype=np.int64)
         inv[np.asarray(col_order)] = np.arange(len(col_order))
-        snap_dev = jnp.concatenate(snap_parts, axis=1)[:R][:, jnp.asarray(inv)]
-        snap_dev = snap_dev.astype(jnp.uint16)
+        snap_dev = (snap_parts[0] if len(snap_parts) == 1
+                    else jnp.concatenate(snap_parts, axis=1))
+        snap_dev = snap_dev[:, jnp.asarray(inv)]
         if snap_device:
             return max_score, snap_dev
         return max_score, np.asarray(snap_dev).T.copy()
@@ -353,12 +373,12 @@ class TpuMetaScorer:
         n_rows, C = self.n_rows, self.NODE_CHUNK
 
         C32 = C // 32
-        pack32 = jnp.arange(32, dtype=jnp.uint32)
+        pack32 = np.arange(32, dtype=np.uint32)  # numpy: see _make_score_all_fn
 
         @jax.jit
         def run(carries, ev_keys, ev_cols, ev_dels, fwd_all, rev_all,
                 eff_all, thr_all, keep_all, iota_all):
-            pack = jnp.arange(8, dtype=jnp.int32)
+            pack = np.arange(8, dtype=np.int32)
 
             def chunk(_, xs):
                 state, ev_key, ev_col, ev_delta, keep_c, iota_c = xs

@@ -126,8 +126,10 @@ class TpuPlacer:
         from .engine import homopolymer_hashes
 
         hp = np.array(homopolymer_hashes(k), dtype=np.uint64)
-        self.hp_hi = jnp.asarray((hp >> np.uint64(32)).astype(np.uint32))
-        self.hp_lo = jnp.asarray((hp & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        # numpy: closed over inside jits — device-array constants stall every
+        # lowering with a per-constant remote fetch (see sketch/tpu.py)
+        self.hp_hi = (hp >> np.uint64(32)).astype(np.uint32)
+        self.hp_lo = (hp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
         L = self.pad_len
         B = batch

@@ -27,10 +27,13 @@ _H64 = np.zeros(5, dtype=np.uint64)
 _H64[:4] = CHASH[_CODE2CHAR]
 _HC64 = np.zeros(5, dtype=np.uint64)
 _HC64[:4] = CHASH_COMP[_CODE2CHAR]
-H_HI = jnp.asarray((_H64 >> 32).astype(np.uint32))
-H_LO = jnp.asarray((_H64 & 0xFFFFFFFF).astype(np.uint32))
-HC_HI = jnp.asarray((_HC64 >> 32).astype(np.uint32))
-HC_LO = jnp.asarray((_HC64 & 0xFFFFFFFF).astype(np.uint32))
+# numpy (NOT device arrays): device-array closure constants are re-fetched
+# during every jit lowering (mlir ir_constant), a multi-second sync stall per
+# constant on the remote-device link; host constants embed for free
+H_HI = (_H64 >> 32).astype(np.uint32)
+H_LO = (_H64 & 0xFFFFFFFF).astype(np.uint32)
+HC_HI = (_HC64 >> 32).astype(np.uint32)
+HC_LO = (_HC64 & 0xFFFFFFFF).astype(np.uint32)
 
 
 def rol_pair(hi, lo, r: int):
@@ -82,10 +85,10 @@ def syncmer_scan_batch(reads, lengths, k: int, s: int, t: int, open_: bool):
     """
     B, L = reads.shape
     m = L - k + 1
-    h_hi = H_HI[reads]
-    h_lo = H_LO[reads]
-    hc_hi = HC_HI[reads]
-    hc_lo = HC_LO[reads]
+    h_hi = jnp.asarray(H_HI)[reads]
+    h_lo = jnp.asarray(H_LO)[reads]
+    hc_hi = jnp.asarray(HC_HI)[reads]
+    hc_lo = jnp.asarray(HC_LO)[reads]
 
     Fkh, Fkl, Rkh, Rkl = _window_hash_pair(hc_hi, hc_lo, h_hi, h_lo, k, m)
     ms = L - s + 1
