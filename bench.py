@@ -49,7 +49,6 @@ def main():
     log(f"[bench] {n_reads} reads, {len(idx.seed_hashes)} index rows")
 
     from panmap_tpu.place.query_tpu import TpuPlacer
-    from panmap_tpu.place.engine import METRICS
 
     t0 = time.time()
     placer = TpuPlacer(idx, pad_len=max(len(s) for s in seqs))
@@ -57,15 +56,15 @@ def main():
 
     # warmup (compiles)
     t0 = time.time()
-    scores = placer.place(seqs)
-    best = int(scores[:, 4].argmax())
+    res = placer.place_best(seqs)
+    best = res.best_index["log_containment"]
     log(f"[bench] warmup {time.time()-t0:.1f}s best log_containment node: "
         f"{idx.node_ids[best]}")
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        scores = placer.place(seqs)
+        res = placer.place_best(seqs)
         times.append(time.time() - t0)
     dt = min(times)
     rps = n_reads / dt

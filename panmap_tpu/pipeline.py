@@ -180,10 +180,15 @@ def _run_placement_device(cfg: PipelineConfig, idx: IndexArrays, seqs: list):
 
     t0 = time.time()
     placer = TpuPlacer(idx, pad_len=max((len(s) for s in seqs), default=160))
-    scores = placer.place(seqs, min_read_support=cfg.min_read_support)
+    if cfg.dump_all_scores or cfg.refine:
+        # these need the full per-node score matrix on the host
+        scores = placer.place(seqs, min_read_support=cfg.min_read_support)
+        res = select_best(scores.astype(np.float64), idx.parent_index,
+                          force_leaf=cfg.force_leaf)
+    else:
+        res = placer.place_best(seqs, min_read_support=cfg.min_read_support,
+                                force_leaf=cfg.force_leaf)
     cfg.log(f"[place] device path: {len(seqs)} reads in {time.time()-t0:.1f}s")
-    res = select_best(scores.astype(np.float64), idx.parent_index,
-                      force_leaf=cfg.force_leaf)
     return _finish_placement(cfg, idx, res, len(seqs))
 
 

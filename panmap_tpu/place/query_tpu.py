@@ -161,13 +161,17 @@ class TpuPlacer:
                         tab_idx):
         """Shared post-sort stage: run-length counts over sorted (hi, lo)
         seeds, homopolymer removal, auto min-read-support
-        (placement.cpp:931-955), log-count stats, and the one-time join of the
-        kept distinct read seeds against the index's unique-hash table via the
+        (placement.cpp:931-955), log-count stats, and the join of the kept
+        distinct read seeds against the index's unique-hash table via the
         two-probe cuckoo lookup.  Invalid slots carry all-ones hashes, so they
         form one trailing run and every other run is entirely valid: a run's
         count is simply its LENGTH (a genuine all-ones seed hash — p ~ 2^-64 —
-        would be dropped).  Traced inside a jit; returns the per-uid logc
-        table (>0 marks a found+kept seed) + scalars."""
+        would be dropped).  Indexed ops at full stream width cost ~10 ns/elem
+        on this chip regardless of payload, so the distinct seeds are
+        compacted with ONE packed row-scatter (hi, lo, logc-bits) and the
+        cuckoo probe runs on the compacted table.  Traced inside a jit;
+        returns the per-uid logc table (>0 marks a found+kept seed) +
+        scalars."""
         n_unique = int(self.dev.unique_hashes.shape[0])
         S = self.tab_size
         MAXU = self.MAXU
@@ -204,10 +208,14 @@ class TpuPlacer:
         lden = jnp.sum(logc)
         nuniq = jnp.sum(keep)
 
+        # ONE packed compaction row-scatter: (hi, lo, logc bits) per kept run
         slot = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, MAXU)
-        rq_hi = jnp.zeros(MAXU, jnp.uint32).at[slot].set(shi, mode="drop")
-        rq_lo = jnp.zeros(MAXU, jnp.uint32).at[slot].set(slo, mode="drop")
-        rq_lc = jnp.zeros(MAXU, jnp.float32).at[slot].set(logc, mode="drop")
+        payload = jnp.stack(
+            [shi, slo, jax.lax.bitcast_convert_type(logc, jnp.uint32)], axis=1)
+        comp = jnp.zeros((MAXU, 3), jnp.uint32).at[slot].set(
+            payload, mode="drop")
+        rq_hi, rq_lo = comp[:, 0], comp[:, 1]
+        rq_lc = jax.lax.bitcast_convert_type(comp[:, 2], jnp.float32)
         rq_ok = jnp.arange(MAXU) < nuniq
         # cuckoo probe: table 0 keyed by the low word, table 1 by the high
         mask = jnp.uint32(S - 1)
@@ -217,9 +225,12 @@ class TpuPlacer:
         m1 = (tab_hi[s1] == rq_hi) & (tab_lo[s1] == rq_lo)
         uidx = jnp.where(m0, tab_idx[s0], tab_idx[s1])
         hit = m0 | m1
-        put = jnp.where(hit & rq_ok, uidx, n_unique)
+        # misses get distinct out-of-bounds slots (dropped) so the scatter is
+        # provably duplicate-free
+        put = jnp.where(hit & rq_ok, uidx,
+                        n_unique + jnp.arange(MAXU, dtype=jnp.int32))
         uid_logc = jnp.zeros(n_unique, jnp.float32).at[put].set(
-            rq_lc, mode="drop")
+            rq_lc, mode="drop", unique_indices=True)
         return uid_logc, log_mag, nuniq, lden
 
     def _score_rows(self, row_id, row_parent, row_child, row_node, euler_in,
@@ -320,6 +331,77 @@ class TpuPlacer:
         self._last_wc_den = float(wc_den)
         return self._finish_scores(np.asarray(acc), float(log_mag), int(nuniq),
                                    float(lden))
+
+    def _device_scores(self, acc, wc_den, log_mag, nuniq, lden):
+        """scores[N,5] from the accumulator — _finish_scores, traced."""
+        gmsq, lograw, logcos, wc_num, logcont, presence = [
+            acc[:, i] for i in range(6)]
+        z = jnp.zeros_like(lograw)
+        ok = log_mag > 0
+        s0 = jnp.where(ok, lograw / jnp.where(ok, log_mag, 1.0), z)
+        gm = jnp.sqrt(jnp.maximum(gmsq, 0.0))
+        den = log_mag * gm
+        s1 = jnp.clip(jnp.where(den > 0, logcos / jnp.where(den > 0, den, 1.0),
+                                z), 0.0, 1.0)
+        s2 = jnp.where(nuniq > 0, presence / jnp.maximum(nuniq, 1.0), z)
+        s3 = jnp.where(wc_den > 0, wc_num / jnp.where(wc_den > 0, wc_den, 1.0),
+                       z)
+        s4 = jnp.where(lden > 0, logcont / jnp.where(lden > 0, lden, 1.0), z)
+        return jnp.stack([s0, s1, s2, s4], axis=1), s3
+
+    def _make_select_fn(self):
+        """Tolerance-aware best/tie selection (placement.cpp:355-401) on
+        device: the host only fetches 5 best scores + a bit-packed [N,5]
+        tie mask (~25 KB) instead of the [N,6] accumulator — the remote
+        link runs at ~16 MB/s, so the fetch size is the placement tail."""
+
+        @jax.jit
+        def sel(acc, wc_den, log_mag, nuniq, lden, eligible):
+            s0124, s3 = self._device_scores(acc, wc_den, log_mag, nuniq, lden)
+            scores = jnp.concatenate(
+                [s0124[:, :3], s3[:, None], s0124[:, 3:]], axis=1)
+            col = jnp.where(eligible[:, None], scores, -jnp.inf)
+            best = jnp.max(col, axis=0)
+            tol = jnp.maximum(best * 1e-4, 1e-9)
+            tied = (col >= best - tol) & (col > 0)
+            return best, jnp.packbits(tied, axis=0)
+
+        return sel
+
+    def place_best(self, seqs: list, min_read_support: int = -1,
+                   force_leaf: bool = False):
+        """Fast path: full placement with on-device best/tie selection.
+        Returns a PlacementScores with best/tie fields filled and an empty
+        scores matrix (use place() when per-node scores are needed)."""
+        from .engine import METRICS, PlacementScores
+
+        kh, kl, vv = self.sketch_device(seqs)
+        dev = self.dev
+        acc, wc_den, log_mag, nuniq, lden = self._finalize_score(
+            kh, kl, vv, float(min_read_support), dev.row_id, dev.row_parent,
+            dev.row_child, dev.row_node, dev.euler_in, dev.euler_out,
+            self.tab_hi, self.tab_lo, self.tab_idx)
+        if not hasattr(self, "_select_fn"):
+            self._select_fn = self._make_select_fn()
+            n = self.dev.n_nodes
+            elig = np.ones(n, dtype=bool)
+            is_parent = np.zeros(n, dtype=bool)
+            is_parent[self.idx.parent_index[1:]] = True
+            self._elig_all = jnp.asarray(elig)
+            self._elig_leaf = jnp.asarray(elig & ~is_parent)
+        elig = self._elig_leaf if force_leaf else self._elig_all
+        best, packed = self._select_fn(acc, wc_den, log_mag, nuniq, lden, elig)
+        best = np.asarray(best)
+        tied = np.unpackbits(np.asarray(packed), axis=0,
+                             count=self.dev.n_nodes).astype(bool)
+        res = PlacementScores(scores=np.zeros((0, 5)))
+        for m, name in enumerate(METRICS):
+            b = float(best[m])
+            idxs = np.flatnonzero(tied[:, m])
+            res.best_score[name] = b if np.isfinite(b) else 0.0
+            res.tied_indices[name] = idxs.tolist()
+            res.best_index[name] = int(idxs[0]) if len(idxs) else None
+        return res
 
     def _score_by_table(self, uid_logc):
         """Score rows by gathering each row's unique-hash id from the dense
