@@ -321,6 +321,12 @@ class TpuPlacer:
         vv = jnp.concatenate([p[2] for p in parts])
         return kh, kl, vv
 
+    def _check_capacity(self, nuniq):
+        if int(nuniq) > self.MAXU:
+            raise RuntimeError(
+                f"distinct read seeds ({int(nuniq)}) exceed the device "
+                f"compaction capacity ({self.MAXU}); use the host engine")
+
     def place(self, seqs: list, min_read_support: int = -1):
         kh, kl, vv = self.sketch_device(seqs)
         dev = self.dev
@@ -328,6 +334,7 @@ class TpuPlacer:
             kh, kl, vv, float(min_read_support), dev.row_id, dev.row_parent,
             dev.row_child, dev.row_node, dev.euler_in, dev.euler_out,
             self.tab_hi, self.tab_lo, self.tab_idx)
+        self._check_capacity(nuniq)
         self._last_wc_den = float(wc_den)
         return self._finish_scores(np.asarray(acc), float(log_mag), int(nuniq),
                                    float(lden))
@@ -391,6 +398,7 @@ class TpuPlacer:
             self._elig_leaf = jnp.asarray(elig & ~is_parent)
         elig = self._elig_leaf if force_leaf else self._elig_all
         best, packed = self._select_fn(acc, wc_den, log_mag, nuniq, lden, elig)
+        self._check_capacity(nuniq)
         best = np.asarray(best)
         tied = np.unpackbits(np.asarray(packed), axis=0,
                              count=self.dev.n_nodes).astype(bool)
