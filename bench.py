@@ -56,7 +56,7 @@ def main():
 
     # warmup (compiles)
     t0 = time.time()
-    res = placer.place_best(seqs)
+    res = placer.place_best_host(seqs)
     best = res.best_index["log_containment"]
     log(f"[bench] warmup {time.time()-t0:.1f}s best log_containment node: "
         f"{idx.node_ids[best]}")
@@ -64,7 +64,7 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.time()
-        res = placer.place_best(seqs)
+        res = placer.place_best_host(seqs)
         times.append(time.time() - t0)
     dt = min(times)
     rps = n_reads / dt

@@ -66,8 +66,44 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_void_p, ctypes.c_void_p]
     lib.pt_baq_glocal.restype = ctypes.c_int
+    lib.pt_sketch_count.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64]
+    lib.pt_sketch_count.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def sketch_count_native(seqs: list, k: int, s: int, t: int, open_: bool,
+                        l: int, trim_start: int = 0, trim_end: int = 0,
+                        threads: int = 0):
+    """Batched seedFreqInReads: distinct canonical k-min-mer counts over all
+    reads (native twin of place/engine.py::sketch_reads with
+    dedup_reads=False).  Returns (hashes u64[n], counts u32[n]) unsorted, or
+    None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    joined = "".join(seqs).encode()
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    lens = np.array([len(x) for x in seqs], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    cap = 1 << 22
+    for _ in range(3):
+        out_hash = np.empty(cap, dtype=np.uint64)
+        out_count = np.empty(cap, dtype=np.uint32)
+        n = lib.pt_sketch_count(
+            buf.ctypes.data, offsets.ctypes.data, len(seqs), k, s, t,
+            int(open_), l, trim_start, trim_end, threads,
+            out_hash.ctypes.data, out_count.ctypes.data, cap)
+        if n >= 0:
+            return out_hash[:n].copy(), out_count[:n].copy()
+        cap *= 4
+    return None
 
 
 def baq_glocal_native(ref_codes: np.ndarray, q_codes: np.ndarray,

@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -154,6 +155,243 @@ void pt_encode_reads(const uint8_t* joined, const int64_t* offsets, int64_t b,
         for (; i < len; ++i) dst[i] = enc[src[i]];
         for (; i < pad_to; ++i) dst[i] = 4;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched read sketch + distinct k-min-mer counting (seedFreqInReads).
+//
+// Twin of place/engine.py::sketch_reads with dedup_reads=False (counting every
+// read is identical to dedup + multiplicity weighting) over sketch/cpu.py's
+// syncmer_list + kminmer_hashes semantics (reference: placement.cpp:1611-1684).
+// Multithreaded over contiguous read ranges with per-thread open-addressing
+// maps merged at the end.  Canonical hash U64MAX (p ~ 2^-64) is reserved as
+// the empty sentinel and skipped — matching the device path, which uses the
+// all-ones hash as its invalid-slot sentinel.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CountMap {
+    std::vector<uint64_t> keys;
+    std::vector<uint32_t> vals;
+    size_t mask = 0;
+    size_t n = 0;
+
+    void init(size_t cap) {  // cap must be a power of two
+        keys.assign(cap, U64MAX);
+        vals.assign(cap, 0);
+        mask = cap - 1;
+        n = 0;
+    }
+    inline size_t slot(uint64_t h) const {
+        return (size_t)((h ^ (h >> 29)) * 0x9E3779B97F4A7C15ULL >> 17) & mask;
+    }
+    void grow() {
+        std::vector<uint64_t> ok;
+        std::vector<uint32_t> ov;
+        ok.swap(keys);
+        ov.swap(vals);
+        size_t old_cap = mask + 1;
+        init(old_cap * 2);
+        for (size_t i = 0; i < old_cap; ++i)
+            if (ok[i] != U64MAX) add(ok[i], ov[i]);
+    }
+    inline void add(uint64_t h, uint32_t c) {
+        if ((n + 1) * 10 > (mask + 1) * 7) grow();
+        size_t i = slot(h);
+        for (;;) {
+            if (keys[i] == U64MAX) {
+                keys[i] = h;
+                vals[i] = c;
+                ++n;
+                return;
+            }
+            if (keys[i] == h) {
+                vals[i] += c;
+                return;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+};
+
+// scratch buffers reused across reads within one thread
+struct SketchScratch {
+    std::vector<uint64_t> h, hc, Fk, Rk, Fs, Rs, Fmin, Rmin, H, h2;
+    std::vector<int32_t> pos;
+};
+
+// branchless sliding minimum (van Herk/Gil-Werman): per block of w, suffix
+// minima within the block and running prefix minima across it; the deque
+// variant's data-dependent branches mispredict ~50% on hash data.
+static void sliding_min_vh(const uint64_t* x, int64_t n, int w, uint64_t* out,
+                           std::vector<uint64_t>& scratch) {
+    int64_t m = n - w + 1;
+    if (m <= 0) return;
+    scratch.resize(n);
+    uint64_t* sfx = scratch.data();  // sfx[i] = min x[i .. block_end]
+    for (int64_t b = 0; b < n; b += w) {
+        int64_t e = b + w < n ? b + w : n;
+        uint64_t acc = x[e - 1];
+        sfx[e - 1] = acc;
+        for (int64_t i = e - 2; i >= b; --i) {
+            acc = x[i] < acc ? x[i] : acc;
+            sfx[i] = acc;
+        }
+    }
+    uint64_t pfx = U64MAX;
+    int cnt = 0;  // j % w, maintained without division
+    for (int64_t j = 0; j < n; ++j) {
+        // pfx = min x[block_start(j) .. j]
+        pfx = (cnt == 0) ? x[j] : (x[j] < pfx ? x[j] : pfx);
+        if (++cnt == w) cnt = 0;
+        if (j >= w - 1) {
+            int64_t i = j - w + 1;
+            out[i] = sfx[i] < pfx ? sfx[i] : pfx;
+        }
+    }
+}
+
+// syncmer scan of one read into scratch.H (canonical hashes, in order) and
+// scratch.pos (k-mer start positions); same math as pt_rolling_syncmers.
+static void scan_read_syncmers(const uint8_t* seq, int64_t nn, int k, int s,
+                               int t, int open_, SketchScratch& sc) {
+    sc.H.clear();
+    sc.pos.clear();
+    int64_t m = nn - k + 1;
+    if (m <= 0) return;
+    sc.h.resize(nn);
+    sc.hc.resize(nn);
+    bool any_amb = false;
+    for (int64_t i = 0; i < nn; ++i) {
+        sc.h[i] = T.chash[seq[i]];
+        sc.hc[i] = T.chash_comp[seq[i]];
+        any_amb |= (sc.h[i] == 0);
+    }
+    int64_t ms = nn - s + 1;
+    sc.Fk.resize(m);
+    sc.Rk.resize(m);
+    sc.Fs.resize(ms);
+    sc.Rs.resize(ms);
+    window_hashes(sc.h.data(), sc.hc.data(), nn, k, sc.Fk.data(), sc.Rk.data());
+    window_hashes(sc.h.data(), sc.hc.data(), nn, s, sc.Fs.data(), sc.Rs.data());
+    int w = k - s + 1;
+    sc.Fmin.resize(m);
+    sc.Rmin.resize(m);
+    sliding_min_vh(sc.Fs.data(), ms, w, sc.Fmin.data(), sc.h2);
+    sliding_min_vh(sc.Rs.data(), ms, w, sc.Rmin.data(), sc.h2);
+    int32_t bad_run = 0;  // count of ambiguous bases in the current k-window
+    if (any_amb)
+        for (int64_t i = 0; i < k - 1 && i < nn; ++i) bad_run += (sc.h[i] == 0);
+    for (int64_t i = 0; i < m; ++i) {
+        if (any_amb) bad_run += (sc.h[i + k - 1] == 0);
+        bool fwd_sync, rev_sync;
+        if (open_) {
+            fwd_sync = sc.Fs[i + t] == sc.Fmin[i];
+            rev_sync = sc.Rs[i + k - s - t] == sc.Rmin[i];
+        } else {
+            fwd_sync = (sc.Fs[i + t] == sc.Fmin[i]) ||
+                       (sc.Fs[i + k - s - t] == sc.Fmin[i]);
+            rev_sync = (sc.Rs[i + k - s - t] == sc.Rmin[i]) ||
+                       (sc.Rs[i + t] == sc.Rmin[i]);
+        }
+        bool sync = (fwd_sync || rev_sync) && bad_run == 0 &&
+                    (sc.Fk[i] != sc.Rk[i]);
+        if (sync) {
+            sc.H.push_back(sc.Fk[i] < sc.Rk[i] ? sc.Fk[i] : sc.Rk[i]);
+            sc.pos.push_back((int32_t)i);
+        }
+        if (any_amb) bad_run -= (sc.h[i] == 0);
+    }
+}
+
+static void sketch_count_range(const uint8_t* joined, const int64_t* offsets,
+                               int64_t r0, int64_t r1, int k, int s, int t,
+                               int open_, int l, int trim_start, int trim_end,
+                               CountMap& map) {
+    SketchScratch sc;
+    for (int64_t r = r0; r < r1; ++r) {
+        const uint8_t* seq = joined + offsets[r];
+        int64_t nn = offsets[r + 1] - offsets[r];
+        scan_read_syncmers(seq, nn, k, s, t, open_, sc);
+        size_t nh = sc.H.size();
+        if ((int64_t)nh < (l > 1 ? l : 1)) continue;
+        size_t lo_i = 0, hi_i = nh;  // in-range syncmer sub-list [lo_i, hi_i)
+        if (trim_start > 0 || trim_end > 0) {
+            int32_t lo = trim_start;
+            int32_t hi = (int32_t)(nn - trim_end - k);
+            while (lo_i < nh && sc.pos[lo_i] < lo) ++lo_i;
+            while (hi_i > lo_i && sc.pos[hi_i - 1] > hi) --hi_i;
+            if (hi_i == lo_i) continue;
+        }
+        const uint64_t* H = sc.H.data() + lo_i;
+        int64_t mh = (int64_t)(hi_i - lo_i);
+        if (l == 1) {
+            for (int64_t i = 0; i < mh; ++i)
+                if (H[i] != U64MAX) map.add(H[i], 1);
+            continue;
+        }
+        if (mh < l) continue;
+        // l-window combine: F = XOR rol(H[i+w], k*(l-1-w)), R reversed
+        // (l is small — direct recompute per window)
+        for (int64_t i = 0; i + l <= mh; ++i) {
+            uint64_t f = 0, rr = 0;
+            for (int w2 = 0; w2 < l; ++w2) {
+                int e = (k * (l - 1 - w2)) & 63;
+                f ^= rol(H[i + w2], e);
+                rr ^= rol(H[i + l - 1 - w2], e);
+            }
+            if (f != rr) {  // palindromic windows skipped
+                uint64_t canon = f < rr ? f : rr;
+                if (canon != U64MAX) map.add(canon, 1);
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of distinct k-min-mers written to out_hash/out_count,
+// or -1 if cap was insufficient (caller retries with a larger cap).
+int64_t pt_sketch_count(const uint8_t* joined, const int64_t* offsets,
+                        int64_t n_reads, int k, int s, int t, int open_, int l,
+                        int trim_start, int trim_end, int n_threads,
+                        uint64_t* out_hash, uint32_t* out_count, int64_t cap) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > (int)n_reads) n_threads = n_reads > 0 ? (int)n_reads : 1;
+    std::vector<CountMap> maps(n_threads);
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int ti = 0; ti < n_threads; ++ti) {
+        int64_t r0 = ti * chunk;
+        int64_t r1 = r0 + chunk < n_reads ? r0 + chunk : n_reads;
+        maps[ti].init(1 << 16);
+        if (r0 >= r1) continue;
+        threads.emplace_back([&, ti, r0, r1]() {
+            sketch_count_range(joined, offsets, r0, r1, k, s, t, open_, l,
+                               trim_start, trim_end, maps[ti]);
+        });
+    }
+    for (auto& th : threads) th.join();
+    CountMap& m0 = maps[0];
+    for (int ti = 1; ti < n_threads; ++ti) {
+        CountMap& mi = maps[ti];
+        for (size_t i = 0; i <= mi.mask; ++i)
+            if (mi.keys[i] != U64MAX) m0.add(mi.keys[i], mi.vals[i]);
+    }
+    if ((int64_t)m0.n > cap) return -1;
+    int64_t w = 0;
+    for (size_t i = 0; i <= m0.mask; ++i)
+        if (m0.keys[i] != U64MAX) {
+            out_hash[w] = m0.keys[i];
+            out_count[w] = m0.vals[i];
+            ++w;
+        }
+    return w;
 }
 
 }  // extern "C"

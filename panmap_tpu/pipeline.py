@@ -186,8 +186,9 @@ def _run_placement_device(cfg: PipelineConfig, idx: IndexArrays, seqs: list):
         res = select_best(scores.astype(np.float64), idx.parent_index,
                           force_leaf=cfg.force_leaf)
     else:
-        res = placer.place_best(seqs, min_read_support=cfg.min_read_support,
-                                force_leaf=cfg.force_leaf)
+        res = placer.place_best_host(seqs,
+                                     min_read_support=cfg.min_read_support,
+                                     force_leaf=cfg.force_leaf)
     cfg.log(f"[place] device path: {len(seqs)} reads in {time.time()-t0:.1f}s")
     return _finish_placement(cfg, idx, res, len(seqs))
 

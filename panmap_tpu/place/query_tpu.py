@@ -411,6 +411,112 @@ class TpuPlacer:
             res.best_index[name] = int(idxs[0]) if len(idxs) else None
         return res
 
+    def sketch_host(self, seqs: list, min_read_support: int = -1):
+        """Host-side native sketch+count+join: returns (uids, logc, log_mag,
+        nuniq, lden) over found+kept read seeds, or None when the native
+        library is unavailable.  Identical filtering semantics to the device
+        finalize (_finalize_stats); the remote-link win is that only the
+        ~found-seed (uid, logc) pairs ever cross to the device instead of the
+        whole 2-bit read batch."""
+        from ..native import sketch_count_native
+
+        p = self.params
+        out = sketch_count_native(seqs, p.k, p.s, p.t, p.open, p.l)
+        if out is None:
+            return None
+        H, C = out
+        if len(H) == 0:
+            return (np.empty(0, np.int32), np.empty(0, np.float32), 0.0, 0,
+                    0.0)
+        hp = ((self.hp_hi.astype(np.uint64) << np.uint64(32))
+              | self.hp_lo.astype(np.uint64))
+        if len(hp):
+            m = np.ones(len(H), dtype=bool)
+            for h in hp:
+                m &= H != h
+            H, C = H[m], C[m]
+        multi = C >= 2
+        est = (C[multi].mean() if multi.any() else 0.0)
+        auto_ms = 2.0 if est > 3.0 else 1.0
+        ms = auto_ms if min_read_support < 0 else float(min_read_support)
+        keep = C >= ms
+        H, C = H[keep], C[keep]
+        logc = np.log1p(C.astype(np.float32))
+        log_mag = float(np.sqrt(np.float32(logc @ logc)))
+        lden = float(np.sum(logc, dtype=np.float32))
+        nuniq = int(len(H))
+        U = self.dev.unique_hashes
+        pos = np.searchsorted(U, H)
+        posc = np.minimum(pos, max(len(U) - 1, 0))
+        found = (len(U) > 0) & (U[posc] == H)
+        return (posc[found].astype(np.int32), logc[found], log_mag, nuniq,
+                lden)
+
+    def _make_host_score_fn(self):
+        nu = int(self.dev.unique_hashes.shape[0])
+
+        @jax.jit
+        def run(uids, lc, log_mag, nuniq, lden, row_id, row_parent, row_child,
+                row_node, euler_in, euler_out, eligible):
+            uid_logc = jnp.zeros(nu, jnp.float32).at[uids].set(
+                lc, mode="drop", unique_indices=True)
+            acc, wc_den = self._score_rows(
+                row_id, row_parent, row_child, row_node, euler_in, euler_out,
+                uid_logc)
+            s0124, s3 = self._device_scores(acc, wc_den, log_mag, nuniq, lden)
+            scores = jnp.concatenate(
+                [s0124[:, :3], s3[:, None], s0124[:, 3:]], axis=1)
+            col = jnp.where(eligible[:, None], scores, -jnp.inf)
+            best = jnp.max(col, axis=0)
+            tol = jnp.maximum(best * 1e-4, 1e-9)
+            tied = (col >= best - tol) & (col > 0)
+            return best, jnp.packbits(tied, axis=0)
+
+        return run
+
+    def place_best_host(self, seqs: list, min_read_support: int = -1,
+                        force_leaf: bool = False):
+        """Hybrid fast path: native host sketch+count+join, device row-delta
+        scoring + selection.  Falls back to the all-device path when the
+        native library is missing.  Same results as place_best."""
+        from .engine import METRICS, PlacementScores
+
+        sk = self.sketch_host(seqs, min_read_support)
+        if sk is None:
+            return self.place_best(seqs, min_read_support, force_leaf)
+        uids, lc, log_mag, nuniq, lden = sk
+        if not hasattr(self, "_host_score_fn"):
+            self._host_score_fn = self._make_host_score_fn()
+            n = self.dev.n_nodes
+            elig = np.ones(n, dtype=bool)
+            is_parent = np.zeros(n, dtype=bool)
+            is_parent[self.idx.parent_index[1:]] = True
+            self._elig_all = jnp.asarray(elig)
+            self._elig_leaf = jnp.asarray(elig & ~is_parent)
+        nu = int(self.dev.unique_hashes.shape[0])
+        cap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
+        pu = np.full(cap, nu, np.int32)  # out-of-range slots drop in scatter
+        pu[: len(uids)] = uids
+        pl = np.zeros(cap, np.float32)
+        pl[: len(uids)] = lc
+        dev = self.dev
+        elig = self._elig_leaf if force_leaf else self._elig_all
+        best, packed = self._host_score_fn(
+            pu, pl, np.float32(log_mag), np.int32(nuniq), np.float32(lden),
+            dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
+            dev.euler_in, dev.euler_out, elig)
+        best = np.asarray(best)
+        tied = np.unpackbits(np.asarray(packed), axis=0,
+                             count=self.dev.n_nodes).astype(bool)
+        res = PlacementScores(scores=np.zeros((0, 5)))
+        for m, name in enumerate(METRICS):
+            b = float(best[m])
+            idxs = np.flatnonzero(tied[:, m])
+            res.best_score[name] = b if np.isfinite(b) else 0.0
+            res.tied_indices[name] = idxs.tolist()
+            res.best_index[name] = int(idxs[0]) if len(idxs) else None
+        return res
+
     def _score_by_table(self, uid_logc):
         """Score rows by gathering each row's unique-hash id from the dense
         per-uid logc table built in finalize (one gather per row; the

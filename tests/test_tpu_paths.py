@@ -201,3 +201,85 @@ def test_tpu_placer_matches_f64_engine(rng):
     exact_auto = score_nodes(idx, sk_auto)
     got_auto = placer.place(seqs, min_read_support=-1)
     assert np.allclose(got_auto, exact_auto.scores, atol=2e-4)
+
+
+def test_place_best_host_matches_place_best(rng):
+    """Hybrid host-sketch path (native count + join, device scoring) returns
+    the same best nodes / tie sets as the all-device path."""
+    from panmap_tpu.index.builder import IndexArrays, IndexParams
+    from panmap_tpu.native import get_lib
+    from panmap_tpu.place.engine import METRICS, sketch_reads
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    k, s, t, l = 19, 8, 0, 3
+    nprng = np.random.default_rng(7)
+    base = [random_dna(rng, 150) for _ in range(24)]
+    seqs = base + base[:7]  # duplicates exercise counts >= 2
+    freq = sketch_reads(seqs, k, s, t, l, False)
+    read_hashes = np.array(sorted(freq), dtype=np.uint64)
+
+    n_nodes = 9
+    parent = np.array([0, 0, 1, 1, 0, 4, 4, 6, 6], dtype=np.uint32)
+    rows_per_node = nprng.integers(4, 12, n_nodes)
+    offsets = np.zeros(n_nodes + 1, dtype=np.uint64)
+    offsets[1:] = np.cumsum(rows_per_node)
+    T = int(offsets[-1])
+    pick = nprng.integers(0, len(read_hashes), T)
+    hashes = read_hashes[pick]
+    miss = nprng.random(T) < 0.3
+    hashes = np.where(
+        miss, nprng.integers(1, 1 << 62, T).astype(np.uint64), hashes)
+    idx = IndexArrays(
+        params=IndexParams(k=k, s=s, t=t, l=l, open=False),
+        node_ids=[f"n{i}" for i in range(n_nodes)],
+        parent_index=parent,
+        identical_to_parent=np.zeros(n_nodes, bool),
+        block_ranges=np.zeros((1, 2), np.uint32),
+        seed_hashes=hashes,
+        parent_counts=nprng.integers(0, 4, T).astype(np.int16),
+        child_counts=nprng.integers(0, 4, T).astype(np.int16),
+        node_offsets=offsets,
+    )
+
+    placer = TpuPlacer(idx, pad_len=152, batch=32)
+    for ms in (-1, 1, 2):
+        a = placer.place_best(seqs, min_read_support=ms)
+        b = placer.place_best_host(seqs, min_read_support=ms)
+        for m in METRICS:
+            assert a.best_index[m] == b.best_index[m], (ms, m)
+            assert abs(a.best_score[m] - b.best_score[m]) < 1e-4, (ms, m)
+            assert a.tied_indices[m] == b.tied_indices[m], (ms, m)
+
+
+def test_native_sketch_count_matches_python(rng):
+    """pt_sketch_count is a bit-exact twin of engine.sketch_reads
+    (dedup multiplicities, N handling, trim, l=1)."""
+    from panmap_tpu.native import get_lib, sketch_count_native
+    from panmap_tpu.place.engine import sketch_reads
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    seqs = [random_dna(rng, rng.randint(30, 220)) for _ in range(300)]
+    seqs += seqs[:50]  # duplicates
+    seqs[3] = seqs[3][:40] + "NN" + seqs[3][42:]
+    seqs[11] = "ACGT"  # shorter than k
+    for k, s, t, l, open_ in ((19, 8, 0, 3, False), (15, 8, 2, 1, False),
+                              (21, 11, 0, 2, True)):
+        ref = sketch_reads(seqs, k, s, t, l, open_)
+        out = sketch_count_native(seqs, k, s, t, open_, l)
+        got = dict(zip(out[0].tolist(), out[1].tolist()))
+        assert got == {int(h): int(c) for h, c in ref.items()}, (k, s, t, l)
+    # trim path
+    ref = sketch_reads(seqs, 19, 8, 0, 3, False, trim_start=11, trim_end=7)
+    out = sketch_count_native(seqs, 19, 8, 0, False, 3, trim_start=11,
+                              trim_end=7)
+    got = dict(zip(out[0].tolist(), out[1].tolist()))
+    assert got == {int(h): int(c) for h, c in ref.items()}
