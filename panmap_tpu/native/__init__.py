@@ -72,8 +72,29 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64]
     lib.pt_sketch_count.restype = ctypes.c_int64
+    lib.pt_join_u64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def join_u64_native(queries: np.ndarray, table_sorted: np.ndarray,
+                    threads: int = 0):
+    """Threaded lower_bound of each u64 query in a sorted u64 table.
+    Returns (idx i32[n] clipped, found bool[n]) or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    q = np.ascontiguousarray(queries, dtype=np.uint64)
+    U = np.ascontiguousarray(table_sorted, dtype=np.uint64)
+    idx = np.empty(len(q), dtype=np.int32)
+    found = np.empty(len(q), dtype=np.uint8)
+    lib.pt_join_u64(q.ctypes.data, len(q), U.ctypes.data, len(U), threads,
+                    idx.ctypes.data, found.ctypes.data)
+    return idx, found.astype(bool)
 
 
 def sketch_count_native(seqs: list, k: int, s: int, t: int, open_: bool,

@@ -394,6 +394,41 @@ int64_t pt_sketch_count(const uint8_t* joined, const int64_t* offsets,
     return w;
 }
 
+// Threaded binary-search join of unsorted u64 queries against a sorted table.
+// out_idx[i] = lower_bound(U, q[i]); found[i] = (U[out_idx[i]] == q[i]).
+void pt_join_u64(const uint64_t* q, int64_t n, const uint64_t* U, int64_t m,
+                 int n_threads, int32_t* out_idx, uint8_t* found) {
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            int64_t lo = 0, hi = m;
+            uint64_t x = q[i];
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (U[mid] < x)
+                    lo = mid + 1;
+                else
+                    hi = mid;
+            }
+            int64_t c = lo < m ? lo : (m > 0 ? m - 1 : 0);
+            out_idx[i] = (int32_t)c;
+            found[i] = (m > 0) && (U[c] == x);
+        }
+    };
+    if (n_threads == 1 || n < 4096) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int ti = 0; ti < n_threads; ++ti) {
+        int64_t a = ti * chunk, b = a + chunk < n ? a + chunk : n;
+        if (a >= b) break;
+        threads.emplace_back(work, a, b);
+    }
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

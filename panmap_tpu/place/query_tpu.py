@@ -446,11 +446,16 @@ class TpuPlacer:
         lden = float(np.sum(logc, dtype=np.float32))
         nuniq = int(len(H))
         U = self.dev.unique_hashes
-        pos = np.searchsorted(U, H)
-        posc = np.minimum(pos, max(len(U) - 1, 0))
-        found = (len(U) > 0) & (U[posc] == H)
-        return (posc[found].astype(np.int32), logc[found], log_mag, nuniq,
-                lden)
+        from ..native import join_u64_native
+
+        j = join_u64_native(H, U)
+        if j is not None:
+            posc, found = j
+        else:
+            pos = np.searchsorted(U, H)
+            posc = np.minimum(pos, max(len(U) - 1, 0)).astype(np.int32)
+            found = (len(U) > 0) & (U[posc] == H)
+        return (posc[found], logc[found], log_mag, nuniq, lden)
 
     def _make_host_score_fn(self):
         nu = int(self.dev.unique_hashes.shape[0])
