@@ -11,6 +11,43 @@ haplotype-abundance solver.
 __version__ = "0.1.0"
 
 
+def _tune_host_memory():
+    """Disable numpy's MADV_HUGEPAGE on large buffers (must run before numpy
+    is first imported).  On VMs with synchronous THP compaction, every fresh
+    huge-page fault costs ~100ms+, which made large one-shot numpy
+    allocations (np.empty + first write) run at ~10 MB/s instead of ~2 GB/s —
+    a 10-30x slowdown of every host-side array stage.  Override by setting
+    NUMPY_MADVISE_HUGEPAGE yourself."""
+    import os
+    import sys
+
+    if "numpy" not in sys.modules:
+        os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    elif os.environ.get("NUMPY_MADVISE_HUGEPAGE") is None:
+        # numpy already imported (e.g. by sitecustomize) — runtime switch
+        try:
+            try:
+                from numpy._core import multiarray as _ma
+            except ImportError:  # numpy < 2
+                from numpy.core import multiarray as _ma
+            _ma._set_madvise_hugepage(False)
+        except Exception:
+            pass
+    # keep large freed buffers on the heap instead of returning them to the
+    # OS (re-faulting them back in is the expensive part)
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_host_memory()
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache (first compile of the placement
     programs over the remote link costs minutes; cached re-runs cost ~0).

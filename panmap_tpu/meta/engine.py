@@ -163,6 +163,86 @@ def apply_seed_masking(reads: list, dup_index: list, mask_reads: int = 0,
     return out_reads, out_dups, n_masked
 
 
+def _mix64(v: np.ndarray, c: np.uint64) -> np.ndarray:
+    v = (v ^ (v >> np.uint64(31))) * c
+    return v ^ (v >> np.uint64(29))
+
+
+def _sketch_meta_reads_native(seqs: list, k, s, t, l, open_, orig_idx):
+    """Native CSR scan + vectorized exact dedup of identical seedmer lists.
+    Returns (reads, dup_index) or None when the native library is absent."""
+    from ..native import sketch_meta_native
+
+    out = sketch_meta_native(seqs, k, s, t, open_, l)
+    if out is None:
+        return None
+    ro, H, RV, QB, QE = out
+    n = len(seqs)
+    lens = np.diff(ro)
+    # order-dependent 2x64-bit fingerprints per read: position-weighted sums
+    # of mixed elements; W odd => W^-1 exists mod 2^64, so per-read weights
+    # are global powers rebased by the read's start offset
+    total = len(H)
+    val = (H ^ (QB.astype(np.uint64) << np.uint64(17))
+           ^ (QE.astype(np.uint64) << np.uint64(34))
+           ^ (RV.astype(np.uint64) << np.uint64(63)))
+    starts = ro[:-1]
+    fps = []
+    for W, C in ((np.uint64(0x9E3779B97F4A7C15), np.uint64(0xBF58476D1CE4E5B9)),
+                 (np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x94D049BB133111EB))):
+        P = np.empty(total + 1, dtype=np.uint64)
+        P[0] = np.uint64(1)
+        np.cumprod(np.full(total, W, dtype=np.uint64), out=P[1:])
+        Winv = np.uint64(pow(int(W), -1, 1 << 64))
+        Pinv = np.empty(n, dtype=np.uint64)
+        base = np.empty(total + 1, dtype=np.uint64)
+        base[0] = np.uint64(1)
+        np.cumprod(np.full(total, Winv, dtype=np.uint64), out=base[1:])
+        Pinv = base[starts]
+        contrib = _mix64(val, C) * P[:total]
+        sums = np.add.reduceat(contrib, starts[lens > 0]) if (lens > 0).any() \
+            else np.empty(0, np.uint64)
+        fp = np.zeros(n, dtype=np.uint64)
+        fp[lens > 0] = sums
+        fps.append(fp * Pinv)
+    keep = lens > 0  # reads with no seedmers are dropped entirely
+    ki = np.flatnonzero(keep)
+    order = ki[np.lexsort((fps[1][ki], fps[0][ki], lens[ki]))]
+    # exact adjacent verification (fingerprint collisions split groups)
+    same = np.zeros(len(order), dtype=bool)
+    if len(order) > 1:
+        a, b = order[:-1], order[1:]
+        cand = ((lens[a] == lens[b]) & (fps[0][a] == fps[0][b])
+                & (fps[1][a] == fps[1][b]))
+        ci = np.flatnonzero(cand)
+        if len(ci):
+            # gather both streams and compare elementwise per pair
+            la = lens[a[ci]]
+            seg = np.concatenate(([0], np.cumsum(la)))
+            rel = np.arange(seg[-1]) - np.repeat(seg[:-1], la)
+            ga = np.repeat(ro[a[ci]], la) + rel
+            gb = np.repeat(ro[b[ci]], la) + rel
+            eq = ((H[ga] == H[gb]) & (RV[ga] == RV[gb]) & (QB[ga] == QB[gb])
+                  & (QE[ga] == QE[gb]))
+            ecs = np.concatenate(([0], np.cumsum(eq.astype(np.int64))))
+            all_eq = (ecs[seg[1:]] - ecs[seg[:-1]]) == la
+            same[ci + 1] = all_eq
+    reads, dup_index = [], []
+    gstart = 0
+    for i in range(1, len(order) + 1):
+        if i == len(order) or not same[i]:
+            rep = int(order[gstart])
+            a0, b0 = int(ro[rep]), int(ro[rep + 1])
+            members = [int(orig_idx[int(x)]) for x in order[gstart:i]]
+            reads.append(MetaRead(
+                hashes=H[a0:b0].copy(), revs=RV[a0:b0].copy(),
+                n_dup=len(members), qbeg=QB[a0:b0].astype(np.int64),
+                qend=QE[a0:b0].astype(np.int64)))
+            dup_index.append(members)
+            gstart = i
+    return reads, dup_index
+
+
 def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
                            open_: bool, dust_threshold: float = 100.0,
                            mask_read_ends: int = 0):
@@ -170,8 +250,25 @@ def sketch_meta_reads_full(seqs: list, k: int, s: int, t: int, l: int,
 
     Returns (reads: list[MetaRead], dup_index: list[list[int]] mapping each
     unique set to the original read indices, n_low_complexity)."""
-    lists: dict[bytes, list] = {}
     n_dust = 0
+    if len(seqs) >= 512:
+        # native batched scan (dust/end-mask applied on the host first)
+        work = seqs
+        orig = np.arange(len(seqs), dtype=np.int64)
+        if mask_read_ends > 0:
+            work = [x[mask_read_ends : len(x) - mask_read_ends]
+                    if len(x) > 2 * mask_read_ends else x for x in work]
+        if dust_threshold < 100.0:
+            ok = np.array([dust_score(x) <= dust_threshold for x in work])
+            n_dust = int((~ok).sum())
+            orig = orig[ok]
+            work = [work[i] for i in np.flatnonzero(ok)]
+        got = _sketch_meta_reads_native(work, k, s, t, l, open_, orig)
+        if got is not None:
+            return got[0], got[1], n_dust
+        n_dust = 0  # fall through to the python path
+
+    lists: dict[bytes, list] = {}
     for idx, seq in enumerate(seqs):
         if mask_read_ends > 0 and len(seq) > 2 * mask_read_ends:
             # aDNA end-damage trim (mgsr.cpp:1274-1308)
@@ -259,15 +356,14 @@ class CollapsedTree:
     children: list  # kept-node adjacency (indices)
 
 
-def collapse_tree(midx: MetaIndexArrays, relevant_rows_per_node) -> CollapsedTree:
+def collapse_tree(midx: MetaIndexArrays, node_relevant_counts) -> CollapsedTree:
     """Collapse nodes with no relevant delta rows into their parents
-    (collapseEmptyNodes + collapseIdenticalScoringNodes combined)."""
+    (collapseEmptyNodes + collapseIdenticalScoringNodes combined).
+    node_relevant_counts: int array [N] of read-relevant delta rows per node."""
     n = len(midx.node_ids)
     parent = midx.parent_index.astype(np.int64)
-    keep = np.zeros(n, dtype=bool)
+    keep = np.asarray(node_relevant_counts) > 0
     keep[0] = True
-    for i in range(1, n):
-        keep[i] = len(relevant_rows_per_node[i]) > 0
     collapsed_parent = np.zeros(n, dtype=np.int64)
     identical_members: dict = defaultdict(list)
     for i in range(n):
@@ -294,37 +390,91 @@ class MetaScorer:
         self.reads = reads
         self.n_nodes = len(midx.node_ids)
 
-        # read-occurrence inverted index: hash -> (read idx array, occ rev array)
-        occ_read: dict = defaultdict(list)
-        occ_rev: dict = defaultdict(list)
-        for ridx, rd in enumerate(reads):
-            for h, rv in zip(rd.hashes.tolist(), rd.revs.tolist()):
-                occ_read[h].append(ridx)
-                occ_rev[h].append(rv)
-        self.occ_read = {h: np.array(v, dtype=np.int64) for h, v in occ_read.items()}
-        self.occ_rev = {h: np.array(occ_rev[h], dtype=bool) for h in occ_read}
-        self.read_hash_set = set(self.occ_read.keys())
+        # sorted unique read hashes (vectorized; the python inverted index
+        # and per-node row lists below are built lazily — the TPU fast path
+        # only needs tree.keep / identical_members from this object)
+        all_h = (np.concatenate([r.hashes for r in reads])
+                 if reads else np.empty(0, np.uint64))
+        self._rh_sorted = np.unique(all_h)
 
-        # per-node relevant delta rows (hash in read set), vectorized
+        # relevant rows (hash in read set) + per-node counts, vectorized
         offs = midx.node_offsets
         row_hash = midx.seed_hash[midx.delta_seed]
-        rh_sorted = np.sort(np.fromiter(self.read_hash_set, dtype=np.uint64,
-                                        count=len(self.read_hash_set)))
-        if len(rh_sorted):
-            ii = np.searchsorted(rh_sorted, row_hash)
-            iic = np.minimum(ii, len(rh_sorted) - 1)
-            relevant = rh_sorted[iic] == row_hash
+        if len(self._rh_sorted):
+            ii = np.searchsorted(self._rh_sorted, row_hash)
+            iic = np.minimum(ii, len(self._rh_sorted) - 1)
+            relevant = self._rh_sorted[iic] == row_hash
         else:
             relevant = np.zeros(len(row_hash), dtype=bool)
-        self.rows_per_node = [
-            (np.flatnonzero(relevant[int(offs[i]) : int(offs[i + 1])])
-             + int(offs[i])).tolist()
-            for i in range(self.n_nodes)
-        ]
+        self._relevant = relevant
+        o = np.asarray(offs, dtype=np.int64)
+        cs = np.concatenate(([0], np.cumsum(relevant.astype(np.int64))))
+        node_counts = cs[o[1:]] - cs[o[:-1]]
 
         # nodes with ANY deltas (for empty-collapse parity the reference first
         # collapses delta-free nodes, then read-irrelevant ones; combined here)
-        self.tree = collapse_tree(midx, self.rows_per_node)
+        self.tree = collapse_tree(midx, node_counts)
+        self._occ_read = None
+        self._occ_rev = None
+        self._rows_per_node = None
+        self._read_hash_set = None
+
+    @property
+    def read_hash_set(self):
+        if self._read_hash_set is None:
+            self._read_hash_set = set(self._rh_sorted.tolist())
+        return self._read_hash_set
+
+    @property
+    def rows_per_node(self):
+        if self._rows_per_node is None:
+            offs = self.midx.node_offsets
+            self._rows_per_node = [
+                (np.flatnonzero(
+                    self._relevant[int(offs[i]) : int(offs[i + 1])])
+                 + int(offs[i])).tolist()
+                for i in range(self.n_nodes)
+            ]
+        return self._rows_per_node
+
+    def _build_occ(self):
+        # inverted index hash -> (read idx array, occ rev array), vectorized:
+        # one stable sort of all occurrences grouped by hash
+        reads = self.reads
+        all_h = (np.concatenate([r.hashes for r in reads])
+                 if reads else np.empty(0, np.uint64))
+        all_rev = (np.concatenate([np.asarray(r.revs, dtype=bool)
+                                   for r in reads])
+                   if reads else np.empty(0, bool))
+        row_of = np.repeat(
+            np.arange(len(reads), dtype=np.int64),
+            [len(r.hashes) for r in reads]) if reads else np.empty(0, np.int64)
+        order = np.argsort(all_h, kind="stable")
+        hs = all_h[order]
+        ro = row_of[order]
+        rv = all_rev[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], hs[1:] != hs[:-1])))
+        bounds = np.append(starts, len(hs))
+        self._occ_read = {}
+        self._occ_rev = {}
+        for gi in range(len(starts)):
+            a, b = bounds[gi], bounds[gi + 1]
+            h = int(hs[a])
+            self._occ_read[h] = ro[a:b]
+            self._occ_rev[h] = rv[a:b]
+
+    @property
+    def occ_read(self):
+        if self._occ_read is None:
+            self._build_occ()
+        return self._occ_read
+
+    @property
+    def occ_rev(self):
+        if self._occ_rev is None:
+            self._build_occ()
+        return self._occ_rev
 
     # ------------------------------------------------------------------
     def overlap_coefficients(self):

@@ -116,13 +116,29 @@ class TpuMetaScorer:
 
         all_h = (np.concatenate([r.hashes for r in reads])
                  if reads else np.empty(0, np.uint64))
-        self.read_hashes = np.unique(all_h)
+        uniq_h = np.unique(all_h)
+        # only hashes that exist somewhere in the INDEX can ever flip
+        # presence; error seedmers (the majority on real samples) get no P
+        # row and map to the dummy zero row below.  Without this the row
+        # space scaled with read errors — 400k reads pushed n_rows * C past
+        # int32 in the event scatter.
+        idx_h = np.unique(np.asarray(midx.seed_hash, dtype=np.uint64))
+        if len(idx_h) and len(uniq_h):
+            ii = np.minimum(np.searchsorted(idx_h, uniq_h), len(idx_h) - 1)
+            self.read_hashes = uniq_h[idx_h[ii] == uniq_h]
+        else:
+            self.read_hashes = uniq_h[:0]
         self.ev = presence_events(midx, self.read_hashes)
         U = len(self.read_hashes)
         self.U = U
         self.Upad = _pad_pow2(max(U, 1), lo=1 << 10)
         # P row layout: [fwd uid rows | rev uid rows | one zero dummy row]
         self.n_rows = 2 * self.Upad + 1
+        # keep the flat event scatter (ev_key * C + ev_col) within int32
+        C = self.NODE_CHUNK
+        while C > 32 and self.n_rows * C >= (1 << 31):
+            C //= 2
+        self.NODE_CHUNK = C
 
         # flip events sorted by preorder position, keyed by (orient, uid)
         ev = self.ev
@@ -141,7 +157,14 @@ class TpuMetaScorer:
         # device, which halves the per-dispatch cost.
         R = len(reads)
         nseeds = np.array([len(r.hashes) for r in reads], dtype=np.int64)
-        occ_uid = np.searchsorted(self.read_hashes, all_h).astype(np.int64)
+        if U:
+            occ_pos = np.minimum(np.searchsorted(self.read_hashes, all_h),
+                                 U - 1)
+            occ_found = self.read_hashes[occ_pos] == all_h
+        else:
+            occ_pos = np.zeros(len(all_h), dtype=np.int64)
+            occ_found = np.zeros(len(all_h), dtype=bool)
+        occ_uid = occ_pos.astype(np.int64)
         occ_rev = (np.concatenate([np.asarray(r.revs, dtype=bool)
                                    for r in reads])
                    if reads else np.empty(0, bool))
@@ -156,10 +179,12 @@ class TpuMetaScorer:
         row_of = np.repeat(np.arange(R, dtype=np.int64), nseeds)
         slot_of = (np.arange(len(occ_uid), dtype=np.int64)
                    - np.repeat(np.cumsum(nseeds) - nseeds, nseeds))
-        fwd_sl[row_of, slot_of] = np.where(occ_rev, self.Upad + occ_uid,
-                                           occ_uid)
-        rev_sl[row_of, slot_of] = np.where(occ_rev, occ_uid,
-                                           self.Upad + occ_uid)
+        fwd_sl[row_of, slot_of] = np.where(
+            ~occ_found, dummy,
+            np.where(occ_rev, self.Upad + occ_uid, occ_uid))
+        rev_sl[row_of, slot_of] = np.where(
+            ~occ_found, dummy,
+            np.where(occ_rev, occ_uid, self.Upad + occ_uid))
         # resident [nB, B, S]: a fused per-node-chunk program scans the read
         # blocks on device, so the whole read set costs ONE dispatch per chunk
         self.n_blocks = Rpad // B

@@ -72,7 +72,9 @@ def presence_events(midx, read_hashes: np.ndarray):
     rv2 = np.concatenate([rv_row, rv_row])
 
     # group ids by hash
-    uniq_h, gid = np.unique(h2, return_inverse=True)
+    from ..utils.fastnp import unique_inverse
+
+    uniq_h, gid = unique_inverse(h2)
     order = np.lexsort((pos, gid))
     g = gid[order]
     p = pos[order]

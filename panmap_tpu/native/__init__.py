@@ -75,8 +75,45 @@ def get_lib():
     lib.pt_join_u64.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    lib.pt_sketch_meta.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64]
+    lib.pt_sketch_meta.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def sketch_meta_native(seqs: list, k: int, s: int, t: int, open_: bool,
+                       l: int, threads: int = 0):
+    """Per-read seedmer lists (CSR): returns (read_offsets i64[n+1],
+    hashes u64, revs bool, qb i32, qe i32) or None without the library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    joined = "".join(seqs).encode()
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    lens = np.array([len(x) for x in seqs], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    cap = max(int(offsets[-1] // 4) + 1024, 1 << 16)
+    for _ in range(3):
+        ro = np.empty(len(seqs) + 1, dtype=np.int64)
+        oh = np.empty(cap, dtype=np.uint64)
+        orv = np.empty(cap, dtype=np.uint8)
+        oqb = np.empty(cap, dtype=np.int32)
+        oqe = np.empty(cap, dtype=np.int32)
+        n = lib.pt_sketch_meta(
+            buf.ctypes.data, offsets.ctypes.data, len(seqs), k, s, t,
+            int(open_), l, threads, ro.ctypes.data, oh.ctypes.data,
+            orv.ctypes.data, oqb.ctypes.data, oqe.ctypes.data, cap)
+        if n >= 0:
+            return (ro, oh[:n].copy(), orv[:n].astype(bool), oqb[:n].copy(),
+                    oqe[:n].copy())
+        cap *= 4
+    return None
 
 
 def join_u64_native(queries: np.ndarray, table_sorted: np.ndarray,

@@ -221,6 +221,7 @@ struct CountMap {
 struct SketchScratch {
     std::vector<uint64_t> h, hc, Fk, Rk, Fs, Rs, Fmin, Rmin, H, h2;
     std::vector<int32_t> pos;
+    std::vector<uint8_t> rev;  // per-syncmer strand (Rk < Fk)
 };
 
 // branchless sliding minimum (van Herk/Gil-Werman): per block of w, suffix
@@ -260,6 +261,7 @@ static void scan_read_syncmers(const uint8_t* seq, int64_t nn, int k, int s,
                                int t, int open_, SketchScratch& sc) {
     sc.H.clear();
     sc.pos.clear();
+    sc.rev.clear();
     int64_t m = nn - k + 1;
     if (m <= 0) return;
     sc.h.resize(nn);
@@ -302,6 +304,7 @@ static void scan_read_syncmers(const uint8_t* seq, int64_t nn, int k, int s,
         if (sync) {
             sc.H.push_back(sc.Fk[i] < sc.Rk[i] ? sc.Fk[i] : sc.Rk[i]);
             sc.pos.push_back((int32_t)i);
+            sc.rev.push_back(sc.Rk[i] < sc.Fk[i]);
         }
         if (any_amb) bad_run -= (sc.h[i] == 0);
     }
@@ -392,6 +395,108 @@ int64_t pt_sketch_count(const uint8_t* joined, const int64_t* offsets,
             ++w;
         }
     return w;
+}
+
+// Per-read seedmer lists for the metagenomic pipeline: canonical k-min-mer
+// hash, orientation (reverse combine < forward; for l==1 the syncmer's own
+// strand), and read-coordinate extent [qb, qe] per seedmer (qb = first
+// member syncmer's k-mer start, qe = last member's k-mer end, inclusive).
+// Twin of meta/engine.py::sketch_meta_reads_full's per-read scan
+// (reference: mgsr.cpp:1774-2236 initializeQueryData).
+// CSR output: read_offsets[n_reads+1] into the flat arrays.
+// Returns total seedmers, or -1 if cap was insufficient.
+int64_t pt_sketch_meta(const uint8_t* joined, const int64_t* offsets,
+                       int64_t n_reads, int k, int s, int t, int open_, int l,
+                       int n_threads, int64_t* read_offsets, uint64_t* out_hash,
+                       uint8_t* out_rev, int32_t* out_qb, int32_t* out_qe,
+                       int64_t cap) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > (int)n_reads) n_threads = n_reads > 0 ? (int)n_reads : 1;
+    struct Buf {
+        std::vector<uint64_t> h;
+        std::vector<uint8_t> rv;
+        std::vector<int32_t> qb, qe;
+        std::vector<int32_t> cnt;  // per read in range
+    };
+    std::vector<Buf> bufs(n_threads);
+    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    auto work = [&](int ti, int64_t r0, int64_t r1) {
+        Buf& o = bufs[ti];
+        o.cnt.reserve(r1 - r0);
+        SketchScratch sc;
+        for (int64_t r = r0; r < r1; ++r) {
+            const uint8_t* seq = joined + offsets[r];
+            int64_t nn = offsets[r + 1] - offsets[r];
+            scan_read_syncmers(seq, nn, k, s, t, open_, sc);
+            int64_t mh = (int64_t)sc.H.size();
+            int32_t emitted = 0;
+            if (l == 1) {
+                for (int64_t i = 0; i < mh; ++i) {
+                    o.h.push_back(sc.H[i]);
+                    o.rv.push_back(sc.rev[i]);
+                    o.qb.push_back(sc.pos[i]);
+                    o.qe.push_back(sc.pos[i] + k - 1);
+                    ++emitted;
+                }
+            } else if (mh >= l) {
+                for (int64_t i = 0; i + l <= mh; ++i) {
+                    uint64_t f = 0, rr = 0;
+                    for (int w2 = 0; w2 < l; ++w2) {
+                        int e = (k * (l - 1 - w2)) & 63;
+                        f ^= rol(sc.H[i + w2], e);
+                        rr ^= rol(sc.H[i + l - 1 - w2], e);
+                    }
+                    if (f == rr) continue;  // palindromic window
+                    o.h.push_back(f < rr ? f : rr);
+                    o.rv.push_back(rr < f);
+                    o.qb.push_back(sc.pos[i]);
+                    o.qe.push_back(sc.pos[i + l - 1] + k - 1);
+                    ++emitted;
+                }
+            }
+            o.cnt.push_back(emitted);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int ti = 0; ti < n_threads; ++ti) {
+        int64_t r0 = ti * chunk;
+        int64_t r1 = r0 + chunk < n_reads ? r0 + chunk : n_reads;
+        if (r0 >= r1) {
+            bufs[ti].cnt.clear();
+            continue;
+        }
+        threads.emplace_back(work, ti, r0, r1);
+    }
+    for (auto& th : threads) th.join();
+    int64_t total = 0;
+    for (auto& b : bufs) total += (int64_t)b.h.size();
+    if (total > cap) return -1;
+    // global CSR offsets + parallel copy-out
+    int64_t roff = 0, doff = 0;
+    std::vector<int64_t> dst(n_threads);
+    for (int ti = 0; ti < n_threads; ++ti) {
+        dst[ti] = doff;
+        Buf& b = bufs[ti];
+        for (size_t j = 0; j < b.cnt.size(); ++j) {
+            read_offsets[roff++] = doff;
+            doff += b.cnt[j];
+        }
+    }
+    read_offsets[roff] = doff;
+    std::vector<std::thread> copies;
+    for (int ti = 0; ti < n_threads; ++ti) {
+        if (bufs[ti].h.empty()) continue;
+        copies.emplace_back([&, ti]() {
+            Buf& b = bufs[ti];
+            int64_t d = dst[ti];
+            memcpy(out_hash + d, b.h.data(), b.h.size() * 8);
+            memcpy(out_rev + d, b.rv.data(), b.rv.size());
+            memcpy(out_qb + d, b.qb.data(), b.qb.size() * 4);
+            memcpy(out_qe + d, b.qe.data(), b.qe.size() * 4);
+        });
+    }
+    for (auto& th : copies) th.join();
+    return total;
 }
 
 // Threaded binary-search join of unsorted u64 queries against a sorted table.

@@ -48,7 +48,9 @@ class DeviceIndex:
 
 
 def prepare_device_index(idx: IndexArrays) -> DeviceIndex:
-    uniq, row_id = np.unique(idx.seed_hashes, return_inverse=True)
+    from ..utils.fastnp import unique_inverse
+
+    uniq, row_id = unique_inverse(idx.seed_hashes)
     n_nodes = len(idx.node_offsets) - 1
     offs = idx.node_offsets.astype(np.int64)
     row_node = np.repeat(np.arange(n_nodes, dtype=np.int32), np.diff(offs))
