@@ -163,11 +163,6 @@ def apply_seed_masking(reads: list, dup_index: list, mask_reads: int = 0,
     return out_reads, out_dups, n_masked
 
 
-def _mix64(v: np.ndarray, c: np.uint64) -> np.ndarray:
-    v = (v ^ (v >> np.uint64(31))) * c
-    return v ^ (v >> np.uint64(29))
-
-
 def _sketch_meta_reads_native(seqs: list, k, s, t, l, open_, orig_idx):
     """Native CSR scan + vectorized exact dedup of identical seedmer lists.
     Returns (reads, dup_index) or None when the native library is absent."""
@@ -176,35 +171,9 @@ def _sketch_meta_reads_native(seqs: list, k, s, t, l, open_, orig_idx):
     out = sketch_meta_native(seqs, k, s, t, open_, l)
     if out is None:
         return None
-    ro, H, RV, QB, QE = out
-    n = len(seqs)
+    ro, H, RV, QB, QE, fp1, fp2 = out
     lens = np.diff(ro)
-    # order-dependent 2x64-bit fingerprints per read: position-weighted sums
-    # of mixed elements; W odd => W^-1 exists mod 2^64, so per-read weights
-    # are global powers rebased by the read's start offset
-    total = len(H)
-    val = (H ^ (QB.astype(np.uint64) << np.uint64(17))
-           ^ (QE.astype(np.uint64) << np.uint64(34))
-           ^ (RV.astype(np.uint64) << np.uint64(63)))
-    starts = ro[:-1]
-    fps = []
-    for W, C in ((np.uint64(0x9E3779B97F4A7C15), np.uint64(0xBF58476D1CE4E5B9)),
-                 (np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x94D049BB133111EB))):
-        P = np.empty(total + 1, dtype=np.uint64)
-        P[0] = np.uint64(1)
-        np.cumprod(np.full(total, W, dtype=np.uint64), out=P[1:])
-        Winv = np.uint64(pow(int(W), -1, 1 << 64))
-        Pinv = np.empty(n, dtype=np.uint64)
-        base = np.empty(total + 1, dtype=np.uint64)
-        base[0] = np.uint64(1)
-        np.cumprod(np.full(total, Winv, dtype=np.uint64), out=base[1:])
-        Pinv = base[starts]
-        contrib = _mix64(val, C) * P[:total]
-        sums = np.add.reduceat(contrib, starts[lens > 0]) if (lens > 0).any() \
-            else np.empty(0, np.uint64)
-        fp = np.zeros(n, dtype=np.uint64)
-        fp[lens > 0] = sums
-        fps.append(fp * Pinv)
+    fps = (fp1, fp2)  # order-dependent content fingerprints from the kernel
     keep = lens > 0  # reads with no seedmers are dropped entirely
     ki = np.flatnonzero(keep)
     order = ki[np.lexsort((fps[1][ki], fps[0][ki], lens[ki]))]
@@ -227,19 +196,32 @@ def _sketch_meta_reads_native(seqs: list, k, s, t, l, open_, orig_idx):
             ecs = np.concatenate(([0], np.cumsum(eq.astype(np.int64))))
             all_eq = (ecs[seg[1:]] - ecs[seg[:-1]]) == la
             same[ci + 1] = all_eq
-    reads, dup_index = [], []
-    gstart = 0
-    for i in range(1, len(order) + 1):
-        if i == len(order) or not same[i]:
-            rep = int(order[gstart])
-            a0, b0 = int(ro[rep]), int(ro[rep + 1])
-            members = [int(orig_idx[int(x)]) for x in order[gstart:i]]
-            reads.append(MetaRead(
-                hashes=H[a0:b0].copy(), revs=RV[a0:b0].copy(),
-                n_dup=len(members), qbeg=QB[a0:b0].astype(np.int64),
-                qend=QE[a0:b0].astype(np.int64)))
-            dup_index.append(members)
-            gstart = i
+    if len(order) == 0:
+        return [], []
+    # vectorized group build: compact CSR of group representatives; the
+    # MetaRead arrays are views into it (a python per-group copy loop cost
+    # ~25s at 223k groups)
+    gid = np.cumsum(~same) - 1
+    counts = np.bincount(gid)
+    first_pos = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    reps = order[first_pos]
+    rl = lens[reps]
+    new_ro = np.concatenate(([0], np.cumsum(rl)))
+    relx = np.arange(new_ro[-1]) - np.repeat(new_ro[:-1], rl)
+    src = np.repeat(ro[reps], rl) + relx
+    H2 = H[src]
+    RV2 = RV[src]
+    QB2 = QB[src].astype(np.int64)
+    QE2 = QE[src].astype(np.int64)
+    members_all = np.asarray(orig_idx)[order]
+    lo = new_ro[:-1].tolist()
+    hi = new_ro[1:].tolist()
+    reads = [
+        MetaRead(hashes=H2[a:b], revs=RV2[a:b], n_dup=int(c),
+                 qbeg=QB2[a:b], qend=QE2[a:b])
+        for a, b, c in zip(lo, hi, counts.tolist())
+    ]
+    dup_index = np.split(members_all, np.cumsum(counts)[:-1])
     return reads, dup_index
 
 

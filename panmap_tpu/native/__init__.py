@@ -79,7 +79,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int64]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.pt_sketch_meta.restype = ctypes.c_int64
     _lib = lib
     return lib
@@ -88,7 +88,9 @@ def get_lib():
 def sketch_meta_native(seqs: list, k: int, s: int, t: int, open_: bool,
                        l: int, threads: int = 0):
     """Per-read seedmer lists (CSR): returns (read_offsets i64[n+1],
-    hashes u64, revs bool, qb i32, qe i32) or None without the library."""
+    hashes u64, revs bool, qb i32, qe i32, fp1 u64[n], fp2 u64[n]) — fp are
+    order-dependent content fingerprints for dedup — or None without the
+    library."""
     lib = get_lib()
     if lib is None:
         return None
@@ -105,13 +107,16 @@ def sketch_meta_native(seqs: list, k: int, s: int, t: int, open_: bool,
         orv = np.empty(cap, dtype=np.uint8)
         oqb = np.empty(cap, dtype=np.int32)
         oqe = np.empty(cap, dtype=np.int32)
+        fp1 = np.empty(len(seqs), dtype=np.uint64)
+        fp2 = np.empty(len(seqs), dtype=np.uint64)
         n = lib.pt_sketch_meta(
             buf.ctypes.data, offsets.ctypes.data, len(seqs), k, s, t,
             int(open_), l, threads, ro.ctypes.data, oh.ctypes.data,
-            orv.ctypes.data, oqb.ctypes.data, oqe.ctypes.data, cap)
+            orv.ctypes.data, oqb.ctypes.data, oqe.ctypes.data,
+            fp1.ctypes.data, fp2.ctypes.data, cap)
         if n >= 0:
-            return (ro, oh[:n].copy(), orv[:n].astype(bool), oqb[:n].copy(),
-                    oqe[:n].copy())
+            return (ro, oh[:n], orv[:n].astype(bool), oqb[:n], oqe[:n],
+                    fp1, fp2)
         cap *= 4
     return None
 

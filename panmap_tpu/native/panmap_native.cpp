@@ -409,7 +409,7 @@ int64_t pt_sketch_meta(const uint8_t* joined, const int64_t* offsets,
                        int64_t n_reads, int k, int s, int t, int open_, int l,
                        int n_threads, int64_t* read_offsets, uint64_t* out_hash,
                        uint8_t* out_rev, int32_t* out_qb, int32_t* out_qe,
-                       int64_t cap) {
+                       uint64_t* out_fp1, uint64_t* out_fp2, int64_t cap) {
     if (n_threads < 1) n_threads = 1;
     if (n_threads > (int)n_reads) n_threads = n_reads > 0 ? (int)n_reads : 1;
     struct Buf {
@@ -420,9 +420,26 @@ int64_t pt_sketch_meta(const uint8_t* joined, const int64_t* offsets,
     };
     std::vector<Buf> bufs(n_threads);
     int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    // order-dependent Horner fingerprints per read (content dedup key)
+    constexpr uint64_t FP_W1 = 0x9E3779B97F4A7C15ULL;
+    constexpr uint64_t FP_C1 = 0xBF58476D1CE4E5B9ULL;
+    constexpr uint64_t FP_W2 = 0xC2B2AE3D27D4EB4FULL;
+    constexpr uint64_t FP_C2 = 0x94D049BB133111EBULL;
+    auto mix = [](uint64_t v, uint64_t c) {
+        v = (v ^ (v >> 31)) * c;
+        return v ^ (v >> 29);
+    };
     auto work = [&](int ti, int64_t r0, int64_t r1) {
         Buf& o = bufs[ti];
         o.cnt.reserve(r1 - r0);
+        // reserve once from the sequence-byte estimate (growth-doubling of
+        // hundreds-of-MB vectors is the expensive part on slow-fault hosts)
+        int64_t bytes = offsets[r1] - offsets[r0];
+        int64_t est = bytes / 4 + 1024;
+        o.h.reserve(est);
+        o.rv.reserve(est);
+        o.qb.reserve(est);
+        o.qe.reserve(est);
         SketchScratch sc;
         for (int64_t r = r0; r < r1; ++r) {
             const uint8_t* seq = joined + offsets[r];
@@ -430,14 +447,21 @@ int64_t pt_sketch_meta(const uint8_t* joined, const int64_t* offsets,
             scan_read_syncmers(seq, nn, k, s, t, open_, sc);
             int64_t mh = (int64_t)sc.H.size();
             int32_t emitted = 0;
+            uint64_t fp1 = 0, fp2 = 0;
+            auto emit = [&](uint64_t hh, bool rv, int32_t qb, int32_t qe) {
+                o.h.push_back(hh);
+                o.rv.push_back(rv);
+                o.qb.push_back(qb);
+                o.qe.push_back(qe);
+                uint64_t val = hh ^ ((uint64_t)qb << 17) ^
+                               ((uint64_t)qe << 34) ^ ((uint64_t)rv << 63);
+                fp1 = fp1 * FP_W1 + mix(val, FP_C1);
+                fp2 = fp2 * FP_W2 + mix(val, FP_C2);
+                ++emitted;
+            };
             if (l == 1) {
-                for (int64_t i = 0; i < mh; ++i) {
-                    o.h.push_back(sc.H[i]);
-                    o.rv.push_back(sc.rev[i]);
-                    o.qb.push_back(sc.pos[i]);
-                    o.qe.push_back(sc.pos[i] + k - 1);
-                    ++emitted;
-                }
+                for (int64_t i = 0; i < mh; ++i)
+                    emit(sc.H[i], sc.rev[i], sc.pos[i], sc.pos[i] + k - 1);
             } else if (mh >= l) {
                 for (int64_t i = 0; i + l <= mh; ++i) {
                     uint64_t f = 0, rr = 0;
@@ -447,14 +471,13 @@ int64_t pt_sketch_meta(const uint8_t* joined, const int64_t* offsets,
                         rr ^= rol(sc.H[i + l - 1 - w2], e);
                     }
                     if (f == rr) continue;  // palindromic window
-                    o.h.push_back(f < rr ? f : rr);
-                    o.rv.push_back(rr < f);
-                    o.qb.push_back(sc.pos[i]);
-                    o.qe.push_back(sc.pos[i + l - 1] + k - 1);
-                    ++emitted;
+                    emit(f < rr ? f : rr, rr < f, sc.pos[i],
+                         sc.pos[i + l - 1] + k - 1);
                 }
             }
             o.cnt.push_back(emitted);
+            out_fp1[r] = fp1;
+            out_fp2[r] = fp2;
         }
     };
     std::vector<std::thread> threads;

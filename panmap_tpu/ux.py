@@ -42,9 +42,11 @@ class Output:
         self.verbose = verbose
         self.style = _Style(_want_color(plain))
         self._t0 = {}
+        self._start = time.time()
 
     def _emit(self, msg: str):
-        print(msg, file=sys.stderr, flush=True)
+        stamp = f"{self.style.dim}[{time.time()-self._start:6.1f}s]{self.style.reset} "
+        print(stamp + msg, file=sys.stderr, flush=True)
 
     def __call__(self, msg: str):  # drop-in for the old `log` callable
         if not self.quiet:
