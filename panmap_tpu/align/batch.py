@@ -82,8 +82,20 @@ def batch_minimizers(reads: np.ndarray, lens: np.ndarray, k: int = KMER,
 class BatchAligner(Aligner):
     """Aligner with a vectorized batch front-end."""
 
+    CHUNK = 16384  # reads per vectorized pass: bounds the temporary matrices
+    # (a single 102k-read pass allocated ~1.8 GB of fresh int64 planes; per-
+    # chunk passes reuse the allocator's warm pages)
+
     def align_batch(self, seqs: list):
         """Returns list[Alignment] (one per read)."""
+        if len(seqs) > self.CHUNK:
+            out = []
+            for off in range(0, len(seqs), self.CHUNK):
+                out.extend(self._align_chunk(seqs[off : off + self.CHUNK]))
+            return out
+        return self._align_chunk(seqs)
+
+    def _align_chunk(self, seqs: list):
         N = len(seqs)
         out = [Alignment() for _ in range(N)]
         if N == 0:
@@ -179,18 +191,20 @@ class BatchAligner(Aligner):
         refg = np.where(okcol, ref[np.clip(rpos, 0, lr - 1)], 255)
         qg = oriented
         match = okcol & (qg == refg) & (qg < 4)
-        contrib = np.where(okcol, np.where(match, MATCH, -MISMATCH), 0).astype(np.int64)
+        contrib = np.where(okcol, np.where(match, MATCH, -MISMATCH),
+                           0).astype(np.int32)
 
         # best sub-segment with end bonuses, batched prefix-max over columns
         S = np.concatenate(
-            [np.zeros((len(sel), 1), np.int64), np.cumsum(contrib, axis=1)], axis=1)
+            [np.zeros((len(sel), 1), np.int32),
+             np.cumsum(contrib, axis=1, dtype=np.int32)], axis=1)
         n_col = contrib.shape[1]
         q_lo = np.maximum(0, -b_diag)  # first in-ref query column
         q_hi = np.minimum(lq, lr - b_diag)
         col = np.arange(n_col + 1)[None, :]
         lo_col = (np.maximum(q_lo, 0) + shift)[:, None]
         hi_col = (q_hi + shift)[:, None]
-        NEG = np.int64(-(1 << 40))
+        NEG = np.int32(-(1 << 29))
         start_bonus = np.where(col == lo_col,
                                np.where(q_lo == 0, END_BONUS, 0)[:, None], 0)
         lead = np.where((col >= lo_col) & (col <= hi_col), -S + start_bonus, NEG)

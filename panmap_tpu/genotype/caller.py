@@ -76,12 +76,13 @@ class ErrMod:
         self._beta_cache[key] = row
         return row
 
-    def cal(self, entries: list) -> np.ndarray:
-        """entries: (qual 4..63, strand 0/1, base 0..4). Returns phred q[5,5]
-        (homozygous diagonal is what haploid calling uses)."""
+    def cal(self, entries: list):
+        """entries: (qual 4..63, strand 0/1, base 0..4). Returns (phred
+        q[5,5], bsum[16], c[16]) — the homozygous diagonal is what haploid
+        calling uses; bsum/c are reused by the het term."""
         n = len(entries)
         if n == 0:
-            return np.zeros((5, 5))
+            return np.zeros((5, 5)), np.zeros(16), np.zeros(16, np.int64)
         if n > ERRMOD_MAXN:
             entries = entries[:ERRMOD_MAXN]  # htslib shuffles; we keep order
             n = ERRMOD_MAXN
@@ -106,7 +107,7 @@ class ErrMod:
             if tot_c - c[j] > 0:
                 out[j, j] = tot_b - bsum[j]
         np.maximum(out, 0.0, out=out)
-        return out
+        return out, bsum, c
 
 
 _ERRMOD = ErrMod()
@@ -182,6 +183,8 @@ def _apply_overlap_tweaks(reads: list):
         a, b = pair
         if a.rs > b.rs:
             a, b = b, a
+        if a.ref_end() <= b.rs:
+            continue  # mates don't overlap on the reference
         amul = 1 if (_wang(_x31(name)) & 1) else 0
         bmul = 1 - amul
         # walk both CIGARs over the overlapping ref window
@@ -255,54 +258,93 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
 
     _apply_overlap_tweaks(kept)
 
-    # column accumulation
-    col_entries: dict[int, list] = {}
-    depth = np.zeros(n, dtype=np.int32)
-    has_nonref = set()
-    for r in kept:
+    # column accumulation, vectorized over all M-segment bases.  Entry order
+    # within a column matches the per-base loop it replaces (kept-read order,
+    # bases in cigar order — the stable argsort below preserves it), which
+    # matters because the errmod is order-dependent on q-key ties.
+    depth = np.zeros(n, dtype=np.int64)
+    seg_p0, seg_q0, seg_len, seg_rid = [], [], [], []
+    for rid, r in enumerate(kept):
         rpos = r.rs
         qpos = r.qs
-        L = len(r.seq)
         for ln, op in r.cigar:
             if op in ("M", "=", "X"):
-                for x in range(ln):
-                    p = rpos + x
-                    if not (0 <= p < n):
-                        continue
-                    depth[p] += 1
-                    qi = qpos + x
-                    q = r.quals[qi]
-                    if qi > 0 and q > r.quals[qi - 1] + DELTA_BQ:
-                        q = r.quals[qi - 1] + DELTA_BQ
-                    if qi + 1 < L and q > r.quals[qi + 1] + DELTA_BQ:
-                        q = r.quals[qi + 1] + DELTA_BQ
-                    if q < MIN_BQ:
-                        continue
-                    if q > MAX_BQ:
-                        q = MAX_BQ
-                    mq = min(r.mapq, 60)
-                    if q > mq:
-                        q = mq
-                    q = min(max(q, 4), 63)
-                    b = _BIDX.get(r.seq[qi], 4)
-                    col_entries.setdefault(p, []).append((q, 1 if r.rev else 0, b))
-                    if b != ref_idx[p] and b < 4:
-                        has_nonref.add(p)
+                seg_p0.append(rpos)
+                seg_q0.append(qpos)
+                seg_len.append(ln)
+                seg_rid.append(rid)
                 rpos += ln
                 qpos += ln
-            elif op == "I":
+            elif op in ("I", "S"):
                 qpos += ln
             elif op in ("D", "N"):
                 rpos += ln
-            elif op == "S":
-                qpos += ln
 
-    records = []
-    for p in sorted(has_nonref):
+    records: list = []
+    if not seg_len:
+        return records
+    sl = np.asarray(seg_len, dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(sl)))
+    rel = np.arange(csum[-1]) - np.repeat(csum[:-1], sl)
+    flat_p = np.repeat(np.asarray(seg_p0, dtype=np.int64), sl) + rel
+    flat_qi = np.repeat(np.asarray(seg_q0, dtype=np.int64), sl) + rel
+    flat_rid = np.repeat(np.asarray(seg_rid, dtype=np.int64), sl)
+    in_ref = (flat_p >= 0) & (flat_p < n)
+    flat_p, flat_qi, flat_rid = (flat_p[in_ref], flat_qi[in_ref],
+                                 flat_rid[in_ref])
+    depth += np.bincount(flat_p, minlength=n)
+
+    rlens = np.array([len(r.seq) for r in kept], dtype=np.int64)
+    roffs = np.concatenate(([0], np.cumsum(rlens)))
+    Qcat = np.concatenate(
+        [np.asarray(r.quals, dtype=np.int64) for r in kept])
+    Scat = np.frombuffer("".join(r.seq for r in kept).encode(), np.uint8)
+    blut = np.full(256, 4, dtype=np.int8)
+    for ch, bi in _BIDX.items():
+        blut[ord(ch)] = bi
+    mqs = np.minimum(np.array([r.mapq for r in kept], dtype=np.int64), 60)
+    revs = np.array([1 if r.rev else 0 for r in kept], dtype=np.int8)
+
+    aqi = roffs[flat_rid] + flat_qi
+    q = Qcat[aqi]
+    left_ok = flat_qi > 0
+    q = np.where(left_ok,
+                 np.minimum(q, Qcat[np.maximum(aqi - 1, 0)] + DELTA_BQ), q)
+    right_ok = flat_qi + 1 < rlens[flat_rid]
+    q = np.where(right_ok,
+                 np.minimum(q, Qcat[np.minimum(aqi + 1, len(Qcat) - 1)]
+                            + DELTA_BQ), q)
+    keep_q = q >= MIN_BQ
+    q = np.minimum(q, MAX_BQ)
+    q = np.minimum(q, mqs[flat_rid])
+    q = np.clip(q, 4, 63)
+    b = blut[Scat[aqi]]
+    e_p = flat_p[keep_q]
+    e_q = q[keep_q]
+    e_s = revs[flat_rid[keep_q]]
+    e_b = b[keep_q]
+    nonref = (e_b != ref_idx[e_p]) & (e_b < 4)
+    has_nonref = np.unique(e_p[nonref])
+    # group surviving entries of nonref columns, preserving order (stable)
+    want = np.zeros(n, dtype=bool)
+    want[has_nonref] = True
+    sel = want[e_p]
+    g_p, g_q, g_s, g_b = e_p[sel], e_q[sel], e_s[sel], e_b[sel]
+    order = np.argsort(g_p, kind="stable")
+    g_p, g_q, g_s, g_b = g_p[order], g_q[order], g_s[order], g_b[order]
+    if len(g_p) == 0:
+        return records
+    gstart = np.concatenate(
+        ([0], np.flatnonzero(g_p[1:] != g_p[:-1]) + 1, [len(g_p)]))
+
+    for gi in range(len(gstart) - 1):
+        a0, b0 = int(gstart[gi]), int(gstart[gi + 1])
+        p = int(g_p[a0])
         r4 = int(ref_idx[p])
         if r4 >= 4:
             continue
-        entries = col_entries[p]
+        entries = list(zip(g_q[a0:b0].tolist(), g_s[a0:b0].tolist(),
+                           g_b[a0:b0].tolist()))
         # quality sums and AD per base
         qs = np.zeros(4)
         adf = np.zeros(4, dtype=np.int64)
@@ -324,7 +366,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
             continue
         alleles = [r4] + alt_order
 
-        p55 = _ERRMOD.cal(entries)
+        p55, col_bsum, _col_c = _ERRMOD.cal(entries)
         na = len(alleles)
         # genotype-subset normalization incl. het entries (bcf_call_combine)
         gvals = []
@@ -340,7 +382,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
                     # het likelihood for haploid calling never wins, but it
                     # participates in the min-normalization; approximate with
                     # the average of the two homs minus the lhet term's scale
-                    gvals.append(_het_phred(entries, ai, aj, p55))
+                    gvals.append(_het_phred(entries, ai, aj, col_bsum))
                 z += 1
         gvals = np.array(gvals)
         gmin = gvals.min()
@@ -367,33 +409,17 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
 _LN2 = math.log(2.0)
 
 
-def _het_phred(entries: list, a1: int, a2: int, p55: np.ndarray) -> float:
+def _het_phred(entries: list, a1: int, a2: int, bsum: np.ndarray) -> float:
     """Heterozygous genotype phred (errmod.c:193-201): -4.343*lhet(c1+c2, c2)
-    + sum of bsum over other bases. Participates only in the min-normalization for haploid calls."""
+    + sum of bsum over other bases (bsum reused from ErrMod.cal — the walk
+    there is identical).  Participates only in the min-normalization for
+    haploid calls."""
     c1 = sum(1 for q, s, b in entries if b == a1)
     c2 = sum(1 for q, s, b in entries if b == a2)
     n12 = c1 + c2
     # lhet[n,k] = log C(n,k) - n log 2
     lc = (math.lgamma(n12 + 1) - math.lgamma(c2 + 1) - math.lgamma(n12 - c2 + 1)
           - n12 * _LN2)
-    other = 0.0
-    # bsum over bases not in {a1,a2}: reuse homozygous identities:
-    # p55[j,j] = tot_b - bsum[j]; we lack bsum directly, recompute cheaply
-    # via: bsum[x] = (tot_b - p55[x,x]) requires tot_b; tot_b = p55[j,j]+bsum[j].
-    # Simplest: recompute bsum for the two alleles' complement set.
-    em = _ERRMOD
-    nn = min(len(entries), ERRMOD_MAXN)
-    packed = sorted(entries[:nn], key=lambda t: (t[0] << 5 | t[1] << 4 | t[2]),
-                    reverse=True)
-    bsum = np.zeros(16)
-    c = np.zeros(16, dtype=np.int64)
-    w = np.zeros(32, dtype=np.int64)
-    for q, strand, base in packed:
-        bs = strand << 4 | base
-        beta = em.beta_row(q, nn)
-        bsum[base] += em.fk[w[bs]] * beta[c[base]]
-        c[base] += 1
-        w[bs] += 1
     other = sum(bsum[b] for b in range(5) if b != a1 and b != a2)
     val = -4.343 * lc + other
     return max(val, 0.0)
