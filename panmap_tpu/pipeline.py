@@ -179,7 +179,15 @@ def _run_placement_device(cfg: PipelineConfig, idx: IndexArrays, seqs: list):
     from .place.query_tpu import TpuPlacer
 
     t0 = time.time()
-    placer = TpuPlacer(idx, pad_len=max((len(s) for s in seqs), default=160))
+    # reuse the placer (device index upload + cuckoo table + compiled
+    # programs) across samples in batch mode; pad_len only grows
+    pad = max((len(s) for s in seqs), default=160)
+    cached = getattr(_run_placement_device, "_placer", None)
+    if cached is not None and cached.idx is idx and cached.pad_len >= pad:
+        placer = cached
+    else:
+        placer = TpuPlacer(idx, pad_len=pad)
+        _run_placement_device._placer = placer
     if cfg.dump_all_scores or cfg.refine:
         # these need the full per-node score matrix on the host
         scores = placer.place(seqs, min_read_support=cfg.min_read_support)
@@ -384,9 +392,36 @@ def read_batch_file(path: str):
     return entries
 
 
+_BATCH_CTX: dict = {}
+
+
+def _batch_host_stages(args):
+    """Post-placement stages for one batch sample, run in a forked worker
+    (host-only code: align, genotype, consensus — no device access).
+    tree/idx/cfg come in via fork-inherited globals, not pickles."""
+    import copy
+
+    reads1, reads2, prefix, best_id = args
+    tree = _BATCH_CTX["tree"]
+    idx = _BATCH_CTX["idx"]
+    scfg = copy.copy(_BATCH_CTX["cfg"])
+    scfg.reads1, scfg.reads2, scfg.output = reads1, reads2, prefix
+    scfg.log = lambda *a, **k: None
+    ref, placed = run_alignment(scfg, tree, best_id)
+    if scfg.stop != "align":
+        final = run_genotyping(scfg, idx, ref, best_id, placed)
+        if scfg.stop != "genotype":
+            run_consensus(scfg, ref, best_id, final)
+    return prefix
+
+
 def run_batch(cfg: PipelineConfig):
     """Batch placement (main.cpp:1464-1700 runBatchPlacement): the index and
-    tree are loaded once and shared read-only across all samples."""
+    tree are loaded once and shared read-only across all samples.  Placement
+    streams through the one device serially; the host stages (align,
+    genotype, consensus) fan out over a pre-forked worker pool — the
+    equivalent of the reference's sample-level tbb::parallel_for
+    (main.cpp:1575-1658)."""
     import copy
 
     try:
@@ -405,8 +440,25 @@ def run_batch(cfg: PipelineConfig):
     need_tree = cfg.stop not in ("index", "place")
     if need_tree and tree is None:
         tree = load_panman(cfg.panman)
+
+    # pre-fork the host-stage pool BEFORE any device work so workers carry
+    # no live device-client threads
+    pool = None
+    if need_tree and len(samples) > 1:
+        import multiprocessing as mp
+
+        workers = max(1, min(cfg.threads or (os.cpu_count() or 4),
+                             len(samples), 8))
+        if workers > 1:
+            _BATCH_CTX.update(tree=tree, idx=idx, cfg=cfg)
+            try:
+                pool = mp.get_context("fork").Pool(processes=workers)
+            except (OSError, ValueError):
+                pool = None
+
     n_ok = n_fail = 0
     t_all = time.time()
+    pending = []  # (i, prefix, async_result, t0)
     for i, (reads1, reads2, prefix) in enumerate(samples, 1):
         scfg = copy.copy(cfg)
         scfg.reads1, scfg.reads2, scfg.output = reads1, reads2, prefix
@@ -423,6 +475,11 @@ def run_batch(cfg: PipelineConfig):
                 n_fail += 1
                 continue
             if need_tree:
+                if pool is not None:
+                    pending.append((i, prefix, best_id, pool.apply_async(
+                        _batch_host_stages,
+                        ((reads1, reads2, prefix, best_id),)), t0))
+                    continue
                 ref, placed = run_alignment(scfg, tree, best_id)
                 if cfg.stop != "align":
                     final = run_genotyping(scfg, idx, ref, best_id, placed)
@@ -434,6 +491,18 @@ def run_batch(cfg: PipelineConfig):
         except Exception as exc:  # keep going: one bad sample must not kill the batch
             cfg.log(f"[{i}/{len(samples)}] {prefix} -> FAILED ({exc})")
             n_fail += 1
+    for i, prefix, best_id, ar, t0 in pending:
+        try:
+            ar.get()
+            cfg.log(f"[{i}/{len(samples)}] {prefix} -> {best_id} "
+                    f"({time.time()-t0:.1f}s)")
+            n_ok += 1
+        except Exception as exc:
+            cfg.log(f"[{i}/{len(samples)}] {prefix} -> FAILED ({exc})")
+            n_fail += 1
+    if pool is not None:
+        pool.close()
+        pool.join()
     cfg.log(f"[batch] {n_ok} succeeded, {n_fail} failed in {time.time()-t_all:.1f}s")
     return 0 if n_fail == 0 else 1
 
