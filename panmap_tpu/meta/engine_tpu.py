@@ -222,8 +222,8 @@ class TpuMetaScorer:
         kpad = ((nchunks + self.group - 1) // self.group) * self.group
         self.n_chunks = nchunks
         ev_key_st = np.full((kpad, self._evpad), self.n_rows - 1, np.int32)
-        ev_col_st = np.zeros((kpad, self._evpad), np.int32)
-        ev_del_st = np.zeros((kpad, self._evpad), np.int32)
+        ev_col_st = np.zeros((kpad, self._evpad), np.int16)  # < NODE_CHUNK
+        ev_del_st = np.zeros((kpad, self._evpad), np.int8)
         for ci, lo in enumerate(self._chunk_lo):
             a, b = bounds[ci], bounds[ci + 1]
             ev_key_st[ci, : b - a] = self._evp_key[a:b]
@@ -252,7 +252,8 @@ class TpuMetaScorer:
         @jax.jit
         def build(state, ev_key, ev_col, ev_delta):
             flat = jnp.zeros(n_rows * C, jnp.int32).at[
-                ev_key * C + ev_col].add(ev_delta, mode="drop")
+                ev_key * C + ev_col.astype(jnp.int32)].add(
+                ev_delta.astype(jnp.int32), mode="drop")
             M = flat.reshape(n_rows, C)
             M = M.at[:, 0].add(state)
             return (jnp.cumsum(M, axis=1) > 0).astype(jnp.int8)
@@ -294,7 +295,8 @@ class TpuMetaScorer:
             def chunk(_, xs):
                 state, ev_key, ev_col, ev_delta = xs
                 flat = jnp.zeros(n_rows * C, jnp.int32).at[
-                    ev_key * C + ev_col].add(ev_delta, mode="drop")
+                    ev_key * C + ev_col.astype(jnp.int32)].add(
+                ev_delta.astype(jnp.int32), mode="drop")
                 M = flat.reshape(n_rows, C).at[:, 0].add(state)
                 P = jnp.cumsum(M, axis=1) > 0
                 Pp = jnp.sum(P.reshape(n_rows, C32, 32).astype(jnp.uint32)
@@ -408,7 +410,8 @@ class TpuMetaScorer:
             def chunk(_, xs):
                 state, ev_key, ev_col, ev_delta, keep_c, iota_c = xs
                 flat = jnp.zeros(n_rows * C, jnp.int32).at[
-                    ev_key * C + ev_col].add(ev_delta, mode="drop")
+                    ev_key * C + ev_col.astype(jnp.int32)].add(
+                ev_delta.astype(jnp.int32), mode="drop")
                 M = flat.reshape(n_rows, C).at[:, 0].add(state)
                 P = jnp.cumsum(M, axis=1) > 0
                 Pp = jnp.sum(P.reshape(n_rows, C32, 32).astype(jnp.uint32)

@@ -59,14 +59,17 @@ def presence_events(midx, read_hashes: np.ndarray):
     if D == 0:
         return empty
 
-    row_node = np.repeat(np.arange(n_nodes, dtype=np.int64), np.diff(offs))
+    row_node = np.repeat(np.arange(n_nodes, dtype=np.int32), np.diff(offs))
     sid = midx.delta_seed
     h_row = midx.seed_hash[sid]
     rv_row = midx.seed_rev[sid]
     sgn_row = np.where(midx.delta_is_del, -1, 1).astype(np.int8)
 
     # two steps per row: apply at preorder pos, undo after the subtree
-    pos = np.concatenate([row_node, euler_out[row_node] + 1])
+    # (int32/int8 throughout: these arrays are ~10M elements and this VM
+    # taxes every fresh page)
+    pos = np.concatenate(
+        [row_node, (euler_out[row_node] + 1).astype(np.int32)])
     step = np.concatenate([sgn_row, -sgn_row])
     h2 = np.concatenate([h_row, h_row])
     rv2 = np.concatenate([rv_row, rv_row])
@@ -75,16 +78,17 @@ def presence_events(midx, read_hashes: np.ndarray):
     from ..utils.fastnp import unique_inverse
 
     uniq_h, gid = unique_inverse(h2)
+    gid = gid.astype(np.int32, copy=False)
     order = np.lexsort((pos, gid))
     g = gid[order]
     p = pos[order]
-    s = step[order].astype(np.int64)
+    s = step[order].astype(np.int32)
     r = rv2[order]
 
     # segmented cumsums per (gid): counts after each entry
     news = np.concatenate(([True], g[1:] != g[:-1]))
-    cs_fwd = np.cumsum(np.where(r, 0, s))
-    cs_rev = np.cumsum(np.where(r, s, 0))
+    cs_fwd = np.cumsum(np.where(r, 0, s), dtype=np.int32)
+    cs_rev = np.cumsum(np.where(r, s, 0), dtype=np.int32)
     seg_start = np.flatnonzero(news)
     base_idx = np.repeat(seg_start, np.diff(np.append(seg_start, len(g))))
     # value just before the segment start
