@@ -10,11 +10,14 @@ whole-matrix DP would need GBs at ONT lengths.
 
 Gap model: minimap2's dual affine cost min(q + |g|*e, q2 + |g|*e2)
 (options.c q/e defaults + the long-gap tier), realized as two E/F DP lanes.
-Extension stops on z-drop (row max falling more than `zdrop` below the global
-best ends the scan, mirroring ksw2's z-drop cutoff; the e*|diag-diff| slack
-term is omitted).  Remaining deviation from minimap2 (documented,
-capability-level): chain score is anchor coverage rather than the minimap2
-chain DP.  Short reads keep using the bit-exact sr path in align/core.py /
+Extension stops on z-drop with ksw2's diagonal-movement slack (row max more
+than `zdrop + e*|diag - diag_max|` below the global best ends the scan — the
+slack is what lets a long gap traversal survive the drop test).  Chains come
+from the minimap2 chain DP (mm_chain_dp,
+chain.c:81-180: f[j] = max f[i] + min(dq, dr, k) - gamma(dd), gamma =
+0.01*k*dd + 0.5*log2(dd), predecessor window capped), so a read spanning a
+large indel chains across it and the banded DP gets the full diagonal range.
+Short reads keep using the bit-exact sr path in align/core.py /
 align/batch.py.
 """
 
@@ -59,6 +62,52 @@ MAP_HIFI = LongPreset("map-hifi", k=19, w=19, match=1, mismatch=4, gap_open=6,
 def pick_preset(avg_len: float) -> LongPreset:
     """mm_align.c:39-41 length thresholds (sr below 500 is handled upstream)."""
     return MAP_ONT if avg_len < 5000 else MAP_HIFI
+
+
+def chain_dp(qv: np.ndarray, rv: np.ndarray, k: int, max_gap: int,
+             h: int = 50):
+    """minimap2 chain DP (chain.c mm_chain_dp semantics): anchors sorted by
+    (rpos, qpos); f[j] = max over the last `h` predecessors of
+    f[i] + min(dq, dr, k) - gamma(dd) with gamma(dd) = 0.01*k*dd +
+    0.5*log2(dd); anchors start at f = k.  Returns (best_score,
+    chain_anchor_indices ascending, second_best_score) where indices are
+    into the input arrays."""
+    n = len(qv)
+    if n == 0:
+        return 0.0, np.empty(0, np.int64), 0.0
+    order = np.lexsort((qv, rv))
+    q = qv[order].astype(np.int64)
+    r = rv[order].astype(np.int64)
+    f = np.full(n, float(k))
+    pre = np.full(n, -1, np.int64)
+    for j in range(1, n):
+        i0 = max(0, j - h)
+        dq = q[j] - q[i0:j]
+        dr = r[j] - r[i0:j]
+        ok = (dq > 0) & (dr > 0) & (np.maximum(dq, dr) < max_gap)
+        if not ok.any():
+            continue
+        dd = np.abs(dr - dq)
+        seg = np.minimum(np.minimum(dq, dr), k)
+        pen = np.where(dd > 0,
+                       0.01 * k * dd + 0.5 * np.log2(np.maximum(dd, 2)), 0.0)
+        cand = np.where(ok, f[i0:j] + seg - pen, -np.inf)
+        bi = int(np.argmax(cand))
+        if cand[bi] > f[j]:
+            f[j] = cand[bi]
+            pre[j] = i0 + bi
+    jbest = int(np.argmax(f))
+    chain = []
+    jj = jbest
+    while jj >= 0:
+        chain.append(jj)
+        jj = int(pre[jj])
+    chain_idx = order[np.array(chain[::-1], dtype=np.int64)]
+    # secondary: best score among anchors outside the primary chain
+    mask = np.ones(n, dtype=bool)
+    mask[np.array(chain, dtype=np.int64)] = False
+    second = float(f[mask].max()) if mask.any() else 0.0
+    return float(f[jbest]), chain_idx, second
 
 
 def banded_dp_shifted(q: np.ndarray, r: np.ndarray, dlo: int, dhi: int,
@@ -111,8 +160,11 @@ def banded_dp_shifted(q: np.ndarray, r: np.ndarray, dlo: int, dhi: int,
         row_max = int(H[i, cmax])
         if row_max > best[0]:
             best = (row_max, i, cmax)
-        elif best[0] - row_max > pre.zdrop:
-            break  # z-drop: extension has collapsed; stop scanning
+        elif best[0] - row_max > pre.zdrop + GE * abs(cmax - best[2]):
+            # ksw2 z-drop with the diagonal-movement slack term
+            # (|diag - diag_max| * e): a long gap traversal lowers the row
+            # max by its gap cost but moves diagonally, so it is forgiven
+            break
 
     score, bi, bc = best
     if score <= 0:
@@ -213,40 +265,34 @@ class LongReadAligner:
             rel[o : o + c] = self.index.strand[s0:e0] ^ qstrand[a]
             o += c
 
+        # per-strand minimap2 chain DP; primary = best chain across strands
         best = None
-        second_votes = 0
+        second_score = 0.0
         for strand_rel in (0, 1):
             m = rel == strand_rel
             if not m.any():
                 continue
             if strand_rel == 0:
-                diags = rpos[m] - qq[m]
                 qv = qq[m]
             else:
-                diags = rpos[m] - (lq - pre.k - qq[m])
                 qv = lq - pre.k - qq[m]
-            order = np.argsort(diags, kind="stable")
-            d = diags[order]
-            q_o = qv[order]
-            splits = np.flatnonzero(np.diff(d) > pre.bw)
-            starts = np.concatenate(([0], splits + 1))
-            ends = np.concatenate((splits + 1, [len(d)]))
-            for a0, b0 in zip(starts, ends):
-                votes = b0 - a0
-                qmin, qmax = int(q_o[a0:b0].min()), int(q_o[a0:b0].max())
-                span = min(qmax - qmin + pre.k, lq)
-                cand = (votes, span, strand_rel,
-                        int(d[a0:b0].min()), int(d[a0:b0].max()))
-                if best is None or (votes, span) > (best[0], best[1]):
-                    if best is not None:
-                        second_votes = max(second_votes, best[0])
-                    best = cand
-                elif votes > second_votes:
-                    second_votes = votes
+            score, chain_idx, sub = chain_dp(qv, rpos[m], pre.k, pre.max_gap)
+            if len(chain_idx) == 0:
+                continue
+            diags = rpos[m][chain_idx] - qv[chain_idx]
+            cand = (score, len(chain_idx), strand_rel,
+                    int(diags.min()), int(diags.max()))
+            if best is None or score > best[0]:
+                if best is not None:
+                    second_score = max(second_score, best[0])
+                best = cand
+                second_score = max(second_score, sub)
+            else:
+                second_score = max(second_score, score)
         if best is None:
             return aln
-        votes, span, strand_rel, dmin, dmax = best
-        if votes < pre.min_cnt or span < pre.min_chain_score:
+        chain_score, votes, strand_rel, dmin, dmax = best
+        if votes < pre.min_cnt or chain_score < pre.min_chain_score:
             return aln
 
         oriented = codes2 if strand_rel == 0 else _RC_CODE[codes2[::-1]]
@@ -263,10 +309,13 @@ class LongReadAligner:
         aln.rev = bool(strand_rel)
         if aln.rev:
             aln.qs, aln.qe = lq - aln.qe, lq - aln.qs
-        if votes >= 3 and second_votes * 2 <= votes:
+        # mm2-style mapq from primary/secondary chain scores
+        # (mm_mapq: 40*(1-sub/pri)*min(1, n/10)*ln-ish scale, clamped)
+        if second_score <= 0:
             aln.mapq = 60
         else:
-            aln.mapq = max(1, min(60, int(40 * (1 - (second_votes + 1) / (votes + 1)))))
+            frac = 1.0 - second_score / max(chain_score, 1e-9)
+            aln.mapq = max(1, min(60, int(40 * frac * min(1.0, votes / 10))))
         return aln
 
     def align_batch(self, seqs: list) -> list:

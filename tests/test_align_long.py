@@ -96,3 +96,36 @@ def test_long_gap_tier_spans_big_deletion():
     assert dels and max(dels) == 300
     span = aln.re - aln.rs
     assert span >= 650  # covers both flanks plus the deletion
+
+
+def test_chain_dp_spans_large_deletion():
+    """A read whose genome copy lacks a 2kb segment must chain across the
+    deletion (mm2 chain DP; the old per-diagonal-band clustering picked one
+    side only) and the banded DP must emit a D run of about that size."""
+    rng = random.Random(5)
+    ref = "".join(rng.choice("ACGT") for _ in range(12000))
+    # read = 2kb left flank + 2kb right flank with a 2000bp deletion between
+    read = ref[1000:3000] + ref[5000:7000]
+    la = LongReadAligner(ref, MAP_ONT)
+    aln = la.align_read(read)
+    assert aln.mapped
+    dels = sum(ln for ln, op in aln.cigar if op == "D")
+    assert 1900 <= dels <= 2100, aln.cigar
+    m = sum(ln for ln, op in aln.cigar if op == "M")
+    assert m >= 3800
+    assert aln.rs <= 1010 and aln.re >= 6990
+
+
+def test_chain_dp_prefers_colinear_chain_over_bigger_scatter():
+    """chain_dp picks the colinear run, not a larger set of scattered
+    repeat anchors."""
+    from panmap_tpu.align.longread import chain_dp
+
+    # colinear: 10 anchors on one diagonal; scatter: 14 anchors at random
+    q = np.concatenate([np.arange(10) * 50, np.arange(14) * 37 + 7])
+    r = np.concatenate([np.arange(10) * 50 + 100,
+                        (np.arange(14) * 1931 + 13) % 9000])
+    score, chain, sub = chain_dp(q, r, 15, 5000)
+    d = r[chain] - q[chain]
+    assert len(chain) >= 9
+    assert (np.abs(d - 100) < 5).sum() >= 9
