@@ -23,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("reads2", nargs="?", default="", help="mate reads")
     p.add_argument("-o", "--output", default="", help="output prefix")
     p.add_argument("-t", "--threads", type=int, default=0, help="threads (advisory)")
-    p.add_argument("--version", action="version", version=f"panmap-tpu {__version__}")
+    p.add_argument("-V", "--version", action="version",
+                   version=f"panmap-tpu {__version__}")
     p.add_argument("--stop", default="", choices=["", "index", "place", "align", "genotype", "consensus"],
                    help="stop after this stage")
     p.add_argument("--batch", default="", dest="batch_file",
@@ -34,12 +35,28 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-s", "--syncmer", type=int, default=8, help="syncmer s")
     g.add_argument("--offset", type=int, default=0, help="syncmer offset t")
     g.add_argument("-l", "--lmer", type=int, default=3, help="syncmers per seed")
-    g.add_argument("--open", action="store_true", help="open syncmers")
+    g.add_argument("--open", "--open-syncmer", action="store_true",
+                   help="open syncmers")
     g.add_argument("--hpc", action="store_true", help="homopolymer-compressed seeds")
     g.add_argument("--flank-mask", type=int, default=250, help="mask bp at genome ends")
+    g.add_argument("--extent-guard", action="store_true",
+                   help="guard seed deletions at genome extent boundaries")
     g.add_argument("--impute", action="store_true",
                    help="impute N's from parent (skip canonical->ambiguous mutations)")
-    g.add_argument("--index", default="", help="index path override")
+    g.add_argument("-i", "--index", default="", help="index path override")
+    g.add_argument("--index-out", default="",
+                   help="write the built index to this path "
+                        "(default: next to the panman)")
+    g.add_argument("--zstd-level", type=int, default=-1,
+                   help="index container compression level; >0 stores the "
+                        "index compressed instead of mmap-friendly raw")
+    g.add_argument("--index-uncompressed", action="store_true",
+                   help="store the index uncompressed so it is mmap'd on load "
+                        "(the default here; kept for drop-in parity)")
+    g.add_argument("--index-packed", action="store_true",
+                   help=argparse.SUPPRESS)  # capnp-specific in the reference; no-op
+    g.add_argument("--read-packed", action="store_true",
+                   help=argparse.SUPPRESS)  # capnp-specific in the reference; no-op
 
     g = p.add_argument_group("single-sample")
     g.add_argument("--min-depth", type=int, default=1)
@@ -49,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop seeds whose mean Phred quality is below N")
     g.add_argument("--reference-node", default="",
                    help="skip placement; use this node as the reference")
-    g.add_argument("--reindex", action="store_true",
+    g.add_argument("-f", "--reindex", action="store_true",
                    help="rebuild the index even if a valid cache exists")
     g.add_argument("--seed-mask-fraction", type=float, default=0.0)
     g.add_argument("--dedup", action="store_true", dest="dedup_reads")
@@ -119,7 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("developer")
     g.add_argument("--dump-all-scores", default="")
-    g.add_argument("--dump-node", default="", help="write one node's sequence as FASTA")
+    g.add_argument("--dump-node", "--dump-sequence", default="",
+                   help="write one node's sequence as FASTA")
     g.add_argument("--dump-random-nodeIDs", type=int, default=0,
                    dest="dump_random_node_ids")
     g.add_argument("--dump-sequences", nargs="+", default=[],
@@ -127,6 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--simulate-snps", nargs="+", type=int, default=[],
                    help="SNP counts matching --dump-sequences positions")
     g.add_argument("--random-seed", default="")
+    g.add_argument("--seed", type=int, default=42,
+                   help="integer random seed (used when --random-seed is unset)")
     g.add_argument("--simulate", action="store_true",
                    help="mutation/read simulator: mutate a node per the "
                         "spectrum, write truth VCF + FASTA + reads")
@@ -151,11 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="simulate mutations only, skip read generation")
     g.add_argument("--profile", default="", dest="profile_dir", metavar="DIR",
                    help="write a jax.profiler device trace to DIR")
-    g.add_argument("--quiet", action="store_true")
-    g.add_argument("--verbose", action="store_true",
+    g.add_argument("-q", "--quiet", action="store_true")
+    g.add_argument("-v", "--verbose", action="store_true",
                    help="extra detail lines (timings, counters)")
-    g.add_argument("--plain", action="store_true",
+    g.add_argument("--plain", "--no-color", action="store_true",
                    help="no ANSI color/progress (also honors NO_COLOR)")
+    g.add_argument("--no-progress", action="store_true",
+                   help="disable progress bars")
     return p
 
 
@@ -164,7 +186,10 @@ def main(argv=None):
     out = args.output or (default_prefix(args.reads1) if args.reads1 else "panmap")
     from .ux import Output
 
-    log = Output(quiet=args.quiet, verbose=args.verbose, plain=args.plain)
+    log = Output(quiet=args.quiet, verbose=args.verbose, plain=args.plain,
+                 no_progress=args.no_progress)
+    if not args.random_seed and args.seed != 42:
+        args.random_seed = str(args.seed)
 
     if args.simulate:
         from .simulate import run_simulate
@@ -197,6 +222,7 @@ def main(argv=None):
             panman=args.panman, reads1=args.reads1, reads2=args.reads2,
             output=out, k=args.kmer, s=args.syncmer, t=args.offset, l=args.lmer,
             open=args.open,
+            index_path=args.index, index_out=args.index_out,
             em_convergence_threshold=args.em_convergence_threshold,
             em_delta_threshold=args.em_delta_threshold,
             em_maximum_rounds=args.em_maximum_rounds,
@@ -225,13 +251,40 @@ def main(argv=None):
             stop=args.stop,
             log=log,
         )
+        if args.batch_file:
+            # --batch works in both modes (main.cpp:2424-2443): meta loops the
+            # run per sample; the index (and here also the in-memory arrays)
+            # is shared across samples.
+            from dataclasses import replace as _dc_replace
+
+            from .meta.driver import ensure_meta_index
+            from .pipeline import read_batch_file
+
+            try:
+                entries = read_batch_file(args.batch_file)
+            except (OSError, FileNotFoundError) as exc:
+                log.fail("batch", str(exc))
+                return 1
+            midx, _ = ensure_meta_index(mcfg)
+            if args.stop == "index":
+                return 0
+            for i, (r1, r2, prefix) in enumerate(entries):
+                if len(entries) > 1:
+                    log(f"[{i + 1}/{len(entries)}] {r1} -> {prefix}")
+                scfg = _dc_replace(mcfg, reads1=r1, reads2=r2, output=prefix)
+                rc = run_meta(scfg, midx=midx)
+                if rc:
+                    return rc
+            return 0
         return run_meta(mcfg)
 
     cfg = PipelineConfig(
         panman=args.panman, reads1=args.reads1, reads2=args.reads2, output=out,
-        index_path=args.index, k=args.kmer, s=args.syncmer, t=args.offset,
+        index_path=args.index, index_out=args.index_out,
+        index_compressed=(args.zstd_level > 0 and not args.index_uncompressed),
+        k=args.kmer, s=args.syncmer, t=args.offset,
         l=args.lmer, open=args.open, hpc=args.hpc, flank_mask_bp=args.flank_mask,
-        impute=args.impute,
+        impute=args.impute, extent_guard=args.extent_guard,
         min_depth=args.min_depth, min_qual=args.min_qual,
         min_read_support=args.min_read_support,
         min_seed_quality=args.min_seed_quality,

@@ -49,6 +49,15 @@ class IndexParams:
     hpc: bool = False
     flank_mask_bp: int = 250
     impute_amb: bool = False
+    # Guard seed deletions at genome extent boundaries (main.cpp --extent-guard):
+    # when on and flank_mask_bp == 0, the hard mask becomes the genome extent
+    # [first non-gap scalar, last non-gap scalar] instead of unbounded, so seeds
+    # in flank regions (missing data, not true gaps) survive gap mutations
+    # (index_single_mode.cpp:811-816,1746-1765; hpp:70).  With flank_mask_bp > 0
+    # the flank hard mask is strictly inside the extent, so the guard is a no-op
+    # there — same as the reference, where hardMaskStart/End is recomputed with
+    # flankSize and subsumes the extent check.
+    extent_guard: bool = False
 
 
 @dataclass
@@ -309,6 +318,9 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         nzi = np.flatnonzero(mask_nongap)
         seq = rseq[nzi]
         nz = rpos[nzi]  # reading scalars of non-gap bases, ascending
+        # genome extent (computeExtentFromGapMap with flankSize=0) — pre-HPC,
+        # since HPC remaps nz to run starts
+        ext = (int(nz[0]), int(nz[-1])) if len(nz) else None
 
         if params.hpc and len(seq):
             comp_seq, mapping = hpc_compress_with_mapping(seq.tobytes().decode("latin1"))
@@ -323,6 +335,10 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
                 hme = int(nz[nnz - flank])
             else:
                 hms, hme = None, None  # everything masked: no seed ops at all
+        elif params.extent_guard:
+            # hard mask = genome extent (hardMaskStart/End default to
+            # first/lastNonGapScalar when flankMaskBp == 0 and extentGuard is on)
+            hms, hme = ext if ext is not None else (None, None)
         else:
             hms, hme = 0, 1 << 62
 

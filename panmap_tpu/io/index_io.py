@@ -29,6 +29,7 @@ def save_index(path: str, idx: IndexArrays, compressed: bool = False):
         "hpc": idx.params.hpc,
         "flank_mask_bp": idx.params.flank_mask_bp,
         "impute_amb": idx.params.impute_amb,
+        "extent_guard": idx.params.extent_guard,
     }
     arrays = dict(
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
@@ -65,6 +66,7 @@ def load_index(path: str) -> IndexArrays:
         k=header["k"], s=header["s"], t=header["t"], l=header["l"],
         open=header["open"], hpc=header["hpc"], flank_mask_bp=header["flank_mask_bp"],
         impute_amb=header.get("impute_amb", False),
+        extent_guard=header.get("extent_guard", False),
     )
     return IndexArrays(
         params=params,

@@ -34,6 +34,8 @@ class MetaConfig:
     reads1: str = ""
     reads2: str = ""
     output: str = "sample"
+    index_path: str = ""  # load a pre-built .ptmidx from this path
+    index_out: str = ""  # write the built meta index here (main.cpp --index-out)
     k: int = 19
     s: int = 8
     t: int = 0
@@ -73,7 +75,7 @@ class MetaConfig:
 
 
 def ensure_meta_index(cfg: MetaConfig, tree=None):
-    path = cfg.panman + ".ptmidx.npz"
+    path = cfg.index_path or cfg.index_out or cfg.panman + ".ptmidx.npz"
     want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open)
     if os.path.exists(path):
         try:
@@ -98,8 +100,9 @@ def ensure_meta_index(cfg: MetaConfig, tree=None):
     return midx, tree
 
 
-def run_meta(cfg: MetaConfig) -> int:
-    midx, tree = ensure_meta_index(cfg)
+def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
+    if midx is None:
+        midx, tree = ensure_meta_index(cfg)
     if cfg.stop == "index" or not cfg.reads1:
         return 0
 

@@ -43,6 +43,8 @@ class PipelineConfig:
     reads2: str = ""
     output: str = "sample"
     index_path: str = ""  # default: <panman>.ptidx.npz
+    index_out: str = ""  # write the built index here instead of next to the panman
+    index_compressed: bool = False  # compressed container (--zstd-level analog)
     k: int = 19
     s: int = 8
     t: int = 0
@@ -51,6 +53,7 @@ class PipelineConfig:
     hpc: bool = False
     flank_mask_bp: int = 250
     impute: bool = False  # skip canonical->ambiguous mutations in indexing
+    extent_guard: bool = False  # guard seed deletions at genome extent boundaries
     min_depth: int = 1
     min_qual: float = 30.0
     min_read_support: int = -1
@@ -98,9 +101,10 @@ def default_prefix(reads1: str) -> str:
 def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     """Build-or-load the index next to the panman (cache semantics of
     main.cpp:371-396: params must match, index newer than panman)."""
-    path = cfg.index_path or cfg.panman + ".ptidx.npz"
+    path = cfg.index_path or cfg.index_out or cfg.panman + ".ptidx.npz"
     want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open, hpc=cfg.hpc,
-                flank_mask_bp=cfg.flank_mask_bp, impute_amb=cfg.impute)
+                flank_mask_bp=cfg.flank_mask_bp, impute_amb=cfg.impute,
+                extent_guard=cfg.extent_guard)
     if os.path.exists(path) and not cfg.reindex:
         try:
             hdr = read_index_params(path)
@@ -129,7 +133,7 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     cfg.log(f"[index] built in {time.time()-t0:.1f}s "
             f"({len(idx.seed_hashes)} seed changes, {len(idx.node_ids)} nodes)")
     try:
-        save_index(path, idx)
+        save_index(path, idx, compressed=cfg.index_compressed)
     except OSError:
         cfg.log(f"[index] warning: could not cache index at {path}")
     return idx, tree

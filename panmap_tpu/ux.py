@@ -37,9 +37,10 @@ class Output:
     (logging.hpp stage/step/done/fail equivalents)."""
 
     def __init__(self, quiet: bool = False, verbose: bool = False,
-                 plain: bool = False):
+                 plain: bool = False, no_progress: bool = False):
         self.quiet = quiet
         self.verbose = verbose
+        self.no_progress = no_progress
         self.style = _Style(_want_color(plain))
         self._t0 = {}
         self._start = time.time()
@@ -105,9 +106,12 @@ class ProgressBar:
         self._t0 = time.time()
         self._tty = sys.stderr.isatty() and not out.quiet
         self._milestone = 0
+        self._off = getattr(out, "no_progress", False)
 
     def update(self, n: int = 1):
         self.n += n
+        if self._off:
+            return
         now = time.time()
         if self._tty:
             if now - self._last < 0.05 and self.n < self.total:
@@ -131,6 +135,8 @@ class ProgressBar:
                 self.out(f"[{self.label}] {self.n}/{self.total} ({pct * 10}%)")
 
     def close(self):
+        if self._off:
+            return
         if self._tty:
             sys.stderr.write("\n")
             sys.stderr.flush()

@@ -113,7 +113,10 @@ def test_meta_mixture_70_30(outdir, tmp_path):
         # device scoring) + device-resident SQUAREM
         emit(a, 1400, "A")
         emit(b, 600, "B")
-    cfg = MetaConfig(panman=PANMAN, reads1=str(reads), output=str(outdir / "mix"))
+    # cache the meta index inside the repo .cache — never next to the
+    # (read-only-intent) reference panman
+    cfg = MetaConfig(panman=PANMAN, reads1=str(reads), output=str(outdir / "mix"),
+                     index_out=os.path.join(CACHE, "rsv4k.ptmidx.npz"))
     cfg.log = lambda *a: None
     run_meta(cfg)
     lines = [l.split("\t") for l in open(str(outdir / "mix") + ".mgsr.abundance.out")]
