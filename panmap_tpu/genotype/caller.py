@@ -171,6 +171,65 @@ class PlacedRead:
         return self.rs + sum(ln for ln, op in self.cigar if op in "MDN=X")
 
 
+def _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n):
+    """Vectorized mate-overlap quality tweak (tweak_overlap_quality semantics,
+    identical to the legacy per-pair `_apply_overlap_tweaks` below, which is
+    kept as the test oracle).  Operates in place on the concatenated qual
+    array: ref positions covered by both mates of a proper pair are located
+    as duplicate (pair, refpos) keys among the flat pileup entries."""
+    n_kept = len(kept)
+    groups: dict = {}
+    for i, r in enumerate(kept):
+        if r.is_paired and r.is_proper:
+            groups.setdefault(r.qname, []).append(i)
+    pid = np.full(n_kept, -1, dtype=np.int64)
+    amul_of = np.zeros(n_kept, dtype=np.int64)
+    a_read = np.zeros(n_kept, dtype=bool)
+    npairs = 0
+    for name, idxs in groups.items():
+        if len(idxs) != 2:
+            continue
+        i, j = idxs
+        a = j if kept[j].rs < kept[i].rs else i
+        pid[i] = pid[j] = npairs
+        am = 1 if (_wang(_x31(name)) & 1) else 0
+        amul_of[i] = amul_of[j] = am
+        a_read[a] = True
+        npairs += 1
+    if npairs == 0:
+        return
+    sel = pid[flat_rid] >= 0
+    sidx = np.flatnonzero(sel)
+    if not len(sidx):
+        return
+    key = pid[flat_rid[sidx]] * np.int64(n) + flat_p[sidx]
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    dup = sk[1:] == sk[:-1]
+    if not dup.any():
+        return
+    e1 = sidx[order[:-1][dup]]
+    e2 = sidx[order[1:][dup]]
+    is_a1 = a_read[flat_rid[e1]]
+    ex = np.where(is_a1, e1, e2)  # entry from mate 'a' (leftmost)
+    ey = np.where(is_a1, e2, e1)
+    ix, iy = aqi[ex], aqi[ey]
+    qa = Qcat[ix].astype(np.int64)
+    qb = Qcat[iy].astype(np.int64)
+    same = (Scat[ix] & 0xDF) == (Scat[iy] & 0xDF)
+    am = amul_of[flat_rid[ex]]
+    bm = 1 - am
+    qsum = np.minimum(qa + qb, 200)
+    frac_a = (qa * 8) // 10  # int(0.8*q) for q >= 0
+    frac_b = (qb * 8) // 10
+    Qcat[ix] = np.where(same, qsum * am,
+                        np.where(qa > qb, frac_a,
+                                 np.where(qa < qb, 0, frac_a * am)))
+    Qcat[iy] = np.where(same, qsum * bm,
+                        np.where(qa > qb, 0,
+                                 np.where(qa < qb, frac_b, frac_b * bm)))
+
+
 def _apply_overlap_tweaks(reads: list):
     """Mate-overlap quality tweak for proper pairs (same qname, both mapped)."""
     by_name: dict[str, list] = {}
@@ -237,9 +296,10 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
 
         apply_baq(reads, ref)
     n = len(ref)
-    ref_idx = np.full(n, 4, dtype=np.int8)
-    for i, ch in enumerate(ref):
-        ref_idx[i] = _BIDX.get(ch, 4)
+    blut = np.full(256, 4, dtype=np.int8)
+    for ch, bi in _BIDX.items():
+        blut[ord(ch)] = bi
+    ref_idx = blut[np.frombuffer(ref.encode(), dtype=np.uint8)]
 
     # orphan skip (mpileup.c:294) + per-start depth cap
     usable = [r for r in reads if not (r.is_paired and not r.is_proper)]
@@ -255,8 +315,6 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
             continue
         heapq.heappush(heap, r.ref_end())
         kept.append(r)
-
-    _apply_overlap_tweaks(kept)
 
     # column accumulation, vectorized over all M-segment bases.  Entry order
     # within a column matches the per-base loop it replaces (kept-read order,
@@ -299,13 +357,11 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
     Qcat = np.concatenate(
         [np.asarray(r.quals, dtype=np.int64) for r in kept])
     Scat = np.frombuffer("".join(r.seq for r in kept).encode(), np.uint8)
-    blut = np.full(256, 4, dtype=np.int8)
-    for ch, bi in _BIDX.items():
-        blut[ord(ch)] = bi
     mqs = np.minimum(np.array([r.mapq for r in kept], dtype=np.int64), 60)
     revs = np.array([1 if r.rev else 0 for r in kept], dtype=np.int8)
 
     aqi = roffs[flat_rid] + flat_qi
+    _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n)
     q = Qcat[aqi]
     left_ok = flat_qi > 0
     q = np.where(left_ok,

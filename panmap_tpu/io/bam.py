@@ -26,6 +26,11 @@ CIGAR_OPS = "MIDNSHP=X"
 _CIGAR_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 
 _SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+# byte -> nt16 code lookup (upper/lowercase), unknowns -> N(15)
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _SEQ_NT16.items():
+    _NT16_LUT[ord(_c)] = _i
+    _NT16_LUT[ord(_c.lower())] = _i
 
 
 def _bgzf_block(data: bytes, level: int = 6) -> bytes:
@@ -72,13 +77,10 @@ def encode_bam_record(qname: str, flag: int, tid: int, pos: int, mapq: int,
     n_cigar = len(cigar)
     cigar_b = b"".join(struct.pack("<I", (ln << 4) | _CIGAR_CODE[op]) for ln, op in cigar)
     l_seq = len(seq)
-    seq_nib = bytearray((l_seq + 1) // 2)
-    for i, c in enumerate(seq):
-        v = _SEQ_NT16.get(c.upper(), 15)
-        if i % 2 == 0:
-            seq_nib[i // 2] = v << 4
-        else:
-            seq_nib[i // 2] |= v
+    codes = _NT16_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    if l_seq & 1:
+        codes = np.concatenate([codes, np.zeros(1, dtype=np.uint8)])
+    seq_nib = ((codes[0::2] << 4) | codes[1::2]).tobytes()
     # end position for bin computation
     ref_len = sum(ln for ln, op in cigar if op in "MDN=X")
     end = pos + max(ref_len, 1) - 1
@@ -87,7 +89,7 @@ def encode_bam_record(qname: str, flag: int, tid: int, pos: int, mapq: int,
         "<iiBBHHHiiii",
         tid, pos, len(qname_b), mapq, bin_, n_cigar, flag,
         l_seq, mtid, mpos, tlen,
-    ) + qname_b + cigar_b + bytes(seq_nib) + bytes(qual_phred) + tags
+    ) + qname_b + cigar_b + seq_nib + bytes(qual_phred) + tags
     return struct.pack("<I", len(body)) + body
 
 

@@ -271,12 +271,13 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
         seq = seqs[i]
         qual = quals[i]
         lq = len(seq)
+        q8 = (np.frombuffer(qual.encode(), dtype=np.uint8) - 33).astype(np.uint8)
         if aln.rev:
             bam_seq = reverse_complement(seq)
-            bam_qual = bytes(ord(c) - 33 for c in reversed(qual))
+            bam_qual = q8[::-1].tobytes()
         else:
             bam_seq = seq
-            bam_qual = bytes(ord(c) - 33 for c in qual)
+            bam_qual = q8.tobytes()
         clip5 = (lq - aln.qe) if aln.rev else aln.qs
         clip3 = aln.qs if aln.rev else (lq - aln.qe)
         cigar = []
@@ -302,15 +303,11 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
                        seq=bam_seq, qual=bam_qual)
         entries.append(rec)
         # genotyping consumes ref-orientation bases: aln.cigar spans
-        # query positions [qs_oriented, qe_oriented) of the oriented read
-        if aln.rev:
-            oseq = reverse_complement(seq)
-            oq = [ord(c) - 33 for c in reversed(qual)]
-            oqs = lq - aln.qe
-        else:
-            oseq = seq
-            oq = [ord(c) - 33 for c in qual]
-            oqs = aln.qs
+        # query positions [qs_oriented, qe_oriented) of the oriented read.
+        # bam_seq/bam_qual are already the oriented read — reuse them.
+        oseq = bam_seq
+        oq = np.frombuffer(bam_qual, dtype=np.uint8).astype(np.int64)
+        oqs = (lq - aln.qe) if aln.rev else aln.qs
         placed.append(PlacedRead(
             rs=aln.rs, cigar=aln.cigar, seq=oseq, quals=oq, qs=oqs,
             qname=clip_name(names[i]), is_proper=aln.proper_frag,

@@ -78,7 +78,7 @@ def _as_bytes(seq) -> np.ndarray:
 
 
 def reverse_complement(seq: str) -> str:
-    return bytes(reversed(seq.encode().translate(RC_TABLE))).decode()
+    return seq.encode().translate(RC_TABLE)[::-1].decode()
 
 
 def hash_seq(seq: str) -> tuple[int, int]:

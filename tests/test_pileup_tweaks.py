@@ -1,0 +1,101 @@
+"""Vectorized mate-overlap quality tweak must match the legacy per-pair oracle
+(_apply_overlap_tweaks, the direct transcription of bcftools tweak_overlap_quality
+semantics used by pileup_call before vectorization)."""
+
+import copy
+import random
+
+import numpy as np
+
+from panmap_tpu.genotype.caller import (
+    PlacedRead,
+    _apply_overlap_tweaks,
+    _apply_overlap_tweaks_flat,
+)
+
+BASES = "ACGT"
+
+
+def _mk_reads(rng, n_pairs, ref_len):
+    reads = []
+    for p in range(n_pairs):
+        name = f"pair{p}"
+        rs1 = rng.randrange(0, ref_len - 120)
+        rs2 = rs1 + rng.randrange(-30, 80)  # often overlapping, sometimes not
+        rs2 = max(0, min(rs2, ref_len - 120))
+        for rs in (rs1, rs2):
+            L = rng.randrange(80, 120)
+            # cigars with indels sometimes
+            if rng.random() < 0.3:
+                m1 = L // 2
+                cig = [(m1, "M"), (rng.randrange(1, 4), "D"), (L - m1, "M")]
+            elif rng.random() < 0.3:
+                m1 = L // 2
+                ins = rng.randrange(1, 4)
+                cig = [(m1, "M"), (ins, "I"), (L - m1 - ins, "M")]
+            else:
+                cig = [(L, "M")]
+            seq = "".join(rng.choice(BASES) for _ in range(L + 8))
+            quals = [rng.randrange(2, 60) for _ in range(L + 8)]
+            reads.append(PlacedRead(
+                rs=rs, cigar=cig, seq=seq, quals=quals, qs=rng.randrange(0, 4),
+                qname=name, is_proper=rng.random() < 0.9, is_paired=True,
+                mapq=60, rev=bool(rng.getrandbits(1))))
+    # a few unpaired reads and a triplicate name
+    for j in range(3):
+        L = 100
+        reads.append(PlacedRead(
+            rs=rng.randrange(0, ref_len - L), cigar=[(L, "M")],
+            seq="".join(rng.choice(BASES) for _ in range(L)),
+            quals=[rng.randrange(2, 60) for _ in range(L)], qs=0,
+            qname="pair0" if j == 0 else f"solo{j}", is_proper=True,
+            is_paired=(j == 0), mapq=60, rev=False))
+    return reads
+
+
+def _flat_arrays(kept, n):
+    seg_p0, seg_q0, seg_len, seg_rid = [], [], [], []
+    for rid, r in enumerate(kept):
+        rpos, qpos = r.rs, r.qs
+        for ln, op in r.cigar:
+            if op in ("M", "=", "X"):
+                seg_p0.append(rpos)
+                seg_q0.append(qpos)
+                seg_len.append(ln)
+                seg_rid.append(rid)
+                rpos += ln
+                qpos += ln
+            elif op in ("I", "S"):
+                qpos += ln
+            elif op in ("D", "N"):
+                rpos += ln
+    sl = np.asarray(seg_len, dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(sl)))
+    rel = np.arange(csum[-1]) - np.repeat(csum[:-1], sl)
+    flat_p = np.repeat(np.asarray(seg_p0, dtype=np.int64), sl) + rel
+    flat_qi = np.repeat(np.asarray(seg_q0, dtype=np.int64), sl) + rel
+    flat_rid = np.repeat(np.asarray(seg_rid, dtype=np.int64), sl)
+    in_ref = (flat_p >= 0) & (flat_p < n)
+    return flat_p[in_ref], flat_qi[in_ref], flat_rid[in_ref]
+
+
+def test_flat_tweaks_match_legacy():
+    rng = random.Random(7)
+    n = 1000
+    for trial in range(20):
+        kept = _mk_reads(rng, n_pairs=12, ref_len=n)
+        legacy = copy.deepcopy(kept)
+        _apply_overlap_tweaks(legacy)
+        q_legacy = np.concatenate(
+            [np.asarray(r.quals, dtype=np.int64) for r in legacy])
+
+        flat_p, flat_qi, flat_rid = _flat_arrays(kept, n)
+        rlens = np.array([len(r.seq) for r in kept], dtype=np.int64)
+        roffs = np.concatenate(([0], np.cumsum(rlens)))
+        Qcat = np.concatenate(
+            [np.asarray(r.quals, dtype=np.int64) for r in kept])
+        Scat = np.frombuffer("".join(r.seq for r in kept).encode(), np.uint8)
+        aqi = roffs[flat_rid] + flat_qi
+        _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n)
+
+        assert np.array_equal(Qcat, q_legacy), f"trial {trial} diverged"
