@@ -70,30 +70,95 @@ def batch_minimizers(reads: np.ndarray, lens: np.ndarray, k: int = KMER,
 
         wm = sliding_window_view(h, w, axis=1).min(axis=-1)
         nwin = wm.shape[1]
+        # pad-independence: a window is real only if it lies fully within
+        # the read's own k-mer positions (i + w <= lens - k + 1); windows
+        # born from batch padding must not mint minimizers, else a read's
+        # alignment would depend on its chunk's max length
+        nvalid = (lens.astype(np.int64) - k - w + 2)[:, None]
+        wm = np.where(np.arange(nwin)[None, :] < nvalid, wm, BIG)
         sel = np.zeros((N, m), dtype=bool)
         for off in range(w):
             idx = np.arange(nwin) + off
             sel[:, idx] |= h[:, idx] == wm
         sel &= h != BIG
+        # reads with no full window (m_read <= w): single argmin, matching
+        # core.minimizer_sketch's short-sequence branch
+        short = np.flatnonzero((lens - k + 1 <= w) & (lens >= k))
+        if len(short):
+            jm = h[short].argmin(axis=1)
+            sel[short] = False
+            sel[short, jm] = h[short, jm] != BIG
     ridx, qpos = np.nonzero(sel)
     return ridx.astype(np.int64), qpos.astype(np.int64), h[ridx, qpos], strand[ridx, qpos]
 
 
 class BatchAligner(Aligner):
-    """Aligner with a vectorized batch front-end."""
+    """Aligner with a vectorized batch front-end (native C++ core when the
+    host library is available; the numpy path below is its bit-exact oracle,
+    cross-checked by tests/test_align_native.py)."""
 
     CHUNK = 16384  # reads per vectorized pass: bounds the temporary matrices
     # (a single 102k-read pass allocated ~1.8 GB of fresh int64 planes; per-
     # chunk passes reuse the allocator's warm pages)
 
+    use_native = True
+
     def align_batch(self, seqs: list):
         """Returns list[Alignment] (one per read)."""
+        if self.use_native:
+            out = self._align_batch_native(seqs)
+            if out is not None:
+                return out
         if len(seqs) > self.CHUNK:
             out = []
             for off in range(0, len(seqs), self.CHUNK):
                 out.extend(self._align_chunk(seqs[off : off + self.CHUNK]))
             return out
         return self._align_chunk(seqs)
+
+    _CIG_OPS = "MIDNSHP=X"
+
+    def _align_batch_native(self, seqs: list):
+        from ..native import align_sr_native
+
+        res = align_sr_native(seqs, self.index.codes2, self.index.h,
+                              self.index.pos, self.index.strand,
+                              self.k, self.w)
+        if res is None:
+            return None
+        n = len(seqs)
+        out = [Alignment() for _ in range(n)]
+        mapped = res["mapped"]
+        lens = res["lens"]
+        cig = res["cig"]
+        ncig = res["ncig"]
+        OPS = self._CIG_OPS
+        for i in np.flatnonzero(mapped == 1):
+            a = out[i]
+            a.mapped = True
+            a.rev = bool(res["rev"][i])
+            a.rs = int(res["rs"][i])
+            a.re = int(res["re"][i])
+            q0, q1 = int(res["qs"][i]), int(res["qe"][i])
+            if a.rev:
+                lq = int(lens[i])
+                a.qs, a.qe = lq - q1, lq - q0
+            else:
+                a.qs, a.qe = q0, q1
+            a.score = int(res["score"][i])
+            a.mapq = int(res["mapq"][i])
+            a.nm = int(res["nm"][i])
+            row = cig[i]
+            a.cigar = [(int(row[c]) >> 4, OPS[int(row[c]) & 0xF])
+                       for c in range(int(ncig[i]))]
+        # cigar-capacity overflows: redo with the oracle path (per-read
+        # independent, so a sub-list realignment is semantics-preserving)
+        over = np.flatnonzero(mapped == 2)
+        if len(over):
+            redo = self._align_chunk([seqs[i] for i in over])
+            for j, i in enumerate(over):
+                out[i] = redo[j]
+        return out
 
     def _align_chunk(self, seqs: list):
         N = len(seqs)

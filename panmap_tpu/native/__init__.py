@@ -81,6 +81,14 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.pt_sketch_meta.restype = ctypes.c_int64
+    lib.pt_align_sr.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads
+        ctypes.c_void_p, ctypes.c_int64,                   # ref codes
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -225,3 +233,51 @@ def encode_reads_native(seqs: list, pad_to: int):
     lib.pt_encode_reads(buf.ctypes.data, offsets.ctypes.data, len(seqs),
                         pad_to, out.ctypes.data)
     return out, np.minimum(lens, pad_to).astype(np.int32)
+
+
+def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
+                    idx_pos: np.ndarray, idx_strand: np.ndarray, k: int,
+                    w: int, threads: int = 0, cigar_cap: int = 64):
+    """Native twin of align/batch.py::BatchAligner.align_batch.  Returns a
+    dict of per-read arrays (mapped 0/1/2, rev, rs, re, qs, qe oriented,
+    score, mapq, nm, ncig, cig u32[n,cap]) or None without the library.
+    mapped==2 marks cigar-capacity overflow: realign those reads with the
+    Python oracle path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    joined = "".join(seqs).encode()
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    n = len(seqs)
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    idx_h = np.ascontiguousarray(idx_h, dtype=np.uint64)
+    idx_pos = np.ascontiguousarray(idx_pos, dtype=np.int32)
+    idx_strand = np.ascontiguousarray(idx_strand, dtype=np.uint8)
+    out = {
+        "mapped": np.zeros(n, dtype=np.uint8),
+        "rev": np.zeros(n, dtype=np.uint8),
+        "rs": np.zeros(n, dtype=np.int32),
+        "re": np.zeros(n, dtype=np.int32),
+        "qs": np.zeros(n, dtype=np.int32),
+        "qe": np.zeros(n, dtype=np.int32),
+        "score": np.zeros(n, dtype=np.int32),
+        "mapq": np.zeros(n, dtype=np.int32),
+        "nm": np.zeros(n, dtype=np.int32),
+        "ncig": np.zeros(n, dtype=np.int32),
+        "cig": np.zeros((n, cigar_cap), dtype=np.uint32),
+    }
+    lib.pt_align_sr(
+        buf.ctypes.data, offsets.ctypes.data, n, ref_codes.ctypes.data,
+        len(ref_codes), idx_h.ctypes.data, idx_pos.ctypes.data,
+        idx_strand.ctypes.data, len(idx_h), k, w, threads, cigar_cap,
+        out["mapped"].ctypes.data, out["rev"].ctypes.data,
+        out["rs"].ctypes.data, out["re"].ctypes.data, out["qs"].ctypes.data,
+        out["qe"].ctypes.data, out["score"].ctypes.data,
+        out["mapq"].ctypes.data, out["nm"].ctypes.data,
+        out["ncig"].ctypes.data, out["cig"].ctypes.data)
+    out["lens"] = lens
+    return out

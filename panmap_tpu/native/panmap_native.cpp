@@ -731,3 +731,872 @@ int pt_baq_glocal(const uint8_t* ref, int l_ref, const uint8_t* query,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Short-read seed-and-extend aligner (minimap2-sr-equivalent), the native
+// twin of align/batch.py::BatchAligner._align_chunk + align/core.py::
+// Aligner._extend / banded_affine_dp / extension_dp.  Semantics mirror the
+// Python batch path exactly (it remains the test oracle); reference behavior
+// documented at src/mm_align.c:48-118 (sr preset: k=21 w=11 match=2
+// mismatch=8 gapo=12 gape=2 end_bonus=10 max_gap=100 min_cnt=2
+// min_chain_score=25 min_dp_max=40).
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+
+namespace sr {
+
+constexpr int MATCH = 2;
+constexpr int MISMATCH = 8;
+constexpr int GAP_OPEN = 12;
+constexpr int GAP_EXT = 2;
+constexpr int END_BONUS = 10;
+constexpr int MAX_GAP = 100;
+constexpr int MIN_CNT = 2;
+constexpr int MIN_CHAIN_SCORE = 25;
+constexpr int MIN_DP_MAX = 40;
+constexpr int32_t NEG = -(1 << 28);
+
+// minimap2's invertible hash (align/core.py::_hash64)
+inline uint64_t mm_hash64(uint64_t key, uint64_t mask) {
+    key = (~key + (key << 21)) & mask;
+    key = key ^ (key >> 24);
+    key = ((key + (key << 3)) + (key << 8)) & mask;
+    key = key ^ (key >> 14);
+    key = ((key + (key << 2)) + (key << 4)) & mask;
+    key = key ^ (key >> 28);
+    key = (key + (key << 31)) & mask;
+    return key;
+}
+
+struct Cigar {
+    std::vector<std::pair<int, char>> ops;
+    void push(int ln, char op) {
+        if (ln <= 0) return;
+        if (!ops.empty() && ops.back().second == op)
+            ops.back().first += ln;
+        else
+            ops.emplace_back(ln, op);
+    }
+};
+
+struct Aln {
+    bool mapped = false;
+    int32_t rs = 0, re = 0, qs = 0, qe = 0;  // qs/qe oriented (pre-flip)
+    bool rev = false;
+    int32_t mapq = 0, score = 0, nm = 0;
+    Cigar cig;
+};
+
+// DP scratch reused across reads within one thread.
+struct Scratch {
+    std::vector<int32_t> H, E, F, base;
+    std::vector<uint64_t> h;        // minimizer hash per position
+    std::vector<uint8_t> strand;    // minimizer strand per position
+    std::vector<uint8_t> codes, oriented, tmp;
+    std::vector<int64_t> diag0, diag1;  // (diag<<1) carrying nothing; per rel
+    std::vector<int64_t> qv0, qv1;
+    std::vector<int64_t> sortbuf;
+};
+
+// Local affine-gap DP with query-end bonuses (align/core.py::banded_affine_dp,
+// row order and tie-breaks identical).  Returns score<=0 => no alignment.
+static int banded_affine_dp(const uint8_t* q, int lq, const uint8_t* r,
+                            int lr, Scratch& S, int& qs, int& qe, int& rs,
+                            int& re, Cigar& cig) {
+    int W = lr + 1;
+    S.H.assign((size_t)(lq + 1) * W, 0);
+    S.E.assign((size_t)(lq + 1) * W, NEG);
+    S.F.assign((size_t)(lq + 1) * W, NEG);
+    int32_t* H = S.H.data();
+    int32_t* E = S.E.data();
+    int32_t* F = S.F.data();
+    for (int j = 0; j <= lr; ++j) H[j] = END_BONUS;
+    int best_sc = 0, bi = 0, bj = 0;
+    for (int i = 1; i <= lq; ++i) {
+        int32_t* Hi = H + (size_t)i * W;
+        int32_t* Hp = H + (size_t)(i - 1) * W;
+        int32_t* Ei = E + (size_t)i * W;
+        int32_t* Fi = F + (size_t)i * W;
+        int32_t* Fp = F + (size_t)(i - 1) * W;
+        uint8_t qc = q[i - 1];
+        for (int j = 0; j <= lr; ++j)
+            Fi[j] = std::max(Hp[j] - GAP_OPEN, Fp[j] - GAP_EXT);
+        // base[j] folded into the forward pass: base[0]=0; for j>=1
+        // base[j]=max(Hp[j-1]+sub, Fi[j], 0)
+        int32_t eprev = NEG;  // E[i][0]
+        Hi[0] = 0;            // max(base0=0, NEG)
+        int jmax = 0;
+        int32_t hmax = Hi[0];
+        for (int j = 1; j <= lr; ++j) {
+            int32_t sub = (qc == r[j - 1] && qc < 4) ? MATCH : -MISMATCH;
+            int32_t bj_ = std::max(std::max(Hp[j - 1] + sub, Fi[j]), 0);
+            int32_t bprev =
+                j == 1 ? 0
+                       : std::max(std::max(Hp[j - 2] + ((qc == r[j - 2] && qc < 4)
+                                                            ? MATCH
+                                                            : -MISMATCH),
+                                           Fi[j - 1]),
+                                  0);
+            int32_t e = std::max(bprev - GAP_OPEN, eprev - GAP_EXT);
+            Ei[j] = e;
+            eprev = e;
+            int32_t hv = std::max(bj_, e);
+            Hi[j] = hv;
+            if (hv > hmax) {
+                hmax = hv;
+                jmax = j;
+            }
+        }
+        int sc = hmax + (i == lq ? END_BONUS : 0);
+        if (sc > best_sc) {
+            best_sc = sc;
+            bi = i;
+            bj = jmax;
+        }
+    }
+    if (best_sc <= 0 || bi == 0 || bj == 0) return 0;
+    // traceback (state machine identical to the numpy version)
+    int i = bi, j = bj;
+    std::vector<char> ops;
+    char state = 'H';
+    while (i > 0 && j > 0) {
+        int32_t* Hi = H + (size_t)i * W;
+        int32_t* Hp = H + (size_t)(i - 1) * W;
+        int32_t* Ei = E + (size_t)i * W;
+        int32_t* Fi = F + (size_t)i * W;
+        int32_t* Fp = F + (size_t)(i - 1) * W;
+        if (state == 'H') {
+            int32_t h = Hi[j];
+            if (h == 0) break;
+            int32_t sub = (q[i - 1] == r[j - 1] && q[i - 1] < 4) ? MATCH : -MISMATCH;
+            if (h == Hp[j - 1] + sub) {
+                ops.push_back('M');
+                --i;
+                --j;
+            } else if (h == Ei[j]) {
+                state = 'E';
+            } else if (h == Fi[j]) {
+                state = 'F';
+            } else {
+                ops.push_back('M');
+                --i;
+                --j;
+            }
+        } else if (state == 'E') {
+            ops.push_back('D');
+            if (j > 1 && Ei[j] == Ei[j - 1] - GAP_EXT)
+                --j;
+            else {
+                --j;
+                state = 'H';
+            }
+        } else {
+            ops.push_back('I');
+            if (i > 1 && Fi[j] == Fp[j] - GAP_EXT)
+                --i;
+            else {
+                --i;
+                state = 'F' == state ? 'H' : 'H';
+            }
+        }
+    }
+    for (auto it = ops.rbegin(); it != ops.rend(); ++it) cig.push(1, *it);
+    qs = i;
+    qe = bi;
+    rs = j;
+    re = bj;
+    return best_sc;
+}
+
+// Affine-gap extension anchored at (0,0) (align/core.py::extension_dp).
+static int extension_dp(const uint8_t* q, int lq, const uint8_t* r, int lr,
+                        Scratch& S, int& qext, int& rext, Cigar& cig) {
+    if (lq == 0 || lr == 0) return 0;
+    int W = lr + 1;
+    S.H.assign((size_t)(lq + 1) * W, NEG);
+    S.E.assign((size_t)(lq + 1) * W, NEG);
+    S.F.assign((size_t)(lq + 1) * W, NEG);
+    int32_t* H = S.H.data();
+    int32_t* E = S.E.data();
+    int32_t* F = S.F.data();
+    H[0] = 0;
+    for (int j = 1; j <= lr; ++j) H[j] = -(GAP_OPEN + (j - 1) * GAP_EXT);
+    int best_sc = 0, bi = 0, bj = 0;
+    for (int i = 1; i <= lq; ++i) {
+        int32_t* Hi = H + (size_t)i * W;
+        int32_t* Hp = H + (size_t)(i - 1) * W;
+        int32_t* Ei = E + (size_t)i * W;
+        int32_t* Fi = F + (size_t)i * W;
+        int32_t* Fp = F + (size_t)(i - 1) * W;
+        uint8_t qc = q[i - 1];
+        for (int j = 0; j <= lr; ++j)
+            Fi[j] = std::max(Hp[j] - GAP_OPEN, Fp[j] - GAP_EXT);
+        int32_t base0 = -(GAP_OPEN + (i - 1) * GAP_EXT);
+        int32_t eprev = NEG;
+        Hi[0] = base0;  // max(base0, NEG)
+        int jmax = 0;
+        int32_t hmax = Hi[0];
+        int32_t bprev = base0;
+        for (int j = 1; j <= lr; ++j) {
+            int32_t sub = (qc == r[j - 1] && qc < 4) ? MATCH : -MISMATCH;
+            int32_t bj_ = std::max(Hp[j - 1] + sub, Fi[j]);
+            int32_t e = std::max(bprev - GAP_OPEN, eprev - GAP_EXT);
+            Ei[j] = e;
+            eprev = e;
+            bprev = bj_;
+            int32_t hv = std::max(bj_, e);
+            Hi[j] = hv;
+            if (hv > hmax) {
+                hmax = hv;
+                jmax = j;
+            }
+        }
+        int sc = hmax + (i == lq ? END_BONUS : 0);
+        if (sc > best_sc) {
+            best_sc = sc;
+            bi = i;
+            bj = jmax;
+        }
+    }
+    if (best_sc <= 0) return 0;
+    int i = bi, j = bj;
+    std::vector<char> ops;
+    char state = 'H';
+    while (i > 0 || j > 0) {
+        if (state == 'H') {
+            if (i == 0) {
+                for (int x = 0; x < j; ++x) ops.push_back('D');
+                break;
+            }
+            if (j == 0) {
+                for (int x = 0; x < i; ++x) ops.push_back('I');
+                break;
+            }
+            int32_t h = H[(size_t)i * W + j];
+            int32_t sub = (q[i - 1] == r[j - 1] && q[i - 1] < 4) ? MATCH : -MISMATCH;
+            if (h == H[(size_t)(i - 1) * W + j - 1] + sub) {
+                ops.push_back('M');
+                --i;
+                --j;
+            } else if (h == E[(size_t)i * W + j]) {
+                state = 'E';
+            } else if (h == F[(size_t)i * W + j]) {
+                state = 'F';
+            } else {
+                ops.push_back('M');
+                --i;
+                --j;
+            }
+        } else if (state == 'E') {
+            ops.push_back('D');
+            if (j > 1 && E[(size_t)i * W + j] == E[(size_t)i * W + j - 1] - GAP_EXT)
+                --j;
+            else {
+                --j;
+                state = 'H';
+            }
+        } else {
+            ops.push_back('I');
+            if (i > 1 && F[(size_t)i * W + j] == F[(size_t)(i - 1) * W + j] - GAP_EXT)
+                --i;
+            else {
+                --i;
+                state = 'H';
+            }
+        }
+    }
+    for (auto it = ops.rbegin(); it != ops.rend(); ++it) cig.push(1, *it);
+    qext = bi;
+    rext = bj;
+    return best_sc;
+}
+
+struct Verify {
+    // segment-space verify (align/batch.py lines 169-231 with shift=0)
+    int score = NEG, raw = 0, qs = 0, qe = 0, nm = 0;
+    int q_lo = 0, q_hi = 0;
+};
+
+static Verify verify_diag(const uint8_t* q, int lq, const uint8_t* ref,
+                          int64_t lr, int64_t diag) {
+    Verify V;
+    int64_t q_lo = std::max<int64_t>(0, -diag);
+    int64_t q_hi = std::min<int64_t>(lq, lr - diag);
+    V.q_lo = (int)q_lo;
+    V.q_hi = (int)q_hi;
+    if (q_hi <= q_lo) {
+        V.score = NEG;
+        return V;
+    }
+    int n = (int)(q_hi - q_lo);
+    // prefix sums S[0..n]; lead[c] = -S[c] + (c==0 && q_lo==0 ? EB : 0)
+    // best_lead = prefix max; totals[c] = S[c] + endb(c) + best_lead[c];
+    // jbest = first argmax over c in 1..n; ibest = first c<=jbest with
+    // lead[c] == best_lead[jbest].
+    std::vector<int32_t> Sv(n + 1);
+    std::vector<uint8_t> mt(n);
+    Sv[0] = 0;
+    for (int c = 0; c < n; ++c) {
+        uint8_t qc = q[q_lo + c];
+        uint8_t rc = ref[diag + q_lo + c];
+        bool m = (qc == rc) && (qc < 4);
+        mt[c] = m;
+        Sv[c + 1] = Sv[c] + (m ? MATCH : -MISMATCH);
+    }
+    int32_t lead0 = (q_lo == 0) ? END_BONUS : 0;  // -S[0] + bonus
+    int32_t best_lead = lead0;
+    int32_t best_tot = NEG;
+    int jbest = 0;
+    std::vector<int32_t> bl(n + 1);
+    bl[0] = best_lead;
+    for (int c = 1; c <= n; ++c) {
+        int32_t lead = -Sv[c];
+        if (lead > best_lead) best_lead = lead;
+        bl[c] = best_lead;
+        int32_t tot = Sv[c] + ((c == n && q_hi == lq) ? END_BONUS : 0) + best_lead;
+        if (tot > best_tot) {
+            best_tot = tot;
+            jbest = c;
+        }
+    }
+    int32_t target = bl[jbest];
+    int ibest = 0;
+    for (int c = 0; c <= jbest; ++c) {
+        int32_t lead = (c == 0) ? lead0 : -Sv[c];
+        if (lead == target) {
+            ibest = c;
+            break;
+        }
+    }
+    V.score = best_tot;
+    V.raw = best_tot;
+    if (q_lo == 0 && ibest == 0) V.raw -= END_BONUS;
+    if (q_hi == lq && jbest == n) V.raw -= END_BONUS;
+    V.qs = (int)q_lo + ibest;
+    V.qe = (int)q_lo + jbest;
+    int nm = 0;
+    for (int c = ibest; c < jbest; ++c) nm += !mt[c];
+    V.nm = nm;
+    return V;
+}
+
+struct Ctx {
+    const uint8_t* ref;
+    int64_t lr;
+    const uint64_t* idx_h;
+    const int32_t* idx_pos;
+    const uint8_t* idx_strand;
+    int64_t m_idx;
+    int k, w;
+};
+
+static void finish(Aln& a, int score, int qs, int qe, int rs, int re,
+                   Cigar&& cig, int nm, int votes, int second) {
+    if (score < MIN_DP_MAX) return;
+    a.mapped = true;
+    a.score = score;
+    a.qs = qs;
+    a.qe = qe;
+    a.rs = rs;
+    a.re = re;
+    a.cig = std::move(cig);
+    a.nm = nm;
+    if (votes >= 3 && second * 2 <= votes)
+        a.mapq = 60;
+    else {
+        int m = (int)(40.0 * (1.0 - (second + 1.0) / (votes + 1.0)));
+        a.mapq = std::max(1, std::min(60, m));
+    }
+}
+
+// align/core.py::Aligner._extend (oriented query, chosen diagonal cluster)
+static void extend(const Ctx& C, Scratch& S, const uint8_t* q, int lq,
+                   int64_t diag, int64_t dmin, int64_t dmax, int votes,
+                   int second, Aln& a) {
+    int64_t rs0 = diag;
+    int64_t q_lo = std::max<int64_t>(0, -rs0);
+    int64_t q_hi = std::min<int64_t>(lq, C.lr - rs0);
+    if (q_hi - q_lo >= C.k && dmin == dmax) {
+        Verify V = verify_diag(q, lq, C.ref, C.lr, diag);
+        int qs = V.qs, qe = V.qe;
+        int clip5 = qs, clip3 = lq - qe;
+        if (V.score > 0 && clip5 < 10 && clip3 < 10) {
+            Cigar cg;
+            cg.push(qe - qs, 'M');
+            finish(a, V.raw, qs, qe, (int)(rs0 + qs), (int)(rs0 + qe),
+                   std::move(cg), V.nm, votes, second);
+            return;
+        }
+        if (V.score > 0) {
+            int core = V.raw;
+            Cigar cg;
+            cg.push(qe - qs, 'M');
+            int nm = V.nm;
+            int rs = (int)(rs0 + qs);
+            int re = (int)(rs0 + qe);
+            if (clip3 >= 10) {
+                int tl = lq - qe;
+                int rwe = (int)std::min<int64_t>(C.lr, re + tl + MAX_GAP + 16);
+                Cigar ec;
+                int qext = 0, rext = 0;
+                int esc = extension_dp(q + qe, tl, C.ref + re, rwe - re, S,
+                                       qext, rext, ec);
+                if (esc > 0 && !ec.ops.empty()) {
+                    for (auto& p : ec.ops) {
+                        cg.push(p.first, p.second);
+                        if (p.second != 'M') nm += p.first;
+                    }
+                    qe += qext;
+                    re += rext;
+                    core += esc - (qe == lq ? END_BONUS : 0);
+                }
+            }
+            if (clip5 >= 10) {
+                int hl = qs;
+                // reversed head / reversed ref window
+                S.tmp.assign(q, q + hl);
+                std::reverse(S.tmp.begin(), S.tmp.end());
+                int wlo = (int)std::max<int64_t>(0, rs - hl - MAX_GAP - 16);
+                std::vector<uint8_t> rw(C.ref + wlo, C.ref + rs);
+                std::reverse(rw.begin(), rw.end());
+                Cigar ec;
+                int qext = 0, rext = 0;
+                int esc = extension_dp(S.tmp.data(), hl, rw.data(),
+                                       (int)rw.size(), S, qext, rext, ec);
+                if (esc > 0 && !ec.ops.empty()) {
+                    Cigar merged;
+                    for (auto it = ec.ops.rbegin(); it != ec.ops.rend(); ++it) {
+                        merged.push(it->first, it->second);
+                        if (it->second != 'M') nm += it->first;
+                    }
+                    for (auto& p : cg.ops) merged.push(p.first, p.second);
+                    cg = std::move(merged);
+                    qs -= qext;
+                    rs -= rext;
+                    core += esc - (qs == 0 ? END_BONUS : 0);
+                }
+            }
+            finish(a, core, qs, qe, rs, re, std::move(cg), nm, votes, second);
+            return;
+        }
+    }
+    // DP path (multi-diagonal cluster)
+    int64_t lo = std::max<int64_t>(0, std::min(dmin, dmax) - MAX_GAP - 10);
+    int64_t hi = std::min<int64_t>(C.lr, std::max(dmin, dmax) + lq + MAX_GAP + 10);
+    if (hi <= lo) return;
+    if ((int64_t)lq * (hi - lo) > 8000000 && dmin != dmax) {
+        extend(C, S, q, lq, diag, diag, diag, votes, second, a);
+        return;
+    }
+    Cigar cg;
+    int qs = 0, qe = 0, rsw = 0, rew = 0;
+    int score = banded_affine_dp(q, lq, C.ref + lo, (int)(hi - lo), S, qs, qe,
+                                 rsw, rew, cg);
+    if (score <= 0 || cg.ops.empty()) return;
+    int nm = 0;
+    for (auto& p : cg.ops)
+        if (p.second != 'M') nm += p.first;
+    finish(a, score, qs, qe, (int)(lo + rsw), (int)(lo + rew), std::move(cg),
+           nm, votes, second);
+}
+
+// One read end-to-end: minimizers -> anchors -> cluster -> verify/extend.
+// Mirrors align/batch.py::_align_chunk per-read semantics (incl. best/second
+// cluster selection by votes with (rel, diag) creation-order tie-break).
+static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
+                      int lq, Aln& a) {
+    int k = C.k, w = C.w;
+    int m = lq - k + 1;
+    if (m <= 0) return;
+    S.codes.resize(lq);
+    for (int i = 0; i < lq; ++i) {
+        uint8_t b = seq_bytes[i];
+        uint8_t c;
+        switch (b) {
+            case 'A': case 'a': c = 0; break;
+            case 'C': case 'c': c = 1; break;
+            case 'G': case 'g': c = 2; break;
+            case 'T': case 't': c = 3; break;
+            default: c = 4;
+        }
+        S.codes[i] = c;
+    }
+    const uint8_t* codes = S.codes.data();
+    uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    S.h.resize(m);
+    S.strand.resize(m);
+    // rolling packed kmers with ambiguity tracking
+    uint64_t fwd = 0, rev = 0;
+    int ambig = 0;  // count of codes>=4 in current window
+    // rev holds complement(seq[j+i]) at bit 2i per window; pre-offset the
+    // first k-1 bases by one slot so the loop's >>2 lands window 0 right
+    for (int i = 0; i < k - 1; ++i) {
+        uint8_t c = codes[i];
+        fwd = (fwd << 2) | (c & 3);
+        rev |= (uint64_t)(3 - std::min<int>(c, 3)) << (2 * (i + 1));
+        ambig += c >= 4;
+    }
+    for (int j = 0; j < m; ++j) {
+        uint8_t c = codes[j + k - 1];
+        fwd = ((fwd << 2) | (c & 3)) & mask;
+        rev = (rev >> 2) | ((uint64_t)(3 - std::min<int>(c, 3)) << (2 * (k - 1)));
+        ambig += c >= 4;
+        if (j > 0) ambig -= codes[j - 1] >= 4;
+        uint8_t st = rev < fwd;
+        uint64_t canon = st ? rev : fwd;
+        bool ok = (ambig == 0) && (fwd != rev);
+        S.h[j] = ok ? mm_hash64(canon, mask) : U64MAX;
+        S.strand[j] = st;
+    }
+    // minimizer selection
+    S.sortbuf.clear();  // reuse as minimizer position list
+    if (m <= w) {
+        int jm = 0;
+        for (int j = 1; j < m; ++j)
+            if (S.h[j] < S.h[jm]) jm = j;
+        if (S.h[jm] != U64MAX) S.sortbuf.push_back(jm);
+    } else {
+        int nwin = m - w + 1;
+        // window minima via monotonic deque
+        std::vector<int> dq(m);
+        std::vector<uint64_t> wm(nwin);
+        int head = 0, tail = 0;
+        for (int i = 0; i < m; ++i) {
+            while (tail > head && S.h[dq[tail - 1]] >= S.h[i]) --tail;
+            dq[tail++] = i;
+            if (dq[head] <= i - w) ++head;
+            if (i >= w - 1) wm[i - w + 1] = S.h[dq[head]];
+        }
+        for (int j = 0; j < m; ++j) {
+            if (S.h[j] == U64MAX) continue;
+            int i0 = std::max(0, j - w + 1);
+            int i1 = std::min(nwin - 1, j);
+            bool is_min = false;
+            for (int i = i0; i <= i1; ++i)
+                if (wm[i] == S.h[j]) {
+                    is_min = true;
+                    break;
+                }
+            if (is_min) S.sortbuf.push_back(j);
+        }
+    }
+    if (S.sortbuf.empty()) return;
+    // anchors per rel strand: (diag, qv)
+    S.diag0.clear();
+    S.qv0.clear();
+    S.diag1.clear();
+    S.qv1.clear();
+    for (int64_t jj : S.sortbuf) {
+        int j = (int)jj;
+        uint64_t hv = S.h[j];
+        // equal_range over sorted idx_h
+        int64_t lo = 0, hi = C.m_idx;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (C.idx_h[mid] < hv)
+                lo = mid + 1;
+            else
+                hi = mid;
+        }
+        int64_t e = lo;
+        while (e < C.m_idx && C.idx_h[e] == hv) ++e;
+        for (int64_t t = lo; t < e; ++t) {
+            int rel = C.idx_strand[t] ^ S.strand[j];
+            int64_t pos = C.idx_pos[t];
+            if (rel == 0) {
+                S.diag0.push_back(pos - j);
+                S.qv0.push_back(j);
+            } else {
+                S.diag1.push_back(pos - (lq - k - j));
+                S.qv1.push_back(lq - k - j);
+            }
+        }
+    }
+    // cluster per rel (sorted by diag, split on gaps > MAX_GAP)
+    struct Clu {
+        int votes;
+        int span;
+        int64_t med, dmin, dmax;
+        int rel;
+    };
+    std::vector<Clu> clus;
+    std::vector<int> ord;
+    for (int rel = 0; rel < 2; ++rel) {
+        auto& D = rel == 0 ? S.diag0 : S.diag1;
+        auto& Q = rel == 0 ? S.qv0 : S.qv1;
+        size_t n = D.size();
+        if (n == 0) continue;
+        ord.resize(n);
+        for (size_t i = 0; i < n; ++i) ord[i] = (int)i;
+        std::stable_sort(ord.begin(), ord.end(),
+                         [&](int x, int y) { return D[x] < D[y]; });
+        size_t s0 = 0;
+        for (size_t i = 1; i <= n; ++i) {
+            if (i == n || D[ord[i]] - D[ord[i - 1]] > MAX_GAP) {
+                int64_t qmn = Q[ord[s0]], qmx = Q[ord[s0]];
+                for (size_t x = s0; x < i; ++x) {
+                    qmn = std::min(qmn, Q[ord[x]]);
+                    qmx = std::max(qmx, Q[ord[x]]);
+                }
+                Clu c;
+                c.votes = (int)(i - s0);
+                c.span = (int)std::min<int64_t>(qmx - qmn + k, lq);
+                // batch.py: med = d_s[(gstart+gend-1)//2] (lower middle)
+                c.med = D[ord[s0 + (i - s0 - 1) / 2]];
+                c.dmin = D[ord[s0]];
+                c.dmax = D[ord[i - 1]];
+                c.rel = rel;
+                clus.push_back(c);
+                s0 = i;
+            }
+        }
+    }
+    if (clus.empty()) return;
+    // best by votes, creation-order tie-break; second = max votes among rest
+    int bi = 0;
+    for (size_t i = 1; i < clus.size(); ++i)
+        if (clus[i].votes > clus[bi].votes) bi = (int)i;
+    int second = 0;
+    for (size_t i = 0; i < clus.size(); ++i)
+        if ((int)i != bi) second = std::max(second, clus[i].votes);
+    const Clu& B = clus[bi];
+    if (B.votes < MIN_CNT || B.span < MIN_CHAIN_SCORE) return;
+    // oriented read
+    const uint8_t* q;
+    if (B.rel == 0) {
+        q = codes;
+    } else {
+        S.oriented.resize(lq);
+        for (int i = 0; i < lq; ++i) {
+            uint8_t c = codes[lq - 1 - i];
+            S.oriented[i] = c < 4 ? (uint8_t)(3 - c) : 4;
+        }
+        q = S.oriented.data();
+    }
+    // batch fast path check (verify on med diagonal)
+    Verify V = verify_diag(q, lq, C.ref, C.lr, B.med);
+    bool single = B.dmin == B.dmax;
+    int clip5 = V.qs, clip3 = lq - V.qe;
+    bool needs_dp = !single || clip5 >= 10 || clip3 >= 10 || V.score <= 0;
+    bool fast_ok = !needs_dp && V.raw >= MIN_DP_MAX && (V.qe - V.qs) >= k;
+    if (fast_ok) {
+        a.mapped = true;
+        a.score = V.raw;
+        a.rev = B.rel;
+        a.rs = (int)(B.med + V.qs);
+        a.re = (int)(B.med + V.qe);
+        a.cig.push(V.qe - V.qs, 'M');
+        a.nm = V.nm;
+        if (B.votes >= 3 && second * 2 <= B.votes)
+            a.mapq = 60;
+        else {
+            int mq = (int)(40.0 * (1.0 - (second + 1.0) / (B.votes + 1.0)));
+            a.mapq = std::max(1, std::min(60, mq));
+        }
+        a.qs = V.qs;
+        a.qe = V.qe;
+        return;
+    }
+    extend(C, S, q, lq, B.med, B.dmin, B.dmax, B.votes, second, a);
+    if (a.mapped) a.rev = B.rel;
+}
+
+}  // namespace sr
+
+extern "C" {
+
+// Batched short-read alignment (native twin of BatchAligner.align_batch).
+// qs/qe outputs are ORIENTED coordinates (caller flips for rev reads, like
+// batch.py does).  out_mapped: 0=unmapped, 1=mapped, 2=cigar overflow (caller
+// must realign that read with the Python oracle path).
+void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
+                 int64_t n_reads, const uint8_t* ref_codes, int64_t lr,
+                 const uint64_t* idx_h, const int32_t* idx_pos,
+                 const uint8_t* idx_strand, int64_t m_idx, int k, int w,
+                 int n_threads, int cigar_cap, uint8_t* out_mapped,
+                 uint8_t* out_rev, int32_t* out_rs, int32_t* out_re,
+                 int32_t* out_qs, int32_t* out_qe, int32_t* out_score,
+                 int32_t* out_mapq, int32_t* out_nm, int32_t* out_ncig,
+                 uint32_t* out_cig) {
+    sr::Ctx C{ref_codes, lr, idx_h, idx_pos, idx_strand, m_idx, k, w};
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t a0, int64_t b0) {
+        sr::Scratch S;
+        for (int64_t i = a0; i < b0; ++i) {
+            const uint8_t* sb = joined + offsets[i];
+            int lq = (int)(offsets[i + 1] - offsets[i]);
+            sr::Aln A;
+            sr::align_one(C, S, sb, lq, A);
+            if (!A.mapped) {
+                out_mapped[i] = 0;
+                continue;
+            }
+            if ((int)A.cig.ops.size() > cigar_cap) {
+                out_mapped[i] = 2;
+                continue;
+            }
+            out_mapped[i] = 1;
+            out_rev[i] = A.rev;
+            out_rs[i] = A.rs;
+            out_re[i] = A.re;
+            out_qs[i] = A.qs;
+            out_qe[i] = A.qe;
+            out_score[i] = A.score;
+            out_mapq[i] = A.mapq;
+            out_nm[i] = A.nm;
+            out_ncig[i] = (int32_t)A.cig.ops.size();
+            uint32_t* oc = out_cig + (size_t)i * cigar_cap;
+            static const char* OPS = "MIDNSHP=X";
+            for (size_t c = 0; c < A.cig.ops.size(); ++c) {
+                uint32_t op = 0;
+                for (int x = 0; x < 9; ++x)
+                    if (OPS[x] == A.cig.ops[c].second) {
+                        op = x;
+                        break;
+                    }
+                oc[c] = ((uint32_t)A.cig.ops[c].first << 4) | op;
+            }
+        }
+    };
+    if (n_threads == 1 || n_reads < 256) {
+        work(0, n_reads);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int ti = 0; ti < n_threads; ++ti) {
+        int64_t a0 = ti * chunk, b0 = std::min<int64_t>(a0 + chunk, n_reads);
+        if (a0 >= b0) break;
+        threads.emplace_back(work, a0, b0);
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// test shims for the DP kernels (cross-checked against the numpy oracles)
+int pt_dbg_banded(const uint8_t* q, int lq, const uint8_t* r, int lr,
+                  int32_t* out5 /*qs,qe,rs,re,ncig*/, uint32_t* cig,
+                  int cap) {
+    sr::Scratch S;
+    sr::Cigar cg;
+    int qs = 0, qe = 0, rs = 0, re = 0;
+    int sc = sr::banded_affine_dp(q, lq, r, lr, S, qs, qe, rs, re, cg);
+    out5[0] = qs; out5[1] = qe; out5[2] = rs; out5[3] = re;
+    int n = (int)cg.ops.size();
+    out5[4] = n > cap ? -1 : n;
+    static const char* OPS = "MIDNSHP=X";
+    for (int c = 0; c < n && c < cap; ++c) {
+        uint32_t op = 0;
+        for (int x = 0; x < 9; ++x) if (OPS[x] == cg.ops[c].second) { op = x; break; }
+        cig[c] = ((uint32_t)cg.ops[c].first << 4) | op;
+    }
+    return sc;
+}
+
+int pt_dbg_extension(const uint8_t* q, int lq, const uint8_t* r, int lr,
+                     int32_t* out3 /*qext,rext,ncig*/, uint32_t* cig,
+                     int cap) {
+    sr::Scratch S;
+    sr::Cigar cg;
+    int qext = 0, rext = 0;
+    int sc = sr::extension_dp(q, lq, r, lr, S, qext, rext, cg);
+    out3[0] = qext; out3[1] = rext;
+    int n = (int)cg.ops.size();
+    out3[2] = n > cap ? -1 : n;
+    static const char* OPS = "MIDNSHP=X";
+    for (int c = 0; c < n && c < cap; ++c) {
+        uint32_t op = 0;
+        for (int x = 0; x < 9; ++x) if (OPS[x] == cg.ops[c].second) { op = x; break; }
+        cig[c] = ((uint32_t)cg.ops[c].first << 4) | op;
+    }
+    return sc;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// debug: minimizer positions+hashes+strands for one read (native scan)
+int pt_dbg_minimizers(const uint8_t* seq, int lq, int k, int w,
+                      int32_t* out_pos, uint64_t* out_h, uint8_t* out_st,
+                      int cap) {
+    sr::Ctx C{nullptr, 0, nullptr, nullptr, nullptr, 0, k, w};
+    sr::Scratch S;
+    // replicate align_one's scan up to minimizer selection
+    int m = lq - k + 1;
+    if (m <= 0) return 0;
+    S.codes.resize(lq);
+    for (int i = 0; i < lq; ++i) {
+        uint8_t b = seq[i];
+        uint8_t c;
+        switch (b) {
+            case 'A': case 'a': c = 0; break;
+            case 'C': case 'c': c = 1; break;
+            case 'G': case 'g': c = 2; break;
+            case 'T': case 't': c = 3; break;
+            default: c = 4;
+        }
+        S.codes[i] = c;
+    }
+    const uint8_t* codes = S.codes.data();
+    uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    S.h.resize(m);
+    S.strand.resize(m);
+    uint64_t fwd = 0, rev = 0;
+    int ambig = 0;
+    for (int i = 0; i < k - 1; ++i) {
+        uint8_t c = codes[i];
+        fwd = (fwd << 2) | (c & 3);
+        rev |= (uint64_t)(3 - std::min<int>(c, 3)) << (2 * (i + 1));
+        ambig += c >= 4;
+    }
+    for (int j = 0; j < m; ++j) {
+        uint8_t c = codes[j + k - 1];
+        fwd = ((fwd << 2) | (c & 3)) & mask;
+        rev = (rev >> 2) | ((uint64_t)(3 - std::min<int>(c, 3)) << (2 * (k - 1)));
+        ambig += c >= 4;
+        if (j > 0) ambig -= codes[j - 1] >= 4;
+        uint8_t st = rev < fwd;
+        uint64_t canon = st ? rev : fwd;
+        bool ok = (ambig == 0) && (fwd != rev);
+        S.h[j] = ok ? sr::mm_hash64(canon, mask) : U64MAX;
+        S.strand[j] = st;
+    }
+    int n = 0;
+    if (m <= w) {
+        int jm = 0;
+        for (int j = 1; j < m; ++j)
+            if (S.h[j] < S.h[jm]) jm = j;
+        if (S.h[jm] != U64MAX && n < cap) {
+            out_pos[n] = jm; out_h[n] = S.h[jm]; out_st[n] = S.strand[jm]; ++n;
+        }
+    } else {
+        int nwin = m - w + 1;
+        std::vector<int> dq(m);
+        std::vector<uint64_t> wm(nwin);
+        int head = 0, tail = 0;
+        for (int i = 0; i < m; ++i) {
+            while (tail > head && S.h[dq[tail - 1]] >= S.h[i]) --tail;
+            dq[tail++] = i;
+            if (dq[head] <= i - w) ++head;
+            if (i >= w - 1) wm[i - w + 1] = S.h[dq[head]];
+        }
+        for (int j = 0; j < m; ++j) {
+            if (S.h[j] == U64MAX) continue;
+            int i0 = std::max(0, j - w + 1);
+            int i1 = std::min(nwin - 1, j);
+            for (int i = i0; i <= i1; ++i)
+                if (wm[i] == S.h[j]) {
+                    if (n < cap) { out_pos[n] = j; out_h[n] = S.h[j]; out_st[n] = S.strand[j]; ++n; }
+                    break;
+                }
+        }
+    }
+    return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,159 @@
+"""Native C++ short-read aligner (pt_align_sr) must match the numpy batch
+oracle (BatchAligner._align_chunk) field-for-field, including cigars, on
+substitution-only reads, indel reads (DP rescue + tail extension paths),
+reverse-complement reads, N-containing reads, and unmappable reads."""
+
+import random
+
+import numpy as np
+import pytest
+
+from panmap_tpu.align.batch import BatchAligner
+from panmap_tpu.native import get_lib
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native library unavailable")
+
+BASES = "ACGT"
+
+
+def _ref(rng, n=30000):
+    return "".join(rng.choice(BASES) for _ in range(n))
+
+
+def _mutate(rng, s, n_sub=0, n_ins=0, n_del=0):
+    s = list(s)
+    for _ in range(n_sub):
+        i = rng.randrange(len(s))
+        s[i] = rng.choice([b for b in BASES if b != s[i]])
+    for _ in range(n_ins):
+        i = rng.randrange(len(s))
+        s.insert(i, rng.choice(BASES))
+    for _ in range(n_del):
+        i = rng.randrange(len(s) - 1)
+        del s[i]
+    return "".join(s)
+
+
+def _rc(s):
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def _reads(rng, ref, n=400):
+    reads = []
+    for _ in range(n):
+        L = rng.randrange(100, 152)
+        i = rng.randrange(0, len(ref) - L)
+        r = ref[i : i + L]
+        kind = rng.random()
+        if kind < 0.3:
+            r = _mutate(rng, r, n_sub=rng.randrange(0, 6))
+        elif kind < 0.5:
+            r = _mutate(rng, r, n_sub=rng.randrange(0, 3),
+                        n_ins=rng.randrange(1, 4))
+        elif kind < 0.7:
+            r = _mutate(rng, r, n_sub=rng.randrange(0, 3),
+                        n_del=rng.randrange(1, 4))
+        elif kind < 0.8:
+            # big clip: half the read is foreign sequence
+            r = r[: L // 2] + "".join(rng.choice(BASES) for _ in range(L // 2))
+        elif kind < 0.9:
+            # N bases
+            r = list(r)
+            for _ in range(rng.randrange(1, 5)):
+                r[rng.randrange(len(r))] = "N"
+            r = "".join(r)
+        if rng.random() < 0.5:
+            r = _rc(r)
+        reads.append(r)
+    # unmappable junk + homopolymer
+    reads.append("".join(rng.choice(BASES) for _ in range(120)))
+    reads.append("A" * 120)
+    # large deletion spanning (multi-diagonal cluster -> window DP)
+    i = rng.randrange(0, len(ref) - 400)
+    reads.append(ref[i : i + 70] + ref[i + 130 : i + 200])
+    # large insertion
+    reads.append(ref[i : i + 70]
+                 + "".join(rng.choice(BASES) for _ in range(40))
+                 + ref[i + 70 : i + 140])
+    return reads
+
+
+def _cmp(a, b, ctx):
+    assert a.mapped == b.mapped, ctx
+    if not a.mapped:
+        return
+    for f in ("rs", "re", "qs", "qe", "rev", "mapq", "score", "nm", "cigar"):
+        assert getattr(a, f) == getattr(b, f), (ctx, f, getattr(a, f),
+                                                getattr(b, f))
+
+
+def test_native_matches_oracle_synthetic():
+    rng = random.Random(7)
+    ref = _ref(rng)
+    al = BatchAligner(ref)
+    reads = _reads(rng, ref)
+    al.use_native = False
+    want = al._align_chunk(reads)
+    got = al._align_batch_native(reads)
+    assert got is not None
+    for i, (g, w) in enumerate(zip(got, want)):
+        _cmp(g, w, (i, reads[i][:40]))
+
+
+def test_native_matches_oracle_negative_diag_and_edges():
+    rng = random.Random(11)
+    ref = _ref(rng, 2000)
+    al = BatchAligner(ref)
+    reads = []
+    # reads hanging off both reference ends (negative diag / rpos clipping)
+    reads.append("GGGG" + ref[:120])
+    reads.append(ref[-120:] + "CCCC")
+    reads.append(_rc("TTTT" + ref[:130]))
+    reads.append(_rc(ref[-130:] + "AAAA"))
+    # short read right at min length boundaries
+    reads.append(ref[100:130])
+    want = al._align_chunk(reads)
+    got = al._align_batch_native(reads)
+    for i, (g, w) in enumerate(zip(got, want)):
+        _cmp(g, w, i)
+
+
+@pytest.mark.e2e
+def test_native_matches_oracle_golden_reads():
+    import gzip
+
+    def load(p):
+        seqs = []
+        with gzip.open(p, "rt") as fh:
+            for j, line in enumerate(fh):
+                if j % 4 == 1:
+                    seqs.append(line.strip())
+        return seqs
+
+    r1 = load("/root/reference/examples/data/reads/isolate_R1.fastq.gz")
+    r2 = load("/root/reference/examples/data/reads/isolate_R2.fastq.gz")
+    from panmap_tpu.sketch.cpu import reverse_complement
+
+    seqs = []
+    for a, b in zip(r1, r2):
+        seqs.append(a)
+        seqs.append(reverse_complement(b))
+    import lzma, pickle  # noqa: E401
+
+    # align against the golden best node's sequence
+    from panmap_tpu.io.panman import load_panman
+
+    tree = load_panman(
+        "/root/reference/examples/data/panmans/sars_20000_twilight_dipper.panman")
+    ref = tree.get_string("node_7618")
+    al = BatchAligner(ref)
+    got = al._align_batch_native(seqs)
+    assert got is not None
+    al.use_native = False
+    want = al.align_batch(seqs)
+    n_mapped = 0
+    for i, (g, w) in enumerate(zip(got, want)):
+        _cmp(g, w, i)
+        n_mapped += g.mapped
+    assert n_mapped > 80000
