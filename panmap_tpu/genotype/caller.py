@@ -109,6 +109,52 @@ class ErrMod:
         np.maximum(out, 0.0, out=out)
         return out, bsum, c
 
+    def cal_arrays(self, q: np.ndarray, s: np.ndarray, b: np.ndarray):
+        """Array twin of cal() (tests cross-check them float-exact): grouped
+        cumulative counts replace the scalar state machine, and np.bincount
+        preserves the per-base summation order the scalar walk uses."""
+        n = len(q)
+        if n == 0:
+            return np.zeros((5, 5)), np.zeros(16), np.zeros(16, np.int64)
+        if n > ERRMOD_MAXN:
+            q, s, b = q[:ERRMOD_MAXN], s[:ERRMOD_MAXN], b[:ERRMOD_MAXN]
+            n = ERRMOD_MAXN
+        key = (q.astype(np.int64) << 5) | (s.astype(np.int64) << 4) | b
+        order = np.argsort(-key, kind="stable")
+        qs_, bs_ = q[order].astype(np.int64), b[order].astype(np.int64)
+        bs5 = (s[order].astype(np.int64) << 4) | bs_
+        c_t = _cumcount(bs_)
+        w_t = _cumcount(bs5)
+        uq, q_inv = np.unique(qs_, return_inverse=True)
+        B = np.stack([self.beta_row(int(v), n) for v in uq.tolist()])
+        contrib = self.fk[w_t] * B[q_inv, c_t]
+        bsum = np.bincount(bs_, weights=contrib, minlength=16)
+        c = np.bincount(bs_, minlength=16).astype(np.int64)
+        out = np.zeros((5, 5))
+        tot_b = bsum[:5].sum()
+        tot_c = c[:5].sum()
+        for j in range(5):
+            if tot_c - c[j] > 0:
+                out[j, j] = tot_b - bsum[j]
+        np.maximum(out, 0.0, out=out)
+        return out, bsum, c
+
+
+def _cumcount(x: np.ndarray) -> np.ndarray:
+    """Occurrence index of each element within its value-group, in array
+    order (the 'count of prior equal elements' the errmod walk maintains)."""
+    n = len(x)
+    order = np.argsort(x, kind="stable")
+    xs = x[order]
+    starts = np.concatenate(([0], np.flatnonzero(xs[1:] != xs[:-1]) + 1))
+    run_id = np.zeros(n, np.int64)
+    run_id[starts] = 1
+    run_id = np.cumsum(run_id) - 1
+    within = np.arange(n) - starts[run_id]
+    out = np.empty(n, np.int64)
+    out[order] = within
+    return out
+
 
 _ERRMOD = ErrMod()
 
@@ -178,31 +224,56 @@ def _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n):
     array: ref positions covered by both mates of a proper pair are located
     as duplicate (pair, refpos) keys among the flat pileup entries."""
     n_kept = len(kept)
-    groups: dict = {}
-    for i, r in enumerate(kept):
-        if r.is_paired and r.is_proper:
-            groups.setdefault(r.qname, []).append(i)
+    pairedok = np.fromiter((r.is_paired and r.is_proper for r in kept),
+                           bool, n_kept)
+    ids = np.flatnonzero(pairedok)
+    if len(ids) < 2:
+        return
+    un, inv, cnt = np.unique(np.array([kept[i].qname for i in ids]),
+                             return_inverse=True, return_counts=True)
+    two = cnt == 2
+    if not two.any():
+        return
+    # members of each qname group in kept order (stable sort on group id)
+    gorder = np.argsort(inv, kind="stable")
+    gstart = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    gi2 = np.flatnonzero(two)
+    mi = ids[gorder[gstart[gi2]]]       # first occurrence (dict order i)
+    mj = ids[gorder[gstart[gi2] + 1]]   # second occurrence j
+    rs_arr = np.fromiter((r.rs for r in kept), np.int64, n_kept)
+    ma = np.where(rs_arr[mj] < rs_arr[mi], mj, mi)  # leftmost mate 'a'
     pid = np.full(n_kept, -1, dtype=np.int64)
     amul_of = np.zeros(n_kept, dtype=np.int64)
     a_read = np.zeros(n_kept, dtype=bool)
-    npairs = 0
-    for name, idxs in groups.items():
-        if len(idxs) != 2:
-            continue
-        i, j = idxs
-        a = j if kept[j].rs < kept[i].rs else i
-        pid[i] = pid[j] = npairs
-        am = 1 if (_wang(_x31(name)) & 1) else 0
-        amul_of[i] = amul_of[j] = am
-        a_read[a] = True
-        npairs += 1
-    if npairs == 0:
-        return
-    sel = pid[flat_rid] >= 0
-    sidx = np.flatnonzero(sel)
+    npairs = len(gi2)
+    pid[mi] = pid[mj] = np.arange(npairs)
+    amv = np.fromiter(((_wang(_x31(nm)) & 1) for nm in un[gi2].tolist()),
+                      np.int64, npairs)
+    amul_of[mi] = amul_of[mj] = amv
+    a_read[ma] = True
+    # entry extent per read (flat entries are grouped by read id, ascending
+    # positions) -> each pair's candidate window = intersection of extents;
+    # duplicate (pair, refpos) keys can only occur inside it, so the sort
+    # below runs on the few overlapping bases instead of every paired entry
+    bounds = np.searchsorted(flat_rid, np.arange(n_kept + 1))
+    has_e = bounds[1:] > bounds[:-1]
+    first_p = np.full(n_kept, np.int64(n))
+    last_p = np.full(n_kept, np.int64(-1))
+    he = np.flatnonzero(has_e)
+    first_p[he] = flat_p[bounds[:-1][he]]
+    last_p[he] = flat_p[bounds[1:][he] - 1]
+    win_lo = np.full(n_kept, np.int64(n))   # per read: its pair's window
+    win_hi = np.full(n_kept, np.int64(-1))
+    lo = np.maximum(first_p[mi], first_p[mj])
+    hi = np.minimum(last_p[mi], last_p[mj])
+    win_lo[mi] = win_lo[mj] = lo
+    win_hi[mi] = win_hi[mj] = hi
+    rid_pid = pid[flat_rid]
+    sidx = np.flatnonzero((rid_pid >= 0) & (flat_p >= win_lo[flat_rid])
+                          & (flat_p <= win_hi[flat_rid]))
     if not len(sidx):
         return
-    key = pid[flat_rid[sidx]] * np.int64(n) + flat_p[sidx]
+    key = rid_pid[sidx] * np.int64(n) + flat_p[sidx]
     order = np.argsort(key, kind="stable")
     sk = key[order]
     dup = sk[1:] == sk[:-1]
@@ -399,19 +470,13 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
         r4 = int(ref_idx[p])
         if r4 >= 4:
             continue
-        entries = list(zip(g_q[a0:b0].tolist(), g_s[a0:b0].tolist(),
-                           g_b[a0:b0].tolist()))
+        colq, cols, colb = g_q[a0:b0], g_s[a0:b0], g_b[a0:b0]
         # quality sums and AD per base
-        qs = np.zeros(4)
-        adf = np.zeros(4, dtype=np.int64)
-        adr = np.zeros(4, dtype=np.int64)
-        for q, strand, b in entries:
-            if b < 4:
-                qs[b] += q
-                if strand:
-                    adr[b] += 1
-                else:
-                    adf[b] += 1
+        v = colb < 4
+        qs = np.bincount(colb[v], weights=colq[v].astype(np.float64),
+                         minlength=4)[:4]
+        adf = np.bincount(colb[v & (cols == 0)], minlength=4)[:4]
+        adr = np.bincount(colb[v & (cols == 1)], minlength=4)[:4]
         tot = qs.sum()
         if tot <= 0:
             continue
@@ -422,7 +487,8 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
             continue
         alleles = [r4] + alt_order
 
-        p55, col_bsum, _col_c = _ERRMOD.cal(entries)
+        p55, col_bsum, _col_c = _ERRMOD.cal_arrays(colq, cols, colb)
+        base_counts = np.bincount(colb, minlength=5)  # full (uncapped) column
         na = len(alleles)
         # genotype-subset normalization incl. het entries (bcf_call_combine)
         gvals = []
@@ -438,7 +504,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
                     # het likelihood for haploid calling never wins, but it
                     # participates in the min-normalization; approximate with
                     # the average of the two homs minus the lhet term's scale
-                    gvals.append(_het_phred(entries, ai, aj, col_bsum))
+                    gvals.append(_het_phred(base_counts, ai, aj, col_bsum))
                 z += 1
         gvals = np.array(gvals)
         gmin = gvals.min()
@@ -465,13 +531,14 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
 _LN2 = math.log(2.0)
 
 
-def _het_phred(entries: list, a1: int, a2: int, bsum: np.ndarray) -> float:
+def _het_phred(base_counts: np.ndarray, a1: int, a2: int,
+               bsum: np.ndarray) -> float:
     """Heterozygous genotype phred (errmod.c:193-201): -4.343*lhet(c1+c2, c2)
     + sum of bsum over other bases (bsum reused from ErrMod.cal — the walk
     there is identical).  Participates only in the min-normalization for
-    haploid calls."""
-    c1 = sum(1 for q, s, b in entries if b == a1)
-    c2 = sum(1 for q, s, b in entries if b == a2)
+    haploid calls.  base_counts = full-column per-base counts (uncapped)."""
+    c1 = int(base_counts[a1])
+    c2 = int(base_counts[a2])
     n12 = c1 + c2
     # lhet[n,k] = log C(n,k) - n log 2
     lc = (math.lgamma(n12 + 1) - math.lgamma(c2 + 1) - math.lgamma(n12 - c2 + 1)

@@ -213,6 +213,17 @@ class ListReader:
         packed = np.frombuffer(s[self.woff * 8 : self.woff * 8 + nbytes], dtype="<u1")
         return np.unpackbits(packed, bitorder="little")[: self.count].astype(bool)
 
+    def data_region(self):
+        """Composite list: (memoryview of all element words, count, stride
+        words).  Element e's data section starts at byte e*stride*8; its
+        pointer section follows at e*stride*8 + tag_dw*8.  Enables vectorized
+        decoding of fixed-layout struct lists."""
+        assert self.esize == 7, "data_region on non-composite list"
+        stride = self._tag_dw + self._tag_pw
+        s = self.msg.segments[self.seg]
+        start = (self.woff + 1) * 8
+        return s[start : start + self.count * stride * 8], self.count, stride
+
     def struct(self, i: int) -> StructReader:
         if self.esize == 7:
             stride = self._tag_dw + self._tag_pw

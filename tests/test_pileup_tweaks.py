@@ -99,3 +99,25 @@ def test_flat_tweaks_match_legacy():
         _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n)
 
         assert np.array_equal(Qcat, q_legacy), f"trial {trial} diverged"
+
+
+def test_cal_arrays_matches_scalar():
+    """Vectorized errmod (cal_arrays) must be float-exact vs the scalar walk."""
+    from panmap_tpu.genotype.caller import ErrMod
+
+    rng = random.Random(3)
+    em = ErrMod()
+    em2 = ErrMod()
+    for trial in range(200):
+        n = rng.choice([1, 2, 3, 7, 40, 200, 255, 300])
+        entries = [(rng.randrange(4, 64), rng.getrandbits(1),
+                    rng.choice([0, 1, 2, 3, 4]))
+                   for _ in range(n)]
+        q = np.array([e[0] for e in entries], dtype=np.int64)
+        s = np.array([e[1] for e in entries], dtype=np.int8)
+        b = np.array([e[2] for e in entries], dtype=np.int64)
+        out1, bsum1, c1 = em.cal(entries)
+        out2, bsum2, c2 = em2.cal_arrays(q, s, b)
+        assert np.array_equal(out1, out2), trial
+        assert np.array_equal(bsum1, bsum2), trial
+        assert np.array_equal(c1, c2), trial
