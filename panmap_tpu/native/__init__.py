@@ -281,3 +281,30 @@ def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
         out["ncig"].ctypes.data, out["cig"].ctypes.data)
     out["lens"] = lens
     return out
+
+
+def tree_accumulate_native(deltas_f: list, deltas_i: list, offs: np.ndarray,
+                           parent: np.ndarray):
+    """Native twin of score_nodes' per-node accumulation loop (bit-exact
+    sequential f64 adds).  Returns (acc_f [N,5], acc_i [N,2]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ta_ready"):
+        lib.pt_tree_accumulate.argtypes = [ctypes.c_void_p] * 7 + [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib._ta_ready = True
+    d = [np.ascontiguousarray(x, dtype=np.float64) for x in deltas_f]
+    di = [np.ascontiguousarray(x, dtype=np.int64) for x in deltas_i]
+    offs = np.ascontiguousarray(offs, dtype=np.uint64)
+    parent = np.ascontiguousarray(parent, dtype=np.uint32)
+    n = len(offs) - 1
+    acc_f = np.empty((n, 5), dtype=np.float64)
+    acc_i = np.empty((n, 2), dtype=np.int64)
+    lib.pt_tree_accumulate(
+        d[0].ctypes.data, d[1].ctypes.data, d[2].ctypes.data,
+        d[3].ctypes.data, d[4].ctypes.data, di[0].ctypes.data,
+        di[1].ctypes.data, offs.ctypes.data, parent.ctypes.data, n,
+        acc_f.ctypes.data, acc_i.ctypes.data)
+    return acc_f, acc_i

@@ -1600,3 +1600,43 @@ int pt_dbg_minimizers(const uint8_t* seq, int lq, int k, int w,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Tree-prefix metric accumulation for placement scoring (the per-node loop
+// of place/engine.py::score_nodes): for node i in DFS order,
+//   acc[i] = acc[parent[i]]; for row r in [offs[i], offs[i+1]): acc[i] += d[r]
+// with f64 adds in exactly that order (bit-exact with the numpy
+// cumsum([base, rows...]) formulation it replaces).
+void pt_tree_accumulate(const double* d0, const double* d1, const double* d2,
+                        const double* d3, const double* d4,
+                        const int64_t* i0, const int64_t* i1,
+                        const uint64_t* offs, const uint32_t* parent,
+                        int64_t n_nodes, double* acc_f /*[N,5]*/,
+                        int64_t* acc_i /*[N,2]*/) {
+    for (int64_t i = 0; i < n_nodes; ++i) {
+        double f0 = 0, f1 = 0, f2 = 0, f3 = 0, f4 = 0;
+        int64_t v0 = 0, v1 = 0;
+        if (i) {
+            const double* pf = acc_f + (size_t)parent[i] * 5;
+            const int64_t* pi = acc_i + (size_t)parent[i] * 2;
+            f0 = pf[0]; f1 = pf[1]; f2 = pf[2]; f3 = pf[3]; f4 = pf[4];
+            v0 = pi[0]; v1 = pi[1];
+        }
+        for (uint64_t r = offs[i]; r < offs[i + 1]; ++r) {
+            f0 += d0[r];
+            f1 += d1[r];
+            f2 += d2[r];
+            f3 += d3[r];
+            f4 += d4[r];
+            v0 += i0[r];
+            v1 += i1[r];
+        }
+        double* of = acc_f + (size_t)i * 5;
+        int64_t* oi = acc_i + (size_t)i * 2;
+        of[0] = f0; of[1] = f1; of[2] = f2; of[3] = f3; of[4] = f4;
+        oi[0] = v0; oi[1] = v1;
+    }
+}
+
+}  // extern "C"

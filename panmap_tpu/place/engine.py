@@ -59,18 +59,37 @@ class ReadSketch:
     total_reads: int = 0
 
 
-def sketch_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
-                 dedup_reads: bool = False, trim_start: int = 0, trim_end: int = 0,
-                 hpc: bool = False) -> dict:
-    """seedFreqInReads: canonical k-min-mer counts over deduplicated reads."""
-    if hpc:
-        from ..sketch.cpu import hpc_compress
-
-        seqs = [hpc_compress(x) for x in seqs]
+def _sketch_reads_py(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
+                     dedup_reads: bool = False, trim_start: int = 0,
+                     trim_end: int = 0) -> dict:
+    """Pure-Python seedFreqInReads (count-exact oracle for the native path)."""
     uniq = Counter(seqs)
     useqs = list(uniq.keys())
     mult = None if dedup_reads else [uniq[x] for x in useqs]
     return read_kminmer_counts(useqs, k, s, t, l, open_, mult, trim_start, trim_end)
+
+
+def sketch_reads(seqs: list, k: int, s: int, t: int, l: int, open_: bool,
+                 dedup_reads: bool = False, trim_start: int = 0, trim_end: int = 0,
+                 hpc: bool = False):
+    """seedFreqInReads: canonical k-min-mer counts over deduplicated reads.
+    Returns a (hashes u64, counts i64) pair from the threaded native sketcher
+    when available, else a dict (both accepted by prepare_read_sketch)."""
+    if hpc:
+        from ..sketch.cpu import hpc_compress
+
+        seqs = [hpc_compress(x) for x in seqs]
+    if dedup_reads:
+        seqs = list(Counter(seqs).keys())
+        dedup_reads = False  # already collapsed to one copy per unique read
+    from ..native import sketch_count_native
+
+    res = sketch_count_native(seqs, k, s, t, bool(open_), l,
+                              trim_start=trim_start, trim_end=trim_end)
+    if res is not None:
+        return res[0], res[1].astype(np.int64)
+    return _sketch_reads_py(seqs, k, s, t, l, open_, dedup_reads,
+                            trim_start, trim_end)
 
 
 def sketch_reads_quality(seqs: list, quals: list, k: int, s: int, t: int,
@@ -123,27 +142,46 @@ def resolve_min_read_support(seed_freq: dict, configured: int) -> int:
     return 2 if est > 3.0 else 1
 
 
-def prepare_read_sketch(seed_freq: dict, k: int, total_reads: int,
+def prepare_read_sketch(seed_freq, k: int, total_reads: int,
                         min_read_support: int = -1,
                         seed_mask_fraction: float = 0.0) -> ReadSketch:
     """Homopolymer removal, optional top-fraction masking, magnitudes
-    (src/placement.cpp:1703-1851, 957-984)."""
-    seed_freq = dict(seed_freq)
-    for h in homopolymer_hashes(k):
-        seed_freq.pop(h, None)
+    (src/placement.cpp:1703-1851, 957-984).  seed_freq is a dict or a
+    (hashes u64, counts i64) pair from the native sketcher; masking uses the
+    dict path (its tie-break follows dict insertion order)."""
+    if isinstance(seed_freq, tuple) and seed_mask_fraction > 0.0:
+        seed_freq = dict(zip(seed_freq[0].tolist(), seed_freq[1].tolist()))
+    if isinstance(seed_freq, tuple):
+        hashes, counts = seed_freq
+        counts = counts.astype(np.int64, copy=False)
+        homo = np.fromiter(homopolymer_hashes(k), dtype=U64)
+        keep_h = ~np.isin(hashes, homo)
+        hashes, counts = hashes[keep_h], counts[keep_h]
+        sk = ReadSketch(seed_freq=None, total_reads=total_reads)
+        if min_read_support >= 0:
+            sk.min_support = min_read_support
+        else:
+            big = counts >= 2
+            n = int(big.sum())
+            est = float(counts[big].sum()) / n if n else 0.0
+            sk.min_support = 2 if est > 3.0 else 1
+    else:
+        seed_freq = dict(seed_freq)
+        for h in homopolymer_hashes(k):
+            seed_freq.pop(h, None)
 
-    if seed_mask_fraction > 0.0 and seed_freq:
-        n_mask = int(seed_mask_fraction * len(seed_freq))
-        if n_mask > 0:
-            by_freq = sorted(seed_freq.items(), key=lambda kv: -kv[1])
-            for h, _ in by_freq[:n_mask]:
-                del seed_freq[h]
+        if seed_mask_fraction > 0.0 and seed_freq:
+            n_mask = int(seed_mask_fraction * len(seed_freq))
+            if n_mask > 0:
+                by_freq = sorted(seed_freq.items(), key=lambda kv: -kv[1])
+                for h, _ in by_freq[:n_mask]:
+                    del seed_freq[h]
 
-    sk = ReadSketch(seed_freq=seed_freq, total_reads=total_reads)
-    sk.min_support = resolve_min_read_support(seed_freq, min_read_support)
+        sk = ReadSketch(seed_freq=seed_freq, total_reads=total_reads)
+        sk.min_support = resolve_min_read_support(seed_freq, min_read_support)
 
-    hashes = np.fromiter(seed_freq.keys(), dtype=U64, count=len(seed_freq))
-    counts = np.fromiter(seed_freq.values(), dtype=np.int64, count=len(seed_freq))
+        hashes = np.fromiter(seed_freq.keys(), dtype=U64, count=len(seed_freq))
+        counts = np.fromiter(seed_freq.values(), dtype=np.int64, count=len(seed_freq))
     sk.total_read_seed_frequency = int(counts.sum()) if len(counts) else 0
     order = np.argsort(hashes)
     hashes, counts = hashes[order], counts[order]
@@ -214,26 +252,33 @@ def score_nodes(index: IndexArrays, sk: ReadSketch, force_leaf: bool = False,
     # accumulate parent->child with sequential f64 adds (reference add order)
     f64_metrics = (mag_delta, lograw_delta, logcos_delta, wc_delta, logcont_delta)
     int_metrics = (uniq_delta, presence_delta)
-    acc_f = np.zeros((n_nodes, len(f64_metrics)))
-    acc_i = np.zeros((n_nodes, len(int_metrics)), dtype=np.int64)
     parent = index.parent_index
-    for i in range(n_nodes):
-        a, b = int(offs[i]), int(offs[i + 1])
-        p = int(parent[i]) if i else None
-        if p is None:
-            base_f = np.zeros(len(f64_metrics))
-            base_i = np.zeros(len(int_metrics), dtype=np.int64)
-        else:
-            base_f = acc_f[p]
-            base_i = acc_i[p]
-        if a == b:
-            acc_f[i] = base_f
-            acc_i[i] = base_i
-            continue
-        for m, arr in enumerate(f64_metrics):
-            acc_f[i, m] = np.cumsum(np.concatenate(([base_f[m]], arr[a:b])))[-1]
-        for m, arr in enumerate(int_metrics):
-            acc_i[i, m] = base_i[m] + arr[a:b].sum()
+    from ..native import tree_accumulate_native
+
+    acc = tree_accumulate_native(list(f64_metrics), list(int_metrics),
+                                 offs, parent)
+    if acc is not None:
+        acc_f, acc_i = acc
+    else:
+        acc_f = np.zeros((n_nodes, len(f64_metrics)))
+        acc_i = np.zeros((n_nodes, len(int_metrics)), dtype=np.int64)
+        for i in range(n_nodes):
+            a, b = int(offs[i]), int(offs[i + 1])
+            p = int(parent[i]) if i else None
+            if p is None:
+                base_f = np.zeros(len(f64_metrics))
+                base_i = np.zeros(len(int_metrics), dtype=np.int64)
+            else:
+                base_f = acc_f[p]
+                base_i = acc_i[p]
+            if a == b:
+                acc_f[i] = base_f
+                acc_i[i] = base_i
+                continue
+            for m, arr in enumerate(f64_metrics):
+                acc_f[i, m] = np.cumsum(np.concatenate(([base_f[m]], arr[a:b])))[-1]
+            for m, arr in enumerate(int_metrics):
+                acc_i[i, m] = base_i[m] + arr[a:b].sum()
 
     genome_mag_sq = acc_f[:, 0]
     lograw_num = acc_f[:, 1]

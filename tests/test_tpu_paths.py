@@ -162,7 +162,8 @@ def test_tpu_placer_matches_f64_engine(rng):
     seqs[2] = seqs[2][:70] + "N" + seqs[2][71:]
 
     freq = sketch_reads(seqs, k, s, t, l, False)
-    read_hashes = np.array(sorted(freq), dtype=np.uint64)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
     assert len(read_hashes) > 30
 
     # index: 9 nodes; rows mix read hashes with absent hashes
@@ -221,7 +222,8 @@ def test_place_best_host_matches_place_best(rng):
     base = [random_dna(rng, 150) for _ in range(24)]
     seqs = base + base[:7]  # duplicates exercise counts >= 2
     freq = sketch_reads(seqs, k, s, t, l, False)
-    read_hashes = np.array(sorted(freq), dtype=np.uint64)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
 
     n_nodes = 9
     parent = np.array([0, 0, 1, 1, 0, 4, 4, 6, 6], dtype=np.uint32)
@@ -257,10 +259,10 @@ def test_place_best_host_matches_place_best(rng):
 
 
 def test_native_sketch_count_matches_python(rng):
-    """pt_sketch_count is a bit-exact twin of engine.sketch_reads
-    (dedup multiplicities, N handling, trim, l=1)."""
+    """pt_sketch_count is a bit-exact twin of the pure-Python
+    seedFreqInReads oracle (dedup multiplicities, N handling, trim, l=1)."""
     from panmap_tpu.native import get_lib, sketch_count_native
-    from panmap_tpu.place.engine import sketch_reads
+    from panmap_tpu.place.engine import _sketch_reads_py
 
     if get_lib() is None:
         import pytest
@@ -273,13 +275,50 @@ def test_native_sketch_count_matches_python(rng):
     seqs[11] = "ACGT"  # shorter than k
     for k, s, t, l, open_ in ((19, 8, 0, 3, False), (15, 8, 2, 1, False),
                               (21, 11, 0, 2, True)):
-        ref = sketch_reads(seqs, k, s, t, l, open_)
+        ref = _sketch_reads_py(seqs, k, s, t, l, open_)
         out = sketch_count_native(seqs, k, s, t, open_, l)
         got = dict(zip(out[0].tolist(), out[1].tolist()))
         assert got == {int(h): int(c) for h, c in ref.items()}, (k, s, t, l)
     # trim path
-    ref = sketch_reads(seqs, 19, 8, 0, 3, False, trim_start=11, trim_end=7)
+    ref = _sketch_reads_py(seqs, 19, 8, 0, 3, False, trim_start=11,
+                           trim_end=7)
     out = sketch_count_native(seqs, 19, 8, 0, False, 3, trim_start=11,
                               trim_end=7)
     got = dict(zip(out[0].tolist(), out[1].tolist()))
     assert got == {int(h): int(c) for h, c in ref.items()}
+
+
+def test_tree_accumulate_native_matches_python(rng):
+    """pt_tree_accumulate must be bit-exact with the numpy cumsum loop."""
+    from panmap_tpu.native import get_lib, tree_accumulate_native
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    nprng = np.random.default_rng(11)
+    n_nodes = 200
+    parent = np.zeros(n_nodes, dtype=np.uint32)
+    for i in range(1, n_nodes):
+        parent[i] = nprng.integers(0, i)
+    rows = nprng.integers(0, 9, n_nodes)
+    offs = np.zeros(n_nodes + 1, dtype=np.uint64)
+    offs[1:] = np.cumsum(rows)
+    T = int(offs[-1])
+    dfs = [nprng.standard_normal(T) * 10.0 ** float(nprng.integers(-8, 8))
+           for _ in range(5)]
+    dis = [nprng.integers(-3, 4, T).astype(np.int64) for _ in range(2)]
+    acc_f, acc_i = tree_accumulate_native(dfs, dis, offs, parent)
+    # python reference (the exact formulation score_nodes used)
+    ref_f = np.zeros((n_nodes, 5))
+    ref_i = np.zeros((n_nodes, 2), dtype=np.int64)
+    for i in range(n_nodes):
+        a, b = int(offs[i]), int(offs[i + 1])
+        base_f = ref_f[parent[i]].copy() if i else np.zeros(5)
+        base_i = ref_i[parent[i]].copy() if i else np.zeros(2, np.int64)
+        for m in range(5):
+            ref_f[i, m] = np.cumsum(np.concatenate(([base_f[m]], dfs[m][a:b])))[-1]
+        for m in range(2):
+            ref_i[i, m] = base_i[m] + dis[m][a:b].sum()
+    assert np.array_equal(acc_f, ref_f)
+    assert np.array_equal(acc_i, ref_i)
