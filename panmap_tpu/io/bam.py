@@ -108,26 +108,91 @@ def _reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def _encode_records_batch(records: list) -> bytes:
+    """Batched BAM record encoding: nibble packing and bin computation run
+    vectorized over the whole record set; per-record assembly only joins
+    precomputed byte fragments.  Byte-identical to encode_bam_record (the
+    per-record oracle, cross-checked by tests/test_bam_batch.py)."""
+    nrec = len(records)
+    joined_seq = "".join(r["seq"] for r in records)
+    codes = _NT16_LUT[np.frombuffer(joined_seq.encode(), dtype=np.uint8)]
+    lseq = np.fromiter((len(r["seq"]) for r in records), np.int64, nrec)
+    off = np.concatenate(([0], np.cumsum(lseq)))
+    nib_len = (lseq + 1) // 2
+    nib_off = np.concatenate(([0], np.cumsum(nib_len)))
+    total_nib = int(nib_off[-1])
+    # global gather: nibble byte j of record r packs codes[2j], codes[2j+1]
+    rec_of = np.repeat(np.arange(nrec), nib_len)
+    local = np.arange(total_nib) - np.repeat(nib_off[:-1], nib_len)
+    i0 = off[rec_of] + 2 * local
+    i1 = i0 + 1
+    pad = i1 >= off[rec_of] + lseq[rec_of]  # odd-length tail pads 0
+    hi = codes[i0]
+    lo = np.where(pad, 0, codes[np.minimum(i1, len(codes) - 1)])
+    nibbles = ((hi << 4) | lo).astype(np.uint8).tobytes()
+    # bins, vectorized _reg2bin
+    pos = np.fromiter((r["pos"] for r in records), np.int64, nrec)
+    ref_span = np.fromiter(
+        (sum(ln for ln, op in r["cigar"] if op in "MDN=X") for r in records),
+        np.int64, nrec)
+    end = pos + np.maximum(ref_span, 1) - 1  # inclusive end (= _reg2bin's)
+    bins = np.zeros(nrec, np.int64)
+    done = np.zeros(nrec, bool)
+    for shift, base in ((14, ((1 << 15) - 1) // 7), (17, ((1 << 12) - 1) // 7),
+                        (20, ((1 << 9) - 1) // 7), (23, ((1 << 6) - 1) // 7),
+                        (26, ((1 << 3) - 1) // 7)):
+        hit = ~done & ((pos >> shift) == (end >> shift))
+        bins[hit] = base + (pos[hit] >> shift)
+        done |= hit
+    out = []
+    pk = struct.pack
+    for i, r in enumerate(records):
+        qname_b = r["qname"].encode() + b"\x00"
+        cigar = r["cigar"]
+        cigar_b = b"".join(pk("<I", (ln << 4) | _CIGAR_CODE[op])
+                           for ln, op in cigar)
+        tags = r.get("tags", b"")
+        body = pk("<iiBBHHHiiii", 0, r["pos"], len(qname_b), r["mapq"],
+                  int(bins[i]), len(cigar), r["flag"], int(lseq[i]),
+                  r.get("mtid", -1), r.get("mpos", -1), r.get("tlen", 0)
+                  ) + qname_b + cigar_b \
+            + nibbles[int(nib_off[i]):int(nib_off[i + 1])] \
+            + bytes(r["qual"]) + tags
+        out.append(pk("<I", len(body)) + body)
+    return b"".join(out)
+
+
+def _bgzf_compress_parallel(data: bytes, level: int, threads: int = 0) -> bytes:
+    """Compress a byte stream into independent 65000-byte BGZF blocks using a
+    thread pool (zlib releases the GIL)."""
+    import concurrent.futures as cf
+    import os
+
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 8)
+    chunks = [data[i:i + 65000] for i in range(0, len(data), 65000)]
+    if len(chunks) <= 2 or threads == 1:
+        return b"".join(_bgzf_block(c, level) for c in chunks)
+    with cf.ThreadPoolExecutor(threads) as ex:
+        blocks = list(ex.map(lambda c: _bgzf_block(c, level), chunks))
+    return b"".join(blocks)
+
+
 def write_bam(path: str, ref_name: str, ref_len: int, records: list,
               write_bai: bool = True):
     """records: list of dicts with keys qname, flag, pos, mapq, cigar, mtid,
     mpos, tlen, seq, qual (phred bytes), already coordinate-sorted."""
-    w = BgzfWriter(path)
     header_text = f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{ref_name}\tLN:{ref_len}\n"
     ht = header_text.encode()
-    w.write(b"BAM\x01" + struct.pack("<i", len(ht)) + ht)
-    w.write(struct.pack("<i", 1))
     rn = ref_name.encode() + b"\x00"
-    w.write(struct.pack("<i", len(rn)) + rn + struct.pack("<i", ref_len))
-    for r in records:
-        w.write(
-            encode_bam_record(
-                r["qname"], r["flag"], 0, r["pos"], r["mapq"], r["cigar"],
-                r.get("mtid", -1), r.get("mpos", -1), r.get("tlen", 0),
-                r["seq"], r["qual"], r.get("tags", b""),
-            )
-        )
-    w.close()
+    stream = (b"BAM\x01" + struct.pack("<i", len(ht)) + ht
+              + struct.pack("<i", 1)
+              + struct.pack("<i", len(rn)) + rn + struct.pack("<i", ref_len))
+    if records:
+        stream += _encode_records_batch(records)
+    with open(path, "wb") as fh:
+        fh.write(_bgzf_compress_parallel(stream, level=6))
+        fh.write(BGZF_EOF)
     if write_bai:
         _write_bai(path + ".bai", records, ref_len)
 
