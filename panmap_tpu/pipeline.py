@@ -225,7 +225,12 @@ def _finish_placement(cfg: PipelineConfig, idx: IndexArrays, res, n_reads: int):
     return res, best_id, n_reads
 
 
-def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
+def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
+                  defer_bam: bool = False):
+    """Align reads to the best node's sequence and write the BAM.  With
+    defer_bam=True the BAM encode+write runs on a worker thread and a
+    3-tuple (ref, placed, join_fn) is returned — genotyping only consumes
+    `placed`, so the caller can overlap the write with the call stage."""
     ref = tree.get_string(best_node)
     ref_path = cfg.output + ".ref.fa"
     with open(ref_path, "w") as fh:
@@ -329,6 +334,20 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str):
 
     order = sorted(range(len(entries)), key=lambda j: entries[j]["pos"])
     entries = [entries[j] for j in order]
+    if defer_bam:
+        import threading
+
+        def _write():
+            write_bam(cfg.output + ".bam", best_node, len(ref), entries)
+
+        th = threading.Thread(target=_write, daemon=True)
+        th.start()
+
+        def join_fn():
+            th.join()
+            cfg.log(f"[align] wrote {len(entries)} records to {cfg.output}.bam")
+
+        return ref, placed, join_fn
     write_bam(cfg.output + ".bam", best_node, len(ref), entries)
     cfg.log(f"[align] wrote {len(entries)} records to {cfg.output}.bam")
     return ref, placed
@@ -530,12 +549,24 @@ def _run_pipeline_inner(cfg: PipelineConfig):
     idx, tree = ensure_index(cfg, tree)
     if cfg.stop == "index" or not cfg.reads1:
         return
+    # the tree is only needed from the align stage on: prefetch it on a
+    # worker thread while placement runs (the reference pays this reload
+    # serially, main.cpp:1771)
+    tree_future = None
+    if tree is None and cfg.stop not in ("place",):
+        import concurrent.futures as _cf
+
+        _ex = _cf.ThreadPoolExecutor(1)
+        tree_future = _ex.submit(load_panman, cfg.panman)
+        _ex.shutdown(wait=False)
     if cfg.reference_node:
         # main.cpp:2473-2475: skip placement, force the reference node
         cfg.log(f"[place] placement skipped, forced reference {cfg.reference_node}")
         res, best_id = None, cfg.reference_node
     else:
         res, best_id, n_reads = run_placement(cfg, idx)
+    if tree is None and tree_future is not None:
+        tree = tree_future.result()
     if cfg.refine and best_id and res is not None:
         if tree is None:
             tree = load_panman(cfg.panman)
@@ -552,10 +583,12 @@ def _run_pipeline_inner(cfg: PipelineConfig):
         return
     if tree is None:
         tree = load_panman(cfg.panman)
-    ref, placed = run_alignment(cfg, tree, best_id)
+    ref, placed, bam_join = run_alignment(cfg, tree, best_id, defer_bam=True)
     if cfg.stop == "align":
+        bam_join()
         return
     final = run_genotyping(cfg, idx, ref, best_id, placed)
+    bam_join()
     if cfg.stop == "genotype":
         return
     run_consensus(cfg, ref, best_id, final)
