@@ -258,3 +258,60 @@ def test_tpu_meta_scorer_matches_python_dfs(tmp_path):
     ms_fast, snap_fast = fast.score_all(cand)
     assert np.array_equal(ms_fast, ms_slow)
     assert np.array_equal(snap_fast, snap_slow)
+
+
+def test_mammoth_adna_bwa_pipeline(outdir, tmp_path):
+    """End-to-end on the bundled extended_mammoth panman (second real PanMAN,
+    mtDNA): simulate ancient-DNA reads (short fragments, terminal C->T
+    deamination) from a leaf, run the full pipeline with --aligner bwa, and
+    assert self-placement plus a consensus equal to the source genome (the
+    damage must be absorbed by quality-aware calling, not called as SNPs)."""
+    import random
+
+    from panmap_tpu.index.builder import IndexParams, build_index
+    from panmap_tpu.io.index_io import save_index
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.pipeline import PipelineConfig, run_pipeline
+
+    src = "/root/reference/examples/data/panmans/extended_mammoth.panman"
+    panman = tmp_path / "extended_mammoth.panman"
+    import shutil
+
+    shutil.copy(src, panman)
+    os.utime(panman, (0, 0))
+    idx_path = os.path.join(CACHE, "mammoth.ptidx.npz")
+    tree = load_panman(str(panman))
+    if not os.path.exists(idx_path):
+        idx = build_index(tree, IndexParams())
+        save_index(idx_path, idx)
+    leaf = tree.dfs_order[-1].identifier
+    g = tree.get_string(leaf)
+    rng = random.Random(99)
+    reads = tmp_path / "adna.fastq"
+    with open(reads, "w") as out:
+        n = 3000
+        for i in range(n):
+            L = rng.randrange(45, 90)  # aDNA fragment lengths
+            p = rng.randrange(0, len(g) - L)
+            frag = list(g[p:p + L])
+            # deamination: C->T near 5' end, G->A near 3' end
+            for j in range(min(4, L)):
+                if frag[j] == "C" and rng.random() < 0.3:
+                    frag[j] = "T"
+                if frag[L - 1 - j] == "G" and rng.random() < 0.3:
+                    frag[L - 1 - j] = "A"
+            q = "".join(chr(33 + 12) if (j < 4 or j >= L - 4) else "I"
+                        for j in range(L))
+            out.write(f"@a{i}\n{''.join(frag)}\n+\n{q}\n")
+    cfg = PipelineConfig(panman=str(panman), reads1=str(reads),
+                         output=str(outdir / "mammoth"),
+                         index_path=idx_path, aligner="bwa")
+    cfg.log = lambda *a: None
+    run_pipeline(cfg)
+    out = str(outdir / "mammoth")
+    rows = [l.rstrip("\n").split("\t") for l in open(out + ".placement.tsv")]
+    lc_nodes = next(r[2] for r in rows if r[0] == "log_containment")
+    assert leaf in lc_nodes.split(","), lc_nodes
+    cons = "".join(l.strip() for l in open(out + ".consensus.fa")
+                   if not l.startswith(">"))
+    assert cons == g
