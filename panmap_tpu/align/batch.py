@@ -160,6 +160,52 @@ class BatchAligner(Aligner):
                 out[i] = redo[j]
         return out
 
+    def align_batch_arrays(self, seqs: list):
+        """Columnar twin of align_batch: returns the native per-read arrays
+        (mapped/rev/rs/re/qs/qe ORIENTED/score/mapq/nm/ncig/cig/lens) with
+        cigar-overflow rows merged back from the oracle path; `extra_cigars`
+        maps row -> [(len,op)] for rows whose cigar exceeded the array
+        capacity.  None when the native library is unavailable."""
+        from ..native import align_sr_native
+
+        res = align_sr_native(seqs, self.index.codes2, self.index.h,
+                              self.index.pos, self.index.strand,
+                              self.k, self.w)
+        if res is None:
+            return None
+        res["extra_cigars"] = {}
+        over = np.flatnonzero(res["mapped"] == 2)
+        if len(over):
+            redo = self._align_chunk([seqs[i] for i in over])
+            OPS = self._CIG_OPS
+            code = {c: i for i, c in enumerate(OPS)}
+            cap = res["cig"].shape[1]
+            for j, i in enumerate(over):
+                a = redo[j]
+                if not a.mapped:
+                    res["mapped"][i] = 0
+                    continue
+                res["mapped"][i] = 1
+                res["rev"][i] = a.rev
+                res["rs"][i] = a.rs
+                res["re"][i] = a.re
+                lq = len(seqs[i])
+                # arrays hold ORIENTED coords; Alignment has original-strand
+                q0, q1 = ((lq - a.qe, lq - a.qs) if a.rev else (a.qs, a.qe))
+                res["qs"][i] = q0
+                res["qe"][i] = q1
+                res["score"][i] = a.score
+                res["mapq"][i] = a.mapq
+                res["nm"][i] = a.nm
+                if len(a.cigar) <= cap:
+                    res["ncig"][i] = len(a.cigar)
+                    for c, (ln, op) in enumerate(a.cigar):
+                        res["cig"][i, c] = (ln << 4) | code[op]
+                else:
+                    res["ncig"][i] = 0
+                    res["extra_cigars"][int(i)] = list(a.cigar)
+        return res
+
     def _align_chunk(self, seqs: list):
         N = len(seqs)
         out = [Alignment() for _ in range(N)]

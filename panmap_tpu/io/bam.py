@@ -243,3 +243,102 @@ def compute_tlen(this_rs, this_re, this_rev, mate_rs, mate_re, mate_rev) -> int:
     elif tlen < 0:
         tlen -= 1
     return tlen
+
+
+_BAM_HEAD_DT = np.dtype([
+    ("blen", "<u4"), ("tid", "<i4"), ("pos", "<i4"), ("lqn", "u1"),
+    ("mapq", "u1"), ("bin", "<u2"), ("ncig", "<u2"), ("flag", "<u2"),
+    ("lseq", "<i4"), ("mtid", "<i4"), ("mpos", "<i4"), ("tlen", "<i4")])
+assert _BAM_HEAD_DT.itemsize == 36
+
+
+def _reg2bin_vec(pos: np.ndarray, end_incl: np.ndarray) -> np.ndarray:
+    bins = np.zeros(len(pos), np.int64)
+    done = np.zeros(len(pos), bool)
+    for shift, base in ((14, ((1 << 15) - 1) // 7), (17, ((1 << 12) - 1) // 7),
+                        (20, ((1 << 9) - 1) // 7), (23, ((1 << 6) - 1) // 7),
+                        (26, ((1 << 3) - 1) // 7)):
+        hit = ~done & ((pos >> shift) == (end_incl >> shift))
+        bins[hit] = base + (pos[hit] >> shift)
+        done |= hit
+    return bins
+
+
+def _scatter_section(out: np.ndarray, dst_off: np.ndarray,
+                     lens: np.ndarray, blob: np.ndarray):
+    """out[dst_off[i] : dst_off[i]+lens[i]] = blob[src_off[i]:...] for all i,
+    via one fancy-index (blob is the records' section data concatenated in
+    record order).  i32 indexing halves the index traffic."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    lens32 = lens.astype(np.int32)
+    start = (np.repeat(dst_off.astype(np.int64), lens32)
+             - np.repeat(np.concatenate(
+                 ([0], np.cumsum(lens, dtype=np.int64)[:-1])), lens32))
+    idx = start.astype(np.int64) + np.arange(total, dtype=np.int64)
+    out[idx] = blob[:total]
+
+
+def encode_bam_columnar(pos, flag, mapq, mtid, mpos, tlen, ref_span,
+                        qname_blob: bytes, qname_off: np.ndarray,
+                        cig_stream: np.ndarray, cig_off: np.ndarray,
+                        seq_blob: np.ndarray, qual_blob: np.ndarray,
+                        seq_off: np.ndarray) -> bytes:
+    """Fully vectorized BAM record stream from columnar inputs (records in
+    final order).  qname_blob contains NUL-terminated names back to back;
+    cig_stream is (len<<4|op) u32s; seq_blob ASCII bases (oriented);
+    qual_blob raw phred bytes; seq_off/qname_off/cig_off are n+1 offset
+    arrays.  Byte-identical to encode_bam_record per record (cross-checked
+    by tests/test_bam_batch.py)."""
+    n = len(pos)
+    pos = np.asarray(pos, np.int64)
+    lqn = np.diff(qname_off).astype(np.int64)
+    ncig = np.diff(cig_off).astype(np.int64)
+    lseq = np.diff(seq_off).astype(np.int64)
+    nib_len = (lseq + 1) // 2
+    blen = 32 + lqn + 4 * ncig + nib_len + lseq
+    rec_len = blen + 4
+    rec_off = np.concatenate(([0], np.cumsum(rec_len)))
+    total = int(rec_off[-1])
+    end = pos + np.maximum(np.asarray(ref_span, np.int64), 1) - 1
+    head = np.empty(n, dtype=_BAM_HEAD_DT)
+    head["blen"] = blen
+    head["tid"] = 0
+    head["pos"] = pos
+    head["lqn"] = lqn
+    head["mapq"] = mapq
+    head["bin"] = _reg2bin_vec(pos, end)
+    head["ncig"] = ncig
+    head["flag"] = flag
+    head["lseq"] = lseq
+    head["mtid"] = mtid
+    head["mpos"] = mpos
+    head["tlen"] = tlen
+    out = np.empty(total, np.uint8)
+    hb = head.view(np.uint8).reshape(n, 36)
+    hidx = (rec_off[:-1][:, None] + np.arange(36)[None, :]).ravel()
+    out[hidx] = hb.ravel()
+    cur = rec_off[:-1] + 36
+    _scatter_section(out, cur, lqn,
+                     np.frombuffer(qname_blob, np.uint8))
+    cur = cur + lqn
+    _scatter_section(out, cur, 4 * ncig,
+                     np.ascontiguousarray(cig_stream, "<u4").view(np.uint8))
+    cur = cur + 4 * ncig
+    # nibble packing over the whole oriented seq blob, per record parity
+    codes = _NT16_LUT[seq_blob]
+    nib_off = np.concatenate(([0], np.cumsum(nib_len)))
+    total_nib = int(nib_off[-1])
+    rec_of = np.repeat(np.arange(n), nib_len)
+    local = np.arange(total_nib) - np.repeat(nib_off[:-1], nib_len)
+    i0 = seq_off[:-1][rec_of] + 2 * local
+    i1 = i0 + 1
+    pad = i1 >= seq_off[:-1][rec_of] + lseq[rec_of]
+    hi4 = codes[i0]
+    lo4 = np.where(pad, 0, codes[np.minimum(i1, max(len(codes) - 1, 0))])
+    nibbles = ((hi4 << 4) | lo4).astype(np.uint8)
+    _scatter_section(out, cur, nib_len, nibbles)
+    cur = cur + nib_len
+    _scatter_section(out, cur, lseq, qual_blob)
+    return out.tobytes()

@@ -225,6 +225,220 @@ def _finish_placement(cfg: PipelineConfig, idx: IndexArrays, res, n_reads: int):
     return res, best_id, n_reads
 
 
+_RC_LUT = np.full(256, ord("N"), dtype=np.uint8)
+for _a, _b in zip(b"ACGTacgtNn", b"TGCATGCANN"):
+    _RC_LUT[_a] = _b
+
+
+def _clip_names(names, idx):
+    out = []
+    for i in idx:
+        nm = names[i]
+        if len(nm) >= 2 and nm[-2] == "/" and nm[-1] in "12":
+            nm = nm[:-2]
+        out.append(nm)
+    return out
+
+
+def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
+                   defer_bam):
+    """Columnar twin of the add_record/write_bam object path (which remains
+    the oracle; tests/test_bam_batch.py + the golden e2e suite cross-check):
+    pairing, flags, TLEN, clips, oriented seq/qual blobs and the full BAM
+    stream are built as array programs; only PlacedRead construction (the
+    genotyping input) stays a slim per-record loop."""
+    from .align.core import MAX_GAP_REF
+    from .io.bam import (BGZF_EOF, FMREVERSE, FPAIRED, FPROPER_PAIR, FREAD1,
+                         FREAD2, FREVERSE, _bgzf_compress_parallel,
+                         _write_bai, encode_bam_columnar)
+    import struct as _struct
+
+    n = len(seqs)
+    lens = res["lens"].astype(np.int64)
+    mapped = res["mapped"] == 1
+    rev = res["rev"].astype(bool)
+    rs = res["rs"].astype(np.int64)
+    re_ = res["re"].astype(np.int64)
+    qs_o = res["qs"].astype(np.int64)
+    qe_o = res["qe"].astype(np.int64)
+    mapqs = res["mapq"].astype(np.int64)
+    ncig0 = res["ncig"].astype(np.int64)
+    cig = res["cig"]
+    extra = res["extra_cigars"]
+    for i, cg in extra.items():
+        ncig0[i] = len(cg)
+
+    if paired:
+        m1, m2 = mapped[0::2], mapped[1::2]
+        both = m1 & m2
+        r1, r2 = rev[0::2], rev[1::2]
+        same = r1 == r2
+        fwd_ok = (~r1) & (rs[0::2] <= rs[1::2]) \
+            & (rs[1::2] - re_[0::2] <= MAX_GAP_REF)
+        rev_ok = r1 & (rs[1::2] <= rs[0::2]) \
+            & (rs[0::2] - re_[1::2] <= MAX_GAP_REF)
+        proper_pair = both & same & (fwd_ok | rev_ok)
+        emit = np.flatnonzero(np.repeat(both, 2))
+        is_r1 = emit % 2 == 0
+        mate = emit ^ 1
+        proper_rec = np.repeat(proper_pair, 2)[emit]
+        eff_rev = np.where(is_r1, rev[emit], ~rev[emit])
+        mate_eff = np.where(is_r1, ~rev[mate], rev[mate])
+        flag = (np.full(len(emit), FPAIRED, np.int64)
+                | np.where(proper_rec, FPROPER_PAIR, 0)
+                | np.where(eff_rev, FREVERSE, 0)
+                | np.where(mate_eff, FMREVERSE, 0)
+                | np.where(is_r1, FREAD1, FREAD2))
+        this5 = np.where(eff_rev, re_[emit] - 1, rs[emit])
+        mate5 = np.where(mate_eff, re_[mate] - 1, rs[mate])
+        tlen = mate5 - this5
+        tlen = tlen + np.where(tlen > 0, 1, 0) + np.where(tlen < 0, -1, 0)
+        mtid = np.zeros(len(emit), np.int64)
+        mpos = rs[mate]
+    else:
+        emit = np.flatnonzero(mapped)
+        is_r1 = np.ones(len(emit), bool)
+        proper_rec = np.zeros(len(emit), bool)
+        eff_rev = rev[emit]
+        flag = np.where(eff_rev, FREVERSE, 0).astype(np.int64)
+        tlen = np.zeros(len(emit), np.int64)
+        mtid = np.full(len(emit), -1, np.int64)
+        mpos = np.full(len(emit), -1, np.int64)
+
+    nrec = len(emit)
+    lq_r = lens[emit]
+    clip5 = qs_o[emit]
+    clip3 = lq_r - qe_o[emit]
+
+    # oriented seq/qual blobs in emit order (PlacedRead slices them)
+    joined = np.frombuffer("".join(seqs).encode(), np.uint8)
+    jq = np.frombuffer("".join(quals).encode(), np.uint8)
+    roffs = np.concatenate(([0], np.cumsum(lens)))
+    base = np.repeat(roffs[emit], lq_r)
+    eoff = np.concatenate(([0], np.cumsum(lq_r)))
+    within = np.arange(int(eoff[-1])) - np.repeat(eoff[:-1], lq_r)
+    rev_rep = np.repeat(rev[emit], lq_r)
+    src = np.where(rev_rep, base + np.repeat(lq_r, lq_r) - 1 - within,
+                   base + within)
+    seq_blob = np.where(rev_rep, _RC_LUT[joined[src]], joined[src])
+    qual_blob = (jq[src] - 33).astype(np.uint8)
+
+    # cigar stream with soft clips, in emit order
+    has5 = (clip5 > 0).astype(np.int64)
+    has3 = (clip3 > 0).astype(np.int64)
+    nops = has5 + ncig0[emit] + has3
+    coff = np.concatenate(([0], np.cumsum(nops)))
+    stream = np.zeros(int(coff[-1]), dtype=np.uint32)
+    w5 = np.flatnonzero(has5)
+    stream[coff[:-1][w5]] = (clip5[w5].astype(np.uint32) << 4) | 4
+    w3 = np.flatnonzero(has3)
+    stream[(coff[1:] - 1)[w3]] = (clip3[w3].astype(np.uint32) << 4) | 4
+    nc = ncig0[emit]
+    mid_dst = np.repeat(coff[:-1] + has5, nc) + (
+        np.arange(int(nc.sum())) - np.repeat(np.concatenate(
+            ([0], np.cumsum(nc)[:-1])), nc))
+    mid_rows = np.repeat(emit, nc)
+    mid_col = np.arange(int(nc.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(nc)[:-1])), nc)
+    # rows from extra_cigars have ncig stored but zeros in cig: fix below
+    stream[mid_dst] = cig[mid_rows, np.minimum(mid_col, cig.shape[1] - 1)]
+    if extra:
+        from .io.bam import _CIGAR_CODE
+
+        e_rows = {int(i) for i in extra}
+        for ridx in np.flatnonzero(np.isin(emit, list(e_rows))).tolist():
+            i = int(emit[ridx])
+            dst = int(coff[ridx] + has5[ridx])
+            for c, (ln, op) in enumerate(extra[i]):
+                stream[dst + c] = (ln << 4) | _CIGAR_CODE[op]
+
+    # placed reads (genotyping input), emit order — matches the object path
+    placed = []
+    q64 = qual_blob.astype(np.int64)
+    names_clip = _clip_names(names, emit.tolist())
+    all_ln = (stream >> np.uint32(4)).tolist()
+    all_op = np.frombuffer(b"MIDNSHP=X", "S1")[stream & np.uint32(0xF)]
+    all_op = [x.decode() for x in all_op.tolist()]
+    seq_all = seq_blob.tobytes().decode()
+    rs_l = rs[emit].tolist()
+    qs_l = qs_o[emit].tolist()
+    mq_l = mapqs[emit].tolist()
+    er_l = eff_rev.tolist()
+    pr_l = proper_rec.tolist()
+    hc_l = ((clip5 > 0) | (clip3 > 0)).tolist()
+    eoff_l = eoff.tolist()
+    c0_l = (coff[:-1] + has5).tolist()
+    c1_l = (coff[:-1] + has5 + nc).tolist()
+    for r in range(nrec):
+        a, b = eoff_l[r], eoff_l[r + 1]
+        c0, c1 = c0_l[r], c1_l[r]
+        placed.append(PlacedRead(
+            rs=rs_l[r], cigar=list(zip(all_ln[c0:c1], all_op[c0:c1])),
+            seq=seq_all[a:b], quals=q64[a:b], qs=qs_l[r],
+            qname=names_clip[r], is_proper=pr_l[r], is_paired=paired,
+            mapq=mq_l[r], rev=er_l[r], has_clip=hc_l[r]))
+
+    # final BAM order: stable sort by pos (same as the object path's sort)
+    order = np.argsort(rs[emit], kind="stable")
+    # reorder blobs per record with one gather each
+    sq_src = np.repeat(eoff[:-1][order], lq_r[order]) + (
+        np.arange(int(eoff[-1])) - np.repeat(
+            np.concatenate(([0], np.cumsum(lq_r[order])[:-1])), lq_r[order]))
+    seq_blob_s = seq_blob[sq_src]
+    qual_blob_s = qual_blob[sq_src]
+    seq_off_s = np.concatenate(([0], np.cumsum(lq_r[order])))
+    nops_s = nops[order]
+    cg_src = np.repeat(coff[:-1][order], nops_s) + (
+        np.arange(int(coff[-1])) - np.repeat(
+            np.concatenate(([0], np.cumsum(nops_s)[:-1])), nops_s))
+    stream_s = stream[cg_src]
+    cig_off_s = np.concatenate(([0], np.cumsum(nops_s)))
+    # ref span per record from the sorted stream
+    op_s = stream_s & 0xF
+    ln_s = (stream_s >> 4).astype(np.int64)
+    refc = np.isin(op_s, np.array([0, 2, 3, 7, 8], np.uint32))
+    cs = np.concatenate(([0], np.cumsum(np.where(refc, ln_s, 0))))
+    spans = cs[cig_off_s[1:]] - cs[cig_off_s[:-1]]
+    qn_s = _clip_names(names, emit[order].tolist())
+    qname_blob = ("\x00".join(qn_s) + "\x00").encode() if nrec else b""
+    qn_lens = np.array([len(x) + 1 for x in qn_s], np.int64)
+    qname_off = np.concatenate(([0], np.cumsum(qn_lens)))
+
+    body = encode_bam_columnar(
+        rs[emit][order], flag[order], mapqs[emit][order], mtid[order],
+        mpos[order], tlen[order], spans, qname_blob, qname_off, stream_s,
+        cig_off_s, seq_blob_s, qual_blob_s, seq_off_s)
+
+    header_text = (f"@HD\tVN:1.6\tSO:coordinate\n"
+                   f"@SQ\tSN:{best_node}\tLN:{len(ref)}\n").encode()
+    rn = best_node.encode() + b"\x00"
+    stream_head = (b"BAM\x01" + _struct.pack("<i", len(header_text))
+                   + header_text + _struct.pack("<i", 1)
+                   + _struct.pack("<i", len(rn)) + rn
+                   + _struct.pack("<i", len(ref)))
+
+    def _write():
+        with open(cfg.output + ".bam", "wb") as fh:
+            fh.write(_bgzf_compress_parallel(stream_head + body, level=6))
+            fh.write(BGZF_EOF)
+        _write_bai(cfg.output + ".bam.bai", [None] * nrec, len(ref))
+
+    if defer_bam:
+        import threading
+
+        th = threading.Thread(target=_write, daemon=True)
+        th.start()
+
+        def join_fn():
+            th.join()
+            cfg.log(f"[align] wrote {nrec} records to {cfg.output}.bam")
+
+        return ref, placed, join_fn
+    _write()
+    cfg.log(f"[align] wrote {nrec} records to {cfg.output}.bam")
+    return ref, placed
+
+
 def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
                   defer_bam: bool = False):
     """Align reads to the best node's sequence and write the BAM.  With
@@ -260,6 +474,11 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
         from .align.batch import BatchAligner
 
         aligner = BatchAligner(ref)
+        res = aligner.align_batch_arrays(seqs) if aligner.use_native else None
+        if res is not None:
+            cfg.log(f"[align] {len(seqs)} reads in {time.time()-t0:.1f}s")
+            return _emit_columnar(cfg, names, seqs, quals, res, paired, ref,
+                                  best_node, defer_bam)
         pairs = aligner.align_pairs_batch(seqs, paired)
     cfg.log(f"[align] {len(seqs)} reads in {time.time()-t0:.1f}s")
 
