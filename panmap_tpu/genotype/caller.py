@@ -109,6 +109,46 @@ class ErrMod:
         np.maximum(out, 0.0, out=out)
         return out, bsum, c
 
+    def cal_columns(self, col: np.ndarray, q: np.ndarray, s: np.ndarray,
+                    b: np.ndarray, ncol: int):
+        """All-columns twin of cal_arrays (which is its oracle): entries of
+        every pileup column processed in one pass.  `col` is the column id
+        (non-decreasing); entries must already be capped at ERRMOD_MAXN per
+        column in column order.  Returns (diag [ncol,5] homozygous phred,
+        bsum [ncol,16], c [ncol,16])."""
+        if len(col) == 0:
+            return (np.zeros((ncol, 5)), np.zeros((ncol, 16)),
+                    np.zeros((ncol, 16), np.int64))
+        col = col.astype(np.int64)
+        key = (q.astype(np.int64) << 5) | (s.astype(np.int64) << 4) | b
+        order = np.lexsort((-key, col))
+        cols_, qs_, bs_ = col[order], q[order].astype(np.int64), \
+            b[order].astype(np.int64)
+        bs5 = (s[order].astype(np.int64) << 4) | bs_
+        cb = cols_ * 16 + bs_
+        cbs = cols_ * 32 + bs5
+        c_t = _cumcount(cb)
+        w_t = _cumcount(cbs)
+        n_of = np.bincount(cols_, minlength=ncol)
+        nv = n_of[cols_]
+        pairkey = qs_ * 1024 + nv
+        up, pinv = np.unique(pairkey, return_inverse=True)
+        maxn = int(nv.max())
+        M = np.zeros((len(up), maxn + 1))
+        for r, pk in enumerate(up.tolist()):
+            qv, nn = pk >> 10, pk & 1023
+            M[r, : nn + 1] = self.beta_row(int(qv), int(nn))
+        contrib = self.fk[w_t] * M[pinv, c_t]
+        bsum = np.bincount(cb, weights=contrib,
+                           minlength=ncol * 16).reshape(ncol, 16)
+        cc = np.bincount(cb, minlength=ncol * 16).reshape(ncol, 16) \
+            .astype(np.int64)
+        tot_b = bsum[:, :5].sum(axis=1)
+        tot_c = cc[:, :5].sum(axis=1)
+        diag = np.where((tot_c[:, None] - cc[:, :5]) > 0,
+                        np.maximum(tot_b[:, None] - bsum[:, :5], 0.0), 0.0)
+        return diag, bsum, cc
+
     def cal_arrays(self, q: np.ndarray, s: np.ndarray, b: np.ndarray):
         """Array twin of cal() (tests cross-check them float-exact): grouped
         cumulative counts replace the scalar state machine, and np.bincount
@@ -463,20 +503,34 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
         return records
     gstart = np.concatenate(
         ([0], np.flatnonzero(g_p[1:] != g_p[:-1]) + 1, [len(g_p)]))
+    ncol = len(gstart) - 1
+    # column ids + all-columns errmod (cal_columns; per-column cal_arrays is
+    # its oracle) and full-column base/qual/AD tallies in one pass
+    col_id = np.cumsum(np.concatenate(
+        ([0], (g_p[1:] != g_p[:-1]).astype(np.int64))))
+    capped = _cumcount(col_id) < ERRMOD_MAXN
+    DIAG, BSUM, _CC = _ERRMOD.cal_columns(
+        col_id[capped], g_q[capped], g_s[capped], g_b[capped], ncol)
+    BCF = np.bincount(col_id * 5 + np.minimum(g_b, 4),
+                      minlength=ncol * 5).reshape(ncol, 5)
+    v_all = g_b < 4
+    QS = np.bincount(col_id[v_all] * 4 + g_b[v_all],
+                     weights=g_q[v_all].astype(np.float64),
+                     minlength=ncol * 4).reshape(ncol, 4)
+    ADF = np.bincount(col_id[v_all & (g_s == 0)] * 4 + g_b[v_all & (g_s == 0)],
+                      minlength=ncol * 4).reshape(ncol, 4)
+    ADR = np.bincount(col_id[v_all & (g_s == 1)] * 4 + g_b[v_all & (g_s == 1)],
+                      minlength=ncol * 4).reshape(ncol, 4)
 
-    for gi in range(len(gstart) - 1):
-        a0, b0 = int(gstart[gi]), int(gstart[gi + 1])
+    for gi in range(ncol):
+        a0 = int(gstart[gi])
         p = int(g_p[a0])
         r4 = int(ref_idx[p])
         if r4 >= 4:
             continue
-        colq, cols, colb = g_q[a0:b0], g_s[a0:b0], g_b[a0:b0]
-        # quality sums and AD per base
-        v = colb < 4
-        qs = np.bincount(colb[v], weights=colq[v].astype(np.float64),
-                         minlength=4)[:4]
-        adf = np.bincount(colb[v & (cols == 0)], minlength=4)[:4]
-        adr = np.bincount(colb[v & (cols == 1)], minlength=4)[:4]
+        qs = QS[gi]
+        adf = ADF[gi]
+        adr = ADR[gi]
         tot = qs.sum()
         if tot <= 0:
             continue
@@ -487,8 +541,9 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
             continue
         alleles = [r4] + alt_order
 
-        p55, col_bsum, _col_c = _ERRMOD.cal_arrays(colq, cols, colb)
-        base_counts = np.bincount(colb, minlength=5)  # full (uncapped) column
+        p55 = None  # homozygous diagonal comes from DIAG[gi]
+        col_bsum = BSUM[gi]
+        base_counts = BCF[gi]
         na = len(alleles)
         # genotype-subset normalization incl. het entries (bcf_call_combine)
         gvals = []
@@ -498,7 +553,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
             for j2 in range(i2 + 1):
                 ai, aj = alleles[j2], alleles[i2]
                 if i2 == j2:
-                    gvals.append(p55[ai, ai])
+                    gvals.append(DIAG[gi, ai])
                     hom_idx.append(z)
                 else:
                     # het likelihood for haploid calling never wins, but it

@@ -121,3 +121,33 @@ def test_cal_arrays_matches_scalar():
         assert np.array_equal(out1, out2), trial
         assert np.array_equal(bsum1, bsum2), trial
         assert np.array_equal(c1, c2), trial
+
+
+def test_cal_columns_matches_cal_arrays():
+    """All-columns errmod must equal the per-column oracle float-exact."""
+    from panmap_tpu.genotype.caller import ERRMOD_MAXN, ErrMod, _cumcount
+
+    rng = random.Random(9)
+    em = ErrMod()
+    ncol = 60
+    cols, qs, ss, bs = [], [], [], []
+    for c in range(ncol):
+        n = rng.choice([0, 1, 2, 5, 30, 200, 255, 300])
+        for _ in range(n):
+            cols.append(c)
+            qs.append(rng.randrange(4, 64))
+            ss.append(rng.getrandbits(1))
+            bs.append(rng.choice([0, 1, 2, 3, 4]))
+    col = np.array(cols, np.int64)
+    q = np.array(qs, np.int64)
+    s = np.array(ss, np.int8)
+    b = np.array(bs, np.int64)
+    capped = _cumcount(col) < ERRMOD_MAXN
+    diag, bsum, cc = em.cal_columns(col[capped], q[capped], s[capped],
+                                    b[capped], ncol)
+    for c in range(ncol):
+        m = col == c
+        out1, bsum1, c1 = em.cal_arrays(q[m], s[m], b[m])
+        assert np.array_equal(np.diag(out1)[:5], diag[c]), c
+        assert np.array_equal(bsum1, bsum[c]), c
+        assert np.array_equal(c1, cc[c]), c
