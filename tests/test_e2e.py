@@ -315,3 +315,58 @@ def test_mammoth_adna_bwa_pipeline(outdir, tmp_path):
     cons = "".join(l.strip() for l in open(out + ".consensus.fa")
                    if not l.startswith(">"))
     assert cons == g
+
+
+def test_batch_mode(rsv_index, outdir, tmp_path):
+    """--batch: three samples through the shared-index batch path (placement
+    streamed serially, host stages on the pre-forked pool), per-sample
+    artifacts complete, placements correct, and the batch outputs equal a
+    single-sample run of the same reads."""
+    import filecmp
+
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.pipeline import PipelineConfig, run_pipeline
+
+    tree = load_panman(PANMAN)
+    leaves = [n.identifier for n in tree.dfs_order
+              if not n.children][:3]
+    manifest = tmp_path / "batch.tsv"
+    sample_reads = []
+    with open(manifest, "w") as mf:
+        for j, leaf in enumerate(leaves):
+            g = tree.get_string(leaf)
+            rp = tmp_path / f"s{j}.fastq"
+            with open(rp, "w") as out:
+                L, step, c, i = 120, max(1, (len(g) - 120) // 400), 0, 0
+                while c < 400 and i + L <= len(g):
+                    out.write(f"@s{j}_{c}\n{g[i:i+L]}\n+\n{'I'*L}\n")
+                    c += 1
+                    i += step
+            prefix = str(tmp_path / f"out_s{j}")
+            mf.write(f"{rp}\t{prefix}\n")
+            sample_reads.append((leaf, str(rp), prefix))
+    cfg = PipelineConfig(panman=PANMAN, reads1="", output=str(outdir / "b"),
+                         index_path=rsv_index, batch_file=str(manifest))
+    cfg.log = lambda *a, **k: None
+    run_pipeline(cfg)
+    for leaf, rp, prefix in sample_reads:
+        for ext in (".placement.tsv", ".bam", ".vcf", ".consensus.fa"):
+            assert os.path.exists(prefix + ext), (prefix, ext)
+        rows = [l.rstrip("\n").split("\t") for l in open(prefix + ".placement.tsv")]
+        lc = next(r[2] for r in rows if r[0] == "log_containment")
+        assert leaf in lc.split(","), (leaf, lc)
+        # single-sample run must produce identical artifacts
+        scfg = PipelineConfig(panman=PANMAN, reads1=rp,
+                              output=prefix + "_solo", index_path=rsv_index)
+        scfg.log = lambda *a, **k: None
+        run_pipeline(scfg)
+        for ext in (".placement.tsv", ".vcf", ".consensus.fa"):
+            a = open(prefix + ext).read()
+            b = open(prefix + "_solo" + ext).read()
+            if ext == ".consensus.fa":
+                # header embeds the output prefix; compare bodies
+                a = a.split("\n", 1)[1]
+                b = b.split("\n", 1)[1]
+            assert a == b, (prefix, ext)
+        assert filecmp.cmp(prefix + ".bam", prefix + "_solo.bam",
+                           shallow=False)
