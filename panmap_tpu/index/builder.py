@@ -155,6 +155,7 @@ def _empty_state():
         np.empty(0, U64),  # positioned kminmer hashes
         np.empty(0, bool),  # positioned kminmer orientations
         np.empty(0, np.int64),  # positioned kminmer start positions
+        np.empty(0, np.int64),  # positioned kminmer end positions (incl.)
     )
 
 
@@ -180,7 +181,7 @@ def subtree_ends(tree: PanmanTree) -> np.ndarray:
 
 
 def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
-            dfs_range=None):
+            dfs_range=None, gap_emit=None, state_probe=None):
     """Shared builder DFS: applies mutations down the tree maintaining the
     syncmer/k-min-mer state, calling emit(dfs_index, parent_state, child_state,
     changed) at every node.  Returns the identical-to-parent flags.
@@ -191,7 +192,17 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
     interval [a, b): out-of-range subtrees are pruned entirely, ancestors on
     paths into the range are applied (state must be exact) but the emitter
     decides what to record — the chunked-DFS parallel build
-    (index_single_mode.cpp:2291-2571 buildIndexParallel) partitions on this."""
+    (index_single_mode.cpp:2291-2571 buildIndexParallel) partitions on this.
+
+    gap_emit(dfs_index, ch_pos, ch_nongap, b_id, b_code), when given, receives
+    each node's NET alignment-gap changes vs its parent: forward-scalar
+    positions whose gap-ness flipped, and touched blocks' new (presence,
+    strand) coded 0=off / 1=on-forward / 2=on-inverted — the wire data for
+    the runtime degap tracker (reference: gapRunDeltas + invertedBlocks,
+    index_lite.capnp:55-60).
+
+    state_probe(dfs_index, chars, block_exists, block_strand), when given,
+    observes the LIVE builder state at each node (read-only; test oracles)."""
     space = ScalarSpace(tree)
     k, s, t, l = params.k, params.s, params.t, params.l
     flank = params.flank_mask_bp
@@ -283,6 +294,30 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
                 a, b = sorted((first_offset_sc, last_offset_sc))
                 edits.spans.append([a, b])
         return undo_chars, undo_blocks, edits
+
+    def gap_events(dfs_index, undo_chars, undo_blocks):
+        seen: dict = {}
+        for sc, old in undo_chars:
+            if sc not in seen:
+                seen[sc] = old
+        ch_pos, ch_ng = [], []
+        for sc, old in seen.items():
+            now = int(chars[sc]) != GAP
+            if (old != GAP) != now:
+                ch_pos.append(sc)
+                ch_ng.append(now)
+        firstb: dict = {}
+        for bid, ex, st_ in undo_blocks:
+            if bid not in firstb:
+                firstb[bid] = (ex, st_)
+        b_id, b_code = [], []
+        for bid, (oex, ost) in firstb.items():
+            nex = bool(block_exists[bid])
+            nst = bool(block_strand[bid])
+            if (oex, ost) != (nex, nst):
+                b_id.append(bid)
+                b_code.append(0 if not nex else (1 if nst else 2))
+        gap_emit(dfs_index, ch_pos, ch_ng, b_id, b_code)
 
     def undo_node(undo_chars, undo_blocks):
         for sc, old in reversed(undo_chars):
@@ -479,11 +514,14 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         # ---- k-min-mers over the position-sorted syncmer list ----
         km, valid, km_rev = kminmer_hashes_oriented(child_hash, k, l, child_rev)
         km_pos = child_pos[: len(km)][valid]
+        # end = last member syncmer's k-mer end (seedInfos endPos,
+        # index_lite.capnp:28-29)
+        km_end = child_pos[l - 1 : l - 1 + len(km)][valid] + (k - 1)
         km_hash = km[valid]
         km_rev = km_rev[valid]
         uniq, counts = np.unique(km_hash, return_counts=True)
         return (child_pos, child_hash, child_rev, uniq, counts.astype(np.int64),
-                km_hash, km_rev, km_pos)
+                km_hash, km_rev, km_pos, km_end)
 
     if dfs_range is not None:
         a, b = dfs_range
@@ -500,6 +538,10 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
     root = tree.root
     stack: list[_BuildFrame] = []
     undo_c, undo_b, edits = apply_node(root)
+    if gap_emit is not None:
+        gap_events(root.dfs_index, undo_c, undo_b)
+    if state_probe is not None:
+        state_probe(root.dfs_index, chars, block_exists, block_strand)
     root_state = compute_state(_empty_state(), edits)
     emit(root.dfs_index, _empty_state(), root_state, True)
     stack.append(_BuildFrame(root, iter(root.children), undo_c, undo_b, root_state))
@@ -515,6 +557,10 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         if not in_walk(child):
             continue
         undo_c, undo_b, edits = apply_node(child)
+        if gap_emit is not None:
+            gap_events(child.dfs_index, undo_c, undo_b)
+        if state_probe is not None:
+            state_probe(child.dfs_index, chars, block_exists, block_strand)
         if not edits.spans and not edits.potential_dels and not edits.blocks_turned_off:
             state = frame.state
             emit(child.dfs_index, frame.state, state, False)

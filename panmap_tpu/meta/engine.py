@@ -364,6 +364,131 @@ def collapse_tree(midx: MetaIndexArrays, node_relevant_counts) -> CollapsedTree:
                          identical_members=identical_members, children=children)
 
 
+
+class _Fenwick:
+    """Binary-indexed tree over int counts (0-based API)."""
+
+    __slots__ = ("n", "t")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.t = np.zeros(n + 1, np.int64)
+
+    def build(self, vals: np.ndarray):
+        cs = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+        idx = np.arange(1, self.n + 1, dtype=np.int64)
+        low = idx & (-idx)
+        self.t = np.zeros(self.n + 1, np.int64)
+        self.t[1:] = cs[idx] - cs[idx - low]
+
+    def update(self, i: int, d: int):
+        i += 1
+        t = self.t
+        n = self.n
+        while i <= n:
+            t[i] += d
+            i += i & (-i)
+
+    def prefix(self, i: int) -> int:
+        s = 0
+        t = self.t
+        i += 1
+        while i > 0:
+            s += t[i]
+            i -= i & (-i)
+        return int(s)
+
+    def range(self, a: int, b: int) -> int:
+        if b < a:
+            return 0
+        return self.prefix(b) - (self.prefix(a - 1) if a else 0)
+
+
+class GapTracker:
+    """Dynamic degapped-coordinate index over the forward scalar space
+    (reference: the per-node gapMap + getLocalGap, mgsr.cpp:2273-2622 and
+    :5280-5310).  Replays the meta index's per-node gap events (character
+    gap-ness flips + block presence/strand changes) alongside the scoring
+    DFS; local_gap(a, b) equals the reference's getLocalGap: the number of
+    non-gap columns of the CURRENT node's alignment in the reading-order
+    interval between two (non-gap) reading scalars."""
+
+    def __init__(self, midx):
+        n = int(midx.n_scalar)
+        bits = np.unpackbits(midx.nongap0, bitorder="little")[:n].astype(bool)
+        self.midx = midx
+        self.nb = len(midx.block_lo)
+        self.block_lo = midx.block_lo.astype(np.int64)
+        self.block_hi = midx.block_hi.astype(np.int64)
+        self.present = np.zeros(self.nb, bool)
+        self.strand = np.ones(self.nb, bool)
+        self.fen = _Fenwick(n)
+        self.fen.build(bits.astype(np.int64))
+        cs = np.concatenate(([0], np.cumsum(bits, dtype=np.int64)))
+        self.tot = cs[self.block_hi + 1] - cs[self.block_lo]
+        self.bfen = _Fenwick(self.nb)  # totals of PRESENT blocks only
+
+    def _block_of(self, sc: int) -> int:
+        return int(np.searchsorted(self.block_lo, sc, side="right")) - 1
+
+    def enter(self, node: int) -> list:
+        """Apply the node's gap events; returns the undo token for leave()."""
+        undo = []
+        m = self.midx
+        for i in range(int(m.bev_offsets[node]), int(m.bev_offsets[node + 1])):
+            b = int(m.bev_block[i])
+            code = int(m.bev_code[i])
+            old = (bool(self.present[b]), bool(self.strand[b]))
+            newp = code != 0
+            if self.present[b] != newp:
+                self.bfen.update(b, int(self.tot[b]) if newp
+                                 else -int(self.tot[b]))
+            self.present[b] = newp
+            self.strand[b] = code != 2
+            undo.append((1, b, old))
+        for i in range(int(m.gev_offsets[node]), int(m.gev_offsets[node + 1])):
+            sc = int(m.gev_pos[i])
+            d = 1 if m.gev_nongap[i] else -1
+            self.fen.update(sc, d)
+            b = self._block_of(sc)
+            self.tot[b] += d
+            if self.present[b]:
+                self.bfen.update(b, d)
+            undo.append((0, sc, b, d))
+        return undo
+
+    def leave(self, undo: list):
+        for item in reversed(undo):
+            if item[0] == 0:
+                _, sc, b, d = item
+                self.fen.update(sc, -d)
+                self.tot[b] -= d
+                if self.present[b]:
+                    self.bfen.update(b, -d)
+            else:
+                _, b, (op, os) = item
+                if bool(self.present[b]) != op:
+                    self.bfen.update(b, int(self.tot[b]) if op
+                                     else -int(self.tot[b]))
+                self.present[b] = op
+                self.strand[b] = os
+
+    def _F(self, x: int) -> int:
+        """Non-gap columns at reading scalars <= x (x itself included)."""
+        b = self._block_of(x)
+        lo = int(self.block_lo[b])
+        hi = int(self.block_hi[b])
+        if self.strand[b]:
+            inblk = self.fen.range(lo, x)
+        else:
+            fx = lo + hi - x
+            inblk = self.fen.range(fx, hi)
+        return (self.bfen.prefix(b - 1) if b else 0) + inblk
+
+    def local_gap(self, a: int, b: int) -> int:
+        return abs(self._F(b) - self._F(a))
+
+
 class MetaScorer:
     """DFS scorer over the collapsed tree."""
 
@@ -598,9 +723,10 @@ class MetaScorer:
         longest chain plus same-orientation chains colinear with it
         (|qgap - rgap| < maximumGap, preset 50; mgsr.hpp:826).
 
-        Deviation: ref gaps use scalar MSA coordinates (the reference degaps
-        via its gap map); chains are rebuilt from scratch for affected reads
-        instead of incrementally patched, which is strictly more accurate."""
+        Ref gaps are degapped through the per-node gap-event stream
+        (GapTracker = the reference's gapMap + getLocalGap); chains are
+        rebuilt from scratch for affected reads instead of incrementally
+        patched, which is strictly more accurate."""
         midx = self.midx
         R = len(self.reads)
         score = np.zeros(R, dtype=np.int32)
@@ -608,8 +734,9 @@ class MetaScorer:
         cand_set = {n: i for i, n in enumerate(candidate_nodes)}
         snap = np.zeros((len(candidate_nodes), R), dtype=np.uint16)
         node_scores: dict = {}
+        gap = GapTracker(midx)
 
-        hash_pos: dict = defaultdict(dict)  # h -> {pos: refRev}
+        hash_pos: dict = defaultdict(dict)  # h -> {pos: (refRev, endPos)}
         pos_arr = np.empty(0, dtype=np.int64)  # sorted active positions
 
         def apply_row(r, sign):
@@ -619,11 +746,12 @@ class MetaScorer:
             h = int(midx.seed_hash[sid])
             rv = bool(midx.seed_rev[sid])
             p = int(midx.seed_pos[sid])
+            en = int(midx.seed_end[sid])
             isdel = bool(midx.delta_is_del[r]) ^ (sign < 0)
             d = hash_pos[h]
             i = np.searchsorted(pos_arr, p)
             if not isdel:
-                d[p] = rv
+                d[p] = (rv, en)
                 pos_arr = np.insert(pos_arr, i, p)
             else:
                 d.pop(p, None)
@@ -644,7 +772,7 @@ class MetaScorer:
                 d = hash_pos.get(h)
                 c = 1
                 if d is not None and len(d) == 1:
-                    p, refrev = next(iter(d.items()))
+                    p, (refrev, _) = next(iter(d.items()))
                     rev = bool(rvs[i]) != refrev
                     j = i
                     curp = p
@@ -653,7 +781,7 @@ class MetaScorer:
                         nd = hash_pos.get(int(hs[j + 1]))
                         if nd is None or len(nd) != 1:
                             break
-                        np_, nrefrev = next(iter(nd.items()))
+                        np_, (nrefrev, _) = next(iter(nd.items()))
                         if (bool(rvs[j + 1]) != nrefrev) != rev:
                             break
                         if rev:
@@ -678,6 +806,13 @@ class MetaScorer:
                      key=lambda x: chains[x][1] - chains[x][0])
             lb, le, lrev, lpb, lpe = chains[li]
             total = le - lb + 1
+
+            def beg_of(idx):  # active BEG scalar of read seedmer idx
+                return next(iter(hash_pos[int(hs[idx])].items()))[0]
+
+            def end_of(idx):  # active END scalar
+                return next(iter(hash_pos[int(hs[idx])].items()))[1][1]
+
             for x, (b, e, rev, pb, pe) in enumerate(chains):
                 if x == li or rev != lrev:
                     continue
@@ -685,13 +820,19 @@ class MetaScorer:
                                  else (chains[x], chains[li]))
                 f_b, f_e, _, f_pb, f_pe = first
                 s_b, s_e, _, s_pb, s_pe = second
+                # isColinearFromMinichains (mgsr.cpp:5312-5388): qgap between
+                # chain1's query end and chain2's query begin; rgap degapped
+                # via getLocalGap between the facing reference endpoints
                 qgap = abs(int(rd.qbeg[s_b]) - int(rd.qend[f_e]))
                 if not rev:
-                    rgap = abs(s_pb - f_pe)
+                    rgap = gap.local_gap(s_pb, end_of(f_e))
                     ok = f_pb < s_pb and abs(qgap - rgap) < maximum_gap
                 else:
-                    rgap = abs(f_pb - s_pe)
-                    ok = s_pb < f_pb and abs(qgap - rgap) < maximum_gap
+                    # reverse chains: chain2 sits left of chain1 on the ref;
+                    # gap spans END(chain2's first seedmer)..BEG(chain1's
+                    # last); ordering compares the chains' leftmost BEGs
+                    rgap = gap.local_gap(f_pe, end_of(s_b))
+                    ok = s_pe < f_pe and abs(qgap - rgap) < maximum_gap
                 if ok:
                     total += e - b + 1
             return total
@@ -705,18 +846,20 @@ class MetaScorer:
                     touched.update(ri.tolist())
             return touched
 
-        stack = [(0, False)]
+        stack = [(0, False, None)]
         while stack:
-            node, done = stack.pop()
+            node, done, gundo = stack.pop()
             rows = self.rows_per_node[node]
             if done:
                 for r in reversed(rows):
                     apply_row(r, -1)
+                gap.leave(gundo)
                 # scores are cached per read, so ascending must restore the
                 # parent's values for reads this node perturbed
                 for ridx in touched_reads(rows):
                     score[ridx] = chain_score(self.reads[ridx])
                 continue
+            gundo = gap.enter(node)
             touched = set()
             for r in rows:
                 apply_row(r, +1)
@@ -731,9 +874,9 @@ class MetaScorer:
             ci = cand_set.get(node)
             if ci is not None:
                 snap[ci] = score.astype(np.uint16)
-            stack.append((node, True))
+            stack.append((node, True, gundo))
             for c in reversed(self._raw_children(node)):
-                stack.append((c, False))
+                stack.append((c, False, None))
         if collect_node_scores:
             return max_score, snap, node_scores
         return max_score, snap

@@ -22,7 +22,10 @@ from ..io.panman import PanmanTree
 
 @dataclass
 class MetaIndexArrays:
-    """Flat meta index: positioned-seed table + per-node delta ranges (CSR)."""
+    """Flat meta index: positioned-seed table + per-node delta ranges (CSR),
+    plus the alignment-gap change stream that lets the runtime maintain
+    degapped coordinates (reference: gapRunDeltas/invertedBlocks +
+    seed end positions, index_lite.capnp:27-34,55-60)."""
 
     params: IndexParams
     node_ids: list
@@ -33,19 +36,34 @@ class MetaIndexArrays:
     delta_seed: np.ndarray  # i32[D] indices into the seed table
     delta_is_del: np.ndarray  # bool[D]
     node_offsets: np.ndarray  # i64[N+1]
+    # --- degap tracking (format v2; absent in v1 caches -> rebuilt) ---
+    seed_end: np.ndarray = None  # i64[S] inclusive end scalar
+    gev_offsets: np.ndarray = None  # i64[N+1] char gap-flip events CSR
+    gev_pos: np.ndarray = None  # i64[G] forward scalar
+    gev_nongap: np.ndarray = None  # bool[G] new state
+    bev_offsets: np.ndarray = None  # i64[N+1] block events CSR
+    bev_block: np.ndarray = None  # i32[B]
+    bev_code: np.ndarray = None  # i8[B] 0=off 1=on-fwd 2=on-rev
+    block_lo: np.ndarray = None  # i64[NB]
+    block_hi: np.ndarray = None  # i64[NB]
+    nongap0: np.ndarray = None  # u8 packed bits over n_scalar columns
+    n_scalar: int = 0
 
 
 _EMPTY_NODE = (np.empty(0, np.int64), np.empty(0, np.uint64),
-               np.empty(0, bool), np.empty(0, bool))
+               np.empty(0, bool), np.empty(0, bool), np.empty(0, np.int64))
+_EMPTY_GAPS = (np.empty(0, np.int64), np.empty(0, bool),
+               np.empty(0, np.int32), np.empty(0, np.int8))
 
 
 def _meta_node_delta(parent_state, child_state):
     """Vectorized positioned-seed delta between parent and child states:
-    returns (pos, hash, rev, is_del) arrays ordered by position with
+    returns (pos, hash, rev, is_del, end) arrays ordered by position with
     deletions before additions at equal positions (the merge order of the
     reference's per-position walk)."""
     p_hash, p_rev, p_pos = parent_state[5], parent_state[6], parent_state[7]
     c_hash, c_rev, c_pos = child_state[5], child_state[6], child_state[7]
+    p_end, c_end = parent_state[8], child_state[8]
     np_, nc = len(p_pos), len(c_pos)
     if np_ == 0 and nc == 0:
         return _EMPTY_NODE
@@ -68,10 +86,11 @@ def _meta_node_delta(parent_state, child_state):
     pos = np.concatenate([p_pos[dm], c_pos[am]]).astype(np.int64)
     hsh = np.concatenate([p_hash[dm], c_hash[am]]).astype(np.uint64)
     rev = np.concatenate([p_rev[dm], c_rev[am]]).astype(bool)
+    end = np.concatenate([p_end[dm], c_end[am]]).astype(np.int64)
     isdel = np.concatenate([np.ones(int(dm.sum()), bool),
                             np.zeros(int(am.sum()), bool)])
     order = np.lexsort((~isdel, pos))  # ties: deletion first
-    return pos[order], hsh[order], rev[order], isdel[order]
+    return pos[order], hsh[order], rev[order], isdel[order], end[order]
 
 
 # fork-inherited worker context for build_meta_index(workers > 1)
@@ -83,23 +102,41 @@ def _meta_range_worker(rng):
     tree = _META_PAR_CTX["tree"]
     params = _META_PAR_CTX["params"]
     deltas: dict = {}
+    gaps: dict = {}
 
     def emit(dfs_index, parent_state, child_state, changed):
         if a <= dfs_index < b:
             deltas[dfs_index] = (_EMPTY_NODE if not changed
                                  else _meta_node_delta(parent_state, child_state))
 
-    run_dfs(tree, params, emit, dfs_range=(a, b))
+    def gap_emit(dfs_index, ch_pos, ch_ng, b_id, b_code):
+        if a <= dfs_index < b and (ch_pos or b_id):
+            gaps[dfs_index] = (np.asarray(ch_pos, np.int64),
+                               np.asarray(ch_ng, bool),
+                               np.asarray(b_id, np.int32),
+                               np.asarray(b_code, np.int8))
+
+    run_dfs(tree, params, emit, dfs_range=(a, b), gap_emit=gap_emit)
     pos = np.concatenate([deltas[i][0] for i in range(a, b)]) if b > a else np.empty(0, np.int64)
     hsh = np.concatenate([deltas[i][1] for i in range(a, b)]) if b > a else np.empty(0, np.uint64)
     rev = np.concatenate([deltas[i][2] for i in range(a, b)]) if b > a else np.empty(0, bool)
     isdel = np.concatenate([deltas[i][3] for i in range(a, b)]) if b > a else np.empty(0, bool)
+    end = np.concatenate([deltas[i][4] for i in range(a, b)]) if b > a else np.empty(0, np.int64)
     sizes = np.array([len(deltas[i][0]) for i in range(a, b)], dtype=np.int64)
-    return a, pos, hsh, rev, isdel, sizes
+    gl = [gaps.get(i, _EMPTY_GAPS) for i in range(a, b)]
+    gpos = np.concatenate([g[0] for g in gl]) if gl else np.empty(0, np.int64)
+    gng = np.concatenate([g[1] for g in gl]) if gl else np.empty(0, bool)
+    bid = np.concatenate([g[2] for g in gl]) if gl else np.empty(0, np.int32)
+    bcode = np.concatenate([g[3] for g in gl]) if gl else np.empty(0, np.int8)
+    gsizes = np.array([len(g[0]) for g in gl], dtype=np.int64)
+    bsizes = np.array([len(g[2]) for g in gl], dtype=np.int64)
+    return a, pos, hsh, rev, isdel, end, sizes, gpos, gng, bid, bcode, gsizes, bsizes
 
 
 def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
                      progress=None, workers: int = 0) -> MetaIndexArrays:
+    from ..index.builder import GAP, ScalarSpace
+
     params = params or IndexParams()
     n_nodes = len(tree.dfs_order)
 
@@ -122,28 +159,57 @@ def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
         hash_all = np.concatenate([r[2] for r in results])
         rev_all = np.concatenate([r[3] for r in results])
         del_all = np.concatenate([r[4] for r in results])
-        sizes = np.concatenate([r[5] for r in results])
+        end_all = np.concatenate([r[5] for r in results])
+        sizes = np.concatenate([r[6] for r in results])
+        gev_pos = np.concatenate([r[7] for r in results])
+        gev_ng = np.concatenate([r[8] for r in results])
+        bev_block = np.concatenate([r[9] for r in results])
+        bev_code = np.concatenate([r[10] for r in results])
+        gsizes = np.concatenate([r[11] for r in results])
+        bsizes = np.concatenate([r[12] for r in results])
     else:
         node_deltas: list = [_EMPTY_NODE] * n_nodes
+        node_gaps: list = [_EMPTY_GAPS] * n_nodes
 
         def emit(dfs_index, parent_state, child_state, changed):
             if changed:
                 node_deltas[dfs_index] = _meta_node_delta(parent_state,
                                                           child_state)
 
-        run_dfs(tree, params, emit, progress)
+        def gap_emit(dfs_index, ch_pos, ch_ng, b_id, b_code):
+            if ch_pos or b_id:
+                node_gaps[dfs_index] = (np.asarray(ch_pos, np.int64),
+                                        np.asarray(ch_ng, bool),
+                                        np.asarray(b_id, np.int32),
+                                        np.asarray(b_code, np.int8))
+
+        run_dfs(tree, params, emit, progress, gap_emit=gap_emit)
         pos_all = np.concatenate([d[0] for d in node_deltas])
         hash_all = np.concatenate([d[1] for d in node_deltas])
         rev_all = np.concatenate([d[2] for d in node_deltas])
         del_all = np.concatenate([d[3] for d in node_deltas])
+        end_all = np.concatenate([d[4] for d in node_deltas])
         sizes = np.array([len(d[0]) for d in node_deltas], dtype=np.int64)
+        gev_pos = np.concatenate([g[0] for g in node_gaps])
+        gev_ng = np.concatenate([g[1] for g in node_gaps])
+        bev_block = np.concatenate([g[2] for g in node_gaps])
+        bev_code = np.concatenate([g[3] for g in node_gaps])
+        gsizes = np.array([len(g[0]) for g in node_gaps], dtype=np.int64)
+        bsizes = np.array([len(g[2]) for g in node_gaps], dtype=np.int64)
 
     node_offsets = np.zeros(n_nodes + 1, dtype=np.int64)
     node_offsets[1:] = np.cumsum(sizes)
+    gev_offsets = np.zeros(n_nodes + 1, dtype=np.int64)
+    gev_offsets[1:] = np.cumsum(gsizes)
+    bev_offsets = np.zeros(n_nodes + 1, dtype=np.int64)
+    bev_offsets[1:] = np.cumsum(bsizes)
 
-    # global interning of (pos, hash, rev) -> seed id, vectorized
+    # global interning of (pos, hash, rev) -> seed id, vectorized; the end
+    # coordinate rides with the first occurrence (the reference's seedInfos
+    # are unique records with start+end)
     order = np.lexsort((rev_all, hash_all, pos_all))
     sp, sh, sr = pos_all[order], hash_all[order], rev_all[order]
+    se = end_all[order]
     if len(sp):
         first = np.concatenate(([True], (sp[1:] != sp[:-1])
                                 | (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])))
@@ -157,6 +223,10 @@ def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
     for node in tree.dfs_order:
         parent_index[node.dfs_index] = node.parent.dfs_index if node.parent else 0
 
+    space = ScalarSpace(tree)
+    nongap0 = np.packbits((space.char0 != GAP).astype(np.uint8),
+                          bitorder="little")
+
     return MetaIndexArrays(
         params=params,
         node_ids=[n.identifier for n in tree.dfs_order],
@@ -167,10 +237,21 @@ def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
         delta_seed=delta_seed,
         delta_is_del=del_all,
         node_offsets=node_offsets,
+        seed_end=se[first],
+        gev_offsets=gev_offsets,
+        gev_pos=gev_pos,
+        gev_nongap=gev_ng,
+        bev_offsets=bev_offsets,
+        bev_block=bev_block,
+        bev_code=bev_code,
+        block_lo=space.block_ranges[:, 0].astype(np.int64),
+        block_hi=space.block_ranges[:, 1].astype(np.int64),
+        nongap0=nongap0,
+        n_scalar=space.n,
     )
 
 
-META_FORMAT_VERSION = 1
+META_FORMAT_VERSION = 2
 
 
 def save_meta_index(path: str, idx: MetaIndexArrays):
@@ -179,6 +260,7 @@ def save_meta_index(path: str, idx: MetaIndexArrays):
         "k": idx.params.k, "s": idx.params.s, "t": idx.params.t,
         "l": idx.params.l, "open": idx.params.open, "hpc": idx.params.hpc,
         "flank_mask_bp": idx.params.flank_mask_bp,
+        "n_scalar": idx.n_scalar,
     }
     np.savez(
         path,
@@ -191,6 +273,16 @@ def save_meta_index(path: str, idx: MetaIndexArrays):
         delta_seed=idx.delta_seed,
         delta_is_del=idx.delta_is_del,
         node_offsets=idx.node_offsets,
+        seed_end=idx.seed_end,
+        gev_offsets=idx.gev_offsets,
+        gev_pos=idx.gev_pos,
+        gev_nongap=idx.gev_nongap,
+        bev_offsets=idx.bev_offsets,
+        bev_block=idx.bev_block,
+        bev_code=idx.bev_code,
+        block_lo=idx.block_lo,
+        block_hi=idx.block_hi,
+        nongap0=idx.nongap0,
     )
 
 
@@ -219,4 +311,15 @@ def load_meta_index(path: str) -> MetaIndexArrays:
         delta_seed=z["delta_seed"],
         delta_is_del=z["delta_is_del"],
         node_offsets=z["node_offsets"],
+        seed_end=z["seed_end"],
+        gev_offsets=z["gev_offsets"],
+        gev_pos=z["gev_pos"],
+        gev_nongap=z["gev_nongap"],
+        bev_offsets=z["bev_offsets"],
+        bev_block=z["bev_block"],
+        bev_code=z["bev_code"],
+        block_lo=z["block_lo"],
+        block_hi=z["block_hi"],
+        nongap0=z["nongap0"],
+        n_scalar=header["n_scalar"],
     )
