@@ -90,7 +90,7 @@ def ensure_meta_index(cfg: MetaConfig, tree=None):
     t0 = time.time()
     midx = build_meta_index(
         tree, IndexParams(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open),
-        workers=cfg.threads)
+        workers=cfg.threads or (os.cpu_count() or 1))
     cfg.log(f"[meta-index] built in {time.time()-t0:.1f}s "
             f"({len(midx.delta_seed)} deltas, {len(midx.seed_hash)} seeds)")
     try:

@@ -127,7 +127,7 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
         bar.update(done - bar.n)
 
     idx = build_index(tree, IndexParams(**want), progress=_prog,
-                      workers=cfg.threads)
+                      workers=cfg.threads or (os.cpu_count() or 1))
     if "bar" in prog_state:
         prog_state["bar"].close()
     cfg.log(f"[index] built in {time.time()-t0:.1f}s "
