@@ -222,6 +222,7 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
         return 0
 
     cand_names = [midx.node_ids[n] for n in candidates]
+    t0 = time.time()
     res = run_squarem(
         snap, read_lens, weights, cand_names,
         eta=cfg.em_convergence_threshold,
@@ -229,6 +230,10 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
         max_iterations=cfg.em_maximum_iterations,
         max_rounds=cfg.em_maximum_rounds,
     )
+    em_dt = time.time() - t0
+    if res.n_iterations:
+        cfg.log(f"[meta] EM: {res.n_iterations} SQUAREM steps in {em_dt:.1f}s "
+                f"({res.n_iterations / max(em_dt, 1e-9):.0f} iters/s)")
 
     # identical-member expansion: collapsed-away nodes ride with their keeper
     id_to_index = {nm: i for i, nm in enumerate(midx.node_ids)}

@@ -944,6 +944,7 @@ class EMResult:
     node_names: list  # representative per column
     props: np.ndarray
     identical_groups: dict  # representative -> [other node names]
+    n_iterations: int = 0  # SQUAREM steps across rounds (each = 2 EM steps)
 
 
 _MASKED_EM_CACHE: dict = {}
@@ -1017,10 +1018,10 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
 
         n_alive = jnp.sum(alive)
         p0 = jnp.where(alive, 1.0 / jnp.maximum(n_alive, 1), 0.0)
-        p, _, _, _ = jax.lax.while_loop(
+        p, _, it, _ = jax.lax.while_loop(
             cond, body,
             (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False)))
-        return p
+        return p, it
 
     _MASKED_EM_CACHE[key] = run
     return run
@@ -1096,9 +1097,11 @@ def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
     alive = np.zeros(Mpad, dtype=bool)
     alive[:Mk] = True
     p_np = np.zeros(Mpad)
+    total_iters = 0
     for _round in range(max_rounds):
-        p_np = np.asarray(fn(S_pad, lens_pad, w_pad, jnp.asarray(alive)),
-                          dtype=np.float64)
+        p_dev, it_dev = fn(S_pad, lens_pad, w_pad, jnp.asarray(alive))
+        p_np = np.asarray(p_dev, dtype=np.float64)
+        total_iters += int(it_dev)
         passed = alive & (p_np >= PROP_THRESHOLD_TO_REMOVE)
         if passed.sum() == alive.sum():
             break
@@ -1109,7 +1112,8 @@ def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
     return EMResult(
         node_names=[nm for nm, ok in zip(names, sel) if ok],
         props=p_np[:Mk][sel],
-        identical_groups=dict(identical_groups))
+        identical_groups=dict(identical_groups),
+        n_iterations=total_iters)
 
 
 def run_squarem(score_matrix, read_lens: np.ndarray,

@@ -83,9 +83,9 @@ def test_sharded_em_matches_single_device():
     alive = np.ones(8, dtype=bool)
 
     single = _get_masked_squarem(8, 512, 1e-5, 0.0, 500)
-    p1 = np.asarray(single(jnp.asarray(Srm), jnp.asarray(lens.astype(np.int32)),
-                           jnp.asarray(w.astype(np.float32)),
-                           jnp.asarray(alive)))
+    p1, _ = single(jnp.asarray(Srm), jnp.asarray(lens.astype(np.int32)),
+                   jnp.asarray(w.astype(np.float32)), jnp.asarray(alive))
+    p1 = np.asarray(p1)
 
     mesh = make_mesh(8)
     fn = make_sharded_em_fn(mesh, eta=1e-5, max_iterations=500)
