@@ -57,6 +57,11 @@ def _enable_compile_cache():
     path = os.environ.get("PANMAP_TPU_COMPILE_CACHE")
     if path == "":
         return
+    # CPU runs (tests, the driver's virtual-mesh dryruns) compile fast and
+    # XLA:CPU AOT cache entries are machine-feature-pinned — reusing them on
+    # a different host risks SIGILL, so only cache for accelerator backends
+    if path is None and os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache", "panmap_tpu",
                             "jaxcache")
