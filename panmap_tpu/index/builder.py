@@ -120,6 +120,7 @@ class ScalarSpace:
         self.n = cur
         self.nb = nb
         self.block_len = [len(self.main_scalar[b]) + 1 for b in range(nb)]  # incl. sentinel
+        self.block_len_arr = np.asarray(self.block_len, dtype=np.int64)
 
     def scalar_of(self, block: int, nuc_pos: int, gap_pos: int) -> int:
         """-1 if the coordinate is out of range / the sentinel."""
@@ -132,6 +133,28 @@ class ScalarSpace:
         if start is None:
             return -1
         return start + gap_pos
+
+    def flat_lookup(self):
+        """Vectorized twin of scalar_of: (ms_flat, ms_off, gap_key sorted,
+        gap_start) — ms_flat[ms_off[b] + npos] for main coords; gap starts
+        via searchsorted on key = b << 32 | nuc_pos.  Built lazily."""
+        if not hasattr(self, "_flat"):
+            ms_off = np.zeros(self.nb + 1, dtype=np.int64)
+            for b in range(self.nb):
+                ms_off[b + 1] = ms_off[b] + len(self.main_scalar[b])
+            ms_flat = (np.concatenate(self.main_scalar)
+                       if self.nb else np.empty(0, np.int64))
+            keys = []
+            starts = []
+            for b in range(self.nb):
+                for p, st in self.gap_scalar_start[b].items():
+                    keys.append((b << 32) | p)
+                    starts.append(st)
+            gk = np.asarray(keys, dtype=np.int64)
+            gs = np.asarray(starts, dtype=np.int64)
+            order = np.argsort(gk)
+            self._flat = (ms_flat, ms_off, gk[order], gs[order])
+        return self._flat
 
 
 class _BuildFrame:
@@ -178,6 +201,138 @@ def subtree_ends(tree: PanmanTree) -> np.ndarray:
             if end[node.dfs_index] > end[p]:
                 end[p] = end[node.dfs_index]
     return end
+
+
+def _apply_nuc_legacy(node, space, chars, block_exists, block_strand,
+                      reading_scalar, params, old_exists, old_strand,
+                      undo_chars, edits):
+    """Scalar nuc-mutation application (panmap_utils.hpp:725-878) — the
+    oracle for _apply_nuc_fast and the path for --impute / duplicate-scalar
+    nodes."""
+    for nm in node.nuc_mutations:
+        bid = nm.block_id
+        blen = space.block_len[bid]
+        b_old_exists = old_exists.get(bid, bool(block_exists[bid]))
+        b_old_strand = old_strand.get(bid, bool(block_strand[bid]))
+        last_offset_sc = -1
+        first_offset_sc = -1
+        for i in range(nm.length):
+            if nm.nuc_gap_position == -1:
+                npos, gpos = nm.nuc_position + i, -1
+                # skip the sentinel main slot / out-of-range (panmap_utils.hpp:792-794)
+                if npos == blen - 1 or npos >= blen:
+                    continue
+            else:
+                npos, gpos = nm.nuc_position, nm.nuc_gap_position + i
+                if npos >= blen:
+                    continue
+            sc = space.scalar_of(bid, npos, gpos)
+            if sc < 0:
+                continue
+            rs = reading_scalar(sc, bid)
+            if first_offset_sc == -1:
+                first_offset_sc = rs
+            last_offset_sc = rs
+            old = int(chars[sc])
+            new = int(NUC_CODE_BYTE[nm.codes[i]])
+            if old == new:
+                continue
+            if params.impute_amb and _canonical_to_amb(old, new):
+                continue
+            undo_chars.append((sc, old))
+            chars[sc] = new
+            # potentialSyncmerDeletions (panmap_utils.hpp:810-823)
+            if (new == GAP and b_old_exists and block_exists[bid]
+                    and block_strand[bid] == b_old_strand):
+                edits.potential_dels.append(rs)
+        # nuc mutation range (panmap_utils.hpp:834-841)
+        if (last_offset_sc != -1 and block_exists[bid] and b_old_exists
+                and block_strand[bid] == b_old_strand):
+            a, b = sorted((first_offset_sc, last_offset_sc))
+            edits.spans.append([a, b])
+
+
+def _apply_nuc_fast(node, space, chars, block_exists, block_strand, br,
+                    old_exists, old_strand, undo_chars, edits) -> bool:
+    """Vectorized twin of _apply_nuc_legacy over the node's nm_* arrays.
+    Returns False (having changed nothing) when the node mutates the same
+    scalar twice — sequential semantics then require the legacy walk."""
+    n_mut = len(node.nm_block)
+    if n_mut == 0:
+        return True
+    nmb = node.nm_block.astype(np.int64)
+    nmp = node.nm_pos.astype(np.int64)
+    nmg = node.nm_gap.astype(np.int64)
+    nmk = node.nm_packed.astype(np.int64)
+    lens_ = (nmk & 0xFF) >> 4
+    T = int(lens_.sum())
+    if T == 0:
+        return True
+    rec = np.repeat(np.arange(n_mut), lens_)
+    off = np.arange(T) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens_)[:-1])), lens_)
+    bidv = nmb[rec]
+    isg = nmg[rec] != -1
+    npos = np.where(isg, nmp[rec], nmp[rec] + off)
+    blenv = space.block_len_arr[bidv]
+    code = (nmk[rec] >> (8 + 4 * (lens_[rec] - 1 - off))) & 0xF
+    ms_flat, ms_off, gkey, gstart = space.flat_lookup()
+    sc = np.full(T, -1, np.int64)
+    main_rows = (~isg) & (npos < blenv - 1)
+    sc[main_rows] = ms_flat[ms_off[bidv[main_rows]] + npos[main_rows]]
+    gap_rows = isg & (npos < blenv)
+    if gap_rows.any():
+        key = (bidv[gap_rows] << 32) | npos[gap_rows]
+        if len(gkey):
+            ii = np.minimum(np.searchsorted(gkey, key), len(gkey) - 1)
+            found = gkey[ii] == key
+            sc[gap_rows] = np.where(
+                found, gstart[ii] + nmg[rec[gap_rows]] + off[gap_rows], -1)
+    valid = sc >= 0
+    vrows = np.flatnonzero(valid)
+    if len(vrows) == 0:
+        return True
+    scv = sc[vrows]
+    su = np.unique(scv)
+    if len(su) != len(scv):
+        return False  # duplicate scalar in one node: sequential semantics
+    # per-record old block state (dicts are tiny)
+    bo_ex = np.fromiter(
+        (old_exists.get(int(b), bool(block_exists[b])) for b in nmb),
+        bool, n_mut)
+    bo_st = np.fromiter(
+        (old_strand.get(int(b), bool(block_strand[b])) for b in nmb),
+        bool, n_mut)
+    lo = br[bidv, 0]
+    hi = br[bidv, 1]
+    strandv = block_strand[bidv]
+    rs_ = np.where(strandv, sc, lo + hi - sc)
+    # char changes, in row order
+    oldv = chars[scv]
+    newv = NUC_CODE_BYTE[code[vrows]]
+    chg = oldv != newv
+    crows = vrows[chg]
+    if len(crows):
+        undo_chars.extend(zip(scv[chg].tolist(), oldv[chg].tolist()))
+        chars[scv[chg]] = newv[chg]
+        pd = ((newv[chg] == GAP) & bo_ex[rec[crows]]
+              & block_exists[bidv[crows]]
+              & (block_strand[bidv[crows]] == bo_st[rec[crows]]))
+        edits.potential_dels.extend(rs_[crows[pd]].tolist())
+    # per-record spans over VALID offsets (first/last in offset order)
+    vrec = rec[vrows]
+    firsts = np.concatenate(([True], vrec[1:] != vrec[:-1]))
+    lasts = np.concatenate((firsts[1:], [True]))
+    f_idx = vrows[firsts]
+    l_idx = vrows[lasts]
+    recs_u = vrec[firsts]
+    keepspan = (block_exists[nmb[recs_u]] & bo_ex[recs_u]
+                & (block_strand[nmb[recs_u]] == bo_st[recs_u]))
+    a_sp = np.minimum(rs_[f_idx], rs_[l_idx])
+    b_sp = np.maximum(rs_[f_idx], rs_[l_idx])
+    for rr in np.flatnonzero(keepspan).tolist():
+        edits.spans.append([int(a_sp[rr]), int(b_sp[rr])])
+    return True
 
 
 def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
@@ -227,7 +382,7 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         undo_chars: list[tuple[int, int]] = []
         undo_blocks: list[tuple[int, bool, bool]] = []
         edits = _NodeEdits(spans=[], potential_dels=[], blocks_turned_off=[])
-        if not node.block_mutations and not node.nuc_mutations:
+        if not node.block_mutations and len(node.nm_block) == 0:
             identical[node.dfs_index] = True
             return undo_chars, undo_blocks, edits
 
@@ -252,47 +407,12 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             # whole block becomes a mutation range (reading-scalar span)
             edits.spans.append([int(br[bid, 0]), int(br[bid, 1])])
 
-        for nm in node.nuc_mutations:
-            bid = nm.block_id
-            blen = space.block_len[bid]
-            b_old_exists = old_exists.get(bid, bool(block_exists[bid]))
-            b_old_strand = old_strand.get(bid, bool(block_strand[bid]))
-            last_offset_sc = -1
-            first_offset_sc = -1
-            for i in range(nm.length):
-                if nm.nuc_gap_position == -1:
-                    npos, gpos = nm.nuc_position + i, -1
-                    # skip the sentinel main slot / out-of-range (panmap_utils.hpp:792-794)
-                    if npos == blen - 1 or npos >= blen:
-                        continue
-                else:
-                    npos, gpos = nm.nuc_position, nm.nuc_gap_position + i
-                    if npos >= blen:
-                        continue
-                sc = space.scalar_of(bid, npos, gpos)
-                if sc < 0:
-                    continue
-                rs = reading_scalar(sc, bid)
-                if first_offset_sc == -1:
-                    first_offset_sc = rs
-                last_offset_sc = rs
-                old = int(chars[sc])
-                new = int(NUC_CODE_BYTE[nm.codes[i]])
-                if old == new:
-                    continue
-                if params.impute_amb and _canonical_to_amb(old, new):
-                    continue
-                undo_chars.append((sc, old))
-                chars[sc] = new
-                # potentialSyncmerDeletions (panmap_utils.hpp:810-823)
-                if (new == GAP and b_old_exists and block_exists[bid]
-                        and block_strand[bid] == b_old_strand):
-                    edits.potential_dels.append(rs)
-            # nuc mutation range (panmap_utils.hpp:834-841)
-            if (last_offset_sc != -1 and block_exists[bid] and b_old_exists
-                    and block_strand[bid] == b_old_strand):
-                a, b = sorted((first_offset_sc, last_offset_sc))
-                edits.spans.append([a, b])
+        if params.impute_amb or not _apply_nuc_fast(
+                node, space, chars, block_exists, block_strand, br,
+                old_exists, old_strand, undo_chars, edits):
+            _apply_nuc_legacy(node, space, chars, block_exists, block_strand,
+                              reading_scalar, params, old_exists, old_strand,
+                              undo_chars, edits)
         return undo_chars, undo_blocks, edits
 
     def gap_events(dfs_index, undo_chars, undo_blocks):

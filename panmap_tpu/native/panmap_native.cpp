@@ -897,7 +897,7 @@ static int banded_affine_dp(const uint8_t* q, int lq, const uint8_t* r,
                 --i;
             else {
                 --i;
-                state = 'F' == state ? 'H' : 'H';
+                state = 'H';
             }
         }
     }
