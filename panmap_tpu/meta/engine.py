@@ -972,20 +972,25 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
     def run(S, lens, w, alive):
         Sf = S.astype(jnp.float32)
         lp = (lens.astype(jnp.float32)[:, None] - Sf) * log_err + Sf * log_1me
+        # row-scaled probabilities, computed ONCE: every EM/llh step is then
+        # two matvecs over the resident [R, M] plane (MXU work) instead of a
+        # fresh log/exp sweep per iteration.  Row scaling cancels in the
+        # responsibilities; llh re-adds the constant.  Dead columns get
+        # Ps == 0 (and p == 0), removing them from every sum exactly like
+        # the log(p) = -inf formulation this replaces.
+        lpm = jnp.where(alive[None, :], lp, -jnp.inf)
+        mx = jnp.max(lpm, axis=1, keepdims=True)
+        Ps = jnp.exp(lpm - mx)
         wsum = jnp.sum(w)
 
         def em(p):
-            lg = lp + jnp.log(p)[None, :]
-            mx = jnp.max(lg, axis=1, keepdims=True)
-            e = jnp.exp(lg - mx)
-            den = jnp.sum(e, axis=1, keepdims=True)
-            return jnp.sum(w[:, None] * (e / den), axis=0) / wsum
+            den = Ps @ p
+            u = w / jnp.maximum(den, 1e-30)
+            return ((u @ Ps) * p) / wsum
 
         def llh(p):
-            lg = lp + jnp.log(p)[None, :]
-            mx = jnp.max(lg, axis=1)
-            return jnp.sum(w * (mx + jnp.log(
-                jnp.sum(jnp.exp(lg - mx[:, None]), axis=1))))
+            den = Ps @ p
+            return jnp.sum(w * (mx[:, 0] + jnp.log(jnp.maximum(den, 1e-30))))
 
         def norm(p):
             p = jnp.where(alive, jnp.maximum(p, 1e-12), 0.0)
@@ -995,8 +1000,13 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
             _, _, it, done = carry
             return (~done) & (it < max_iterations)
 
-        def body(carry):
-            p0, cur, it, _ = carry
+        def step_one(carry):
+            """One SQUAREM step, masked by the done/max-iteration state so
+            several can be unrolled per while iteration (the remote backend
+            pays tens of ms of dispatch per while step; converged sub-steps
+            become exact no-ops)."""
+            p0, cur, it, done = carry
+            active = (~done) & (it < max_iterations)
             p1 = norm(em(p0))
             p2 = norm(em(p1))
             r = p1 - p0
@@ -1011,10 +1021,18 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
             ln = jnp.where(use_sq, lsq, l2)
             diff = ln - cur
             if mct == 0:
-                done = jnp.abs(diff) < eta32
+                stop = jnp.abs(diff) < eta32
             else:
-                done = jnp.max(jnp.abs(pn - p0)) < mct
-            return pn, ln, it + 1, done
+                stop = jnp.max(jnp.abs(pn - p0)) < mct
+            return (jnp.where(active, pn, p0),
+                    jnp.where(active, ln, cur),
+                    it + active.astype(jnp.int32),
+                    done | (active & stop))
+
+        def body(carry):
+            for _ in range(8):
+                carry = step_one(carry)
+            return carry
 
         n_alive = jnp.sum(alive)
         p0 = jnp.where(alive, 1.0 / jnp.maximum(n_alive, 1), 0.0)
