@@ -59,9 +59,17 @@ def _enable_compile_cache():
         return
     # CPU runs (tests, the driver's virtual-mesh dryruns) compile fast and
     # XLA:CPU AOT cache entries are machine-feature-pinned — reusing them on
-    # a different host risks SIGILL, so only cache for accelerator backends
-    if path is None and os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        return
+    # a different host risks SIGILL, so only cache when an accelerator
+    # backend is actually in play (explicit platform or a device hint)
+    if path is None:
+        platforms = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+        accel_hint = (
+            (platforms and platforms != "cpu")
+            or os.environ.get("PALLAS_AXON_POOL_IPS")
+            or os.environ.get("TPU_NAME")
+            or os.path.exists("/dev/accel0"))
+        if not accel_hint:
+            return
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache", "panmap_tpu",
                             "jaxcache")

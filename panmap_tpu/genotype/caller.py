@@ -541,7 +541,6 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
             continue
         alleles = [r4] + alt_order
 
-        p55 = None  # homozygous diagonal comes from DIAG[gi]
         col_bsum = BSUM[gi]
         base_counts = BCF[gi]
         na = len(alleles)

@@ -634,9 +634,23 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         # ---- k-min-mers over the position-sorted syncmer list ----
         km, valid, km_rev = kminmer_hashes_oriented(child_hash, k, l, child_rev)
         km_pos = child_pos[: len(km)][valid]
-        # end = last member syncmer's k-mer end (seedInfos endPos,
-        # index_lite.capnp:28-29)
-        km_end = child_pos[l - 1 : l - 1 + len(km)][valid] + (k - 1)
+        # end = scalar of the last member syncmer's k-mer's LAST BASE
+        # (seedInfos endPos, index_lite.capnp:28-29): the k-mer covers k
+        # NON-GAP characters, so walk k-1 steps on the current node's
+        # non-gap grid (nz), not in raw scalar arithmetic — gap columns
+        # inside the terminal k-mer would otherwise shrink the recorded
+        # span and miscount pseudochain rgaps.  Seeds preserved verbatim in
+        # hard-masked flanks may sit off the current grid; those keep the
+        # plain-arithmetic end (their creating node's grid is gone).
+        last_start = child_pos[l - 1 : l - 1 + len(km)][valid]
+        if len(last_start) and nnz:
+            ii = np.searchsorted(nz, last_start)
+            iic = np.minimum(ii, nnz - 1)
+            on_grid = (nz[iic] == last_start) & (iic + k - 1 < nnz)
+            km_end = np.where(on_grid, nz[np.minimum(iic + k - 1, nnz - 1)],
+                              last_start + (k - 1))
+        else:
+            km_end = last_start + (k - 1)
         km_hash = km[valid]
         km_rev = km_rev[valid]
         uniq, counts = np.unique(km_hash, return_counts=True)

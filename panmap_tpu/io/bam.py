@@ -136,14 +136,7 @@ def _encode_records_batch(records: list) -> bytes:
         (sum(ln for ln, op in r["cigar"] if op in "MDN=X") for r in records),
         np.int64, nrec)
     end = pos + np.maximum(ref_span, 1) - 1  # inclusive end (= _reg2bin's)
-    bins = np.zeros(nrec, np.int64)
-    done = np.zeros(nrec, bool)
-    for shift, base in ((14, ((1 << 15) - 1) // 7), (17, ((1 << 12) - 1) // 7),
-                        (20, ((1 << 9) - 1) // 7), (23, ((1 << 6) - 1) // 7),
-                        (26, ((1 << 3) - 1) // 7)):
-        hit = ~done & ((pos >> shift) == (end >> shift))
-        bins[hit] = base + (pos[hit] >> shift)
-        done |= hit
+    bins = _reg2bin_vec(pos, end)
     out = []
     pk = struct.pack
     for i, r in enumerate(records):
@@ -191,7 +184,11 @@ def write_bam(path: str, ref_name: str, ref_len: int, records: list,
     if records:
         stream += _encode_records_batch(records)
     with open(path, "wb") as fh:
-        fh.write(_bgzf_compress_parallel(stream, level=6))
+        # compress+write in bounded slices so peak memory stays O(slice),
+        # not O(2x BAM) (BGZF blocks are independent)
+        SLICE = 64 * 65000
+        for o in range(0, len(stream), SLICE):
+            fh.write(_bgzf_compress_parallel(stream[o:o + SLICE], level=6))
         fh.write(BGZF_EOF)
     if write_bai:
         _write_bai(path + ".bai", records, ref_len)

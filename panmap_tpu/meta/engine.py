@@ -807,9 +807,6 @@ class MetaScorer:
             lb, le, lrev, lpb, lpe = chains[li]
             total = le - lb + 1
 
-            def beg_of(idx):  # active BEG scalar of read seedmer idx
-                return next(iter(hash_pos[int(hs[idx])].items()))[0]
-
             def end_of(idx):  # active END scalar
                 return next(iter(hash_pos[int(hs[idx])].items()))[1][1]
 

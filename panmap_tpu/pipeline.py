@@ -163,6 +163,18 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
         freq = sketch_reads_quality(
             qseqs, quals, p.k, p.s, p.t, p.l, p.open, cfg.min_seed_quality,
             trim_start=cfg.trim_start, trim_end=cfg.trim_end)
+    elif cfg.seed_mask_fraction > 0:
+        # top-fraction masking breaks count ties by scan/insertion order
+        # (placement.cpp:1760-1800); the native sketcher returns hash-table
+        # order, so use the order-preserving python path here
+        from .place.engine import _sketch_reads_py
+        from .sketch.cpu import hpc_compress
+
+        mseqs = [hpc_compress(x) for x in seqs] if p.hpc else seqs
+        freq = _sketch_reads_py(mseqs, p.k, p.s, p.t, p.l, p.open,
+                                dedup_reads=cfg.dedup_reads,
+                                trim_start=cfg.trim_start,
+                                trim_end=cfg.trim_end)
     else:
         freq = sketch_reads(seqs, p.k, p.s, p.t, p.l, p.open,
                             dedup_reads=cfg.dedup_reads, trim_start=cfg.trim_start,
@@ -773,11 +785,27 @@ def _run_pipeline_inner(cfg: PipelineConfig):
     # serially, main.cpp:1771)
     tree_future = None
     if tree is None and cfg.stop not in ("place",):
-        import concurrent.futures as _cf
+        import threading as _th
 
-        _ex = _cf.ThreadPoolExecutor(1)
-        tree_future = _ex.submit(load_panman, cfg.panman)
-        _ex.shutdown(wait=False)
+        _box = {}
+
+        def _load():
+            try:
+                _box["tree"] = load_panman(cfg.panman)
+            except Exception as exc:  # surfaced at result() time
+                _box["err"] = exc
+
+        _t = _th.Thread(target=_load, daemon=True)  # daemon: an early
+        _t.start()                                  # failure must not block exit
+
+        class _Fut:
+            def result(self):
+                _t.join()
+                if "err" in _box:
+                    raise _box["err"]
+                return _box["tree"]
+
+        tree_future = _Fut()
     if cfg.reference_node:
         # main.cpp:2473-2475: skip placement, force the reference node
         cfg.log(f"[place] placement skipped, forced reference {cfg.reference_node}")
@@ -806,8 +834,10 @@ def _run_pipeline_inner(cfg: PipelineConfig):
     if cfg.stop == "align":
         bam_join()
         return
-    final = run_genotyping(cfg, idx, ref, best_id, placed)
-    bam_join()
+    try:
+        final = run_genotyping(cfg, idx, ref, best_id, placed)
+    finally:
+        bam_join()  # never leave the writer thread orphaned on an error
     if cfg.stop == "genotype":
         return
     run_consensus(cfg, ref, best_id, final)
