@@ -251,7 +251,7 @@ def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
     )
 
 
-META_FORMAT_VERSION = 2
+META_FORMAT_VERSION = 3  # v3: seed ends walk the non-gap grid
 
 
 def save_meta_index(path: str, idx: MetaIndexArrays):
