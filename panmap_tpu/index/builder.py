@@ -158,14 +158,17 @@ class ScalarSpace:
 
 
 class _BuildFrame:
-    __slots__ = ("node", "child_iter", "undo_chars", "undo_blocks", "state")
+    __slots__ = ("node", "child_iter", "undo_chars", "undo_blocks", "state",
+                 "seqtok")
 
-    def __init__(self, node, child_iter, undo_chars, undo_blocks, state):
+    def __init__(self, node, child_iter, undo_chars, undo_blocks, state,
+                 seqtok=None):
         self.node = node
         self.child_iter = child_iter
         self.undo_chars = undo_chars
         self.undo_blocks = undo_blocks
         self.state = state
+        self.seqtok = seqtok
 
 
 def _empty_state():
@@ -415,6 +418,24 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
                               undo_chars, edits)
         return undo_chars, undo_blocks, edits
 
+    def simple_edits_of(node, undo_chars):
+        """[(sc, new_char)] when the node only substitutes characters (no
+        block events, no gap-ness flips) — the incremental seq/nz patch
+        path; None when a rebuild is needed."""
+        if node.block_mutations:
+            return None
+        seen: dict = {}
+        for sc, old in undo_chars:
+            if sc not in seen:
+                seen[sc] = old
+        out = []
+        for sc, old in seen.items():
+            new = int(chars[sc])
+            if (old == GAP) != (new == GAP):
+                return None
+            out.append((sc, new))
+        return out
+
     def gap_events(dfs_index, undo_chars, undo_blocks):
         seen: dict = {}
         for sc, old in undo_chars:
@@ -446,9 +467,9 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             block_exists[bid] = ex
             block_strand[bid] = st_
 
-    def compute_state(parent_state, edits: _NodeEdits):
-        """Windowed syncmer-state update + full k-min-mer recombination."""
-        # reading-order sequence: blocks in id order, inverted blocks rev-complemented
+    def rebuild_seq_nz():
+        """Reading-order sequence of the CURRENT chars/block state: blocks in
+        id order, inverted blocks rev-complemented; (seq u8, nz scalars)."""
         segs = []
         segpos = []
         for b in range(space.nb):
@@ -468,19 +489,61 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         else:
             rseq = np.empty(0, np.uint8)
             rpos = np.empty(0, np.int64)
-
         mask_nongap = rseq != GAP
         nzi = np.flatnonzero(mask_nongap)
-        seq = rseq[nzi]
-        nz = rpos[nzi]  # reading scalars of non-gap bases, ascending
-        # genome extent (computeExtentFromGapMap with flankSize=0) — pre-HPC,
-        # since HPC remaps nz to run starts
-        ext = (int(nz[0]), int(nz[-1])) if len(nz) else None
+        return rseq[nzi].copy(), rpos[nzi]
 
-        if params.hpc and len(seq):
-            comp_seq, mapping = hpc_compress_with_mapping(seq.tobytes().decode("latin1"))
-            seq = np.frombuffer(comp_seq.encode("latin1"), dtype=np.uint8)
-            nz = nz[mapping]
+    # incrementally-maintained reading-order view (substitution-only nodes
+    # patch it in place; gap/block-changing nodes rebuild — the reference
+    # keeps the same invariant through its gap map)
+    cur = {"seq": None, "nz": None}
+
+    def advance_seq_nz(simple_edits):
+        """Returns the undo token.  simple_edits = [(sc, new_char)] for a
+        substitution-only node (no block events, no gap-ness flips); None
+        forces a rebuild."""
+        if params.hpc or cur["seq"] is None or simple_edits is None:
+            old = (cur["seq"], cur["nz"])
+            s, z = rebuild_seq_nz()
+            if params.hpc and len(s):
+                comp_seq, mapping = hpc_compress_with_mapping(
+                    s.tobytes().decode("latin1"))
+                s = np.frombuffer(comp_seq.encode("latin1"),
+                                  dtype=np.uint8).copy()
+                z = z[mapping]
+            cur["seq"], cur["nz"] = s, z
+            return ("swap", old)
+        seq, nz = cur["seq"], cur["nz"]
+        idxs = []
+        olds = []
+        for sc, new in simple_edits:
+            b = int(space.block_of[sc])
+            if not block_exists[b]:
+                continue
+            rs = sc if block_strand[b] else int(br[b, 0] + br[b, 1] - sc)
+            i = int(np.searchsorted(nz, rs))
+            if i < len(nz) and nz[i] == rs:
+                idxs.append(i)
+                olds.append(int(seq[i]))
+                seq[i] = new if block_strand[b] else int(_COMP_LUT[new])
+        return ("patch", idxs, olds)
+
+    def retreat_seq_nz(token):
+        if token[0] == "swap":
+            cur["seq"], cur["nz"] = token[1]
+        else:
+            _, idxs, olds = token
+            seq = cur["seq"]
+            for i, o in zip(reversed(idxs), reversed(olds)):
+                seq[i] = o
+
+    def compute_state(parent_state, edits: _NodeEdits):
+        """Windowed syncmer-state update + full k-min-mer recombination over
+        the maintained reading-order view."""
+        seq, nz = cur["seq"], cur["nz"]
+        # genome extent (computeExtentFromGapMap with flankSize=0); under HPC
+        # nz holds run starts, whose first/last equal the pre-HPC extent
+        ext = (int(nz[0]), int(nz[-1])) if len(nz) else None
         nnz = len(nz)
 
         # hard flank mask: [hms, hme] is the unmasked span
@@ -676,9 +739,11 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         gap_events(root.dfs_index, undo_c, undo_b)
     if state_probe is not None:
         state_probe(root.dfs_index, chars, block_exists, block_strand)
+    root_tok = advance_seq_nz(None)  # first view: always a build
     root_state = compute_state(_empty_state(), edits)
     emit(root.dfs_index, _empty_state(), root_state, True)
-    stack.append(_BuildFrame(root, iter(root.children), undo_c, undo_b, root_state))
+    stack.append(_BuildFrame(root, iter(root.children), undo_c, undo_b,
+                             root_state, root_tok))
     processed = 1
 
     while stack:
@@ -686,6 +751,7 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         child = next(frame.child_iter, None)
         if child is None:
             undo_node(frame.undo_chars, frame.undo_blocks)
+            retreat_seq_nz(frame.seqtok)
             stack.pop()
             continue
         if not in_walk(child):
@@ -695,6 +761,7 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             gap_events(child.dfs_index, undo_c, undo_b)
         if state_probe is not None:
             state_probe(child.dfs_index, chars, block_exists, block_strand)
+        tok = advance_seq_nz(simple_edits_of(child, undo_c))
         if not edits.spans and not edits.potential_dels and not edits.blocks_turned_off:
             state = frame.state
             emit(child.dfs_index, frame.state, state, False)
@@ -704,7 +771,8 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         processed += 1
         if progress and processed % 2000 == 0:
             progress(processed, n_nodes)
-        stack.append(_BuildFrame(child, iter(child.children), undo_c, undo_b, state))
+        stack.append(_BuildFrame(child, iter(child.children), undo_c, undo_b,
+                                 state, tok))
 
     return identical, space
 
