@@ -88,8 +88,9 @@ def _cmp(a, b, ctx):
                                                 getattr(b, f))
 
 
-def test_native_matches_oracle_synthetic():
-    rng = random.Random(7)
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_native_matches_oracle_synthetic(seed):
+    rng = random.Random(seed)
     ref = _ref(rng)
     al = BatchAligner(ref)
     reads = _reads(rng, ref)
