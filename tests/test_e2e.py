@@ -370,3 +370,77 @@ def test_batch_mode(rsv_index, outdir, tmp_path):
             assert a == b, (prefix, ext)
         assert filecmp.cmp(prefix + ".bam", prefix + "_solo.bam",
                            shallow=False)
+
+
+def test_filter_and_assign(outdir, tmp_path):
+    """--meta --filter-and-assign on rsv (demo 3's machinery): reads from two
+    leaves, a taxonomy with two families, jplace + breadth-ratio outputs.
+    Asserts read->node assignment correctness, taxon labels, LCA output, and
+    jplace well-formedness (v3, fields, edge refs)."""
+    import json
+
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.driver import MetaConfig, run_meta
+
+    tree = load_panman(PANMAN)
+    a_id = "MZ515733.1"
+    b_id = "MZ515704.1"
+    g_a = tree.get_string(a_id)
+    g_b = tree.get_string(b_id)
+    reads = tmp_path / "fa.fastq"
+    with open(reads, "w") as out:
+        def emit(g, n, pre):
+            L, step, c, i = 150, max(1, (len(g) - 150) // n), 0, 0
+            while c < n and i + L <= len(g):
+                out.write(f"@{pre}{c}\n{g[i:i+L]}\n+\n{'I'*L}\n")
+                c += 1
+                i += step
+        emit(g_a, 1200, "A")
+        emit(g_b, 900, "B")
+    # taxonomy: two families that are coherent subtrees (descendants of the
+    # root's first child = FamA, everything else FamB) so that reads from one
+    # leaf don't trivially span both families and get ambiguity-dropped
+    root = tree.dfs_order[0]
+    fam_a_leaves = set()
+    stack = [root.children[0]]
+    while stack:
+        n = stack.pop()
+        if not n.children:
+            fam_a_leaves.add(n.identifier)
+        stack.extend(n.children)
+    taxa = tmp_path / "taxa.tsv"
+    with open(taxa, "w") as fh:
+        fh.write("SampleID\tSpecies\tFamily\n")
+        for n in tree.dfs_order:
+            if not n.children:
+                fam = "FamA" if n.identifier in fam_a_leaves else "FamB"
+                fh.write(f"{n.identifier}\tsp\t{fam}\n")
+    cfg = MetaConfig(panman=PANMAN, reads1=str(reads),
+                     output=str(outdir / "fa"),
+                     index_out=os.path.join(CACHE, "rsv4k.ptmidx.npz"),
+                     filter_and_assign=True, jplace=True, breadth_ratio=True,
+                     taxonomy_path=str(taxa), taxonomic_rank="Family")
+    cfg.log = lambda *a, **k: None
+    rc = run_meta(cfg)
+    assert rc == 0
+    base = str(outdir / "fa")
+    # assigned fastq covers most input reads
+    fq_names = [l.strip()[1:] for i, l in enumerate(open(
+        base + ".mgsr.assignedReads.fastq")) if i % 4 == 0]
+    # most reads assigned; reads from conserved regions legitimately span
+    # both families at max parsimony and are ambiguity-dropped
+    assert len(fq_names) > 1500
+    # per-node assignment: the two source leaves dominate
+    # columns: node[,identical...] \t taxa \t count \t idx,idx,...
+    rows = [l.split("\t") for l in open(base + ".mgsr.assignedReads.out")]
+    by_node = {r[0]: int(r[2]) for r in rows if len(r) >= 3}
+    top = sorted(by_node, key=lambda k: -by_node[k])[:4]
+    assert any(a_id in k for k in top), top
+    assert any(b_id in k for k in top), top
+    assert os.path.exists(base + ".mgsr.assignedReadsLCANode.out")
+    # jplace well-formed
+    jp = json.load(open(base + ".mgsr.assignedReads.jplace"))
+    assert jp.get("version") == 3
+    assert "tree" in jp and "{" in jp["tree"]
+    assert jp["placements"], "no placements"
+    assert os.path.exists(base + ".mgsr.breadths.out")
