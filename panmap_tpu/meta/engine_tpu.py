@@ -354,13 +354,17 @@ class TpuMetaScorer:
         gather_fn = self._make_gather_fn()
 
         # candidates sorted by group; per-group column ids within the group's
-        # [G*C] node span, padded to a fixed pow2 width (one compile)
+        # [G*C] node span.  The gather runs in FIXED-width tiles of W columns
+        # so exactly ONE gather program exists regardless of candidate count:
+        # compiles over the remote device link cost minutes each, so a
+        # candidate-count-parameterized shape (the previous scheme) missed
+        # the persistent compile cache on every new workload.
         G = self.group
         cand_grp = (cand // (G * C)).astype(np.int64)
         cand_order = np.argsort(cand_grp, kind="stable")
         groups = list(range(0, self.n_chunks, G))
         counts = np.bincount(cand_grp[cand_order], minlength=len(groups))
-        W = _pad_pow2(max(int(counts.max()) if n_cand else 1, 1), lo=64)
+        W = 512
 
         ms_host = np.zeros(self.Rpad, dtype=np.int64)
         snap_parts: list = []
@@ -371,15 +375,18 @@ class TpuMetaScorer:
                 self._carries_dev[g0 : g0 + G], self._ev_key_dev[g0 : g0 + G],
                 self._ev_col_dev[g0 : g0 + G], self._ev_del_dev[g0 : g0 + G],
                 self._occ_fwd_dev, self._occ_rev_dev)
-            sel = cand_order[off : off + counts[gi]]
+            sel_g = cand_order[off : off + counts[gi]]
             off += counts[gi]
-            cols = np.zeros(W, dtype=np.int32)
-            cols[: len(sel)] = (cand[sel] - g0 * C).astype(np.int32)
-            ms_g, snap_g = gather_fn(ms, sn, jnp.asarray(cols))
-            ms_host = np.maximum(ms_host, np.asarray(ms_g))
-            if len(sel):
-                snap_parts.append(snap_g[:R, : len(sel)])
-                col_order.extend(sel.tolist())
+            for ti in range(0, max(len(sel_g), 1), W):
+                sel = sel_g[ti : ti + W]
+                cols = np.zeros(W, dtype=np.int32)
+                cols[: len(sel)] = (cand[sel] - g0 * C).astype(np.int32)
+                ms_g, snap_g = gather_fn(ms, sn, jnp.asarray(cols))
+                if ti == 0:
+                    ms_host = np.maximum(ms_host, np.asarray(ms_g))
+                if len(sel):
+                    snap_parts.append(snap_g[:R, : len(sel)])
+                    col_order.extend(sel.tolist())
         max_score = ms_host[:R].astype(np.int32)
         if n_cand == 0:
             if snap_device:
