@@ -444,3 +444,127 @@ def test_filter_and_assign(outdir, tmp_path):
     assert "tree" in jp and "{" in jp["tree"]
     assert jp["placements"], "no placements"
     assert os.path.exists(base + ".mgsr.breadths.out")
+
+
+def test_force_leaf_internal_genome(rsv_index, outdir, tmp_path):
+    """--force-leaf with an internal node's genome: placement restricted to
+    leaves, so the best leaf differs from the genome and the full pipeline
+    calls variants (> 0, vs 0 for self-placement; run_e2e.sh:85-91)."""
+    g = _read_fa(f"{DATA}/rsv_4K.panman.random.node_1330.fa")
+    reads = tmp_path / "fl.fastq"
+    with open(reads, "w") as o:
+        for n, i in enumerate(range(0, len(g) - 150, 5)):
+            o.write(f"@r{n}\n{g[i:i+150]}\n+\n{'I'*150}\n")
+    out = run_pipe(rsv_index, outdir, reads, "forceleaf", force_leaf=True)
+    best = open(out + ".placement.tsv").read()
+    assert "node_1330" not in best.split("log_containment")[0]
+    nvars = sum(1 for l in open(out + ".vcf") if not l.startswith("#"))
+    assert nvars > 0, "forced-leaf placement should produce variants"
+
+
+def test_refine_rescoring(rsv_index, outdir):
+    """--refine: alignment-based rescoring of top candidates appends
+    refined_* rows to placement.tsv and keeps the self-placement winner
+    (placement.cpp:518-698 refineTopCandidates)."""
+    out = run_pipe(rsv_index, outdir, f"{DATA}/MZ515733.1.fastq", "refined",
+                   stop="place", refine=True)
+    tsv = open(out + ".placement.tsv").read()
+    assert "refined_" in tsv
+    ref_lines = [l for l in tsv.splitlines() if l.startswith("refined_")]
+    assert any("MZ515733.1" in l for l in ref_lines), ref_lines
+
+
+def test_meta_ocranks_and_read_end_masking(outdir, tmp_path):
+    """--write-ocranks emits the shared-rank overlap-coefficient TSV
+    (main.cpp:430-445); --mask-read-ends shortens effective reads but the
+    dominant haplotype survives."""
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.driver import MetaConfig, run_meta
+
+    tree = load_panman(PANMAN)
+    g = tree.get_string("MZ515733.1")
+    reads = tmp_path / "oc.fastq"
+    with open(reads, "w") as o:
+        for n, i in enumerate(range(0, len(g) - 150, 10)):
+            o.write(f"@r{n}\n{g[i:i+150]}\n+\n{'I'*150}\n")
+    cfg = MetaConfig(panman=PANMAN, reads1=str(reads),
+                     output=str(outdir / "oc"),
+                     index_out=os.path.join(CACHE, "rsv4k.ptmidx.npz"),
+                     write_ocranks=True, mask_read_ends=10)
+    cfg.log = lambda *a, **k: None
+    assert run_meta(cfg) == 0
+    oc_path = str(outdir / "oc") + ".overlapCoefficients.tsv"
+    rows = [l.split("\t") for l in open(oc_path)]
+    assert len(rows) > 1000
+    # sorted by OC desc; rank column non-decreasing integers
+    ocs = [float(r[1]) for r in rows]
+    assert ocs == sorted(ocs, reverse=True)
+    ranks = [int(r[2]) for r in rows]
+    assert all(b >= a for a, b in zip(ranks, ranks[1:]))
+    ab = open(str(outdir / "oc") + ".mgsr.abundance.out").read()
+    assert "MZ515733.1" in ab
+
+
+def test_filter_assign_align_reads(outdir, tmp_path):
+    """--align-reads after filter-and-assign: per-node BAMs + combined
+    reference.fa in <prefix>_mgsr_aligned/ (main.cpp:616-718).  Runs on the
+    small mammoth panman: every read is assigned to ALL its max-parsimony
+    nodes, so on a large tree of near-identical genomes hundreds of nodes
+    clear --min-num-align and each gets materialized + aligned."""
+    import glob
+    import shutil
+
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.driver import MetaConfig, run_meta
+
+    src = "/root/reference/examples/data/panmans/extended_mammoth.panman"
+    panman = tmp_path / "extended_mammoth.panman"
+    shutil.copy(src, panman)
+    os.utime(panman, (0, 0))
+    tree = load_panman(str(panman))
+    leaf = tree.dfs_order[-1].identifier
+    g = tree.get_string(leaf)
+    reads = tmp_path / "ar.fastq"
+    with open(reads, "w") as o:
+        for n, i in enumerate(range(0, len(g) - 150, 25)):
+            o.write(f"@r{n}\n{g[i:i+150]}\n+\n{'I'*150}\n")
+    cfg = MetaConfig(panman=str(panman), reads1=str(reads),
+                     output=str(outdir / "ar"),
+                     index_out=os.path.join(CACHE, "mammoth.ptmidx.npz"),
+                     filter_and_assign=True, align_reads=True,
+                     min_num_align=20)
+    cfg.log = lambda *a, **k: None
+    assert run_meta(cfg) == 0
+    adir = str(outdir / "ar") + "_mgsr_aligned"
+    assert os.path.isfile(os.path.join(adir, "reference.fa"))
+    bams = glob.glob(os.path.join(adir, "*.bam"))
+    assert bams, "no per-node BAMs written"
+    # each BAM decompresses and contains records
+    import struct
+    import zlib
+
+    def count_records(path):
+        raw = open(path, "rb").read()
+        out, off = b"", 0
+        while off < len(raw):
+            xlen = struct.unpack("<H", raw[off + 10 : off + 12])[0]
+            bsize = struct.unpack("<H", raw[off + 16 : off + 18])[0] + 1
+            out += zlib.decompress(raw[off + 12 + xlen : off + bsize - 8], -15)
+            off += bsize
+        assert out.startswith(b"BAM\x01")
+        l_text = struct.unpack("<i", out[4:8])[0]
+        p = 8 + l_text
+        n_ref = struct.unpack("<i", out[p : p + 4])[0]
+        p += 4
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", out[p : p + 4])[0]
+            p += 8 + l_name
+        n = 0
+        while p < len(out):
+            bs = struct.unpack("<i", out[p : p + 4])[0]
+            p += 4 + bs
+            n += 1
+        return n
+
+    total = sum(count_records(b) for b in bams)
+    assert total >= 20
