@@ -188,9 +188,11 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
     t0 = time.time()
     score_fn = (scorer.score_all_pseudo if cfg.pseudochain
                 else scorer.score_all)
+    col_map = None
     if fast is not None:
-        # snap stays on device; run_squarem consumes it there (no round-trip)
-        max_score, snap = fast.score_all(candidates, snap_device=True)
+        # snap stays on device in bucketed tile layout; run_squarem consumes
+        # it there (no matrix round-trip, no per-workload program shapes)
+        max_score, snap, col_map = fast.score_all(candidates, tiled=True)
     elif want_scores_tsv:
         max_score, snap, node_scores = score_fn(candidates,
                                                 collect_node_scores=True)
@@ -229,6 +231,7 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
         max_change_threshold=cfg.em_delta_threshold,
         max_iterations=cfg.em_maximum_iterations,
         max_rounds=cfg.em_maximum_rounds,
+        col_map=col_map,
     )
     em_dt = time.time() - t0
     if res.n_iterations:

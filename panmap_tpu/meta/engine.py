@@ -947,14 +947,41 @@ class EMResult:
 _MASKED_EM_CACHE: dict = {}
 
 
+def _get_em_prep_fns():
+    """Jitted EM-prep helpers (projections, masked equality, column select),
+    created once: a fresh jax.jit(lambda ...) per call would recompile on
+    every invocation (jit caches on function identity)."""
+    fns = _MASKED_EM_CACHE.get("_prep")
+    if fns is None:
+        import jax
+        import jax.numpy as jnp
+
+        proj = jax.jit(lambda S, a, b: (a @ S.astype(jnp.float32),
+                                        b @ S.astype(jnp.float32)))
+        eqchk = jax.jit(
+            lambda S, a, b, lr: jnp.all((S[:, a] == S[:, b]) | ~lr[:, None],
+                                        axis=0))
+        colsel = jax.jit(lambda S, c: S[:, c])
+        fns = (proj, eqchk, colsel)
+        _MASKED_EM_CACHE["_prep"] = fns
+    return fns
+
+
 def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
-                        max_iterations: int):
-    """Compile-once masked SQUAREM: S stays [Rpad, Mpad] u16 on device; dead
-    columns are those with alive=False (their p is pinned to 0, so
-    log(p) = -inf removes them from every softmax).  Rounds and repeat
-    samples reuse the same executable as long as the padded shapes match —
-    critical on a remote-compile backend where each XLA build costs minutes."""
-    key = (Mpad, Rpad, float(eta), float(mct), int(max_iterations))
+                        max_iterations: int, max_rounds: int = 5):
+    """Compile-once masked SQUAREM with the OUTER ROUNDS fused into the same
+    device while_loop: converge, drop columns with prop < threshold, restart
+    from uniform over the survivors, until nothing drops or max_rounds — all
+    in ONE dispatch (per-round dispatches cost ~1s each over the remote
+    device link and dominated EM wall time).
+
+    S stays [Rpad, Mpad] u16 on device.  Dead columns are masked via p == 0
+    alone: the row-scaling constant mx is computed once over ALL columns and
+    cancels exactly in the responsibilities ((u @ Ps) picks up exp(mx) from u
+    and exp(-mx) from Ps) and in llh differences (llh re-adds it as a
+    constant), so Ps never needs rebuilding when alive shrinks."""
+    key = (Mpad, Rpad, float(eta), float(mct), int(max_iterations),
+           int(max_rounds))
     fn = _MASKED_EM_CACHE.get(key)
     if fn is not None:
         return fn
@@ -964,18 +991,18 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
     log_err = float(np.log(ERROR_RATE))
     log_1me = float(np.log1p(-ERROR_RATE))
     eta32 = float(eta)
+    thr32 = float(PROP_THRESHOLD_TO_REMOVE)
 
     @jax.jit
-    def run(S, lens, w, alive):
+    def run(S, lens, w, alive0):
         Sf = S.astype(jnp.float32)
         lp = (lens.astype(jnp.float32)[:, None] - Sf) * log_err + Sf * log_1me
         # row-scaled probabilities, computed ONCE: every EM/llh step is then
         # two matvecs over the resident [R, M] plane (MXU work) instead of a
-        # fresh log/exp sweep per iteration.  Row scaling cancels in the
-        # responsibilities; llh re-adds the constant.  Dead columns get
-        # Ps == 0 (and p == 0), removing them from every sum exactly like
-        # the log(p) = -inf formulation this replaces.
-        lpm = jnp.where(alive[None, :], lp, -jnp.inf)
+        # fresh log/exp sweep per iteration.  Columns the caller never
+        # enabled get Ps == 0; columns dropped between rounds keep their Ps
+        # but are excluded by p == 0 (see docstring).
+        lpm = jnp.where(alive0[None, :], lp, -jnp.inf)
         mx = jnp.max(lpm, axis=1, keepdims=True)
         Ps = jnp.exp(lpm - mx)
         wsum = jnp.sum(w)
@@ -989,20 +1016,21 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
             den = Ps @ p
             return jnp.sum(w * (mx[:, 0] + jnp.log(jnp.maximum(den, 1e-30))))
 
-        def norm(p):
-            p = jnp.where(alive, jnp.maximum(p, 1e-12), 0.0)
-            return p / jnp.sum(p)
-
-        def cond(carry):
-            _, _, it, done = carry
-            return (~done) & (it < max_iterations)
+        def uniform(alive):
+            n_alive = jnp.sum(alive)
+            return jnp.where(alive, 1.0 / jnp.maximum(n_alive, 1), 0.0)
 
         def step_one(carry):
             """One SQUAREM step, masked by the done/max-iteration state so
             several can be unrolled per while iteration (the remote backend
             pays tens of ms of dispatch per while step; converged sub-steps
             become exact no-ops)."""
-            p0, cur, it, done = carry
+            p0, cur, it, done, alive, rnd, fin, tot = carry
+
+            def norm(p):
+                p = jnp.where(alive, jnp.maximum(p, 1e-12), 0.0)
+                return p / jnp.sum(p)
+
             active = (~done) & (it < max_iterations)
             p1 = norm(em(p0))
             p2 = norm(em(p1))
@@ -1024,19 +1052,43 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
             return (jnp.where(active, pn, p0),
                     jnp.where(active, ln, cur),
                     it + active.astype(jnp.int32),
-                    done | (active & stop))
+                    done | (active & stop) | (it + 1 >= max_iterations),
+                    alive, rnd, fin,
+                    tot + active.astype(jnp.int32))
+
+        def next_round(carry):
+            """Round transition (only when this round is done): drop columns
+            below the prop threshold; if nothing dropped, everything dropped,
+            or the round budget is spent, finish keeping the converged p and
+            the post-drop alive (matching the reference's outer loop,
+            main.cpp:1263-1272); otherwise restart from uniform."""
+            p, cur, it, done, alive, rnd, fin, tot = carry
+            passed = alive & (p >= thr32)
+            no_drop = jnp.sum(passed) == jnp.sum(alive)
+            out_of_rounds = (rnd + 1) >= max_rounds
+            none_left = ~jnp.any(passed)
+            fin2 = no_drop | out_of_rounds | none_left
+            cont = ~fin2
+            return (jnp.where(cont, uniform(passed), p),
+                    jnp.where(cont, -jnp.inf, cur),
+                    jnp.where(cont, 0, it),
+                    done & ~cont,
+                    passed, rnd + cont.astype(jnp.int32), fin2, tot)
+
+        def cond(carry):
+            return ~carry[6]
 
         def body(carry):
             for _ in range(8):
                 carry = step_one(carry)
-            return carry
+            done, fin = carry[3], carry[6]
+            return jax.lax.cond(done & ~fin, next_round, lambda c: c, carry)
 
-        n_alive = jnp.sum(alive)
-        p0 = jnp.where(alive, 1.0 / jnp.maximum(n_alive, 1), 0.0)
-        p, _, it, _ = jax.lax.while_loop(
-            cond, body,
-            (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False)))
-        return p, it
+        p0 = uniform(alive0)
+        carry = (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False),
+                 alive0, jnp.int32(0), jnp.bool_(False), jnp.int32(0))
+        p, _, _, _, alive, _, _, tot = jax.lax.while_loop(cond, body, carry)
+        return p, alive, tot
 
     _MASKED_EM_CACHE[key] = run
     return run
@@ -1050,25 +1102,42 @@ def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
                        node_names: list, eta: float = 1e-5,
                        max_change_threshold: float = 0.0,
                        max_iterations: int = 1000,
-                       max_rounds: int = 5) -> EMResult:
-    """Device-resident SQUAREM: S_rm is a [R, M] u16 score matrix ALREADY on
-    device (TpuMetaScorer.score_all(snap_device=True)); nothing matrix-sized
-    crosses the host link.  Identical-column collapse uses two random f32
-    projections (identical columns always project identically) with exact
-    on-device verification of hash-matched pairs."""
+                       max_rounds: int = 5,
+                       col_map: np.ndarray | None = None) -> EMResult:
+    """Device-resident SQUAREM: S_rm is a u16 score matrix ALREADY on device;
+    nothing matrix-sized crosses the host link.  Identical-column collapse
+    uses two random f32 projections (identical columns always project
+    identically) with exact on-device verification of hash-matched pairs.
+
+    S_rm may be LARGER than [R, M]: rows beyond len(read_lens) and columns
+    outside col_map are padding (score_all(tiled=True)); pad rows are
+    neutralized by zero read weights, pad columns by alive=False.  Every
+    device program here has bucketed shapes (rows as provided — already
+    block-padded by the scorer — columns 256-padded, dedup pairs pow2-padded)
+    so repeat workloads reuse compiled programs: per-workload shapes cost
+    30-300s each to compile over the remote device link."""
     import jax
     import jax.numpy as jnp
 
-    R, M = S_rm.shape
+    proj_fn, eq_fn, colsel_fn = _get_em_prep_fns()
+    R = len(read_lens)
+    M = len(node_names)
+    Rrows = S_rm.shape[0]
+    assert Rrows >= R and S_rm.shape[1] >= M
+    if col_map is None:
+        col_map = np.arange(M, dtype=np.int64)
     if M == 0:
         return EMResult(node_names=[], props=np.empty(0), identical_groups={})
 
     rng = np.random.default_rng(12345)
-    r1 = jnp.asarray(rng.random(R).astype(np.float32))
-    r2 = jnp.asarray(rng.random(R).astype(np.float32))
-    k1, k2 = (np.asarray(x) for x in jax.jit(
-        lambda S, a, b: (a @ S.astype(jnp.float32),
-                         b @ S.astype(jnp.float32)))(S_rm, r1, r2))
+    r1 = rng.random(Rrows).astype(np.float32)
+    r2 = rng.random(Rrows).astype(np.float32)
+    r1[R:] = 0.0  # pad rows carry garbage scores: exclude exactly
+    r2[R:] = 0.0
+    k1f, k2f = (np.asarray(x) for x in proj_fn(
+        S_rm, jnp.asarray(r1), jnp.asarray(r2)))
+    k1 = k1f[col_map]
+    k2 = k2f[col_map]
     buckets: dict = {}
     for i in range(M):
         buckets.setdefault((k1[i].tobytes(), k2[i].tobytes()), []).append(i)
@@ -1079,10 +1148,17 @@ def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
             pairs_b.append(j)
     same = np.ones(len(pairs_a), dtype=bool)
     if pairs_a:
-        same = np.asarray(jax.jit(
-            lambda S, a, b: jnp.all(S[:, a] == S[:, b], axis=0))(
-                S_rm, jnp.asarray(np.array(pairs_a)),
-                jnp.asarray(np.array(pairs_b))))
+        npairs = len(pairs_a)
+        ppad = 1 << max(int(np.ceil(np.log2(npairs))), 8)
+        pa = np.zeros(ppad, np.int64)
+        pb = np.zeros(ppad, np.int64)
+        pa[:npairs] = col_map[np.array(pairs_a)]
+        pb[:npairs] = col_map[np.array(pairs_b)]
+        live_rows = np.zeros(Rrows, dtype=bool)
+        live_rows[:R] = True
+        same = np.asarray(eq_fn(
+            S_rm, jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(live_rows)))[:npairs]
     identical_groups: dict = defaultdict(list)
     keep = []
     vi = 0
@@ -1098,32 +1174,27 @@ def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
     names = [node_names[i] for i in keep]
     Mk = len(keep)
 
+    # select the kept columns with a bucketed gather: indices padded to Mpad
+    # (dead slots point at column 0 and are masked by alive=False)
     Mpad = _round_up(Mk, 256)
-    Rpad = _round_up(R, 16384)
-    S_pad = jnp.zeros((Rpad, Mpad), jnp.uint16).at[:R, :Mk].set(
-        S_rm[:, jnp.asarray(np.array(keep))])
-    lens_pad = jnp.zeros(Rpad, jnp.int32).at[:R].set(
-        jnp.asarray(read_lens.astype(np.int32)))
-    w_pad = jnp.zeros(Rpad, jnp.float32).at[:R].set(
-        jnp.asarray(read_weights.astype(np.float32)))
+    keep_idx = np.zeros(Mpad, dtype=np.int64)
+    keep_idx[:Mk] = col_map[np.array(keep)]
+    S_pad = colsel_fn(S_rm, jnp.asarray(keep_idx))
+    lens_host = np.zeros(Rrows, np.int32)
+    lens_host[:R] = read_lens.astype(np.int32)
+    w_host = np.zeros(Rrows, np.float32)
+    w_host[:R] = read_weights.astype(np.float32)
+    lens_pad = jnp.asarray(lens_host)
+    w_pad = jnp.asarray(w_host)
 
-    fn = _get_masked_squarem(Mpad, Rpad, eta, max_change_threshold,
-                             max_iterations)
+    fn = _get_masked_squarem(Mpad, Rrows, eta, max_change_threshold,
+                             max_iterations, max_rounds)
     alive = np.zeros(Mpad, dtype=bool)
     alive[:Mk] = True
-    p_np = np.zeros(Mpad)
-    total_iters = 0
-    for _round in range(max_rounds):
-        p_dev, it_dev = fn(S_pad, lens_pad, w_pad, jnp.asarray(alive))
-        p_np = np.asarray(p_dev, dtype=np.float64)
-        total_iters += int(it_dev)
-        passed = alive & (p_np >= PROP_THRESHOLD_TO_REMOVE)
-        if passed.sum() == alive.sum():
-            break
-        alive = passed
-        if not alive.any():
-            break
-    sel = alive[:Mk]
+    p_dev, alive_dev, it_dev = fn(S_pad, lens_pad, w_pad, jnp.asarray(alive))
+    p_np = np.asarray(p_dev, dtype=np.float64)
+    total_iters = int(it_dev)
+    sel = np.asarray(alive_dev)[:Mk]
     return EMResult(
         node_names=[nm for nm, ok in zip(names, sel) if ok],
         props=p_np[:Mk][sel],
@@ -1135,21 +1206,29 @@ def run_squarem(score_matrix, read_lens: np.ndarray,
                 read_weights: np.ndarray, node_names: list,
                 eta: float = 1e-5, max_change_threshold: float = 0.0,
                 max_iterations: int = 1000, max_rounds: int = 5,
-                backend: str = "auto") -> EMResult:
+                backend: str = "auto", col_map=None) -> EMResult:
     """score_matrix: [nodes, reads] u16 (numpy) — or a device [reads, nodes]
-    jax array, which dispatches to run_squarem_device.  read_lens m_j;
-    weights = duplicate counts."""
+    jax array (possibly padded/tile-ordered, with col_map from
+    score_all(tiled=True)), which dispatches to run_squarem_device.
+    read_lens m_j; weights = duplicate counts."""
     if not isinstance(score_matrix, np.ndarray):
         return run_squarem_device(
             score_matrix, read_lens, read_weights, node_names, eta=eta,
             max_change_threshold=max_change_threshold,
-            max_iterations=max_iterations, max_rounds=max_rounds)
+            max_iterations=max_iterations, max_rounds=max_rounds,
+            col_map=col_map)
     M0, R0 = score_matrix.shape
     if backend == "jax" or (backend == "auto" and M0 * R0 > 5_000_000):
         import jax.numpy as jnp
 
+        # pad to bucketed shapes on the HOST (free) so the device programs
+        # in run_squarem_device keep workload-independent shapes
+        Rb = _round_up(R0, 16384)
+        Mb = _round_up(M0, 256)
+        Sp = np.zeros((Rb, Mb), score_matrix.dtype)
+        Sp[:R0, :M0] = score_matrix.T
         return run_squarem_device(
-            jnp.asarray(score_matrix.T), read_lens, read_weights, node_names,
+            jnp.asarray(Sp), read_lens, read_weights, node_names,
             eta=eta, max_change_threshold=max_change_threshold,
             max_iterations=max_iterations, max_rounds=max_rounds)
     # collapse identical score vectors into groups

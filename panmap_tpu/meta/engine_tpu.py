@@ -339,12 +339,19 @@ class TpuMetaScorer:
 
         return gather
 
-    def score_all(self, candidate_nodes: list, snap_device: bool = False):
-        """Returns (max_score i32[R], snap).
+    def score_all(self, candidate_nodes: list, snap_device: bool = False,
+                  tiled: bool = False):
+        """Returns (max_score i32[R], snap[, col_map]).
 
         snap_device=False: snap u16[len(candidates), R] on host (legacy).
         snap_device=True:  snap u16[R, len(candidates)] LEFT ON DEVICE — feed
-        it straight to run_squarem's device backend (no matrix round-trip)."""
+        it straight to run_squarem's device backend (no matrix round-trip).
+        tiled=True: snap u16[Rpad, n_tiles*512] on device in TILE order plus
+        col_map (col_map[i] = snap column of candidate i) — every device-side
+        shape is bucketed (padded rows, 512-wide tiles), so no per-workload
+        program is compiled; run_squarem_device composes col_map into its own
+        bucketed gather.  Pad rows/columns carry garbage; consumers must mask
+        (zero read weights / alive=False)."""
         R = len(self.reads)
         n_cand = len(candidate_nodes)
         C = self.NODE_CHUNK
@@ -368,6 +375,7 @@ class TpuMetaScorer:
 
         ms_host = np.zeros(self.Rpad, dtype=np.int64)
         snap_parts: list = []
+        tile_sels: list = []
         col_order: list = []
         off = 0
         for gi, g0 in enumerate(groups):
@@ -385,18 +393,30 @@ class TpuMetaScorer:
                 if ti == 0:
                     ms_host = np.maximum(ms_host, np.asarray(ms_g))
                 if len(sel):
-                    snap_parts.append(snap_g[:R, : len(sel)])
+                    snap_parts.append(snap_g if tiled
+                                      else snap_g[:R, : len(sel)])
+                    tile_sels.append(sel)
                     col_order.extend(sel.tolist())
         max_score = ms_host[:R].astype(np.int32)
         if n_cand == 0:
+            if tiled:
+                return (max_score, jnp.zeros((self.Rpad, 0), jnp.uint16),
+                        np.empty(0, np.int64))
             if snap_device:
                 return max_score, jnp.zeros((R, 0), jnp.uint16)
             return max_score, np.zeros((0, R), np.uint16)
+        snap_dev = (snap_parts[0] if len(snap_parts) == 1
+                    else jnp.concatenate(snap_parts, axis=1))
+        if tiled:
+            col_map = np.empty(n_cand, dtype=np.int64)
+            woff = 0
+            for sel in tile_sels:
+                col_map[sel] = woff + np.arange(len(sel))
+                woff += W
+            return max_score, snap_dev, col_map
         # assemble [R, n_cand] in ORIGINAL candidate order
         inv = np.empty(len(col_order), dtype=np.int64)
         inv[np.asarray(col_order)] = np.arange(len(col_order))
-        snap_dev = (snap_parts[0] if len(snap_parts) == 1
-                    else jnp.concatenate(snap_parts, axis=1))
         snap_dev = snap_dev[:, jnp.asarray(inv)]
         if snap_device:
             return max_score, snap_dev

@@ -63,7 +63,7 @@ def test_masked_em_compile_cache_reuse():
     a = _get_masked_squarem(256, 16384, 1e-5, 0.0, 1000)
     b = _get_masked_squarem(256, 16384, 1e-5, 0.0, 1000)
     assert a is b
-    assert (256, 16384, 1e-5, 0.0, 1000) in _MASKED_EM_CACHE
+    assert (256, 16384, 1e-5, 0.0, 1000, 5) in _MASKED_EM_CACHE
 
 
 def test_sharded_em_matches_single_device():
@@ -82,9 +82,9 @@ def test_sharded_em_matches_single_device():
     Srm = np.ascontiguousarray(S.T)  # [R, M]
     alive = np.ones(8, dtype=bool)
 
-    single = _get_masked_squarem(8, 512, 1e-5, 0.0, 500)
-    p1, _ = single(jnp.asarray(Srm), jnp.asarray(lens.astype(np.int32)),
-                   jnp.asarray(w.astype(np.float32)), jnp.asarray(alive))
+    single = _get_masked_squarem(8, 512, 1e-5, 0.0, 500, max_rounds=1)
+    p1, _, _ = single(jnp.asarray(Srm), jnp.asarray(lens.astype(np.int32)),
+                      jnp.asarray(w.astype(np.float32)), jnp.asarray(alive))
     p1 = np.asarray(p1)
 
     mesh = make_mesh(8)
