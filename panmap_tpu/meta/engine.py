@@ -20,6 +20,7 @@ Reimplements the reference's mgsr runtime (src/mgsr.cpp):
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from dataclasses import dataclass
 
@@ -713,6 +714,38 @@ class MetaScorer:
         return max_score, snap
 
     # ------------------------------------------------------------------
+    def _score_pseudo_native(self, candidate_nodes: list, maximum_gap: int):
+        """Call the native pseudochain core; None when the library or the
+        gap-event arrays (format-v1 caches) are unavailable."""
+        from ..native import score_pseudo_native
+
+        midx = self.midx
+        if midx.seed_end is None or midx.gev_offsets is None:
+            return None
+        reads = self.reads
+        lens = np.array([len(r.hashes) for r in reads], dtype=np.int64)
+        read_off = np.concatenate(([0], np.cumsum(lens)))
+        if read_off[-1] == 0:
+            return None
+        read_hash = (np.concatenate([r.hashes for r in reads]) if reads
+                     else np.empty(0, np.uint64))
+        read_rev = (np.concatenate([np.asarray(r.revs, bool) for r in reads])
+                    if reads else np.empty(0, bool))
+        if any(r.qbeg is None or r.qend is None for r in reads):
+            return None
+        read_qbeg = np.concatenate([np.asarray(r.qbeg, np.int64)
+                                    for r in reads])
+        read_qend = np.concatenate([np.asarray(r.qend, np.int64)
+                                    for r in reads])
+        res = score_pseudo_native(
+            midx, read_off, read_hash, read_rev, read_qbeg, read_qend,
+            self._relevant, np.asarray(candidate_nodes, np.int64),
+            maximum_gap=maximum_gap)
+        if res is None:
+            return None
+        max_score, snap = res
+        return max_score, snap
+
     def score_all_pseudo(self, candidate_nodes: list,
                          collect_node_scores: bool = False,
                          maximum_gap: int = 50):
@@ -726,7 +759,16 @@ class MetaScorer:
         Ref gaps are degapped through the per-node gap-event stream
         (GapTracker = the reference's gapMap + getLocalGap); chains are
         rebuilt from scratch for affected reads instead of incrementally
-        patched, which is strictly more accurate."""
+        patched, which is strictly more accurate.
+
+        The threaded native core (pt_score_pseudo, bit-equal to this python
+        which stays as its oracle) handles the common no-node-scores case;
+        set PANMAP_TPU_NO_NATIVE=1 to force the python path."""
+        if (not collect_node_scores
+                and not os.environ.get("PANMAP_TPU_NO_NATIVE")):
+            res = self._score_pseudo_native(candidate_nodes, maximum_gap)
+            if res is not None:
+                return res
         midx = self.midx
         R = len(self.reads)
         score = np.zeros(R, dtype=np.int32)

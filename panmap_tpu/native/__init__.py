@@ -89,6 +89,21 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "pt_score_pseudo"):
+        lib.pt_score_pseudo.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # tree
+            ctypes.c_void_p, ctypes.c_void_p,                   # deltas
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # seed table
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # gev
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # bev
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # blocks
+            ctypes.c_void_p, ctypes.c_int64,                    # nongap0
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # reads CSR
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # rel/cand
+            ctypes.c_int32, ctypes.c_int32,                     # gap/threads
+            ctypes.c_void_p, ctypes.c_void_p]                   # outputs
     _lib = lib
     return lib
 
@@ -308,3 +323,57 @@ def tree_accumulate_native(deltas_f: list, deltas_i: list, offs: np.ndarray,
         di[1].ctypes.data, offs.ctypes.data, parent.ctypes.data, n,
         acc_f.ctypes.data, acc_i.ctypes.data)
     return acc_f, acc_i
+
+
+def score_pseudo_native(midx, read_off, read_hash, read_rev, read_qbeg,
+                        read_qend, relevant, candidates, maximum_gap=50,
+                        threads=0):
+    """Native twin of meta/engine.py::MetaScorer.score_all_pseudo (without
+    node-score collection).  Returns (max_score i32[R], snap u16[C, R]) or
+    None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or getattr(lib, "pt_score_pseudo", None) is None:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    n_reads = len(read_off) - 1
+    node_offsets = np.ascontiguousarray(midx.node_offsets, dtype=np.int64)
+    parent = np.ascontiguousarray(midx.parent_index, dtype=np.uint32)
+    delta_seed = np.ascontiguousarray(midx.delta_seed, dtype=np.int32)
+    delta_is_del = np.ascontiguousarray(midx.delta_is_del, dtype=np.uint8)
+    seed_hash = np.ascontiguousarray(midx.seed_hash, dtype=np.uint64)
+    seed_rev = np.ascontiguousarray(midx.seed_rev, dtype=np.uint8)
+    seed_pos = np.ascontiguousarray(midx.seed_pos, dtype=np.int64)
+    seed_end = np.ascontiguousarray(midx.seed_end, dtype=np.int64)
+    gev_offsets = np.ascontiguousarray(midx.gev_offsets, dtype=np.int64)
+    gev_pos = np.ascontiguousarray(midx.gev_pos, dtype=np.int64)
+    gev_nongap = np.ascontiguousarray(midx.gev_nongap, dtype=np.uint8)
+    bev_offsets = np.ascontiguousarray(midx.bev_offsets, dtype=np.int64)
+    bev_block = np.ascontiguousarray(midx.bev_block, dtype=np.int32)
+    bev_code = np.ascontiguousarray(midx.bev_code, dtype=np.int8)
+    block_lo = np.ascontiguousarray(midx.block_lo, dtype=np.int64)
+    block_hi = np.ascontiguousarray(midx.block_hi, dtype=np.int64)
+    nongap0 = np.ascontiguousarray(midx.nongap0, dtype=np.uint8)
+    read_off = np.ascontiguousarray(read_off, dtype=np.int64)
+    read_hash = np.ascontiguousarray(read_hash, dtype=np.uint64)
+    read_rev = np.ascontiguousarray(read_rev, dtype=np.uint8)
+    read_qbeg = np.ascontiguousarray(read_qbeg, dtype=np.int64)
+    read_qend = np.ascontiguousarray(read_qend, dtype=np.int64)
+    relevant = np.ascontiguousarray(relevant, dtype=np.uint8)
+    cand = np.ascontiguousarray(candidates, dtype=np.int32)
+    max_score = np.zeros(n_reads, dtype=np.int32)
+    snap = np.zeros((len(cand), n_reads), dtype=np.uint16)
+    lib.pt_score_pseudo(
+        node_offsets.ctypes.data, len(midx.node_ids), parent.ctypes.data,
+        delta_seed.ctypes.data, delta_is_del.ctypes.data,
+        seed_hash.ctypes.data, seed_rev.ctypes.data, seed_pos.ctypes.data,
+        seed_end.ctypes.data, gev_offsets.ctypes.data, gev_pos.ctypes.data,
+        gev_nongap.ctypes.data, bev_offsets.ctypes.data,
+        bev_block.ctypes.data, bev_code.ctypes.data, block_lo.ctypes.data,
+        block_hi.ctypes.data, len(block_lo), nongap0.ctypes.data,
+        int(midx.n_scalar), read_off.ctypes.data, read_hash.ctypes.data,
+        read_rev.ctypes.data, read_qbeg.ctypes.data, read_qend.ctypes.data,
+        n_reads, relevant.ctypes.data, cand.ctypes.data, len(cand),
+        int(maximum_gap), int(threads),
+        max_score.ctypes.data, snap.ctypes.data)
+    return max_score, snap

@@ -1640,3 +1640,476 @@ void pt_tree_accumulate(const double* d0, const double* d1, const double* d2,
 }
 
 }  // extern "C"
+
+// ======================================================================
+// Pseudochain scorer (native twin of meta/engine.py::score_all_pseudo;
+// reference: mgsr.cpp:4616-5526 minichains + isColinearFromMinichains,
+// gapMap/getLocalGap mgsr.cpp:2273-2622,5280-5310).
+//
+// Exact mirror of the python oracle: only READ-RELEVANT delta rows feed the
+// position structures (the python deviation from the reference's all-seed
+// positionMap is documented in PARITY.md), chains are rebuilt per affected
+// read, ref gaps degap through the per-node gap-event stream.  Threads
+// partition READS (the reference's ThreadsManager scheme): each worker
+// replays the identical global delta/gap stream but rescans only its own
+// read range, so outputs are bit-equal to a single-thread run.
+// ======================================================================
+
+#include <map>
+#include <set>
+#include <unordered_map>
+
+namespace pseudo {
+
+struct Fenwick {
+    int64_t n;
+    std::vector<int64_t> t;
+    explicit Fenwick(int64_t n_) : n(n_), t(n_ + 1, 0) {}
+    void build(const std::vector<int64_t>& vals) {
+        std::vector<int64_t> cs(n + 1, 0);
+        for (int64_t i = 0; i < n; ++i) cs[i + 1] = cs[i] + vals[i];
+        for (int64_t i = 1; i <= n; ++i) {
+            int64_t low = i & (-i);
+            t[i] = cs[i] - cs[i - low];
+        }
+    }
+    void update(int64_t i, int64_t d) {
+        for (++i; i <= n; i += i & (-i)) t[i] += d;
+    }
+    int64_t prefix(int64_t i) const {  // sum of [0, i]
+        int64_t s = 0;
+        for (++i; i > 0; i -= i & (-i)) s += t[i];
+        return s;
+    }
+    int64_t range(int64_t a, int64_t b) const {
+        if (b < a) return 0;
+        return prefix(b) - (a ? prefix(a - 1) : 0);
+    }
+};
+
+struct Ctx {
+    const int64_t* node_offsets;
+    int64_t n_nodes;
+    const uint32_t* parent_index;
+    const int32_t* delta_seed;
+    const uint8_t* delta_is_del;
+    const uint64_t* seed_hash;
+    const uint8_t* seed_rev;
+    const int64_t* seed_pos;
+    const int64_t* seed_end;
+    const int64_t* gev_offsets;
+    const int64_t* gev_pos;
+    const uint8_t* gev_nongap;
+    const int64_t* bev_offsets;
+    const int32_t* bev_block;
+    const int8_t* bev_code;
+    const int64_t* block_lo;
+    const int64_t* block_hi;
+    int64_t n_blocks;
+    const uint8_t* nongap0_bits;
+    int64_t n_scalar;
+    const int64_t* read_off;
+    const uint64_t* read_hash;
+    const uint8_t* read_rev;
+    const int64_t* read_qbeg;
+    const int64_t* read_qend;
+    int64_t n_reads;
+    const uint8_t* relevant;  // [n_delta] global read-relevance mask
+    const int32_t* cand_nodes;
+    int64_t n_cand;
+    int32_t maximum_gap;
+    // derived (shared, read-only after setup)
+    std::vector<std::vector<int32_t>> children;
+    std::vector<int32_t> cand_of_node;  // -1 or candidate slot
+    // global occ: sorted unique hashes + CSR of read ids
+    std::vector<uint64_t> occ_hash;
+    std::vector<int64_t> occ_off;
+    std::vector<int32_t> occ_read;
+};
+
+struct GapTracker {
+    const Ctx* c;
+    std::vector<uint8_t> present, strand;
+    std::vector<int64_t> tot;
+    Fenwick fen, bfen;
+    struct Undo {
+        uint8_t kind;  // 0 = gev, 1 = bev
+        int64_t a;     // gev: scalar; bev: block
+        int64_t b;     // gev: block;  bev: old present | (old strand << 1)
+        int64_t d;     // gev: delta
+    };
+    explicit GapTracker(const Ctx* c_)
+        : c(c_), present(c_->n_blocks, 0), strand(c_->n_blocks, 1),
+          tot(c_->n_blocks, 0), fen(c_->n_scalar), bfen(c_->n_blocks) {
+        std::vector<int64_t> bits(c->n_scalar, 0);
+        for (int64_t i = 0; i < c->n_scalar; ++i)
+            bits[i] = (c->nongap0_bits[i >> 3] >> (i & 7)) & 1;
+        fen.build(bits);
+        std::vector<int64_t> cs(c->n_scalar + 1, 0);
+        for (int64_t i = 0; i < c->n_scalar; ++i) cs[i + 1] = cs[i] + bits[i];
+        for (int64_t b = 0; b < c->n_blocks; ++b)
+            tot[b] = cs[c->block_hi[b] + 1] - cs[c->block_lo[b]];
+    }
+    int64_t block_of(int64_t sc) const {
+        const int64_t* lo = c->block_lo;
+        return (std::upper_bound(lo, lo + c->n_blocks, sc) - lo) - 1;
+    }
+    void enter(int64_t node, std::vector<Undo>& undo) {
+        for (int64_t i = c->bev_offsets[node]; i < c->bev_offsets[node + 1];
+             ++i) {
+            int64_t b = c->bev_block[i];
+            int code = c->bev_code[i];
+            uint8_t op = present[b], os = strand[b];
+            uint8_t newp = code != 0;
+            if (present[b] != newp)
+                bfen.update(b, newp ? tot[b] : -tot[b]);
+            present[b] = newp;
+            strand[b] = code != 2;
+            undo.push_back({1, b, (int64_t)(op | (os << 1)), 0});
+        }
+        for (int64_t i = c->gev_offsets[node]; i < c->gev_offsets[node + 1];
+             ++i) {
+            int64_t sc = c->gev_pos[i];
+            int64_t d = c->gev_nongap[i] ? 1 : -1;
+            fen.update(sc, d);
+            int64_t b = block_of(sc);
+            tot[b] += d;
+            if (present[b]) bfen.update(b, d);
+            undo.push_back({0, sc, b, d});
+        }
+    }
+    void leave(const std::vector<Undo>& undo) {
+        for (auto it = undo.rbegin(); it != undo.rend(); ++it) {
+            if (it->kind == 0) {
+                fen.update(it->a, -it->d);
+                tot[it->b] -= it->d;
+                if (present[it->b]) bfen.update(it->b, -it->d);
+            } else {
+                int64_t b = it->a;
+                uint8_t op = it->b & 1, os = (it->b >> 1) & 1;
+                if (present[b] != op)
+                    bfen.update(b, op ? tot[b] : -tot[b]);
+                present[b] = op;
+                strand[b] = os;
+            }
+        }
+    }
+    int64_t F(int64_t x) const {
+        int64_t b = block_of(x);
+        int64_t lo = c->block_lo[b], hi = c->block_hi[b];
+        int64_t inblk = strand[b] ? fen.range(lo, x)
+                                  : fen.range(lo + hi - x, hi);
+        return (b ? bfen.prefix(b - 1) : 0) + inblk;
+    }
+    int64_t local_gap(int64_t a, int64_t b) const {
+        int64_t d = F(b) - F(a);
+        return d < 0 ? -d : d;
+    }
+};
+
+struct PosEntry {
+    int64_t pos;
+    uint8_t rev;
+    int64_t end;
+};
+
+struct Worker {
+    const Ctx* c;
+    int64_t r_lo, r_hi;
+    // hash -> active positions (tiny vectors; overwrite-on-equal like dict)
+    std::unordered_map<uint64_t, std::vector<PosEntry>> hash_pos;
+    std::multiset<int64_t> act;  // mirrors the python pos_arr multiset
+    GapTracker gap;
+    std::vector<int32_t> score, max_score;
+    std::vector<uint16_t> snap;  // [n_cand, n_reads] rows for ALL reads
+    std::vector<int64_t> stamp;
+    int64_t token = 0;
+    std::vector<int32_t> touched;
+
+    Worker(const Ctx* c_, int64_t lo, int64_t hi)
+        : c(c_), r_lo(lo), r_hi(hi), gap(c_),
+          score(c_->n_reads, 0), max_score(c_->n_reads, 0),
+          snap((size_t)c_->n_cand * c_->n_reads, 0),
+          stamp(c_->n_reads, -1) {}
+
+    uint64_t apply_row(int64_t r, int sign) {
+        int64_t sid = c->delta_seed[r];
+        uint64_t h = c->seed_hash[sid];
+        uint8_t rv = c->seed_rev[sid];
+        int64_t p = c->seed_pos[sid];
+        int64_t en = c->seed_end[sid];
+        bool isdel = (bool)c->delta_is_del[r] != (sign < 0);
+        auto& d = hash_pos[h];
+        if (!isdel) {
+            bool found = false;
+            for (auto& e : d)
+                if (e.pos == p) { e.rev = rv; e.end = en; found = true; break; }
+            if (!found) d.push_back({p, rv, en});
+            act.insert(p);  // python inserts unconditionally (even overwrite)
+        } else {
+            for (size_t i = 0; i < d.size(); ++i)
+                if (d[i].pos == p) { d.erase(d.begin() + i); break; }
+            auto it = act.lower_bound(p);
+            if (it != act.end() && *it == p) act.erase(it);
+            if (d.empty()) hash_pos.erase(h);
+        }
+        return h;
+    }
+
+    const PosEntry* unique_entry(uint64_t h) const {
+        auto it = hash_pos.find(h);
+        if (it == hash_pos.end() || it->second.size() != 1) return nullptr;
+        return &it->second[0];
+    }
+
+    int32_t chain_score(int64_t ridx) {
+        int64_t o = c->read_off[ridx], n = c->read_off[ridx + 1] - o;
+        const uint64_t* hs = c->read_hash + o;
+        const uint8_t* rvs = c->read_rev + o;
+        struct Chain { int64_t b, e; bool rev; int64_t pb, pe; };
+        std::vector<Chain> chains;
+        int64_t i = 0;
+        while (i < n) {
+            int64_t cadv = 1;
+            const PosEntry* pe0 = unique_entry(hs[i]);
+            if (pe0) {
+                int64_t p = pe0->pos;
+                bool rev = ((bool)rvs[i]) != (bool)pe0->rev;
+                int64_t j = i, curp = p;
+                auto ia = act.lower_bound(curp);
+                while (j + 1 < n) {
+                    const PosEntry* pn = unique_entry(hs[j + 1]);
+                    if (!pn) break;
+                    int64_t np_ = pn->pos;
+                    if ((((bool)rvs[j + 1]) != (bool)pn->rev) != rev) break;
+                    if (rev) {
+                        if (ia == act.begin() || *std::prev(ia) != np_) break;
+                        --ia;
+                    } else {
+                        auto nx = std::next(ia);
+                        if (nx == act.end() || *nx != np_) break;
+                        ia = nx;
+                    }
+                    ++j;
+                    curp = np_;
+                    ++cadv;
+                }
+                chains.push_back({i, j, rev, p, curp});
+            }
+            i += cadv;
+        }
+        if (chains.empty()) return 0;
+        if (chains.size() == 1) return (int32_t)(chains[0].e - chains[0].b + 1);
+        size_t li = 0;
+        for (size_t x = 1; x < chains.size(); ++x)
+            if (chains[x].e - chains[x].b > chains[li].e - chains[li].b)
+                li = x;
+        const Chain& L = chains[li];
+        int64_t total = L.e - L.b + 1;
+        auto end_of = [&](int64_t idx) {
+            return hash_pos.find(hs[idx])->second[0].end;
+        };
+        const int64_t* qb = c->read_qbeg + o;
+        const int64_t* qe = c->read_qend + o;
+        for (size_t x = 0; x < chains.size(); ++x) {
+            if (x == li || chains[x].rev != L.rev) continue;
+            const Chain& F_ = (li < x) ? L : chains[x];
+            const Chain& S_ = (li < x) ? chains[x] : L;
+            int64_t qgap = qb[S_.b] - qe[F_.e];
+            if (qgap < 0) qgap = -qgap;
+            bool ok;
+            if (!chains[x].rev) {
+                int64_t rgap = gap.local_gap(S_.pb, end_of(F_.e));
+                int64_t dd = qgap - rgap;
+                if (dd < 0) dd = -dd;
+                ok = F_.pb < S_.pb && dd < c->maximum_gap;
+            } else {
+                int64_t rgap = gap.local_gap(F_.pe, end_of(S_.b));
+                int64_t dd = qgap - rgap;
+                if (dd < 0) dd = -dd;
+                ok = S_.pe < F_.pe && dd < c->maximum_gap;
+            }
+            if (ok) total += chains[x].e - chains[x].b + 1;
+        }
+        return (int32_t)total;
+    }
+
+    // distinct reads in [r_lo, r_hi) touched by the node's relevant rows
+    void collect_touched(int64_t row_lo, int64_t row_hi) {
+        touched.clear();
+        ++token;
+        for (int64_t r = row_lo; r < row_hi; ++r) {
+            if (!c->relevant[r]) continue;
+            uint64_t h = c->seed_hash[c->delta_seed[r]];
+            auto it = std::lower_bound(c->occ_hash.begin(), c->occ_hash.end(),
+                                       h);
+            if (it == c->occ_hash.end() || *it != h) continue;
+            int64_t u = it - c->occ_hash.begin();
+            for (int64_t k = c->occ_off[u]; k < c->occ_off[u + 1]; ++k) {
+                int32_t ridx = c->occ_read[k];
+                if (ridx < r_lo || ridx >= r_hi) continue;
+                if (stamp[ridx] == token) continue;
+                stamp[ridx] = token;
+                touched.push_back(ridx);
+            }
+        }
+        std::sort(touched.begin(), touched.end());
+    }
+
+    void run() {
+        struct Frame {
+            int32_t node;
+            uint8_t done;
+            int64_t undo_base;  // index into gap undo arena
+        };
+        std::vector<Frame> stack;
+        std::vector<std::vector<GapTracker::Undo>> undo_pool;
+        stack.push_back({0, 0, -1});
+        while (!stack.empty()) {
+            Frame fr = stack.back();
+            stack.pop_back();
+            int64_t node = fr.node;
+            int64_t row_lo = c->node_offsets[node];
+            int64_t row_hi = c->node_offsets[node + 1];
+            if (fr.done) {
+                for (int64_t r = row_hi - 1; r >= row_lo; --r)
+                    if (c->relevant[r]) apply_row(r, -1);
+                gap.leave(undo_pool[fr.undo_base]);
+                undo_pool.pop_back();
+                collect_touched(row_lo, row_hi);
+                for (int32_t ridx : touched) score[ridx] = chain_score(ridx);
+                continue;
+            }
+            undo_pool.emplace_back();
+            int64_t ub = (int64_t)undo_pool.size() - 1;
+            gap.enter(node, undo_pool[ub]);
+            for (int64_t r = row_lo; r < row_hi; ++r)
+                if (c->relevant[r]) apply_row(r, +1);
+            collect_touched(row_lo, row_hi);
+            for (int32_t ridx : touched) {
+                int32_t sc = chain_score(ridx);
+                score[ridx] = sc;
+                if (sc > max_score[ridx]) max_score[ridx] = sc;
+            }
+            int32_t ci = c->cand_of_node[node];
+            if (ci >= 0) {
+                uint16_t* row = snap.data() + (size_t)ci * c->n_reads;
+                for (int64_t ridx = r_lo; ridx < r_hi; ++ridx)
+                    row[ridx] = (uint16_t)score[ridx];
+            }
+            stack.push_back({(int32_t)node, 1, ub});
+            const auto& ch = c->children[node];
+            for (auto it = ch.rbegin(); it != ch.rend(); ++it)
+                stack.push_back({*it, 0, -1});
+        }
+    }
+};
+
+}  // namespace pseudo
+
+extern "C" {
+
+void pt_score_pseudo(
+    const int64_t* node_offsets, int64_t n_nodes, const uint32_t* parent_index,
+    const int32_t* delta_seed, const uint8_t* delta_is_del,
+    const uint64_t* seed_hash, const uint8_t* seed_rev,
+    const int64_t* seed_pos, const int64_t* seed_end,
+    const int64_t* gev_offsets, const int64_t* gev_pos,
+    const uint8_t* gev_nongap, const int64_t* bev_offsets,
+    const int32_t* bev_block, const int8_t* bev_code,
+    const int64_t* block_lo, const int64_t* block_hi, int64_t n_blocks,
+    const uint8_t* nongap0_bits, int64_t n_scalar,
+    const int64_t* read_off, const uint64_t* read_hash,
+    const uint8_t* read_rev, const int64_t* read_qbeg,
+    const int64_t* read_qend, int64_t n_reads,
+    const uint8_t* relevant, const int32_t* cand_nodes, int64_t n_cand,
+    int32_t maximum_gap, int32_t n_threads,
+    int32_t* max_score_out, uint16_t* snap_out) {
+    pseudo::Ctx c;
+    c.node_offsets = node_offsets;
+    c.n_nodes = n_nodes;
+    c.parent_index = parent_index;
+    c.delta_seed = delta_seed;
+    c.delta_is_del = delta_is_del;
+    c.seed_hash = seed_hash;
+    c.seed_rev = seed_rev;
+    c.seed_pos = seed_pos;
+    c.seed_end = seed_end;
+    c.gev_offsets = gev_offsets;
+    c.gev_pos = gev_pos;
+    c.gev_nongap = gev_nongap;
+    c.bev_offsets = bev_offsets;
+    c.bev_block = bev_block;
+    c.bev_code = bev_code;
+    c.block_lo = block_lo;
+    c.block_hi = block_hi;
+    c.n_blocks = n_blocks;
+    c.nongap0_bits = nongap0_bits;
+    c.n_scalar = n_scalar;
+    c.read_off = read_off;
+    c.read_hash = read_hash;
+    c.read_rev = read_rev;
+    c.read_qbeg = read_qbeg;
+    c.read_qend = read_qend;
+    c.n_reads = n_reads;
+    c.relevant = relevant;
+    c.cand_nodes = cand_nodes;
+    c.n_cand = n_cand;
+    c.maximum_gap = maximum_gap;
+
+    c.children.assign(n_nodes, {});
+    for (int64_t i = 1; i < n_nodes; ++i)
+        c.children[parent_index[i]].push_back((int32_t)i);
+    c.cand_of_node.assign(n_nodes, -1);
+    for (int64_t i = 0; i < n_cand; ++i) c.cand_of_node[cand_nodes[i]] = i;
+
+    // occ: (hash, read) sorted by hash -> unique hashes + read CSR
+    {
+        int64_t total = read_off[n_reads];
+        std::vector<std::pair<uint64_t, int32_t>> occ(total);
+        for (int64_t rd = 0; rd < n_reads; ++rd)
+            for (int64_t k = read_off[rd]; k < read_off[rd + 1]; ++k)
+                occ[k] = {read_hash[k], (int32_t)rd};
+        std::sort(occ.begin(), occ.end());
+        c.occ_hash.reserve(total);
+        c.occ_off.reserve(total + 1);
+        c.occ_read.resize(total);
+        for (int64_t k = 0; k < total; ++k) {
+            if (k == 0 || occ[k].first != occ[k - 1].first) {
+                c.occ_hash.push_back(occ[k].first);
+                c.occ_off.push_back(k);
+            }
+            c.occ_read[k] = occ[k].second;
+        }
+        c.occ_off.push_back(total);
+    }
+
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n_reads) n_threads = n_reads > 0 ? (int32_t)n_reads : 1;
+    std::vector<std::unique_ptr<pseudo::Worker>> workers;
+    std::vector<std::thread> ths;
+    int64_t per = (n_reads + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t lo = (int64_t)t * per;
+        int64_t hi = lo + per < n_reads ? lo + per : n_reads;
+        if (lo >= hi) break;
+        workers.emplace_back(new pseudo::Worker(&c, lo, hi));
+    }
+    for (auto& w : workers)
+        ths.emplace_back([&w]() { w->run(); });
+    for (auto& t : ths) t.join();
+
+    for (int64_t r = 0; r < n_reads; ++r) max_score_out[r] = 0;
+    std::memset(snap_out, 0, (size_t)n_cand * n_reads * sizeof(uint16_t));
+    for (auto& w : workers) {
+        for (int64_t r = w->r_lo; r < w->r_hi; ++r)
+            max_score_out[r] = w->max_score[r];
+        for (int64_t ci = 0; ci < n_cand; ++ci) {
+            const uint16_t* src = w->snap.data() + (size_t)ci * n_reads;
+            uint16_t* dst = snap_out + (size_t)ci * n_reads;
+            for (int64_t r = w->r_lo; r < w->r_hi; ++r) dst[r] = src[r];
+        }
+    }
+}
+
+}  // extern "C"

@@ -175,3 +175,56 @@ def test_pseudochain_deletion_spanning(tmp_path):
     assert n_small > 0.7 * n_clean, (n_small, n_clean)
     # large deletion: colinearity rejected -> at most one side's chain
     assert n_large < 0.75 * n_small, (n_large, n_small)
+
+
+def test_pseudochain_native_matches_python(tmp_path):
+    """The threaded native pseudochain core must be bit-equal to the python
+    oracle (max scores and candidate snapshots) on mixed-leaf reads with
+    insertions/deletions/reversals in the query set."""
+    import numpy as np
+
+    from panmap_tpu.meta.engine import MetaScorer, sketch_meta_reads_full
+    from panmap_tpu.meta.index import load_meta_index
+    from panmap_tpu.native import get_lib
+    from panmap_tpu.sketch.cpu import reverse_complement
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    midx = load_meta_index(os.path.join(CACHE, "rsv4k.ptmidx.npz"))
+    panman = tmp_path / "rsv_4K.panman"
+    shutil.copy(f"{DATA}/rsv_4K.panman", panman)
+    tree = load_panman(str(panman))
+    g = tree.get_string("MZ515733.1")
+    g2 = tree.get_string("MZ515704.1")
+    rng = __import__("random").Random(7)
+    seqs = []
+    for src in (g, g2):
+        for i in range(0, len(src) - 400, 977):
+            r = src[i:i + 400]
+            roll = rng.random()
+            if roll < 0.25:
+                r = r[:150] + r[180:]          # deletion
+            elif roll < 0.5:
+                r = r[:200] + "ACGTAC" * 5 + r[200:]  # insertion
+            elif roll < 0.7:
+                r = reverse_complement(r)
+            seqs.append(r)
+    p = midx.params
+    reads, _, _ = sketch_meta_reads_full(seqs, p.k, p.s, p.t, p.l, p.open)
+    scorer = MetaScorer(midx, reads)
+    cands = [0, 17, 900, midx.node_ids.index("MZ515733.1"), 3999]
+    ms_n, snap_n = scorer.score_all_pseudo(cands)
+    old = os.environ.get("PANMAP_TPU_NO_NATIVE")
+    os.environ["PANMAP_TPU_NO_NATIVE"] = "1"
+    try:
+        ms_p, snap_p = scorer.score_all_pseudo(cands)
+    finally:
+        if old is None:
+            os.environ.pop("PANMAP_TPU_NO_NATIVE", None)
+        else:
+            os.environ["PANMAP_TPU_NO_NATIVE"] = old
+    assert np.array_equal(ms_n, ms_p)
+    assert np.array_equal(snap_n, snap_p)
+    assert ms_n.max() > 10  # non-trivial workload
