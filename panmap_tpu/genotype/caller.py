@@ -26,6 +26,7 @@ programs, faithful to the numerical model:
 from __future__ import annotations
 
 import math
+from collections import defaultdict
 from dataclasses import dataclass
 import numpy as np
 
@@ -433,6 +434,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
     # matters because the errmod is order-dependent on q-key ties.
     depth = np.zeros(n, dtype=np.int64)
     seg_p0, seg_q0, seg_len, seg_rid = [], [], [], []
+    indel_events = []  # (anchor, rid, ("I", seq) | ("D", len), event_qual)
     for rid, r in enumerate(kept):
         rpos = r.rs
         qpos = r.qs
@@ -444,9 +446,30 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
                 seg_rid.append(rid)
                 rpos += ln
                 qpos += ln
-            elif op in ("I", "S"):
+            elif op == "I":
+                if 0 < rpos <= n and ln > 0:
+                    qev = min(r.quals[qpos : qpos + ln], default=0)
+                    # left-align: the same haplotype can be encoded at
+                    # several anchors; normalize so supports merge (VCF /
+                    # bcftools left-aligned convention)
+                    a = rpos - 1
+                    ins = r.seq[qpos : qpos + ln]
+                    while a >= 1 and ins[-1] == ref[a]:
+                        ins = ref[a] + ins[:-1]
+                        a -= 1
+                    indel_events.append((a, rid, ("I", ins), qev))
+                qpos += ln
+            elif op == "S":
                 qpos += ln
             elif op in ("D", "N"):
+                if op == "D" and 0 < rpos and rpos + ln <= n:
+                    qa = r.quals[qpos - 1] if qpos > 0 else 0
+                    qb = r.quals[qpos] if qpos < len(r.quals) else qa
+                    s0 = rpos
+                    while s0 >= 2 and ref[s0 - 1] == ref[s0 + ln - 1]:
+                        s0 -= 1
+                    indel_events.append((s0 - 1, rid, ("D", ln),
+                                         min(qa, qb)))
                 rpos += ln
 
     records: list = []
@@ -500,6 +523,9 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
     order = np.argsort(g_p, kind="stable")
     g_p, g_q, g_s, g_b = g_p[order], g_q[order], g_s[order], g_b[order]
     if len(g_p) == 0:
+        records.extend(_call_indels(ref, n, indel_events, flat_p, flat_rid,
+                                    q, keep_q, revs, mqs, depth))
+        records.sort(key=lambda rec: rec.pos)
         return records
     gstart = np.concatenate(
         ([0], np.flatnonzero(g_p[1:] != g_p[:-1]) + 1, [len(g_p)]))
@@ -579,7 +605,96 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
                 ads=ads,
             )
         )
+    records.extend(_call_indels(ref, n, indel_events, flat_p, flat_rid,
+                                q, keep_q, revs, mqs, depth))
+    records.sort(key=lambda rec: rec.pos)
     return records
+
+
+def _call_indels(ref: str, n: int, indel_events: list, flat_p, flat_rid,
+                 flat_q, keep_q, revs, mqs, depth):
+    """Haploid indel calls from CIGAR I/D events (bcftools calls indels via
+    bam2bcf_indel.c's type-collection + per-read realignment; this is the
+    SIMPLIFIED equivalent documented in PARITY.md: per anchor the dominant
+    indel type competes against the no-indel reads through the same
+    revised-MAQ errmod used for SNPs, with the event quality = min base
+    quality inside/flanking the event).  VCF left-anchored convention:
+    insertion REF=anchor ALT=anchor+seq, deletion REF=anchor+run ALT=anchor."""
+    if not indel_events:
+        return []
+    by_anchor: dict = defaultdict(dict)  # anchor -> rid -> (typekey, qev)
+    for anchor, rid, tk, qev in indel_events:
+        by_anchor[anchor][rid] = (tk, qev)
+    anchors = np.array(sorted(by_anchor), dtype=np.int64)
+    sel = np.isin(flat_p, anchors)
+    sp_p = flat_p[sel]
+    sp_rid = flat_rid[sel]
+    sp_q = flat_q[sel]
+    sp_keep = keep_q[sel]
+    order = np.argsort(sp_p, kind="stable")  # pileup order within anchor
+    sp_p, sp_rid, sp_q, sp_keep = (sp_p[order], sp_rid[order], sp_q[order],
+                                   sp_keep[order])
+    lo_b = np.searchsorted(sp_p, anchors, side="left")
+    hi_b = np.searchsorted(sp_p, anchors, side="right")
+    recs = []
+    for ai, anchor in enumerate(anchors.tolist()):
+        evmap = by_anchor[anchor]
+        support: dict = defaultdict(lambda: [0, 0])
+        for _rid, (tk, qev) in evmap.items():
+            c = support[tk]
+            c[0] += 1
+            c[1] += qev
+        tk_dom = max(support.items(),
+                     key=lambda kv: (kv[1][0], kv[1][1], kv[0]))[0]
+        if tk_dom[0] == "D" and anchor + 1 + tk_dom[1] > n:
+            continue
+        q_list, s_list, b_list = [], [], []
+        ad = [0, 0]
+        for i in range(int(lo_b[ai]), int(hi_b[ai])):
+            rid = int(sp_rid[i])
+            ev = evmap.get(rid)
+            if ev is None:
+                if not sp_keep[i]:
+                    continue
+                code = 0
+                qv = int(sp_q[i])
+            elif ev[0] == tk_dom:
+                if ev[1] < MIN_BQ:
+                    continue
+                code = 1
+                qv = max(4, min(int(ev[1]), MAX_BQ, int(mqs[rid]), 63))
+            else:
+                continue  # other indel type: counts toward DP only
+            q_list.append(qv)
+            s_list.append(int(revs[rid]))
+            b_list.append(code)
+            ad[code] += 1
+        if ad[1] == 0 or not q_list:
+            continue
+        qa = np.array(q_list, dtype=np.int64)
+        sa = np.array(s_list, dtype=np.int64)
+        ba = np.array(b_list, dtype=np.int64)
+        DIAG, bsum, _cc = _ERRMOD.cal_arrays(qa, sa, ba)
+        base_counts = np.bincount(ba, minlength=5)
+        gvals = np.array([DIAG[0, 0],
+                          _het_phred(base_counts, 0, 1, bsum),
+                          DIAG[1, 1]])
+        gmin = gvals.min()
+        pl_all = np.minimum(np.floor(gvals - gmin + 0.499), 255).astype(int)
+        pls = [int(pl_all[0]), int(pl_all[2])]
+        gt = int(np.argmin(pls))
+        qual = (float(pls[0]) if gt != 0
+                else (float(pls[1]) if len(pls) > 1 else 0.0))
+        if tk_dom[0] == "I":
+            ref_s = ref[anchor]
+            alt_s = ref[anchor] + tk_dom[1]
+        else:
+            ref_s = ref[anchor : anchor + 1 + tk_dom[1]]
+            alt_s = ref[anchor]
+        recs.append(SiteRecord(pos=int(anchor), ref=ref_s, alts=[alt_s],
+                               qual=qual, dp=int(depth[anchor]), gt=gt,
+                               pls=pls, ads=ad))
+    return recs
 
 
 _LN2 = math.log(2.0)
@@ -658,8 +773,13 @@ def apply_spectrum(records: list, phred: np.ndarray | None, min_depth: int,
             continue
         r = _BIDX.get(rec.ref, -1)
         if r < 0 or r > 3:
-            if rec.gt != 0:
-                out.append(rec)
+            # indel/multi-base record: no SNP spectrum; apply the same
+            # quality threshold and consensus gate as the no-spectrum path
+            if rec.gt == 0 or rec.qual < min_qual:
+                continue
+            if not _passes_gate(rec.gt, rec.ads, min_depth):
+                continue
+            out.append(rec)
             continue
         gls = np.array(rec.pls, dtype=np.float64)
         gls[0] += phred[r][r]
@@ -713,7 +833,9 @@ def build_consensus(ref: str, records: list, header: str) -> str:
     """Apply called variants to the reference (bcftools consensus equivalent),
     60-column wrapping."""
     seq = list(ref)
-    for rec in records:
+    # descending position order: length-changing (indel) edits must not
+    # shift the coordinates of records applied after them
+    for rec in sorted(records, key=lambda r: -r.pos):
         if rec.gt <= 0 or rec.gt > len(rec.alts):
             continue
         alt = rec.alts[rec.gt - 1]

@@ -568,3 +568,42 @@ def test_filter_assign_align_reads(outdir, tmp_path):
 
     total = sum(count_records(b) for b in bams)
     assert total >= 20
+
+
+def test_indel_truth(rsv_index, outdir, tmp_path):
+    """Indel truth test: inject a 12bp deletion and a 7bp insertion into a
+    leaf genome, tile ~30x reads, and assert the VCF carries both records at
+    the exact left-anchored POS/REF/ALT and the consensus equals the mutated
+    genome (the reference genotypes indels through bcftools mpileup+call;
+    caller.py::_call_indels is the simplified equivalent)."""
+    g = _read_fa(f"{DATA}/MZ515733.1.fa")
+    del_pos, del_len = 5000, 12
+    ins_pos, ins_seq = 9000, "TTACCGA"
+    # apply right-to-left so coordinates stay valid
+    gs = g[:ins_pos] + ins_seq + g[ins_pos:]
+    gs = gs[:del_pos] + gs[del_pos + del_len:]
+    # left-align both events the way the caller (and bcftools) reports them
+    s0 = del_pos
+    while s0 >= 2 and g[s0 - 1] == g[s0 + del_len - 1]:
+        s0 -= 1
+    a, ins = ins_pos - 1, ins_seq
+    while a >= 1 and ins[-1] == g[a]:
+        ins = g[a] + ins[:-1]
+        a -= 1
+    truth = {
+        (s0, g[s0 - 1 : s0 + del_len], g[s0 - 1]),
+        (a + 1, g[a], g[a] + ins),
+    }
+    reads = tmp_path / "indel.fastq"
+    with open(reads, "w") as o:
+        for n, i in enumerate(range(0, len(gs) - 150, 5)):
+            o.write(f"@r{n}\n{gs[i:i+150]}\n+\n{'I'*150}\n")
+    out = run_pipe(rsv_index, outdir, reads, "indel")
+    records = [l.split("\t") for l in open(out + ".vcf")
+               if not l.startswith("#")]
+    called = {(int(r[1]), r[3], r[4]) for r in records}
+    for t in truth:
+        assert t in called, f"indel {t} not called (got {sorted(called)})"
+    cons = _read_fa(out + ".consensus.fa")
+    assert cons == gs, (
+        f"consensus != mutated genome (len {len(cons)} vs {len(gs)})")
