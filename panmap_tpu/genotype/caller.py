@@ -622,9 +622,9 @@ def _call_indels(ref: str, n: int, indel_events: list, flat_p, flat_rid,
     insertion REF=anchor ALT=anchor+seq, deletion REF=anchor+run ALT=anchor."""
     if not indel_events:
         return []
-    by_anchor: dict = defaultdict(dict)  # anchor -> rid -> (typekey, qev)
+    by_anchor: dict = defaultdict(dict)  # anchor -> rid -> [(typekey, qev)]
     for anchor, rid, tk, qev in indel_events:
-        by_anchor[anchor][rid] = (tk, qev)
+        by_anchor[anchor].setdefault(rid, []).append((tk, qev))
     anchors = np.array(sorted(by_anchor), dtype=np.int64)
     sel = np.isin(flat_p, anchors)
     sp_p = flat_p[sel]
@@ -640,35 +640,60 @@ def _call_indels(ref: str, n: int, indel_events: list, flat_p, flat_rid,
     for ai, anchor in enumerate(anchors.tolist()):
         evmap = by_anchor[anchor]
         support: dict = defaultdict(lambda: [0, 0])
-        for _rid, (tk, qev) in evmap.items():
-            c = support[tk]
-            c[0] += 1
-            c[1] += qev
+        for _rid, evs in evmap.items():
+            for tk, qev in evs:
+                c = support[tk]
+                c[0] += 1
+                c[1] += qev
         tk_dom = max(support.items(),
                      key=lambda kv: (kv[1][0], kv[1][1], kv[0]))[0]
         if tk_dom[0] == "D" and anchor + 1 + tk_dom[1] > n:
             continue
+
+        def dom_qual(evs):
+            """Event quality of the dominant type, or None."""
+            for tk, qev in evs:
+                if tk == tk_dom:
+                    return qev
+            return None
+
         q_list, s_list, b_list = [], [], []
         ad = [0, 0]
+        seen_rids = set()
         for i in range(int(lo_b[ai]), int(hi_b[ai])):
             rid = int(sp_rid[i])
-            ev = evmap.get(rid)
-            if ev is None:
+            seen_rids.add(rid)
+            evs = evmap.get(rid)
+            if evs is None:
                 if not sp_keep[i]:
                     continue
                 code = 0
                 qv = int(sp_q[i])
-            elif ev[0] == tk_dom:
-                if ev[1] < MIN_BQ:
+            else:
+                qev = dom_qual(evs)
+                if qev is None:
+                    continue  # other indel type: counts toward DP only
+                if qev < MIN_BQ:
                     continue
                 code = 1
-                qv = max(4, min(int(ev[1]), MAX_BQ, int(mqs[rid]), 63))
-            else:
-                continue  # other indel type: counts toward DP only
+                qv = max(4, min(int(qev), MAX_BQ, int(mqs[rid]), 63))
             q_list.append(qv)
             s_list.append(int(revs[rid]))
             b_list.append(code)
             ad[code] += 1
+        # supporting reads whose matched columns do not cover the
+        # left-normalized anchor (e.g. a deletion left-shifted past the
+        # read's start in a homopolymer) are still real observations
+        for rid in sorted(evmap):
+            if rid in seen_rids:
+                continue
+            qev = dom_qual(evmap[rid])
+            if qev is None or qev < MIN_BQ:
+                continue
+            q_list.append(max(4, min(int(qev), MAX_BQ, int(mqs[rid]), 63)))
+            s_list.append(int(revs[rid]))
+            b_list.append(1)
+            ad[1] += 1
         if ad[1] == 0 or not q_list:
             continue
         qa = np.array(q_list, dtype=np.int64)
@@ -772,9 +797,11 @@ def apply_spectrum(records: list, phred: np.ndarray | None, min_depth: int,
             out.append(rec)
             continue
         r = _BIDX.get(rec.ref, -1)
-        if r < 0 or r > 3:
-            # indel/multi-base record: no SNP spectrum; apply the same
-            # quality threshold and consensus gate as the no-spectrum path
+        is_indel = len(rec.ref) > 1 or any(len(a) > 1 for a in rec.alts)
+        if r < 0 or r > 3 or is_indel:
+            # indel/multi-base record (insertions have a single-base REF, so
+            # test the ALTs too): no SNP spectrum; apply the same quality
+            # threshold and consensus gate as the no-spectrum path
             if rec.gt == 0 or rec.qual < min_qual:
                 continue
             if not _passes_gate(rec.gt, rec.ads, min_depth):
@@ -833,9 +860,15 @@ def build_consensus(ref: str, records: list, header: str) -> str:
     """Apply called variants to the reference (bcftools consensus equivalent),
     60-column wrapping."""
     seq = list(ref)
+
+    def _is_indel(r):
+        return len(r.ref) > 1 or any(len(a) > 1 for a in r.alts)
+
     # descending position order: length-changing (indel) edits must not
-    # shift the coordinates of records applied after them
-    for rec in sorted(records, key=lambda r: -r.pos):
+    # shift the coordinates of records applied after them.  At EQUAL pos the
+    # indel applies first (its REF/ALT embeds the anchor reference base, so
+    # a later SNP at the anchor must overwrite it, not be clobbered by it)
+    for rec in sorted(records, key=lambda r: (-r.pos, not _is_indel(r))):
         if rec.gt <= 0 or rec.gt > len(rec.alts):
             continue
         alt = rec.alts[rec.gt - 1]

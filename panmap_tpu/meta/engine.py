@@ -741,10 +741,7 @@ class MetaScorer:
             midx, read_off, read_hash, read_rev, read_qbeg, read_qend,
             self._relevant, np.asarray(candidate_nodes, np.int64),
             maximum_gap=maximum_gap)
-        if res is None:
-            return None
-        max_score, snap = res
-        return max_score, snap
+        return res
 
     def score_all_pseudo(self, candidate_nodes: list,
                          collect_node_scores: bool = False,

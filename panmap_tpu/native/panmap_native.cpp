@@ -1829,7 +1829,7 @@ struct Worker {
     Worker(const Ctx* c_, int64_t lo, int64_t hi)
         : c(c_), r_lo(lo), r_hi(hi), gap(c_),
           score(c_->n_reads, 0), max_score(c_->n_reads, 0),
-          snap((size_t)c_->n_cand * c_->n_reads, 0),
+          snap((size_t)c_->n_cand * (hi - lo), 0),  // own read slice only
           stamp(c_->n_reads, -1) {}
 
     uint64_t apply_row(int64_t r, int sign) {
@@ -1993,9 +1993,9 @@ struct Worker {
             }
             int32_t ci = c->cand_of_node[node];
             if (ci >= 0) {
-                uint16_t* row = snap.data() + (size_t)ci * c->n_reads;
+                uint16_t* row = snap.data() + (size_t)ci * (r_hi - r_lo);
                 for (int64_t ridx = r_lo; ridx < r_hi; ++ridx)
-                    row[ridx] = (uint16_t)score[ridx];
+                    row[ridx - r_lo] = (uint16_t)score[ridx];
             }
             stack.push_back({(int32_t)node, 1, ub});
             const auto& ch = c->children[node];
@@ -2104,10 +2104,11 @@ void pt_score_pseudo(
     for (auto& w : workers) {
         for (int64_t r = w->r_lo; r < w->r_hi; ++r)
             max_score_out[r] = w->max_score[r];
+        int64_t span = w->r_hi - w->r_lo;
         for (int64_t ci = 0; ci < n_cand; ++ci) {
-            const uint16_t* src = w->snap.data() + (size_t)ci * n_reads;
-            uint16_t* dst = snap_out + (size_t)ci * n_reads;
-            for (int64_t r = w->r_lo; r < w->r_hi; ++r) dst[r] = src[r];
+            const uint16_t* src = w->snap.data() + (size_t)ci * span;
+            uint16_t* dst = snap_out + (size_t)ci * n_reads + w->r_lo;
+            std::memcpy(dst, src, (size_t)span * sizeof(uint16_t));
         }
     }
 }

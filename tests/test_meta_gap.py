@@ -215,7 +215,11 @@ def test_pseudochain_native_matches_python(tmp_path):
     reads, _, _ = sketch_meta_reads_full(seqs, p.k, p.s, p.t, p.l, p.open)
     scorer = MetaScorer(midx, reads)
     cands = [0, 17, 900, midx.node_ids.index("MZ515733.1"), 3999]
-    ms_n, snap_n = scorer.score_all_pseudo(cands)
+    # call the native path DIRECTLY so the test cannot silently degrade to
+    # python-vs-python when the .so or the v3 index arrays are missing
+    native = scorer._score_pseudo_native(cands, 50)
+    assert native is not None, "native pseudochain core not exercised"
+    ms_n, snap_n = native
     old = os.environ.get("PANMAP_TPU_NO_NATIVE")
     os.environ["PANMAP_TPU_NO_NATIVE"] = "1"
     try:
