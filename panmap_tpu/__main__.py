@@ -247,6 +247,7 @@ def main(argv=None):
             write_ocranks=args.write_ocranks,
             write_read_scores_unfiltered=args.write_meta_read_scores_unfiltered,
             write_read_scores_filtered=args.write_meta_read_scores_filtered,
+            batch_size=args.batch_size,
             threads=args.threads,
             stop=args.stop,
             log=log,

@@ -153,3 +153,74 @@ def read_paired_for_alignment(path1: str, path2: str | None):
         seqs = perfect_shuffle(seqs + s2)
         quals = perfect_shuffle(quals + q2)
     return names, seqs, quals
+
+
+def _iter_records(path: str):
+    """Stream (name, seq, qual) records from a FASTA/FASTQ file without
+    loading it whole (kseq-style)."""
+    with _open(path) as fh:
+        first = fh.read(1)
+        if not first:
+            return
+        if first == ">":
+            name, chunks = None, []
+            line = ">" + fh.readline()
+            while line:
+                line = line.rstrip("\r\n")
+                if line.startswith(">"):
+                    if name is not None:
+                        s = "".join(chunks)
+                        yield name, s, "I" * len(s)
+                    name = line[1:].split()[0]
+                    chunks = []
+                elif line:
+                    chunks.append(line)
+                line = fh.readline()
+            if name is not None:
+                s = "".join(chunks)
+                yield name, s, "I" * len(s)
+            return
+        header = first + fh.readline().rstrip("\r\n")
+        while header:
+            seq = fh.readline().rstrip("\r\n")
+            fh.readline()
+            qual = fh.readline().rstrip("\r\n")
+            yield header[1:].split()[0], seq, qual if qual else "I" * len(seq)
+            header = fh.readline().rstrip("\r\n")
+
+
+def read_full_batches(path1: str, path2: str | None, batch_size: int):
+    """Yield (names, seqs, quals) in chunks of <= batch_size reads, parsed
+    incrementally so memory stays bounded by the batch (reference: the
+    filter-and-assign TBB pipeline streams 1M-read batches,
+    main.cpp:790-933).  Paired inputs interleave R1/R2 with the R2
+    reverse-complement convention of read_paired_for_alignment."""
+    names, seqs, quals = [], [], []
+    if path2:
+        it1, it2 = _iter_records(path1), _iter_records(path2)
+        while True:
+            r1 = next(it1, None)
+            r2 = next(it2, None)
+            if r1 is None and r2 is None:
+                break
+            if r1 is not None:
+                names.append(r1[0])
+                seqs.append(r1[1])
+                quals.append(r1[2])
+            if r2 is not None:
+                names.append(r2[0])
+                seqs.append(reverse_complement(r2[1]))
+                quals.append(r2[2][::-1])
+            if len(names) >= batch_size:
+                yield names, seqs, quals
+                names, seqs, quals = [], [], []
+    else:
+        for nm, s, q in _iter_records(path1):
+            names.append(nm)
+            seqs.append(s)
+            quals.append(q)
+            if len(names) >= batch_size:
+                yield names, seqs, quals
+                names, seqs, quals = [], [], []
+    if names:
+        yield names, seqs, quals

@@ -109,28 +109,169 @@ class Lca:
 
 
 def run_filter_and_assign(cfg, midx) -> int:
-    names, seqs, quals = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None) \
-        if cfg.reads2 else fastq.read_full(cfg.reads1)
+    """Streams the input in --batch-size chunks (reference: the 3-stage TBB
+    pipeline over 1M-read batches, main.cpp:790-933).  Multi-batch runs make
+    TWO passes: pass A unions the distinct read hashes so the collapsed tree
+    (node keep/identical sets) is GLOBAL — per-node/LCA assignments are then
+    independent of the batch split (pseudochain adjacency can differ
+    marginally from a single-pass run; simple scoring cannot)."""
+    batch_size = max(int(getattr(cfg, "batch_size", 0) or 1_000_000), 1)
     p = midx.params
     masking = (getattr(cfg, "mask_reads", 0) or getattr(cfg, "mask_seeds", 0)
                or getattr(cfg, "mask_reads_rf", 0.0)
                or getattr(cfg, "mask_seeds_rf", 0.0)
                or getattr(cfg, "amplicon_depth", "")
                or getattr(cfg, "mask_read_ends", 0))
-    if masking:
-        from .engine import sketch_meta_reads_grouped
 
-        reads, dup_index, n_dust, n_masked = sketch_meta_reads_grouped(
-            seqs, names, p, cfg)
-        cfg.log(f"[assign] {len(seqs)} reads -> {len(reads)} unique sets "
-                f"({n_dust} low-complexity, {n_masked} masked)")
+    def sketch_batch(bnames, bseqs):
+        if masking:
+            from .engine import sketch_meta_reads_grouped
+
+            reads, dup_index, n_dust, n_masked = sketch_meta_reads_grouped(
+                bseqs, bnames, p, cfg)
+        else:
+            reads, dup_index, n_dust = sketch_meta_reads_full(
+                bseqs, p.k, p.s, p.t, p.l, p.open, dust_threshold=cfg.dust)
+            n_masked = 0
+        return reads, dup_index, n_dust, n_masked
+
+    def batches():
+        return fastq.read_full_batches(cfg.reads1, cfg.reads2 or None,
+                                       batch_size)
+
+    gen = batches()
+    b0 = next(gen, ([], [], []))
+    b1 = next(gen, None)
+    single = b1 is None
+    union_hashes = None
+    if single:
+        first_batches = [b0]
     else:
-        reads, dup_index, n_dust = sketch_meta_reads_full(
-            seqs, p.k, p.s, p.t, p.l, p.open, dust_threshold=cfg.dust)
-        cfg.log(f"[assign] {len(seqs)} reads -> {len(reads)} unique sets "
-                f"({n_dust} low-complexity)")
+        import itertools
 
-    scorer = MetaScorer(midx, reads)
+        union_hashes = np.empty(0, np.uint64)
+        n_total = 0
+        for bnames, bseqs, _bq in itertools.chain([b0, b1], gen):
+            reads, _, _, _ = sketch_batch(bnames, bseqs)
+            n_total += len(bnames)
+            if reads:
+                bh = np.unique(np.concatenate([r.hashes for r in reads]))
+                union_hashes = np.union1d(union_hashes, bh)
+        cfg.log(f"[assign] pass A: {n_total} reads in batches of "
+                f"{batch_size}; {len(union_hashes)} distinct seedmers")
+        first_batches = None
+
+    return _filter_assign_batches(
+        cfg, midx, sketch_batch, first_batches or batches(), union_hashes)
+
+
+def _filter_assign_batches(cfg, midx, sketch_batch, batch_iter,
+                           union_hashes) -> int:
+    scorer = None
+    n_nodes = len(midx.node_ids)
+    parent = midx.parent_index.astype(np.int64)
+    lca = Lca(parent)
+    children: list = [[] for _ in range(n_nodes)]
+    for i in range(1, n_nodes):
+        children[parent[i]].append(i)
+
+    # taxonomy roll-up over the raw tree (read-independent; once)
+    taxons: list = []
+    node_taxa: list = [set() for _ in range(n_nodes)]
+    node_overmax = np.zeros(n_nodes, dtype=bool)
+    maxtax = max(cfg.max_taxon_number, 1)
+    if cfg.taxonomy_path:
+        sample_to_taxon, taxons = load_taxonomy(cfg.taxonomy_path,
+                                                cfg.taxonomic_rank)
+        is_parent = np.zeros(n_nodes, dtype=bool)
+        is_parent[parent[1:]] = True
+        for i, nm in enumerate(midx.node_ids):
+            if not is_parent[i] and nm in sample_to_taxon:
+                node_taxa[i].add(sample_to_taxon[nm])
+        for i in range(n_nodes - 1, 0, -1):  # children before parents
+            if node_overmax[i]:
+                node_overmax[parent[i]] = True
+            elif not node_overmax[parent[i]]:
+                node_taxa[parent[i]] |= node_taxa[i]
+                if len(node_taxa[parent[i]]) > maxtax:
+                    node_overmax[parent[i]] = True
+                    node_taxa[parent[i]] = set()
+
+    # global accumulators across batches
+    out_fq = cfg.output + ".mgsr.assignedReads.fastq"
+    fq_fh = open(out_fq, "w")
+    n_fq = 0
+    node_idxs: dict = defaultdict(list)       # node -> [global fq idx]
+    lca_idxs: dict = defaultdict(list)        # node -> [global fq idx]
+    jp_names: list = []                       # fq idx -> read name
+    jp_nodes: list = []                       # fq idx -> [nodes]
+    jp_lca_nodes: list = []                   # fq idx -> [lca node]
+    breadth_reads: dict = defaultdict(list)   # node -> [(hashes, weight)]
+    n_in_total = 0
+    n_batches = 0
+
+    n_uniq_total = 0
+    for bnames, bseqs, bquals in batch_iter:
+        n_batches += 1
+        reads, dup_index, n_dust, n_masked = sketch_batch(bnames, bseqs)
+        cfg.log(f"[assign] batch {n_batches}: {len(bseqs)} reads -> "
+                f"{len(reads)} unique sets ({n_dust} low-complexity"
+                + (f", {n_masked} masked)" if n_masked else ")"))
+        scorer = MetaScorer(midx, reads, relevant_hashes=union_hashes)
+        n_fq = _assign_one_batch(
+            cfg, midx, scorer, reads, dup_index, bnames, bseqs, bquals,
+            lca, children, node_taxa, node_overmax, maxtax,
+            fq_fh, n_fq, node_idxs, lca_idxs, jp_names, jp_nodes,
+            jp_lca_nodes, breadth_reads, taxons,
+            orig_base=n_in_total, uniq_base=n_uniq_total,
+            first_batch=(n_batches == 1))
+        n_in_total += len(bseqs)
+        n_uniq_total += len(reads)
+    fq_fh.close()
+    cfg.log(f"[assign] {n_fq} of {n_in_total} reads written to {out_fq}")
+
+    members_of = {}
+    if scorer is not None:
+        for keeper, absorbed in scorer.tree.identical_members.items():
+            members_of[keeper] = [midx.node_ids[a] for a in absorbed]
+
+    def write_out(path, mapping):
+        with open(path, "w") as fh:
+            for node, idxs in mapping.items():
+                name = midx.node_ids[node]
+                parts = [name] + members_of.get(node, [])
+                taxa = (",".join(taxons[t] for t in sorted(node_taxa[node]))
+                        if node_taxa[node] else ".")
+                idxs = sorted(idxs)
+                fh.write(",".join(parts) + f"\t{taxa}\t{len(idxs)}\t"
+                         + ",".join(map(str, idxs)) + "\n")
+
+    write_out(cfg.output + ".mgsr.assignedReads.out", node_idxs)
+    write_out(cfg.output + ".mgsr.assignedReadsLCANode.out", lca_idxs)
+
+    if getattr(cfg, "jplace", False):
+        newick, edge_num = _jplace_newick(midx, children)
+        for by_read, suffix in ((jp_nodes, ".mgsr.assignedReads.jplace"),
+                                (jp_lca_nodes,
+                                 ".mgsr.assignedReadsLCANode.jplace")):
+            _write_jplace(cfg.output + suffix, by_read, jp_names, midx,
+                          members_of, newick, edge_num)
+        cfg.log("[assign] wrote jplace outputs")
+
+    if cfg.breadth_ratio:
+        _write_breadth_ratio(cfg, midx, breadth_reads, members_of, children)
+
+    if getattr(cfg, "align_reads", False):
+        _align_assigned_reads(cfg, midx, node_idxs, out_fq)
+    return 0
+
+
+def _assign_one_batch(cfg, midx, scorer, reads, dup_index, names, seqs,
+                      quals, lca, children, node_taxa, node_overmax, maxtax,
+                      fq_fh, fq_base, node_idxs, lca_idxs, jp_names,
+                      jp_nodes, jp_lca_nodes, breadth_reads, taxons,
+                      orig_base: int = 0, uniq_base: int = 0,
+                      first_batch: bool = True) -> int:
     use_fast = (not getattr(cfg, "pseudochain", False)
                 and len(reads) >= getattr(cfg, "fast_threshold", 2000))
     fast = None
@@ -152,28 +293,8 @@ def run_filter_and_assign(cfg, midx) -> int:
     eff = max_score.copy()
     eff[eff < read_lens * cfg.discard] = 0
 
-    # taxonomy roll-up over the raw tree
-    n_nodes = len(midx.node_ids)
     parent = midx.parent_index.astype(np.int64)
-    taxons: list = []
-    node_taxa: list = [set() for _ in range(n_nodes)]
-    node_overmax = np.zeros(n_nodes, dtype=bool)
     if cfg.taxonomy_path:
-        sample_to_taxon, taxons = load_taxonomy(cfg.taxonomy_path, cfg.taxonomic_rank)
-        is_parent = np.zeros(n_nodes, dtype=bool)
-        is_parent[parent[1:]] = True
-        for i, nm in enumerate(midx.node_ids):
-            if not is_parent[i] and nm in sample_to_taxon:
-                node_taxa[i].add(sample_to_taxon[nm])
-        maxtax = max(cfg.max_taxon_number, 1)
-        for i in range(n_nodes - 1, 0, -1):  # children before parents (DFS order)
-            if node_overmax[i]:
-                node_overmax[parent[i]] = True
-            elif not node_overmax[parent[i]]:
-                node_taxa[parent[i]] |= node_taxa[i]
-                if len(node_taxa[parent[i]]) > maxtax:
-                    node_overmax[parent[i]] = True
-                    node_taxa[parent[i]] = set()
         read_taxa: list = [set() for _ in range(len(reads))]
         read_overmax = np.zeros(len(reads), dtype=bool)
         if node_scores is not None:
@@ -194,11 +315,6 @@ def run_filter_and_assign(cfg, midx) -> int:
                                 read_overmax[ridx] = True
                                 read_taxa[ridx] = set()
             eff[read_overmax] = 0
-
-    lca = Lca(parent)
-    children: list = [[] for _ in range(n_nodes)]
-    for i in range(1, n_nodes):
-        children[parent[i]].append(i)
 
     epp_fast = None
     if fast is not None:
@@ -281,46 +397,33 @@ def run_filter_and_assign(cfg, midx) -> int:
         if eff[ridx] > 0:
             assigned_by_lca[node].add(ridx)
 
-    # write the assigned-reads fastq; its write order defines the indices
+    # append this batch's assigned reads to the fastq; write order defines
+    # the GLOBAL indices (fq_base + local order)
     fq_index: dict = {}
-    out_fq = cfg.output + ".mgsr.assignedReads.fastq"
-    with open(out_fq, "w") as fh:
-        for node in assigned_by_node:
-            for uridx in sorted(assigned_by_node[node]):
-                for orig in dup_index[uridx]:
-                    if orig not in fq_index:
-                        fq_index[orig] = len(fq_index)
-                        fh.write(f"@{names[orig]}\n{seqs[orig]}\n+\n{quals[orig]}\n")
-    cfg.log(f"[assign] {len(fq_index)} reads written to {out_fq}")
+    for node in assigned_by_node:
+        for uridx in sorted(assigned_by_node[node]):
+            for orig in dup_index[uridx]:
+                if orig not in fq_index:
+                    fq_index[orig] = fq_base + len(fq_index)
+                    fq_fh.write(
+                        f"@{names[orig]}\n{seqs[orig]}\n+\n{quals[orig]}\n")
+                    jp_names.append(names[orig])
+                    jp_nodes.append([])
+                    jp_lca_nodes.append([])
 
-    members_of = {}
-    for keeper, absorbed in scorer.tree.identical_members.items():
-        members_of[keeper] = [midx.node_ids[a] for a in absorbed]
+    for mapping, acc, jp in ((assigned_by_node, node_idxs, jp_nodes),
+                             (assigned_by_lca, lca_idxs, jp_lca_nodes)):
+        for node, uris in mapping.items():
+            idxs = [fq_index[orig] for u in uris for orig in dup_index[u]]
+            acc[node].extend(idxs)
+            for gi in idxs:
+                jp[gi].append(node)
 
-    def write_out(path, mapping):
-        with open(path, "w") as fh:
-            for node, uris in mapping.items():
-                name = midx.node_ids[node]
-                parts = [name] + members_of.get(node, [])
-                taxa = (",".join(taxons[t] for t in sorted(node_taxa[node]))
-                        if node_taxa[node] else ".")
-                idxs = sorted(fq_index[orig] for u in uris for orig in dup_index[u])
-                fh.write(",".join(parts) + f"\t{taxa}\t{len(idxs)}\t"
-                         + ",".join(map(str, idxs)) + "\n")
-
-    write_out(cfg.output + ".mgsr.assignedReads.out", assigned_by_node)
-    write_out(cfg.output + ".mgsr.assignedReadsLCANode.out", assigned_by_lca)
-
-    if getattr(cfg, "jplace", False):
-        read_names = [None] * len(fq_index)
-        for orig, widx in fq_index.items():
-            read_names[widx] = names[orig]
-        newick, edge_num = _jplace_newick(midx, children)
-        for mapping, suffix in ((assigned_by_node, ".mgsr.assignedReads.jplace"),
-                                (assigned_by_lca, ".mgsr.assignedReadsLCANode.jplace")):
-            _write_jplace(cfg.output + suffix, mapping, read_names, fq_index,
-                          dup_index, midx, members_of, newick, edge_num)
-        cfg.log(f"[assign] wrote jplace outputs")
+    if cfg.breadth_ratio:
+        for node, uris in assigned_by_node.items():
+            for uridx in uris:
+                breadth_reads[node].append(
+                    (np.unique(reads[uridx].hashes), len(dup_index[uridx])))
 
     if getattr(cfg, "write_read_scores_filtered", False):
         from .engine import count_epp, write_read_scores_tsv
@@ -331,25 +434,24 @@ def run_filter_and_assign(cfg, midx) -> int:
         read_overmax_col = (read_overmax if cfg.taxonomy_path
                             else np.zeros(len(reads), dtype=bool))
         path = cfg.output + ".read_scores_info.filtered.tsv"
-        write_read_scores_tsv(path, reads, dup_index, eff, epp,
-                              overmax=read_overmax_col)
+        dup_global = ([[orig_base + o for o in d] for d in dup_index]
+                      if orig_base else dup_index)
+        write_read_scores_tsv(path, reads, dup_global, eff, epp,
+                              overmax=read_overmax_col,
+                              append=not first_batch,
+                              index_base=uniq_base)
         cfg.log(f"[assign] wrote {path}")
 
-    if cfg.breadth_ratio:
-        _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index)
-
-    if getattr(cfg, "align_reads", False):
-        _align_assigned_reads(cfg, midx, assigned_by_node, dup_index,
-                              fq_index, names, seqs, quals)
-    return 0
+    return fq_base + len(fq_index)
 
 
-def _align_assigned_reads(cfg, midx, assigned_by_node, dup_index, fq_index,
-                          names, seqs, quals):
+def _align_assigned_reads(cfg, midx, node_idxs, assigned_fq_path):
     """--align-reads: per assigned node with >= --min-num-align reads, align
     its reads (whole-read aDNA mode) and write <prefix>_mgsr_aligned/
     <node>.bam plus a combined reference.fa (main.cpp:616-718
-    alignAssignedReads; reference backend is bwa aln)."""
+    alignAssignedReads; reference backend is bwa aln).  Reads come back from
+    the assigned fastq (node_idxs holds indices in its write order), which
+    keeps the batch-streaming path memory-bounded."""
     import os
 
     from ..align.adna import AdnaAligner
@@ -357,6 +459,7 @@ def _align_assigned_reads(cfg, midx, assigned_by_node, dup_index, fq_index,
     from ..io.panman import load_panman
     from ..sketch.cpu import reverse_complement
 
+    names, seqs, quals = fastq.read_full(assigned_fq_path)
     tree = load_panman(cfg.panman)
     align_dir = cfg.output + "_mgsr_aligned"
     os.makedirs(align_dir, exist_ok=True)
@@ -367,8 +470,8 @@ def _align_assigned_reads(cfg, midx, assigned_by_node, dup_index, fq_index,
     min_align = max(getattr(cfg, "min_num_align", 10), 0)
     n_aligned = n_skipped = 0
     with open(os.path.join(align_dir, "reference.fa"), "w") as ref_fa:
-        for node, uris in assigned_by_node.items():
-            origs = sorted(o for u in uris for o in dup_index[u])
+        for node, idxs in node_idxs.items():
+            origs = sorted(idxs)
             if len(origs) < min_align:
                 n_skipped += 1
                 continue
@@ -430,15 +533,11 @@ def _jplace_newick(midx, children):
     return frag[0] + ";", edge_num
 
 
-def _write_jplace(path, mapping, read_names, fq_index, dup_index, midx,
-                  members_of, newick, edge_num):
+def _write_jplace(path, by_read, read_names, midx, members_of, newick,
+                  edge_num):
     """jplace v3 with fields [edge_num, node_id, identical_subtree_nodes]
-    (main.cpp:560-614 writeJplacement/writeAssignedReadsJplace)."""
-    by_read: list = [[] for _ in range(len(read_names))]
-    for node, uris in mapping.items():
-        for u in uris:
-            for orig in dup_index[u]:
-                by_read[fq_index[orig]].append(node)
+    (main.cpp:560-614 writeJplacement/writeAssignedReadsJplace).
+    by_read[i] = nodes of the read at assigned-fastq index i."""
     with open(path, "w") as out:
         out.write("{\n")
         out.write('  "version": 3,\n')
@@ -460,11 +559,10 @@ def _write_jplace(path, mapping, read_names, fq_index, dup_index, midx,
         out.write("  ]\n}\n")
 
 
-def _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index):
-    """Observed vs expected coverage breadth per node (mgsr.cpp:6518-6585)."""
+def _write_breadth_ratio(cfg, midx, breadth_reads, members_of, children):
+    """Observed vs expected coverage breadth per node (mgsr.cpp:6518-6585).
+    breadth_reads: node -> [(distinct read hashes, duplicate weight)]."""
     offs = midx.node_offsets
-    parent = midx.parent_index.astype(np.int64)
-    n_nodes = len(midx.node_ids)
     # replay: per node, current distinct ref seed hashes
     out_path = cfg.output + ".mgsr.breadths.out"
     header = ("NodeId\tTotalRefSeeds\tObservedBreadthCount\tObservedBreadthRatio"
@@ -472,14 +570,6 @@ def _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index):
               "\tObservedToExpectedBreadthRatio\n")
     rows = []
     counts: dict = defaultdict(int)
-
-    children: list = [[] for _ in range(n_nodes)]
-    for i in range(1, n_nodes):
-        children[parent[i]].append(i)
-
-    members_of = {}
-    for keeper, absorbed in scorer.tree.identical_members.items():
-        members_of[keeper] = [midx.node_ids[a] for a in absorbed]
 
     stack = [(0, False)]
     while stack:
@@ -499,12 +589,11 @@ def _write_breadth_ratio(cfg, midx, scorer, assigned_by_node, dup_index):
             counts[h] += -1 if midx.delta_is_del[r] else 1
             if counts[h] == 0:
                 del counts[h]
-        if node in assigned_by_node:
+        if node in breadth_reads:
             seed_hits: dict = defaultdict(int)
             total_depth = 0
-            for uridx in assigned_by_node[node]:
-                ndup = len(dup_index[uridx])
-                for h in set(scorer.reads[uridx].hashes.tolist()):
+            for hashes, ndup in breadth_reads[node]:
+                for h in hashes.tolist():
                     if h in counts:
                         seed_hits[h] += ndup
                         total_depth += ndup

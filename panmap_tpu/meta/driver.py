@@ -56,6 +56,7 @@ class MetaConfig:
     mask_read_ends: int = 0
     pseudochain: bool = False
     filter_and_assign: bool = False
+    batch_size: int = 1_000_000  # filter-and-assign read-stream batch
     taxonomy_path: str = ""
     taxonomic_rank: str = "Family"
     max_taxon_number: int = 1

@@ -493,16 +493,23 @@ class GapTracker:
 class MetaScorer:
     """DFS scorer over the collapsed tree."""
 
-    def __init__(self, midx: MetaIndexArrays, reads: list):
+    def __init__(self, midx: MetaIndexArrays, reads: list,
+                 relevant_hashes: np.ndarray | None = None):
         self.midx = midx
         self.reads = reads
         self.n_nodes = len(midx.node_ids)
 
         # sorted unique read hashes (vectorized; the python inverted index
         # and per-node row lists below are built lazily — the TPU fast path
-        # only needs tree.keep / identical_members from this object)
-        all_h = (np.concatenate([r.hashes for r in reads])
-                 if reads else np.empty(0, np.uint64))
+        # only needs tree.keep / identical_members from this object).
+        # relevant_hashes overrides the read-derived set: batch streaming
+        # passes the UNION over all batches so the collapsed tree (and thus
+        # node keep/identical sets) is identical for every batch split.
+        if relevant_hashes is not None:
+            all_h = np.asarray(relevant_hashes, dtype=np.uint64)
+        else:
+            all_h = (np.concatenate([r.hashes for r in reads])
+                     if reads else np.empty(0, np.uint64))
         self._rh_sorted = np.unique(all_h)
 
         # relevant rows (hash in read set) + per-node counts, vectorized
@@ -954,18 +961,21 @@ def count_epp(node_scores: dict, max_score: np.ndarray, parent: np.ndarray,
 
 def write_read_scores_tsv(path: str, reads: list, dup_index: list,
                           max_score: np.ndarray, epp: np.ndarray,
-                          overmax=None):
-    """<out>.read_scores_info.*.tsv (main.cpp:446-470 writeMetaReadScores)."""
-    with open(path, "w") as fh:
-        fh.write("ReadIndex\tNumDuplicates\tTotalScore\tMaxScore"
-                 "\tNumMaxScoreNodes\t")
-        if overmax is not None:
-            fh.write("OvermaximumTaxonNumber\t")
-        fh.write("RawReadsIndices\n")
+                          overmax=None, append: bool = False,
+                          index_base: int = 0):
+    """<out>.read_scores_info.*.tsv (main.cpp:446-470 writeMetaReadScores).
+    append/index_base support per-batch streaming."""
+    with open(path, "a" if append else "w") as fh:
+        if not append:
+            fh.write("ReadIndex\tNumDuplicates\tTotalScore\tMaxScore"
+                     "\tNumMaxScoreNodes\t")
+            if overmax is not None:
+                fh.write("OvermaximumTaxonNumber\t")
+            fh.write("RawReadsIndices\n")
         for i, rd in enumerate(reads):
             if max_score[i] == 0:
                 continue
-            fh.write(f"{i}\t{len(dup_index[i])}\t{len(rd.hashes)}"
+            fh.write(f"{index_base + i}\t{len(dup_index[i])}\t{len(rd.hashes)}"
                      f"\t{max_score[i]}\t{epp[i]}\t")
             if overmax is not None:
                 fh.write(f"{int(overmax[i])}\t")

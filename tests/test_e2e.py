@@ -607,3 +607,54 @@ def test_indel_truth(rsv_index, outdir, tmp_path):
     cons = _read_fa(out + ".consensus.fa")
     assert cons == gs, (
         f"consensus != mutated genome (len {len(cons)} vs {len(gs)})")
+
+
+def test_filter_assign_batch_streaming_equivalence(outdir, tmp_path):
+    """--batch-size streaming: running filter-and-assign in small batches
+    must produce the same read->node and read->LCA assignments as one big
+    batch (indices differ with the write order, so compare name-resolved
+    triples exactly like the reference's check_examples.sh)."""
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.driver import MetaConfig, run_meta
+
+    tree = load_panman(PANMAN)
+    g_a = tree.get_string("MZ515733.1")
+    g_b = tree.get_string("MZ515704.1")
+    reads = tmp_path / "bs.fastq"
+    with open(reads, "w") as out:
+        for pre, g, n, step in (("A", g_a, 900, 15), ("B", g_b, 700, 19)):
+            c = i = 0
+            while c < n and i + 150 <= len(g):
+                out.write(f"@{pre}{c}\n{g[i:i+150]}\n+\n{'I'*150}\n")
+                c += 1
+                i += step
+
+    def resolve(base):
+        fq_names = [l.strip()[1:] for i, l in enumerate(open(
+            base + ".mgsr.assignedReads.fastq")) if i % 4 == 0]
+        trips = {}
+        for suffix in (".mgsr.assignedReads.out",
+                       ".mgsr.assignedReadsLCANode.out"):
+            t = set()
+            for line in open(base + suffix):
+                parts = line.rstrip("\n").split("\t")
+                node = parts[0]
+                for idx in parts[3].split(","):
+                    if idx:
+                        t.add((fq_names[int(idx)], node))
+            trips[suffix] = t
+        return set(fq_names), trips
+
+    outs = {}
+    for tag, bs in (("one", 10**9), ("many", 500)):
+        cfg = MetaConfig(panman=PANMAN, reads1=str(reads),
+                         output=str(outdir / f"bs_{tag}"),
+                         index_out=os.path.join(CACHE, "rsv4k.ptmidx.npz"),
+                         filter_and_assign=True, batch_size=bs)
+        cfg.log = lambda *a, **k: None
+        assert run_meta(cfg) == 0
+        outs[tag] = resolve(str(outdir / f"bs_{tag}"))
+    assert outs["one"][0] == outs["many"][0], "assigned read sets differ"
+    for suffix in outs["one"][1]:
+        a, b = outs["one"][1][suffix], outs["many"][1][suffix]
+        assert a == b, (suffix, len(a ^ b), sorted(a ^ b)[:4])
