@@ -658,3 +658,34 @@ def test_filter_assign_batch_streaming_equivalence(outdir, tmp_path):
     for suffix in outs["one"][1]:
         a, b = outs["one"][1][suffix], outs["many"][1][suffix]
         assert a == b, (suffix, len(a ^ b), sorted(a ^ b)[:4])
+
+
+def test_meta_amplicon_grouped_masking(outdir, tmp_path):
+    """--amplicon-depth: reads masked with per-amplicon-group frequency
+    thresholds (mgsr.cpp:1218-1265); the dominant haplotype survives and the
+    unlisted-read fallback group works."""
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.driver import MetaConfig, run_meta
+
+    tree = load_panman(PANMAN)
+    g = tree.get_string("MZ515733.1")
+    reads = tmp_path / "amp.fastq"
+    amp = tmp_path / "amp.tsv"
+    with open(reads, "w") as o, open(amp, "w") as a:
+        n = 0
+        for i in range(0, len(g) - 150, 7):
+            o.write(f"@amp{n}\n{g[i:i+150]}\n+\n{'I'*150}\n")
+            # two amplicon groups by genome half; every 10th read unlisted
+            if n % 10:
+                a.write(f"amp{n}\tprimer{'L' if i < len(g) // 2 else 'R'}\n")
+            n += 1
+    cfg = MetaConfig(panman=PANMAN, reads1=str(reads),
+                     output=str(outdir / "amp"),
+                     index_out=os.path.join(CACHE, "rsv4k.ptmidx.npz"),
+                     amplicon_depth=str(amp), mask_seeds_rf=0.001)
+    cfg.log = lambda *a, **k: None
+    assert run_meta(cfg) == 0
+    ab = open(str(outdir / "amp") + ".mgsr.abundance.out").read()
+    top_row = ab.split("\n")[0].split("\t")
+    assert "MZ515733.1" in top_row[0], top_row
+    assert float(top_row[1]) > 0.6
