@@ -60,44 +60,13 @@ def read_sequences(path: str) -> list[str]:
 
 
 def read_full(path: str):
-    """(names, sequences, quals). FASTA quals are all-'I' (kseq convention)."""
+    """(names, sequences, quals). FASTA quals are all-'I' (kseq convention).
+    One canonical parser: collects the streaming `_iter_records`."""
     names, seqs, quals = [], [], []
-    with _open(path) as fh:
-        data = fh.read()
-    if not data:
-        return names, seqs, quals
-    if data[0] == ">":
-        cur_name, cur = None, []
-        for line in data.split("\n"):
-            line = line.rstrip("\r")
-            if line.startswith(">"):
-                if cur_name is not None:
-                    s = "".join(cur)
-                    names.append(cur_name)
-                    seqs.append(s)
-                    quals.append("I" * len(s))
-                cur_name = line[1:].split()[0]
-                cur = []
-            elif line:
-                cur.append(line)
-        if cur_name is not None:
-            s = "".join(cur)
-            names.append(cur_name)
-            seqs.append(s)
-            quals.append("I" * len(s))
-        return names, seqs, quals
-    lines = data.split("\n")
-    i = 0
-    while i + 3 < len(lines) or (i + 2 < len(lines) and lines[i]):
-        header = lines[i].rstrip("\r")
-        if not header:
-            break
-        seq = lines[i + 1].rstrip("\r")
-        qual = lines[i + 3].rstrip("\r") if i + 3 < len(lines) else ""
-        names.append(header[1:].split()[0])
-        seqs.append(seq)
-        quals.append(qual if qual else "I" * len(seq))
-        i += 4
+    for nm, s, q in _iter_records(path):
+        names.append(nm)
+        seqs.append(s)
+        quals.append(q)
     return names, seqs, quals
 
 
@@ -183,7 +152,9 @@ def _iter_records(path: str):
         header = first + fh.readline().rstrip("\r\n")
         while header:
             seq = fh.readline().rstrip("\r\n")
-            fh.readline()
+            plus = fh.readline()
+            if not plus.startswith("+"):
+                break  # truncated trailing record (read_full drops it too)
             qual = fh.readline().rstrip("\r\n")
             yield header[1:].split()[0], seq, qual if qual else "I" * len(seq)
             header = fh.readline().rstrip("\r\n")
@@ -203,14 +174,16 @@ def read_full_batches(path1: str, path2: str | None, batch_size: int):
             r2 = next(it2, None)
             if r1 is None and r2 is None:
                 break
-            if r1 is not None:
-                names.append(r1[0])
-                seqs.append(r1[1])
-                quals.append(r1[2])
-            if r2 is not None:
-                names.append(r2[0])
-                seqs.append(reverse_complement(r2[1]))
-                quals.append(r2[2][::-1])
+            if r1 is None or r2 is None:
+                raise ValueError(
+                    f"{path2} does not contain the same number of reads "
+                    f"as {path1}")
+            names.append(r1[0])
+            seqs.append(r1[1])
+            quals.append(r1[2])
+            names.append(r2[0])
+            seqs.append(reverse_complement(r2[1]))
+            quals.append(r2[2][::-1])
             if len(names) >= batch_size:
                 yield names, seqs, quals
                 names, seqs, quals = [], [], []

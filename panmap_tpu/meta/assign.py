@@ -112,9 +112,12 @@ def run_filter_and_assign(cfg, midx) -> int:
     """Streams the input in --batch-size chunks (reference: the 3-stage TBB
     pipeline over 1M-read batches, main.cpp:790-933).  Multi-batch runs make
     TWO passes: pass A unions the distinct read hashes so the collapsed tree
-    (node keep/identical sets) is GLOBAL — per-node/LCA assignments are then
-    independent of the batch split (pseudochain adjacency can differ
-    marginally from a single-pass run; simple scoring cannot)."""
+    (node keep/identical sets) is GLOBAL — with no masking flags the
+    per-node/LCA assignments are then independent of the batch split
+    (pseudochain adjacency can differ marginally from a single-pass run).
+    Seed/read MASKING thresholds apply per batch, exactly like the
+    reference's initializeQueryDataBatch, so masked runs depend on the
+    split there too."""
     batch_size = max(int(getattr(cfg, "batch_size", 0) or 1_000_000), 1)
     p = midx.params
     masking = (getattr(cfg, "mask_reads", 0) or getattr(cfg, "mask_seeds", 0)
@@ -149,14 +152,16 @@ def run_filter_and_assign(cfg, midx) -> int:
     else:
         import itertools
 
-        union_hashes = np.empty(0, np.uint64)
+        parts = []
         n_total = 0
         for bnames, bseqs, _bq in itertools.chain([b0, b1], gen):
             reads, _, _, _ = sketch_batch(bnames, bseqs)
             n_total += len(bnames)
             if reads:
-                bh = np.unique(np.concatenate([r.hashes for r in reads]))
-                union_hashes = np.union1d(union_hashes, bh)
+                parts.append(
+                    np.unique(np.concatenate([r.hashes for r in reads])))
+        union_hashes = (np.unique(np.concatenate(parts)) if parts
+                        else np.empty(0, np.uint64))
         cfg.log(f"[assign] pass A: {n_total} reads in batches of "
                 f"{batch_size}; {len(union_hashes)} distinct seedmers")
         first_batches = None
@@ -199,35 +204,42 @@ def _filter_assign_batches(cfg, midx, sketch_batch, batch_iter,
 
     # global accumulators across batches
     out_fq = cfg.output + ".mgsr.assignedReads.fastq"
-    fq_fh = open(out_fq, "w")
     n_fq = 0
     node_idxs: dict = defaultdict(list)       # node -> [global fq idx]
     lca_idxs: dict = defaultdict(list)        # node -> [global fq idx]
     jp_names: list = []                       # fq idx -> read name
     jp_nodes: list = []                       # fq idx -> [nodes]
     jp_lca_nodes: list = []                   # fq idx -> [lca node]
-    breadth_reads: dict = defaultdict(list)   # node -> [(hashes, weight)]
+    breadth_reads: dict = defaultdict(dict)   # node -> {hash: sum weight}
     n_in_total = 0
     n_batches = 0
-
     n_uniq_total = 0
-    for bnames, bseqs, bquals in batch_iter:
-        n_batches += 1
-        reads, dup_index, n_dust, n_masked = sketch_batch(bnames, bseqs)
-        cfg.log(f"[assign] batch {n_batches}: {len(bseqs)} reads -> "
-                f"{len(reads)} unique sets ({n_dust} low-complexity"
-                + (f", {n_masked} masked)" if n_masked else ")"))
-        scorer = MetaScorer(midx, reads, relevant_hashes=union_hashes)
-        n_fq = _assign_one_batch(
-            cfg, midx, scorer, reads, dup_index, bnames, bseqs, bquals,
-            lca, children, node_taxa, node_overmax, maxtax,
-            fq_fh, n_fq, node_idxs, lca_idxs, jp_names, jp_nodes,
-            jp_lca_nodes, breadth_reads, taxons,
-            orig_base=n_in_total, uniq_base=n_uniq_total,
-            first_batch=(n_batches == 1))
-        n_in_total += len(bseqs)
-        n_uniq_total += len(reads)
-    fq_fh.close()
+    shared_tree = None  # union-hash tree is batch-independent: build once
+    scorer = None
+
+    with open(out_fq, "w") as fq_fh:
+        for bnames, bseqs, bquals in batch_iter:
+            n_batches += 1
+            reads, dup_index, n_dust, n_masked = sketch_batch(bnames, bseqs)
+            cfg.log(f"[assign] batch {n_batches}: {len(bseqs)} reads -> "
+                    f"{len(reads)} unique sets ({n_dust} low-complexity"
+                    + (f", {n_masked} masked)" if n_masked else ")"))
+            scorer = MetaScorer(midx, reads, relevant_hashes=union_hashes,
+                                shared_tree=(shared_tree
+                                             if union_hashes is not None
+                                             else None))
+            if union_hashes is not None and shared_tree is None:
+                shared_tree = (scorer.tree, scorer._relevant,
+                               scorer._rh_sorted)
+            n_fq = _assign_one_batch(
+                cfg, midx, scorer, reads, dup_index, bnames, bseqs, bquals,
+                lca, children, node_taxa, node_overmax, maxtax,
+                fq_fh, n_fq, node_idxs, lca_idxs, jp_names, jp_nodes,
+                jp_lca_nodes, breadth_reads, taxons,
+                orig_base=n_in_total, uniq_base=n_uniq_total,
+                first_batch=(n_batches == 1))
+            n_in_total += len(bseqs)
+            n_uniq_total += len(reads)
     cfg.log(f"[assign] {n_fq} of {n_in_total} reads written to {out_fq}")
 
     members_of = {}
@@ -420,10 +432,15 @@ def _assign_one_batch(cfg, midx, scorer, reads, dup_index, names, seqs,
                 jp[gi].append(node)
 
     if cfg.breadth_ratio:
+        # per node accumulate hash -> summed duplicate weight (equivalent to
+        # iterating each read's distinct hashes; bounds streaming memory by
+        # the per-node hash diversity instead of the read count)
         for node, uris in assigned_by_node.items():
+            acc = breadth_reads[node]
             for uridx in uris:
-                breadth_reads[node].append(
-                    (np.unique(reads[uridx].hashes), len(dup_index[uridx])))
+                ndup = len(dup_index[uridx])
+                for h in np.unique(reads[uridx].hashes).tolist():
+                    acc[h] = acc.get(h, 0) + ndup
 
     if getattr(cfg, "write_read_scores_filtered", False):
         from .engine import count_epp, write_read_scores_tsv
@@ -561,7 +578,7 @@ def _write_jplace(path, by_read, read_names, midx, members_of, newick,
 
 def _write_breadth_ratio(cfg, midx, breadth_reads, members_of, children):
     """Observed vs expected coverage breadth per node (mgsr.cpp:6518-6585).
-    breadth_reads: node -> [(distinct read hashes, duplicate weight)]."""
+    breadth_reads: node -> {read hash: summed duplicate weight}."""
     offs = midx.node_offsets
     # replay: per node, current distinct ref seed hashes
     out_path = cfg.output + ".mgsr.breadths.out"
@@ -590,13 +607,12 @@ def _write_breadth_ratio(cfg, midx, breadth_reads, members_of, children):
             if counts[h] == 0:
                 del counts[h]
         if node in breadth_reads:
-            seed_hits: dict = defaultdict(int)
+            seed_hits: dict = {}
             total_depth = 0
-            for hashes, ndup in breadth_reads[node]:
-                for h in hashes.tolist():
-                    if h in counts:
-                        seed_hits[h] += ndup
-                        total_depth += ndup
+            for h, w in breadth_reads[node].items():
+                if h in counts:
+                    seed_hits[h] = w
+                    total_depth += w
             total_ref = len(counts)
             obs = len(seed_hits)
             obs_ratio = obs / total_ref if total_ref else 0.0

@@ -90,9 +90,17 @@ class MetaRead:
     qend: np.ndarray | None = None  # i64 read-coordinate end (inclusive)
 
 
-def load_amplicon_groups(path: str, names: list):
-    """Amplicon-depth TSV (readId \t primerId; mgsr.cpp:1218-1265): returns
-    (group_of int[n_reads], n_groups) with unlisted reads in the LAST group."""
+_AMPLICON_TSV_CACHE: dict = {}
+
+
+def _load_amplicon_tsv(path: str):
+    """Parse (and cache by path+mtime) the amplicon TSV — batch streaming
+    calls load_amplicon_groups once per batch and must not re-read the
+    file each time."""
+    key = (path, os.path.getmtime(path))
+    hit = _AMPLICON_TSV_CACHE.get(key)
+    if hit is not None:
+        return hit
     primer_to_group: dict = {}
     read_to_group: dict = {}
     with open(path) as fh:
@@ -104,7 +112,16 @@ def load_amplicon_groups(path: str, names: list):
             if pid not in primer_to_group:
                 primer_to_group[pid] = len(primer_to_group)
             read_to_group[rid] = primer_to_group[pid]
-    n_groups = len(primer_to_group) + 1
+    _AMPLICON_TSV_CACHE.clear()  # keep at most one parsed file
+    _AMPLICON_TSV_CACHE[key] = (read_to_group, len(primer_to_group))
+    return read_to_group, len(primer_to_group)
+
+
+def load_amplicon_groups(path: str, names: list):
+    """Amplicon-depth TSV (readId \t primerId; mgsr.cpp:1218-1265): returns
+    (group_of int[n_reads], n_groups) with unlisted reads in the LAST group."""
+    read_to_group, n_primers = _load_amplicon_tsv(path)
+    n_groups = n_primers + 1
     group_of = np.full(len(names), n_groups - 1, dtype=np.int64)
     for i, nm in enumerate(names):
         g = read_to_group.get(nm.split()[0].rsplit("/", 1)[0], None)
@@ -494,7 +511,8 @@ class MetaScorer:
     """DFS scorer over the collapsed tree."""
 
     def __init__(self, midx: MetaIndexArrays, reads: list,
-                 relevant_hashes: np.ndarray | None = None):
+                 relevant_hashes: np.ndarray | None = None,
+                 shared_tree=None):
         self.midx = midx
         self.reads = reads
         self.n_nodes = len(midx.node_ids)
@@ -505,6 +523,16 @@ class MetaScorer:
         # relevant_hashes overrides the read-derived set: batch streaming
         # passes the UNION over all batches so the collapsed tree (and thus
         # node keep/identical sets) is identical for every batch split.
+        # shared_tree = (tree, relevant, rh_sorted) reuses a previous
+        # scorer's hash-dependent state (valid only for the same
+        # relevant_hashes), skipping the per-row relevance scan + collapse.
+        if shared_tree is not None:
+            self.tree, self._relevant, self._rh_sorted = shared_tree
+            self._occ_read = None
+            self._occ_rev = None
+            self._rows_per_node = None
+            self._read_hash_set = None
+            return
         if relevant_hashes is not None:
             all_h = np.asarray(relevant_hashes, dtype=np.uint64)
         else:
