@@ -683,7 +683,16 @@ class MetaScorer:
 
         Returns (max_score i32[R], score_matrix u16[len(candidates), R]) and,
         when collect_node_scores, a third dict node -> [(read, score-after)]
-        (the sparse readScoreDeltas the assignment pass replays)."""
+        (the sparse readScoreDeltas the assignment pass replays).
+
+        The native core (pt_score_simple, bit-equal — this python stays as
+        its oracle) handles the common case; PANMAP_TPU_NO_NATIVE=1 forces
+        the python path."""
+        if not os.environ.get("PANMAP_TPU_NO_NATIVE"):
+            res = self._score_simple_native(candidate_nodes,
+                                            collect_node_scores)
+            if res is not None:
+                return res
         R = len(self.reads)
         fwd = np.zeros(R, dtype=np.int32)
         rev = np.zeros(R, dtype=np.int32)
@@ -744,6 +753,30 @@ class MetaScorer:
             stack.append((node, True))
             for c in reversed(self._raw_children(node)):
                 stack.append((c, False))
+        if collect_node_scores:
+            return max_score, snap, node_scores
+        return max_score, snap
+
+    # ------------------------------------------------------------------
+    def _score_simple_native(self, candidate_nodes: list,
+                             collect_node_scores: bool):
+        """Call the native simple-mode core; None when unavailable."""
+        from ..native import score_simple_native
+
+        reads = self.reads
+        lens = np.array([len(r.hashes) for r in reads], dtype=np.int64)
+        read_off = np.concatenate(([0], np.cumsum(lens)))
+        if read_off[-1] == 0:
+            return None
+        read_hash = np.concatenate([r.hashes for r in reads])
+        read_rev = np.concatenate([np.asarray(r.revs, bool) for r in reads])
+        res = score_simple_native(
+            self.midx, read_off, read_hash, read_rev, self._relevant,
+            np.asarray(candidate_nodes, np.int64),
+            emit_node_scores=collect_node_scores)
+        if res is None:
+            return None
+        max_score, snap, node_scores = res
         if collect_node_scores:
             return max_score, snap, node_scores
         return max_score, snap

@@ -89,6 +89,19 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "pt_score_simple"):
+        lib.pt_score_simple.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # tree
+            ctypes.c_void_p, ctypes.c_void_p,                   # deltas
+            ctypes.c_void_p, ctypes.c_void_p,                   # seed table
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # reads CSR
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # rel/cand
+            ctypes.c_int32,                                     # emit
+            ctypes.c_void_p, ctypes.c_void_p,                   # outputs
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # ev bufs
+            ctypes.c_int64]
+        lib.pt_score_simple.restype = ctypes.c_int64
     if hasattr(lib, "pt_score_pseudo"):
         lib.pt_score_pseudo.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # tree
@@ -377,3 +390,56 @@ def score_pseudo_native(midx, read_off, read_hash, read_rev, read_qbeg,
         int(maximum_gap), int(threads),
         max_score.ctypes.data, snap.ctypes.data)
     return max_score, snap
+
+
+def score_simple_native(midx, read_off, read_hash, read_rev, relevant,
+                        candidates, emit_node_scores=False):
+    """Native twin of meta/engine.py::MetaScorer.score_all.  Returns
+    (max_score i32[R], snap u16[C, R], node_scores|None) or None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None or getattr(lib, "pt_score_simple", None) is None:
+        return None
+    n_reads = len(read_off) - 1
+    node_offsets = np.ascontiguousarray(midx.node_offsets, dtype=np.int64)
+    parent = np.ascontiguousarray(midx.parent_index, dtype=np.uint32)
+    delta_seed = np.ascontiguousarray(midx.delta_seed, dtype=np.int32)
+    delta_is_del = np.ascontiguousarray(midx.delta_is_del, dtype=np.uint8)
+    seed_hash = np.ascontiguousarray(midx.seed_hash, dtype=np.uint64)
+    seed_rev = np.ascontiguousarray(midx.seed_rev, dtype=np.uint8)
+    read_off = np.ascontiguousarray(read_off, dtype=np.int64)
+    read_hash = np.ascontiguousarray(read_hash, dtype=np.uint64)
+    read_rev = np.ascontiguousarray(read_rev, dtype=np.uint8)
+    relevant = np.ascontiguousarray(relevant, dtype=np.uint8)
+    cand = np.ascontiguousarray(candidates, dtype=np.int32)
+    max_score = np.zeros(n_reads, dtype=np.int32)
+    snap = np.zeros((len(cand), n_reads), dtype=np.uint16)
+    cap = (1 << 20) if emit_node_scores else 1
+    for _ in range(8):
+        ev_node = np.empty(cap, dtype=np.int32)
+        ev_read = np.empty(cap, dtype=np.int32)
+        ev_score = np.empty(cap, dtype=np.int32)
+        n_ev = lib.pt_score_simple(
+            node_offsets.ctypes.data, len(midx.node_ids), parent.ctypes.data,
+            delta_seed.ctypes.data, delta_is_del.ctypes.data,
+            seed_hash.ctypes.data, seed_rev.ctypes.data,
+            read_off.ctypes.data, read_hash.ctypes.data, read_rev.ctypes.data,
+            n_reads, relevant.ctypes.data, cand.ctypes.data, len(cand),
+            int(emit_node_scores), max_score.ctypes.data, snap.ctypes.data,
+            ev_node.ctypes.data, ev_read.ctypes.data, ev_score.ctypes.data,
+            cap)
+        if n_ev >= 0:
+            if not emit_node_scores:
+                return max_score, snap, None
+            node_scores: dict = {}
+            bounds = np.flatnonzero(np.diff(ev_node[:n_ev])) + 1
+            starts = np.concatenate(([0], bounds, [n_ev]))
+            for si in range(len(starts) - 1):
+                a, b = int(starts[si]), int(starts[si + 1])
+                if a == b:
+                    continue
+                node_scores[int(ev_node[a])] = list(
+                    zip(ev_read[a:b].tolist(), ev_score[a:b].tolist()))
+            return max_score, snap, node_scores
+        cap *= 8
+    return None

@@ -232,3 +232,49 @@ def test_pseudochain_native_matches_python(tmp_path):
     assert np.array_equal(ms_n, ms_p)
     assert np.array_equal(snap_n, snap_p)
     assert ms_n.max() > 10  # non-trivial workload
+
+
+def test_simple_scorer_native_matches_python(tmp_path):
+    """pt_score_simple must be bit-equal to the python simple-mode DFS
+    (max scores, candidate snapshots, AND the sparse node_scores stream the
+    assignment replay consumes)."""
+    import numpy as np
+
+    from panmap_tpu.meta.engine import MetaScorer, sketch_meta_reads_full
+    from panmap_tpu.meta.index import load_meta_index
+    from panmap_tpu.native import get_lib
+    from panmap_tpu.sketch.cpu import reverse_complement
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    midx = load_meta_index(os.path.join(CACHE, "rsv4k.ptmidx.npz"))
+    panman = tmp_path / "rsv_4K.panman"
+    shutil.copy(f"{DATA}/rsv_4K.panman", panman)
+    tree = load_panman(str(panman))
+    g = tree.get_string("MZ515733.1")
+    g2 = tree.get_string("MZ515704.1")
+    seqs = ([g[i:i + 150] for i in range(0, len(g) - 150, 31)]
+            + [reverse_complement(g2[i:i + 140])
+               for i in range(0, len(g2) - 140, 37)])
+    p = midx.params
+    reads, _, _ = sketch_meta_reads_full(seqs, p.k, p.s, p.t, p.l, p.open)
+    scorer = MetaScorer(midx, reads)
+    cands = [0, 17, 900, midx.node_ids.index("MZ515733.1"), 3999]
+    native = scorer._score_simple_native(cands, True)
+    assert native is not None, "native simple core not exercised"
+    ms_n, snap_n, ns_n = native
+    old = os.environ.get("PANMAP_TPU_NO_NATIVE")
+    os.environ["PANMAP_TPU_NO_NATIVE"] = "1"
+    try:
+        ms_p, snap_p, ns_p = scorer.score_all(cands, collect_node_scores=True)
+    finally:
+        if old is None:
+            os.environ.pop("PANMAP_TPU_NO_NATIVE", None)
+        else:
+            os.environ["PANMAP_TPU_NO_NATIVE"] = old
+    assert np.array_equal(ms_n, ms_p)
+    assert np.array_equal(snap_n, snap_p)
+    assert ns_n == ns_p
+    assert ms_n.max() > 10
