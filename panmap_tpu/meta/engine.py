@@ -621,6 +621,19 @@ class MetaScorer:
 
     # ------------------------------------------------------------------
     def overlap_coefficients(self):
+        """(node_index -> OC): vectorized via presence events (equal to the
+        sequential DFS oracle `overlap_coefficients_ref`, which
+        PANMAP_TPU_NO_NATIVE=1 forces)."""
+        if not os.environ.get("PANMAP_TPU_NO_NATIVE"):
+            from .events import (overlap_coefficients_from_events,
+                                 presence_events)
+
+            ev = presence_events(self.midx, self._rh_sorted)
+            arr = overlap_coefficients_from_events(ev, self.n_nodes)
+            return {n: float(arr[n]) for n in range(self.n_nodes)}
+        return self.overlap_coefficients_ref()
+
+    def overlap_coefficients_ref(self):
         """(node_index -> OC) over surviving nodes, via delta DFS."""
         midx = self.midx
         offs = midx.node_offsets

@@ -108,3 +108,24 @@ def test_vectorized_events_empty_inputs():
     out = presence_events(midx, np.empty(0, np.uint64))
     assert len(out["ev_node"]) == 0
     assert len(out["den_node"]) > 0  # denominator flips exist regardless
+
+
+def test_overlap_coefficients_events_match_dfs_oracle():
+    """The vectorized events OC (the production path) must equal the
+    sequential delta-DFS oracle on every node."""
+    from panmap_tpu.meta.engine import MetaRead, MetaScorer
+
+    midx = _random_consistent_midx(n_nodes=80, n_seeds=30, seed=5)
+    rng = np.random.default_rng(9)
+    reads = []
+    for _ in range(12):
+        k = int(rng.integers(2, 8))
+        sel = rng.choice(len(midx.seed_hash), size=k, replace=True)
+        reads.append(MetaRead(hashes=midx.seed_hash[sel],
+                              revs=rng.random(k) < 0.5, n_dup=1))
+    sc = MetaScorer(midx, reads)
+    oc_fast = sc.overlap_coefficients()
+    oc_ref = sc.overlap_coefficients_ref()
+    assert set(oc_ref) <= set(oc_fast)
+    for n, v in oc_ref.items():
+        assert abs(v - oc_fast[n]) < 1e-12, (n, v, oc_fast[n])
