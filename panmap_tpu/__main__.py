@@ -131,6 +131,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write overlap-coefficient ranks to TSV")
     g.add_argument("--write-meta-read-scores-unfiltered", action="store_true")
     g.add_argument("--write-meta-read-scores-filtered", action="store_true")
+    g.add_argument("--host-score", action="store_true",
+                   help="meta scoring on the threaded native CPU core "
+                        "instead of the device scorer")
     g.add_argument("--batch-size", type=int, default=1000000,
                    help="reads per processing batch (meta filter-and-assign)")
 
@@ -248,6 +251,7 @@ def main(argv=None):
             write_read_scores_unfiltered=args.write_meta_read_scores_unfiltered,
             write_read_scores_filtered=args.write_meta_read_scores_filtered,
             batch_size=args.batch_size,
+            host_score=args.host_score,
             threads=args.threads,
             stop=args.stop,
             log=log,

@@ -285,7 +285,8 @@ def _assign_one_batch(cfg, midx, scorer, reads, dup_index, names, seqs,
                       orig_base: int = 0, uniq_base: int = 0,
                       first_batch: bool = True) -> int:
     use_fast = (not getattr(cfg, "pseudochain", False)
-                and len(reads) >= getattr(cfg, "fast_threshold", 2000))
+                and len(reads) >= getattr(cfg, "fast_threshold", 2000)
+                and not getattr(cfg, "host_score", False))
     fast = None
     node_scores = None
     if use_fast:

@@ -57,6 +57,7 @@ class MetaConfig:
     pseudochain: bool = False
     filter_and_assign: bool = False
     batch_size: int = 1_000_000  # filter-and-assign read-stream batch
+    host_score: bool = False  # --host-score: threaded native CPU scoring
     taxonomy_path: str = ""
     taxonomic_rank: str = "Family"
     max_taxon_number: int = 1
@@ -141,7 +142,10 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
     # large read sets: event-based batched scorer (identical results; the
     # python DFS is kept for pseudochain and node-score collection)
     fast = None
-    if not cfg.pseudochain and not want_scores_tsv and len(reads) >= 2000:
+    # --host-score: skip the device scorer and use the threaded native host
+    # core (wins when the device sits behind a contended remote link)
+    if (not cfg.pseudochain and not want_scores_tsv and len(reads) >= 2000
+            and not getattr(cfg, "host_score", False)):
         from .engine_tpu import TpuMetaScorer
 
         t0 = time.time()
@@ -233,6 +237,7 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
         max_iterations=cfg.em_maximum_iterations,
         max_rounds=cfg.em_maximum_rounds,
         col_map=col_map,
+        prefer_cpu=getattr(cfg, "host_score", False),
     )
     em_dt = time.time() - t0
     if res.n_iterations:

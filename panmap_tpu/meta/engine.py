@@ -1329,11 +1329,15 @@ def run_squarem(score_matrix, read_lens: np.ndarray,
                 read_weights: np.ndarray, node_names: list,
                 eta: float = 1e-5, max_change_threshold: float = 0.0,
                 max_iterations: int = 1000, max_rounds: int = 5,
-                backend: str = "auto", col_map=None) -> EMResult:
+                backend: str = "auto", col_map=None,
+                prefer_cpu: bool = False) -> EMResult:
     """score_matrix: [nodes, reads] u16 (numpy) — or a device [reads, nodes]
     jax array (possibly padded/tile-ordered, with col_map from
     score_all(tiled=True)), which dispatches to run_squarem_device.
-    read_lens m_j; weights = duplicate counts."""
+    read_lens m_j; weights = duplicate counts.  prefer_cpu places a host
+    matrix on the local XLA:CPU backend when one is available — a remote
+    accelerator behind a thin link would pay a matrix upload that dwarfs
+    the EM itself (--host-score)."""
     if not isinstance(score_matrix, np.ndarray):
         return run_squarem_device(
             score_matrix, read_lens, read_weights, node_names, eta=eta,
@@ -1342,16 +1346,27 @@ def run_squarem(score_matrix, read_lens: np.ndarray,
             col_map=col_map)
     M0, R0 = score_matrix.shape
     if backend == "jax" or (backend == "auto" and M0 * R0 > 5_000_000):
+        import jax
         import jax.numpy as jnp
 
         # pad to bucketed shapes on the HOST (free) so the device programs
-        # in run_squarem_device keep workload-independent shapes
-        Rb = _round_up(R0, 16384)
+        # in run_squarem_device keep workload-independent shapes; the row
+        # bucket matches the tiled scorer's block padding (4096) so both
+        # entry paths share the same compiled EM executables
+        Rb = _round_up(R0, 4096)
         Mb = _round_up(M0, 256)
         Sp = np.zeros((Rb, Mb), score_matrix.dtype)
         Sp[:R0, :M0] = score_matrix.T
+        dev = None
+        if prefer_cpu:
+            try:
+                dev = jax.devices("cpu")[0]
+            except Exception:
+                dev = None
+        S_dev = (jax.device_put(Sp, dev) if dev is not None
+                 else jnp.asarray(Sp))
         return run_squarem_device(
-            jnp.asarray(Sp), read_lens, read_weights, node_names,
+            S_dev, read_lens, read_weights, node_names,
             eta=eta, max_change_threshold=max_change_threshold,
             max_iterations=max_iterations, max_rounds=max_rounds)
     # collapse identical score vectors into groups

@@ -97,7 +97,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # reads CSR
             ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # rel/cand
-            ctypes.c_int32,                                     # emit
+            ctypes.c_int32, ctypes.c_int32,                     # emit/threads
             ctypes.c_void_p, ctypes.c_void_p,                   # outputs
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # ev bufs
             ctypes.c_int64]
@@ -393,7 +393,7 @@ def score_pseudo_native(midx, read_off, read_hash, read_rev, read_qbeg,
 
 
 def score_simple_native(midx, read_off, read_hash, read_rev, relevant,
-                        candidates, emit_node_scores=False):
+                        candidates, emit_node_scores=False, threads=0):
     """Native twin of meta/engine.py::MetaScorer.score_all.  Returns
     (max_score i32[R], snap u16[C, R], node_scores|None) or None if the
     library is unavailable."""
@@ -412,6 +412,8 @@ def score_simple_native(midx, read_off, read_hash, read_rev, relevant,
     read_rev = np.ascontiguousarray(read_rev, dtype=np.uint8)
     relevant = np.ascontiguousarray(relevant, dtype=np.uint8)
     cand = np.ascontiguousarray(candidates, dtype=np.int32)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
     max_score = np.zeros(n_reads, dtype=np.int32)
     snap = np.zeros((len(cand), n_reads), dtype=np.uint16)
     cap = (1 << 20) if emit_node_scores else 1
@@ -425,7 +427,8 @@ def score_simple_native(midx, read_off, read_hash, read_rev, relevant,
             seed_hash.ctypes.data, seed_rev.ctypes.data,
             read_off.ctypes.data, read_hash.ctypes.data, read_rev.ctypes.data,
             n_reads, relevant.ctypes.data, cand.ctypes.data, len(cand),
-            int(emit_node_scores), max_score.ctypes.data, snap.ctypes.data,
+            int(emit_node_scores), int(threads),
+            max_score.ctypes.data, snap.ctypes.data,
             ev_node.ctypes.data, ev_read.ctypes.data, ev_score.ctypes.data,
             cap)
         if n_ev >= 0:

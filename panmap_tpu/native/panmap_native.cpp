@@ -2128,6 +2128,21 @@ void pt_score_pseudo(
 
 extern "C" {
 
+namespace simple_score {
+
+struct Worker {
+    int64_t r_lo, r_hi;
+    // occurrence index over THIS worker's reads only
+    std::vector<uint64_t> occ_hash;
+    std::vector<int64_t> occ_off;
+    std::vector<int32_t> occ_read;
+    std::vector<uint8_t> occ_rev;
+    std::vector<int32_t> ev_node, ev_read, ev_score;
+    bool overflow = false;
+};
+
+}  // namespace simple_score
+
 int64_t pt_score_simple(
     const int64_t* node_offsets, int64_t n_nodes, const uint32_t* parent_index,
     const int32_t* delta_seed, const uint8_t* delta_is_del,
@@ -2135,7 +2150,7 @@ int64_t pt_score_simple(
     const int64_t* read_off, const uint64_t* read_hash,
     const uint8_t* read_rev, int64_t n_reads,
     const uint8_t* relevant, const int32_t* cand_nodes, int64_t n_cand,
-    int32_t emit_node_scores,
+    int32_t emit_node_scores, int32_t n_threads,
     int32_t* max_score_out,        // [R]
     uint16_t* snap_out,            // [n_cand, R]
     int32_t* ev_node_out, int32_t* ev_read_out, int32_t* ev_score_out,
@@ -2146,129 +2161,173 @@ int64_t pt_score_simple(
     std::vector<int32_t> cand_of_node(n_nodes, -1);
     for (int64_t i = 0; i < n_cand; ++i) cand_of_node[cand_nodes[i]] = i;
 
-    // occurrence index: (hash, read, rev) sorted by hash
-    int64_t total = read_off[n_reads];
-    std::vector<uint64_t> occ_hash;
-    std::vector<int64_t> occ_off;
-    std::vector<int32_t> occ_read(total);
-    std::vector<uint8_t> occ_rev(total);
-    {
-        struct OccRec { uint64_t h; int32_t rd; uint8_t rv; };
-        std::vector<OccRec> occ(total);
-        for (int64_t rd = 0; rd < n_reads; ++rd)
-            for (int64_t k = read_off[rd]; k < read_off[rd + 1]; ++k)
-                occ[k] = {read_hash[k], (int32_t)rd, read_rev[k]};
-        std::sort(occ.begin(), occ.end(), [](const OccRec& a, const OccRec& b) {
-            return a.h < b.h || (a.h == b.h && (a.rd < b.rd ||
-                   (a.rd == b.rd && a.rv < b.rv)));
-        });
-        occ_hash.reserve(total);
-        occ_off.reserve(total + 1);
-        for (int64_t k = 0; k < total; ++k) {
-            if (k == 0 || occ[k].h != occ[k - 1].h) {
-                occ_hash.push_back(occ[k].h);
-                occ_off.push_back(k);
-            }
-            occ_read[k] = occ[k].rd;
-            occ_rev[k] = occ[k].rv;
-        }
-        occ_off.push_back(total);
-    }
-
-    std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> counts;
-    counts.reserve(occ_hash.size() * 2);
-    std::vector<int32_t> fwd(n_reads, 0), rev(n_reads, 0);
-    std::vector<int64_t> stamp(n_reads, -1);
-    int64_t token = 0;
-    std::vector<int32_t> touched;
-    int64_t n_ev = 0;
     for (int64_t r = 0; r < n_reads; ++r) max_score_out[r] = 0;
     std::memset(snap_out, 0, (size_t)n_cand * n_reads * sizeof(uint16_t));
 
-    // fired row -> occurrence span of its hash, or -1
-    auto apply_row = [&](int64_t r, int sign) -> int64_t {
-        int64_t sid = delta_seed[r];
-        uint64_t h = seed_hash[sid];
-        bool rv = seed_rev[sid] != 0;
-        bool isdel = (delta_is_del[r] != 0) != (sign < 0);
-        auto& c = counts[h];
-        uint32_t& oi = rv ? c.second : c.first;
-        bool fire;
-        int32_t delta;
-        if (!isdel) {
-            ++oi;
-            fire = oi == 1;
-            delta = 1;
-        } else {
-            fire = oi == 1;
-            --oi;
-            delta = -1;
-        }
-        if (!fire) return -1;
-        auto it = std::lower_bound(occ_hash.begin(), occ_hash.end(), h);
-        if (it == occ_hash.end() || *it != h) return -1;
-        int64_t u = it - occ_hash.begin();
-        for (int64_t k = occ_off[u]; k < occ_off[u + 1]; ++k) {
-            if ((occ_rev[k] != 0) == rv)
-                fwd[occ_read[k]] += delta;
-            else
-                rev[occ_read[k]] += delta;
-        }
-        return u;
-    };
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n_reads) n_threads = n_reads > 0 ? (int32_t)n_reads : 1;
+    int64_t per = n_threads ? (n_reads + n_threads - 1) / n_threads : 0;
+    std::vector<simple_score::Worker> workers;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t lo = (int64_t)t * per;
+        int64_t hi = lo + per < n_reads ? lo + per : n_reads;
+        if (lo >= hi) break;
+        workers.push_back({lo, hi});
+    }
 
-    struct Frame { int32_t node; uint8_t done; };
-    std::vector<Frame> stack;
-    stack.push_back({0, 0});
-    while (!stack.empty()) {
-        Frame fr = stack.back();
-        stack.pop_back();
-        int64_t node = fr.node;
-        int64_t lo = node_offsets[node], hi = node_offsets[node + 1];
-        if (fr.done) {
-            for (int64_t r = hi - 1; r >= lo; --r)
-                if (relevant[r]) apply_row(r, -1);
-            continue;
-        }
-        ++token;
-        touched.clear();
-        for (int64_t r = lo; r < hi; ++r) {
-            if (!relevant[r]) continue;
-            int64_t u = apply_row(r, +1);
-            if (u < 0) continue;
-            for (int64_t k = occ_off[u]; k < occ_off[u + 1]; ++k) {
-                int32_t rd = occ_read[k];
-                if (stamp[rd] == token) continue;
-                stamp[rd] = token;
-                touched.push_back(rd);
+    // worker body: replays the GLOBAL presence counters (read-independent)
+    // but fans fired flips out only onto its own reads
+    auto run_worker = [&](simple_score::Worker& w) {
+        int64_t total = read_off[w.r_hi] - read_off[w.r_lo];
+        {
+            struct OccRec { uint64_t h; int32_t rd; uint8_t rv; };
+            std::vector<OccRec> occ(total);
+            int64_t kk = 0;
+            for (int64_t rd = w.r_lo; rd < w.r_hi; ++rd)
+                for (int64_t k = read_off[rd]; k < read_off[rd + 1]; ++k)
+                    occ[kk++] = {read_hash[k], (int32_t)rd, read_rev[k]};
+            std::sort(occ.begin(), occ.end(),
+                      [](const OccRec& a, const OccRec& b) {
+                return a.h < b.h || (a.h == b.h && (a.rd < b.rd ||
+                       (a.rd == b.rd && a.rv < b.rv)));
+            });
+            w.occ_hash.reserve(total);
+            w.occ_off.reserve(total + 1);
+            w.occ_read.resize(total);
+            w.occ_rev.resize(total);
+            for (int64_t k = 0; k < total; ++k) {
+                if (k == 0 || occ[k].h != occ[k - 1].h) {
+                    w.occ_hash.push_back(occ[k].h);
+                    w.occ_off.push_back(k);
+                }
+                w.occ_read[k] = occ[k].rd;
+                w.occ_rev[k] = occ[k].rv;
             }
+            w.occ_off.push_back(total);
         }
-        if (!touched.empty()) {
-            std::sort(touched.begin(), touched.end());
-            for (int32_t rd : touched) {
-                int32_t sc = fwd[rd] > rev[rd] ? fwd[rd] : rev[rd];
-                if (sc > max_score_out[rd]) max_score_out[rd] = sc;
-                if (emit_node_scores) {
-                    if (n_ev >= ev_cap) return -1;
-                    ev_node_out[n_ev] = (int32_t)node;
-                    ev_read_out[n_ev] = rd;
-                    ev_score_out[n_ev] = sc;
-                    ++n_ev;
+        std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> counts;
+        counts.reserve(w.occ_hash.size() * 2);
+        std::vector<int32_t> fwd(n_reads, 0), rev(n_reads, 0);
+        std::vector<int64_t> stamp(n_reads, -1);
+        int64_t token = 0;
+        std::vector<int32_t> touched;
+
+        auto apply_row = [&](int64_t r, int sign) -> int64_t {
+            int64_t sid = delta_seed[r];
+            uint64_t h = seed_hash[sid];
+            bool rv = seed_rev[sid] != 0;
+            bool isdel = (delta_is_del[r] != 0) != (sign < 0);
+            auto& c = counts[h];
+            uint32_t& oi = rv ? c.second : c.first;
+            bool fire;
+            int32_t delta;
+            if (!isdel) {
+                ++oi;
+                fire = oi == 1;
+                delta = 1;
+            } else {
+                fire = oi == 1;
+                --oi;
+                delta = -1;
+            }
+            if (!fire) return -1;
+            auto it = std::lower_bound(w.occ_hash.begin(), w.occ_hash.end(),
+                                       h);
+            if (it == w.occ_hash.end() || *it != h) return -1;
+            int64_t u = it - w.occ_hash.begin();
+            for (int64_t k = w.occ_off[u]; k < w.occ_off[u + 1]; ++k) {
+                if ((w.occ_rev[k] != 0) == rv)
+                    fwd[w.occ_read[k]] += delta;
+                else
+                    rev[w.occ_read[k]] += delta;
+            }
+            return u;
+        };
+
+        struct Frame { int32_t node; uint8_t done; };
+        std::vector<Frame> stack;
+        stack.push_back({0, 0});
+        while (!stack.empty()) {
+            Frame fr = stack.back();
+            stack.pop_back();
+            int64_t node = fr.node;
+            int64_t lo = node_offsets[node], hi = node_offsets[node + 1];
+            if (fr.done) {
+                for (int64_t r = hi - 1; r >= lo; --r)
+                    if (relevant[r]) apply_row(r, -1);
+                continue;
+            }
+            ++token;
+            touched.clear();
+            for (int64_t r = lo; r < hi; ++r) {
+                if (!relevant[r]) continue;
+                int64_t u = apply_row(r, +1);
+                if (u < 0) continue;
+                for (int64_t k = w.occ_off[u]; k < w.occ_off[u + 1]; ++k) {
+                    int32_t rd = w.occ_read[k];
+                    if (stamp[rd] == token) continue;
+                    stamp[rd] = token;
+                    touched.push_back(rd);
                 }
             }
-        }
-        int32_t ci = cand_of_node[node];
-        if (ci >= 0) {
-            uint16_t* row = snap_out + (size_t)ci * n_reads;
-            for (int64_t rd = 0; rd < n_reads; ++rd) {
-                int32_t sc = fwd[rd] > rev[rd] ? fwd[rd] : rev[rd];
-                row[rd] = (uint16_t)sc;
+            if (!touched.empty()) {
+                std::sort(touched.begin(), touched.end());
+                for (int32_t rd : touched) {
+                    int32_t sc = fwd[rd] > rev[rd] ? fwd[rd] : rev[rd];
+                    if (sc > max_score_out[rd]) max_score_out[rd] = sc;
+                    if (emit_node_scores) {
+                        w.ev_node.push_back((int32_t)node);
+                        w.ev_read.push_back(rd);
+                        w.ev_score.push_back(sc);
+                    }
+                }
             }
+            int32_t ci = cand_of_node[node];
+            if (ci >= 0) {
+                uint16_t* row = snap_out + (size_t)ci * n_reads;
+                for (int64_t rd = w.r_lo; rd < w.r_hi; ++rd) {
+                    int32_t sc = fwd[rd] > rev[rd] ? fwd[rd] : rev[rd];
+                    row[rd] = (uint16_t)sc;
+                }
+            }
+            stack.push_back({(int32_t)node, 1});
+            const auto& ch = children[node];
+            for (auto it2 = ch.rbegin(); it2 != ch.rend(); ++it2)
+                stack.push_back({*it2, 0});
         }
-        stack.push_back({(int32_t)node, 1});
-        const auto& ch = children[node];
-        for (auto it2 = ch.rbegin(); it2 != ch.rend(); ++it2)
-            stack.push_back({*it2, 0});
+    };
+
+    // max_score_out and snap_out writes are disjoint per worker (read-sliced)
+    std::vector<std::thread> ths;
+    for (auto& w : workers)
+        ths.emplace_back([&run_worker, &w]() { run_worker(w); });
+    for (auto& t : ths) t.join();
+
+    if (!emit_node_scores) return 0;
+    // merge the per-worker (node, read, score) streams: each is sorted by
+    // DFS-preorder node (== node id) with reads ascending; concatenating in
+    // worker order and stable-sorting by node keeps reads ascending
+    int64_t n_ev = 0;
+    for (auto& w : workers) n_ev += (int64_t)w.ev_node.size();
+    if (n_ev > ev_cap) return -1;
+    std::vector<int64_t> order(n_ev);
+    std::vector<int32_t> cat_node(n_ev), cat_read(n_ev), cat_score(n_ev);
+    int64_t off = 0;
+    for (auto& w : workers) {
+        std::copy(w.ev_node.begin(), w.ev_node.end(), cat_node.begin() + off);
+        std::copy(w.ev_read.begin(), w.ev_read.end(), cat_read.begin() + off);
+        std::copy(w.ev_score.begin(), w.ev_score.end(),
+                  cat_score.begin() + off);
+        off += (int64_t)w.ev_node.size();
+    }
+    for (int64_t i = 0; i < n_ev; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return cat_node[a] < cat_node[b];
+    });
+    for (int64_t i = 0; i < n_ev; ++i) {
+        ev_node_out[i] = cat_node[order[i]];
+        ev_read_out[i] = cat_read[order[i]];
+        ev_score_out[i] = cat_score[order[i]];
     }
     return n_ev;
 }
