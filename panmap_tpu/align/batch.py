@@ -92,16 +92,73 @@ def batch_minimizers(reads: np.ndarray, lens: np.ndarray, k: int = KMER,
     return ridx.astype(np.int64), qpos.astype(np.int64), h[ridx, qpos], strand[ridx, qpos]
 
 
+def _pallas_mode():
+    """Where the full-window banded-DP scoring stage runs.
+
+    "tpu"       — the Pallas kernel on the real device (default on TPU);
+    "interpret" — the same kernel in interpret mode (tests on CPU);
+    None        — host DP only (CPU backend, or PANMAP_PALLAS=0).
+    Override with PANMAP_PALLAS in {0, off, tpu, interpret}.
+    """
+    import os
+
+    import sys
+
+    env = os.environ.get("PANMAP_PALLAS", "").lower()
+    if env in ("0", "off", "none"):
+        return None
+    if env in ("interpret", "tpu"):
+        return env
+    jax = sys.modules.get("jax")
+    if jax is not None:
+        try:
+            from jax._src import xla_bridge
+
+            if getattr(xla_bridge, "_backends", None):
+                # a backend is already live: querying it is free
+                return "tpu" if jax.default_backend() == "tpu" else None
+        except Exception:
+            pass
+    # jax not initialized yet: decide from environment hints instead of
+    # forcing a device-client handshake here (forked batch workers must
+    # never spin up their own remote TPU clients)
+    platforms = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if platforms == "cpu":
+        return None
+    accel = (bool(platforms) and platforms != "cpu") \
+        or os.environ.get("PALLAS_AXON_POOL_IPS") \
+        or os.environ.get("TPU_NAME") or os.path.exists("/dev/accel0")
+    return "tpu" if accel else None
+
+
 class BatchAligner(Aligner):
     """Aligner with a vectorized batch front-end (native C++ core when the
     host library is available; the numpy path below is its bit-exact oracle,
-    cross-checked by tests/test_align_native.py)."""
+    cross-checked by tests/test_align_native.py).
+
+    The full-window banded DP (the ksw2-extension analog,
+    src/mm_align.c:148-199 + 3rdparty/minimap2/ksw2_extz2_sse.c) is staged:
+    the native front-end defers those rows (mapped==3), the Pallas kernel
+    (align/pallas_sw.py) scores the whole batch on device, rows below
+    MIN_DP_MAX are dropped without traceback, and the host DP reruns only the
+    survivors for their CIGARs.  Window padding only adds columns, so the
+    device score is an upper bound of the real-window score — the gate is
+    exact, and survivors are recomputed in full: outputs are identical to the
+    all-host path by construction (tests/test_pallas_sw.py asserts it)."""
 
     CHUNK = 16384  # reads per vectorized pass: bounds the temporary matrices
     # (a single 102k-read pass allocated ~1.8 GB of fresh int64 planes; per-
     # chunk passes reuse the allocator's warm pages)
 
     use_native = True
+    pallas_mode = "auto"  # "auto" -> _pallas_mode(); or tpu/interpret/None
+    # rolling stats of the device scoring stage (bench reporting)
+    pallas_stats = None
+
+    def _resolve_pallas_mode(self):
+        if self.pallas_mode == "auto":
+            self.pallas_mode = _pallas_mode()
+        return self.pallas_mode
 
     def align_batch(self, seqs: list):
         """Returns list[Alignment] (one per read)."""
@@ -121,11 +178,14 @@ class BatchAligner(Aligner):
     def _align_batch_native(self, seqs: list):
         from ..native import align_sr_native
 
+        mode = self._resolve_pallas_mode()
         res = align_sr_native(seqs, self.index.codes2, self.index.h,
                               self.index.pos, self.index.strand,
-                              self.k, self.w)
+                              self.k, self.w, defer_dp=bool(mode))
         if res is None:
             return None
+        if mode:
+            self._resolve_deferred(seqs, res, mode)
         n = len(seqs)
         out = [Alignment() for _ in range(n)]
         mapped = res["mapped"]
@@ -160,6 +220,145 @@ class BatchAligner(Aligner):
                 out[i] = redo[j]
         return out
 
+    # static shape tiers for the device scoring stage: every dispatch shape
+    # is drawn from this small grid, so the set of compiled executables is
+    # workload-independent (the remote-TPU link pays seconds per new program)
+    # and typical read sets land in ONE dispatch
+    _LQ_TIERS = (256, 512)
+    _LW_TIERS = (512, 1024, 2048)
+    _B_TIERS = (64, 256, 1024, 4096)
+    _B_CAP = 4096
+
+    def _resolve_deferred(self, seqs: list, res: dict, mode: str):
+        """Score the mapped==3 rows (full-window banded DP) on device with
+        the Pallas banded-SW kernel, drop rows under MIN_DP_MAX, and run the
+        host DP only for the survivors' CIGAR traceback."""
+        rows = np.flatnonzero(res["mapped"] == 3)
+        if len(rows) == 0:
+            return
+        ref = self.index.codes2
+        lens = res["lens"]
+        stats = self.pallas_stats
+        if stats is None:
+            stats = self.pallas_stats = dict(
+                deferred=0, device_scored=0, survivors=0, cells=0,
+                device_s=0.0)
+        stats["deferred"] += len(rows)
+
+        queries = {}
+        host_rows = []
+        buckets = {}  # (lq_tier, lw_tier) -> list of row indices
+        for r in rows.tolist():
+            seq = seqs[r]
+            codes = encode(np.frombuffer(seq.encode(), dtype=np.uint8))
+            if res["rev"][r]:
+                codes = _RC[codes[::-1]]
+            queries[r] = codes
+            lq = int(lens[r])
+            lw = int(res["re"][r]) - int(res["rs"][r])
+            lqt = next((t for t in self._LQ_TIERS if lq <= t), None)
+            lwt = next((t for t in self._LW_TIERS if lw <= t), None)
+            if lqt is None or lwt is None:
+                host_rows.append(r)  # out-of-tier (rare): plain host DP
+            else:
+                buckets.setdefault((lqt, lwt), []).append(r)
+
+        try:
+            from .pallas_sw import banded_sw_scores
+        except Exception:
+            banded_sw_scores = None
+        if banded_sw_scores is not None:
+            import time as _time
+
+            for (lqt, lwt), blist in sorted(buckets.items()):
+                for off in range(0, len(blist), self._B_CAP):
+                    chunk = blist[off : off + self._B_CAP]
+                    if banded_sw_scores is None:
+                        host_rows.extend(chunk)  # device path died mid-flight
+                        continue
+                    n = len(chunk)
+                    bpad = next(t for t in self._B_TIERS if n <= t)
+                    qb = np.full((bpad, lqt), 4, dtype=np.uint8)
+                    rb = np.full((bpad, lwt), 4, dtype=np.uint8)
+                    ql = np.zeros(bpad, dtype=np.int32)
+                    for i, r in enumerate(chunk):
+                        q = queries[r]
+                        qb[i, : len(q)] = q
+                        lo, hi = int(res["rs"][r]), int(res["re"][r])
+                        rb[i, : hi - lo] = ref[lo:hi]
+                        ql[i] = len(q)
+                    t0 = _time.perf_counter()
+                    try:
+                        out3 = banded_sw_scores(qb, rb, ql,
+                                                interpret=mode == "interpret")
+                    except Exception:
+                        banded_sw_scores = None
+                        host_rows.extend(chunk)
+                        continue
+                    stats["device_s"] += _time.perf_counter() - t0
+                    stats["device_scored"] += n
+                    stats["cells"] += int(n) * lqt * lwt
+                    sc = out3[:n, 0]
+                    for i, r in enumerate(chunk):
+                        if sc[i] >= MIN_DP_MAX:
+                            host_rows.append(r)  # survivor: host traceback
+                        else:
+                            # window padding only widens the DP, so the device
+                            # score upper-bounds the real one: below-threshold
+                            # here is below-threshold in the exact DP too
+                            res["mapped"][r] = 0
+        else:
+            host_rows = rows.tolist()
+
+        stats["survivors"] += len(host_rows)
+        cap = res["cig"].shape[1]
+        code = {c: i for i, c in enumerate(self._CIG_OPS)}
+        from ..native import banded_dp_native
+
+        def _dp_row(r):
+            dp = banded_dp_native(queries[r],
+                                  ref[int(res["rs"][r]) : int(res["re"][r])])
+            if dp is None:
+                dp = banded_affine_dp(
+                    queries[r], ref[int(res["rs"][r]) : int(res["re"][r])])
+            return dp
+
+        if len(host_rows) > 64:
+            # the native DP releases the GIL: thread the survivor traceback
+            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
+
+            with ThreadPoolExecutor(min(8, _os.cpu_count() or 1)) as ex:
+                dps = list(ex.map(_dp_row, host_rows))
+        else:
+            dps = [_dp_row(r) for r in host_rows]
+
+        for r, dp in zip(host_rows, dps):
+            lo = int(res["rs"][r])
+            votes, second = int(res["score"][r]), int(res["nm"][r])
+            score, qs, qe, rsw, rew, cigar = dp
+            if score < MIN_DP_MAX or not cigar:
+                res["mapped"][r] = 0
+                continue
+            res["mapped"][r] = 1
+            res["rs"][r] = lo + rsw
+            res["re"][r] = lo + rew
+            res["qs"][r] = qs
+            res["qe"][r] = qe
+            res["score"][r] = score
+            res["nm"][r] = sum(ln for ln, op in cigar if op != "M")
+            if votes >= 3 and second * 2 <= votes:
+                res["mapq"][r] = 60
+            else:
+                res["mapq"][r] = max(1, min(60, int(
+                    40 * (1 - (second + 1) / (votes + 1)))))
+            if len(cigar) <= cap:
+                res["ncig"][r] = len(cigar)
+                for c, (ln, op) in enumerate(cigar):
+                    res["cig"][r, c] = (ln << 4) | code[op]
+            else:
+                res["mapped"][r] = 2  # oracle redo downstream
+
     def align_batch_arrays(self, seqs: list):
         """Columnar twin of align_batch: returns the native per-read arrays
         (mapped/rev/rs/re/qs/qe ORIENTED/score/mapq/nm/ncig/cig/lens) with
@@ -168,11 +367,14 @@ class BatchAligner(Aligner):
         capacity.  None when the native library is unavailable."""
         from ..native import align_sr_native
 
+        mode = self._resolve_pallas_mode()
         res = align_sr_native(seqs, self.index.codes2, self.index.h,
                               self.index.pos, self.index.strand,
-                              self.k, self.w)
+                              self.k, self.w, defer_dp=bool(mode))
         if res is None:
             return None
+        if mode:
+            self._resolve_deferred(seqs, res, mode)
         res["extra_cigars"] = {}
         over = np.flatnonzero(res["mapped"] == 2)
         if len(over):

@@ -88,7 +88,8 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]                                      # defer_dp
     if hasattr(lib, "pt_score_simple"):
         lib.pt_score_simple.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # tree
@@ -265,12 +266,16 @@ def encode_reads_native(seqs: list, pad_to: int):
 
 def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
                     idx_pos: np.ndarray, idx_strand: np.ndarray, k: int,
-                    w: int, threads: int = 0, cigar_cap: int = 64):
+                    w: int, threads: int = 0, cigar_cap: int = 64,
+                    defer_dp: bool = False):
     """Native twin of align/batch.py::BatchAligner.align_batch.  Returns a
     dict of per-read arrays (mapped 0/1/2, rev, rs, re, qs, qe oriented,
     score, mapq, nm, ncig, cig u32[n,cap]) or None without the library.
     mapped==2 marks cigar-capacity overflow: realign those reads with the
-    Python oracle path."""
+    Python oracle path.  With defer_dp, mapped==3 marks reads whose
+    full-window banded DP was deferred for the device (Pallas) scoring
+    stage; their fields carry rs/re = window [lo,hi), score = cluster
+    votes, nm = second-best votes, rev = rel strand."""
     lib = get_lib()
     if lib is None:
         return None
@@ -306,9 +311,37 @@ def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
         out["rs"].ctypes.data, out["re"].ctypes.data, out["qs"].ctypes.data,
         out["qe"].ctypes.data, out["score"].ctypes.data,
         out["mapq"].ctypes.data, out["nm"].ctypes.data,
-        out["ncig"].ctypes.data, out["cig"].ctypes.data)
+        out["ncig"].ctypes.data, out["cig"].ctypes.data, int(defer_dp))
     out["lens"] = lens
     return out
+
+
+def banded_dp_native(q: np.ndarray, r: np.ndarray, cap: int = 256):
+    """Native banded_affine_dp (bit-exact twin of align/core.py's): returns
+    (score, qs, qe, rs, re, [(len, op)]) or None without the library / on
+    cigar overflow (caller falls back to the numpy DP)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_dbg_banded"):
+        return None
+    if not hasattr(lib, "_dbg_ready"):
+        lib.pt_dbg_banded.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.pt_dbg_banded.restype = ctypes.c_int
+        lib._dbg_ready = True
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    r = np.ascontiguousarray(r, dtype=np.uint8)
+    out5 = np.zeros(5, dtype=np.int32)
+    cig = np.zeros(cap, dtype=np.uint32)
+    sc = lib.pt_dbg_banded(q.ctypes.data, len(q), r.ctypes.data, len(r),
+                           out5.ctypes.data, cig.ctypes.data, cap)
+    if out5[4] < 0:
+        return None
+    ops = "MIDNSHP=X"
+    cigar = [(int(cig[c]) >> 4, ops[int(cig[c]) & 0xF])
+             for c in range(int(out5[4]))]
+    return (int(sc), int(out5[0]), int(out5[1]), int(out5[2]), int(out5[3]),
+            cigar)
 
 
 def tree_accumulate_native(deltas_f: list, deltas_i: list, offs: np.ndarray,

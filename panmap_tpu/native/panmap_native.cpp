@@ -786,6 +786,11 @@ struct Aln {
     bool rev = false;
     int32_t mapq = 0, score = 0, nm = 0;
     Cigar cig;
+    // deferred full-window DP (Ctx.defer_dp): window + cluster stats for the
+    // device-scoring stage
+    bool defer = false;
+    int64_t wlo = 0, whi = 0;
+    int votes = 0, second = 0;
 };
 
 // DP scratch reused across reads within one thread.
@@ -1089,6 +1094,10 @@ struct Ctx {
     const uint8_t* idx_strand;
     int64_t m_idx;
     int k, w;
+    // defer_dp: instead of running the full-window banded DP here, report the
+    // (window, votes) so the caller can score the batch on the TPU (the
+    // Pallas banded-SW kernel) and run host traceback only for survivors
+    int defer_dp = 0;
 };
 
 static void finish(Aln& a, int score, int qs, int qe, int rs, int re,
@@ -1187,6 +1196,14 @@ static void extend(const Ctx& C, Scratch& S, const uint8_t* q, int lq,
     if (hi <= lo) return;
     if ((int64_t)lq * (hi - lo) > 8000000 && dmin != dmax) {
         extend(C, S, q, lq, diag, diag, diag, votes, second, a);
+        return;
+    }
+    if (C.defer_dp) {
+        a.defer = true;
+        a.wlo = lo;
+        a.whi = hi;
+        a.votes = votes;
+        a.second = second;
         return;
     }
     Cigar cg;
@@ -1399,7 +1416,7 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
         return;
     }
     extend(C, S, q, lq, B.med, B.dmin, B.dmax, B.votes, second, a);
-    if (a.mapped) a.rev = B.rel;
+    if (a.mapped || a.defer) a.rev = B.rel;
 }
 
 }  // namespace sr
@@ -1418,8 +1435,9 @@ void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
                  uint8_t* out_rev, int32_t* out_rs, int32_t* out_re,
                  int32_t* out_qs, int32_t* out_qe, int32_t* out_score,
                  int32_t* out_mapq, int32_t* out_nm, int32_t* out_ncig,
-                 uint32_t* out_cig) {
-    sr::Ctx C{ref_codes, lr, idx_h, idx_pos, idx_strand, m_idx, k, w};
+                 uint32_t* out_cig, int defer_dp) {
+    sr::Ctx C{ref_codes, lr, idx_h, idx_pos, idx_strand, m_idx, k, w,
+              defer_dp};
     if (n_threads < 1) n_threads = 1;
     auto work = [&](int64_t a0, int64_t b0) {
         sr::Scratch S;
@@ -1428,6 +1446,18 @@ void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
             int lq = (int)(offsets[i + 1] - offsets[i]);
             sr::Aln A;
             sr::align_one(C, S, sb, lq, A);
+            if (A.defer) {
+                // mapped==3: full-window DP deferred to the device scoring
+                // stage.  Field reuse: rs/re = window [lo,hi), score = votes,
+                // nm = second-best votes, rev = rel strand.
+                out_mapped[i] = 3;
+                out_rev[i] = A.rev;
+                out_rs[i] = (int32_t)A.wlo;
+                out_re[i] = (int32_t)A.whi;
+                out_score[i] = A.votes;
+                out_nm[i] = A.second;
+                continue;
+            }
             if (!A.mapped) {
                 out_mapped[i] = 0;
                 continue;

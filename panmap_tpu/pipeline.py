@@ -652,6 +652,9 @@ def _batch_host_stages(args):
     tree/idx/cfg come in via fork-inherited globals, not pickles."""
     import copy
 
+    # forked children must not spin up their own device clients: the align
+    # stage's Pallas scoring gate stays host-side here
+    os.environ["PANMAP_PALLAS"] = "0"
     reads1, reads2, prefix, best_id = args
     tree = _BATCH_CTX["tree"]
     idx = _BATCH_CTX["idx"]

@@ -1,0 +1,155 @@
+"""Pallas banded-SW kernel: equality with the numpy DP oracle, and the
+production aligner's device-scoring stage (deferred full-window DP rows)
+producing identical alignments to the all-host path.
+
+Reference analog: the ksw2 extension kernels inside minimap2
+(src/3rdparty/minimap2/ksw2_extz2_sse.c, driven via src/mm_align.c:148-199).
+On CPU the kernel runs in interpret mode; on hardware the same program runs
+compiled (bench.py reports the GCUPS line from the real device).
+"""
+
+import numpy as np
+import pytest
+
+from panmap_tpu.align.core import MIN_DP_MAX, banded_affine_dp
+from panmap_tpu.align.pallas_sw import banded_sw_scores
+
+
+def _random_case(rng, lq, lr):
+    q = rng.integers(0, 4, lq).astype(np.uint8)
+    r = rng.integers(0, 4, lr).astype(np.uint8)
+    # plant a homologous segment with an indel so scores are non-trivial
+    seg = rng.integers(0, lr - lq // 2 - 8)
+    core = r[seg : seg + lq // 2].copy()
+    muts = rng.integers(0, len(core), 3)
+    core[muts] = (core[muts] + 1) % 4
+    if rng.random() < 0.5 and len(core) > 12:
+        cut = rng.integers(4, len(core) - 4)
+        gap = int(rng.integers(1, 6))
+        core = np.concatenate([core[:cut], core[cut + gap :]])
+    q[: len(core)] = core[: lq]
+    return q, r
+
+
+def test_kernel_matches_numpy_dp():
+    rng = np.random.default_rng(7)
+    B = 16
+    cases = [_random_case(rng, int(rng.integers(40, 151)), 360)
+             for _ in range(B)]
+    LQ = max(len(q) for q, _ in cases)
+    LW = 360
+    qb = np.full((B, LQ), 4, dtype=np.uint8)
+    rb = np.full((B, LW), 4, dtype=np.uint8)
+    ql = np.zeros(B, dtype=np.int32)
+    for i, (q, r) in enumerate(cases):
+        qb[i, : len(q)] = q
+        rb[i, : len(r)] = r
+        ql[i] = len(q)
+    out = banded_sw_scores(qb, rb, ql, interpret=True)
+    for i, (q, r) in enumerate(cases):
+        score, qs, bi, rs, bj, cig = banded_affine_dp(q, r)
+        if score <= 0:
+            assert out[i, 0] <= 0 or out[i, 0] < MIN_DP_MAX
+            continue
+        assert out[i, 0] == score, f"case {i}: {out[i,0]} != {score}"
+        assert out[i, 1] == bi, f"case {i} query end"
+        assert out[i, 2] == bj, f"case {i} window end"
+
+
+def test_kernel_window_padding_upper_bounds():
+    """Padding the window with code-4 columns must never lower the score
+    (the production gate relies on the padded score upper-bounding the
+    real-window score)."""
+    rng = np.random.default_rng(11)
+    q, r = _random_case(rng, 120, 300)
+    score, *_ = banded_affine_dp(q, r)
+    qb = q[None, :]
+    ql = np.array([len(q)], np.int32)
+    for pad in (0, 57, 212):
+        rb = np.full((1, len(r) + pad), 4, dtype=np.uint8)
+        rb[0, : len(r)] = r
+        out = banded_sw_scores(qb, rb, ql, interpret=True)
+        assert out[0, 0] >= score
+
+
+def _mutate_read(rng, ref, pos, ln):
+    read = list(ref[pos : pos + ln])
+    kind = rng.random()
+    if kind < 0.45:  # deletion in the read (ref bases skipped)
+        cut = int(rng.integers(20, ln - 30))
+        gap = int(rng.integers(3, 9))
+        read = list(ref[pos : pos + cut]) + list(
+            ref[pos + cut + gap : pos + ln + gap])
+    elif kind < 0.9:  # insertion in the read
+        cut = int(rng.integers(20, ln - 30))
+        ins = "".join("ACGT"[i] for i in rng.integers(0, 4, int(rng.integers(3, 9))))
+        read = list(ref[pos : pos + cut]) + list(ins) + list(
+            ref[pos + cut : pos + ln - len(ins)])
+    else:  # heavy clip tail
+        tail = "".join("ACGT"[i] for i in rng.integers(0, 4, 35))
+        read = list(ref[pos : pos + ln - 35]) + list(tail)
+    return "".join(read)[:ln]
+
+
+def test_aligner_device_stage_identical_to_host():
+    """BatchAligner with the Pallas scoring stage (interpret mode) returns
+    alignments identical to the all-host native path — the device stage is a
+    pure gate + survivor-recompute, never a numeric substitute."""
+    from panmap_tpu.align.batch import BatchAligner
+    from panmap_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    reads = []
+    for _ in range(80):
+        pos = int(rng.integers(0, len(ref) - 180))
+        reads.append(_mutate_read(rng, ref, pos, 151))
+
+    host = BatchAligner(ref)
+    host.pallas_mode = None
+    base = host.align_batch(reads)
+
+    dev = BatchAligner(ref)
+    dev.pallas_mode = "interpret"
+    got = dev.align_batch(reads)
+
+    assert dev.pallas_stats is not None and dev.pallas_stats["deferred"] > 0, \
+        "test reads never reached the deferred DP path"
+    assert dev.pallas_stats["device_scored"] > 0, \
+        "device scoring stage never ran"
+    for i, (a, b) in enumerate(zip(base, got)):
+        assert (a.mapped, a.rs, a.re, a.qs, a.qe, a.rev, a.score, a.mapq,
+                a.nm, a.cigar) == (
+            b.mapped, b.rs, b.re, b.qs, b.qe, b.rev, b.score, b.mapq,
+            b.nm, b.cigar), f"read {i} diverged"
+
+
+def test_aligner_arrays_device_stage_identical():
+    """Columnar twin: align_batch_arrays with the device stage matches the
+    all-host arrays field-for-field."""
+    from panmap_tpu.align.batch import BatchAligner
+    from panmap_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(31)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    reads = []
+    for _ in range(60):
+        pos = int(rng.integers(0, len(ref) - 180))
+        reads.append(_mutate_read(rng, ref, pos, 151))
+
+    host = BatchAligner(ref)
+    host.pallas_mode = None
+    base = host.align_batch_arrays(reads)
+    dev = BatchAligner(ref)
+    dev.pallas_mode = "interpret"
+    got = dev.align_batch_arrays(reads)
+    assert dev.pallas_stats is not None and dev.pallas_stats["deferred"] > 0
+    for key in ("mapped", "rev", "rs", "re", "qs", "qe", "score", "mapq",
+                "nm", "ncig"):
+        np.testing.assert_array_equal(base[key], got[key], err_msg=key)
+    np.testing.assert_array_equal(base["cig"], got["cig"])
+    assert base["extra_cigars"] == got["extra_cigars"]
