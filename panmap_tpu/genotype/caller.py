@@ -798,7 +798,7 @@ def apply_spectrum(records: list, phred: np.ndarray | None, min_depth: int,
             continue
         r = _BIDX.get(rec.ref, -1)
         is_indel = len(rec.ref) > 1 or any(len(a) > 1 for a in rec.alts)
-        if r < 0 or r > 3 or is_indel:
+        if is_indel:
             # indel/multi-base record (insertions have a single-base REF, so
             # test the ALTs too): no SNP spectrum; apply the same quality
             # threshold and consensus gate as the no-spectrum path
@@ -807,6 +807,13 @@ def apply_spectrum(records: list, phred: np.ndarray | None, min_depth: int,
             if not _passes_gate(rec.gt, rec.ads, min_depth):
                 continue
             out.append(rec)
+            continue
+        if r < 0 or r > 3:
+            # single-base degenerate REF (N/ambiguous): the reference emits
+            # these bare on gt != 0 with no spectrum, gate, or quality
+            # threshold (genotyping.cpp:222-223)
+            if rec.gt != 0:
+                out.append(rec)
             continue
         gls = np.array(rec.pls, dtype=np.float64)
         gls[0] += phred[r][r]

@@ -1098,11 +1098,16 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
     in ONE dispatch (per-round dispatches cost ~1s each over the remote
     device link and dominated EM wall time).
 
-    S stays [Rpad, Mpad] u16 on device.  Dead columns are masked via p == 0
-    alone: the row-scaling constant mx is computed once over ALL columns and
-    cancels exactly in the responsibilities ((u @ Ps) picks up exp(mx) from u
-    and exp(-mx) from Ps) and in llh differences (llh re-adds it as a
-    constant), so Ps never needs rebuilding when alive shrinks."""
+    S stays [Rpad, Mpad] u16 on device.  Within a round, dead columns are
+    masked via p == 0 alone — the row-scaling constant mx cancels exactly in
+    the responsibilities ((u @ Ps) picks up exp(mx) from u and exp(-mx) from
+    Ps) and in llh differences.  At each ROUND transition mx/Ps are
+    recomputed over the surviving columns: after a drop removes a read's
+    dominant column, its remaining lp values can sit > ~88 nats below the
+    stale mx, where exp underflows to an exact f32 zero and the read would
+    silently stop contributing (the reference restarts its probability plane
+    every round, main.cpp:1263-1272).  One extra masked max+exp per round,
+    still a single dispatch."""
     key = (Mpad, Rpad, float(eta), float(mct), int(max_iterations),
            int(max_rounds))
     fn = _MASKED_EM_CACHE.get(key)
@@ -1125,17 +1130,21 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
         # fresh log/exp sweep per iteration.  Columns the caller never
         # enabled get Ps == 0; columns dropped between rounds keep their Ps
         # but are excluded by p == 0 (see docstring).
-        lpm = jnp.where(alive0[None, :], lp, -jnp.inf)
-        mx = jnp.max(lpm, axis=1, keepdims=True)
-        Ps = jnp.exp(lpm - mx)
         wsum = jnp.sum(w)
 
-        def em(p):
+        def scale(alive):
+            lpm = jnp.where(alive[None, :], lp, -jnp.inf)
+            mx = jnp.max(lpm, axis=1, keepdims=True)
+            return jnp.exp(lpm - mx), mx
+
+        Ps0, mx0 = scale(alive0)
+
+        def em(Ps, p):
             den = Ps @ p
             u = w / jnp.maximum(den, 1e-30)
             return ((u @ Ps) * p) / wsum
 
-        def llh(p):
+        def llh(Ps, mx, p):
             den = Ps @ p
             return jnp.sum(w * (mx[:, 0] + jnp.log(jnp.maximum(den, 1e-30))))
 
@@ -1148,22 +1157,22 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
             several can be unrolled per while iteration (the remote backend
             pays tens of ms of dispatch per while step; converged sub-steps
             become exact no-ops)."""
-            p0, cur, it, done, alive, rnd, fin, tot = carry
+            p0, cur, it, done, alive, rnd, fin, tot, Ps, mx = carry
 
             def norm(p):
                 p = jnp.where(alive, jnp.maximum(p, 1e-12), 0.0)
                 return p / jnp.sum(p)
 
             active = (~done) & (it < max_iterations)
-            p1 = norm(em(p0))
-            p2 = norm(em(p1))
+            p1 = norm(em(Ps, p0))
+            p2 = norm(em(Ps, p1))
             r = p1 - p0
             v = (p2 - p1) - r
             vn = jnp.linalg.norm(v)
             alpha = jnp.where(vn > 0, -jnp.linalg.norm(r) / vn, -1.0)
             psq = norm(p0 - 2.0 * alpha * r + alpha * alpha * v)
-            l2 = llh(p2)
-            lsq = llh(psq)
+            l2 = llh(Ps, mx, p2)
+            lsq = llh(Ps, mx, psq)
             use_sq = lsq > l2 - eta32
             pn = jnp.where(use_sq, psq, p2)
             ln = jnp.where(use_sq, lsq, l2)
@@ -1177,7 +1186,7 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
                     it + active.astype(jnp.int32),
                     done | (active & stop) | (it + 1 >= max_iterations),
                     alive, rnd, fin,
-                    tot + active.astype(jnp.int32))
+                    tot + active.astype(jnp.int32), Ps, mx)
 
         def next_round(carry):
             """Round transition (only when this round is done): drop columns
@@ -1185,18 +1194,22 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
             or the round budget is spent, finish keeping the converged p and
             the post-drop alive (matching the reference's outer loop,
             main.cpp:1263-1272); otherwise restart from uniform."""
-            p, cur, it, done, alive, rnd, fin, tot = carry
+            p, cur, it, done, alive, rnd, fin, tot, Ps, mx = carry
             passed = alive & (p >= thr32)
             no_drop = jnp.sum(passed) == jnp.sum(alive)
             out_of_rounds = (rnd + 1) >= max_rounds
             none_left = ~jnp.any(passed)
             fin2 = no_drop | out_of_rounds | none_left
             cont = ~fin2
+            # Re-scale the probability plane over the survivors (see
+            # docstring); when finishing, keep the old plane (unused).
+            Ps2, mx2 = scale(passed | ~cont)
             return (jnp.where(cont, uniform(passed), p),
                     jnp.where(cont, -jnp.inf, cur),
                     jnp.where(cont, 0, it),
                     done & ~cont,
-                    passed, rnd + cont.astype(jnp.int32), fin2, tot)
+                    passed, rnd + cont.astype(jnp.int32), fin2, tot,
+                    jnp.where(cont, Ps2, Ps), jnp.where(cont, mx2, mx))
 
         def cond(carry):
             return ~carry[6]
@@ -1209,8 +1222,10 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
 
         p0 = uniform(alive0)
         carry = (p0, jnp.float32(-jnp.inf), jnp.int32(0), jnp.bool_(False),
-                 alive0, jnp.int32(0), jnp.bool_(False), jnp.int32(0))
-        p, _, _, _, alive, _, _, tot = jax.lax.while_loop(cond, body, carry)
+                 alive0, jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+                 Ps0, mx0)
+        out = jax.lax.while_loop(cond, body, carry)
+        p, alive, tot = out[0], out[4], out[7]
         return p, alive, tot
 
     _MASKED_EM_CACHE[key] = run

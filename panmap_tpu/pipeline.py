@@ -430,8 +430,14 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
                    + _struct.pack("<i", len(ref)))
 
     def _write():
+        # compress in bounded 64-block windows (same SLICE as io.bam's
+        # write_bam) so peak RSS stays ~1 slice of chunks + compressed
+        # blocks instead of ~2x the whole uncompressed BAM
+        full = stream_head + body
+        SLICE = 64 * 65000
         with open(cfg.output + ".bam", "wb") as fh:
-            fh.write(_bgzf_compress_parallel(stream_head + body, level=6))
+            for o in range(0, len(full), SLICE):
+                fh.write(_bgzf_compress_parallel(full[o:o + SLICE], level=6))
             fh.write(BGZF_EOF)
         _write_bai(cfg.output + ".bam.bai", [None] * nrec, len(ref))
 

@@ -92,3 +92,44 @@ def test_sharded_em_matches_single_device():
     p8 = np.asarray(fn(jnp.asarray(Srm), jnp.asarray(lens.astype(np.int32)),
                        jnp.asarray(w.astype(np.float32)), jnp.asarray(alive)))
     assert np.allclose(p1, p8, atol=2e-4), np.abs(p1 - p8).max()
+
+
+def test_device_em_rescales_after_round_drop():
+    """Round-transition re-scaling: reads whose dominant column is dropped
+    after round 1 must keep contributing.  Before the fix, Ps was scaled once
+    at the round-1 alive set; a surviving column sitting >88 nats below the
+    stale row max underflowed to an exact f32 zero and the read silently
+    vanished (reference restarts its plane every round, main.cpp:1263-1272)."""
+    from panmap_tpu.meta.engine import run_squarem
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    R, M = 1000, 12  # cols 0/1 real haplotypes; cols 2..11 traps
+    read_lens = np.full(R, 40, dtype=np.int64)
+    S = np.zeros((M, R), dtype=np.uint16)
+    owner = rng.choice([0, 1], R, p=[0.7, 0.3])
+    for j in range(R):
+        S[owner[j], j] = 40
+        S[1 - owner[j], j] = 40 - int(rng.integers(3, 7))
+    # 40 trap reads: each trap column dominates 4 of them by 20 score units
+    # (~106 nats at err=0.005, beyond f32 exp range); their best SURVIVING
+    # column is 1, so after the traps drop they must all flow to column 1.
+    trap_reads = np.arange(40)
+    for t, j in enumerate(trap_reads):
+        S[:, j] = 0
+        S[2 + t % 10, j] = 40
+        S[1, j] = 20
+        S[0, j] = 15
+    w = np.ones(R, dtype=np.float64)
+    names = [f"n{i}" for i in range(M)]
+
+    host = run_squarem(S, read_lens, w, names, backend="none")
+    dev = run_squarem(jnp.asarray(S.T), read_lens, w, names)
+
+    h = dict(zip(host.node_names, host.props))
+    d = dict(zip(dev.node_names, dev.props))
+    # traps dropped in both; n0/n1 survive with the trap reads reassigned
+    assert set(h) == {"n0", "n1"}
+    assert set(d) == {"n0", "n1"}
+    for k in h:
+        assert abs(h[k] - d[k]) < 2e-3, (k, h[k], d[k])
