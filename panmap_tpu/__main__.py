@@ -73,9 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--trim-start", type=int, default=0)
     g.add_argument("--trim-end", type=int, default=0)
     g.add_argument("--force-leaf", action="store_true")
-    g.add_argument("--device-place", action="store_true",
-                   help="batched on-device placement (sketch+score on the "
-                        "accelerator; f32 scores, ~1e-4 of the host engine)")
+    g.add_argument("--device-place", action="store_true", default=True,
+                   help="device placement scoring with exact f64 rescue of "
+                        "the tie candidates (DEFAULT; byte-identical to the "
+                        "host engine)")
+    g.add_argument("--host-place", action="store_false", dest="device_place",
+                   help="force the all-host f64 placement engine")
     g.add_argument("-a", "--aligner", default="minimap2", choices=["minimap2", "bwa"],
                    help="alignment backend (bwa = whole-read ancient-DNA mode)")
     g.add_argument("--refine", action="store_true",

@@ -1090,13 +1090,14 @@ def _get_em_prep_fns():
     return fns
 
 
-def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
-                        max_iterations: int, max_rounds: int = 5):
-    """Compile-once masked SQUAREM with the OUTER ROUNDS fused into the same
-    device while_loop: converge, drop columns with prop < threshold, restart
-    from uniform over the survivors, until nothing drops or max_rounds — all
-    in ONE dispatch (per-round dispatches cost ~1s each over the remote
-    device link and dominated EM wall time).
+def _squarem_body(eta: float, mct: float, max_iterations: int,
+                  max_rounds: int = 5, axis_name: str | None = None):
+    """THE SQUAREM body (single definition site; mgsr.cpp:4341-4443): masked
+    steps with the OUTER ROUNDS fused into the same device while_loop —
+    converge, drop columns with prop < threshold, restart from uniform over
+    the survivors, until nothing drops or max_rounds — all in ONE dispatch
+    (per-round dispatches cost ~1s each over the remote device link and
+    dominated EM wall time).
 
     S stays [Rpad, Mpad] u16 on device.  Within a round, dead columns are
     masked via p == 0 alone — the row-scaling constant mx cancels exactly in
@@ -1107,12 +1108,15 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
     stale mx, where exp underflows to an exact f32 zero and the read would
     silently stop contributing (the reference restarts its probability plane
     every round, main.cpp:1263-1272).  One extra masked max+exp per round,
-    still a single dispatch."""
-    key = (Mpad, Rpad, float(eta), float(mct), int(max_iterations),
-           int(max_rounds))
-    fn = _MASKED_EM_CACHE.get(key)
-    if fn is not None:
-        return fn
+    still a single dispatch.
+
+    ``axis_name``: when set, the body runs under shard_map with READS sharded
+    over that mesh axis — every read-axis reduction (wsum, the E-step
+    sufficient statistics u @ Ps, the log-likelihood) goes through a psum over
+    ICI; everything column-shaped stays replicated (SURVEY §5.8).  Used by
+    parallel/mesh.make_sharded_em_fn; None = single device, psum is identity.
+    Returns the UNJITTED traced body run(S, lens, w, alive0) ->
+    (props, alive, iterations)."""
     import jax
     import jax.numpy as jnp
 
@@ -1120,8 +1124,13 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
     log_1me = float(np.log1p(-ERROR_RATE))
     eta32 = float(eta)
     thr32 = float(PROP_THRESHOLD_TO_REMOVE)
+    if axis_name is None:
+        def rsum(x):
+            return x
+    else:
+        def rsum(x):
+            return jax.lax.psum(x, axis_name)
 
-    @jax.jit
     def run(S, lens, w, alive0):
         Sf = S.astype(jnp.float32)
         lp = (lens.astype(jnp.float32)[:, None] - Sf) * log_err + Sf * log_1me
@@ -1130,7 +1139,7 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
         # fresh log/exp sweep per iteration.  Columns the caller never
         # enabled get Ps == 0; columns dropped between rounds keep their Ps
         # but are excluded by p == 0 (see docstring).
-        wsum = jnp.sum(w)
+        wsum = rsum(jnp.sum(w))
 
         def scale(alive):
             lpm = jnp.where(alive[None, :], lp, -jnp.inf)
@@ -1142,11 +1151,12 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
         def em(Ps, p):
             den = Ps @ p
             u = w / jnp.maximum(den, 1e-30)
-            return ((u @ Ps) * p) / wsum
+            return (rsum(u @ Ps) * p) / wsum
 
         def llh(Ps, mx, p):
             den = Ps @ p
-            return jnp.sum(w * (mx[:, 0] + jnp.log(jnp.maximum(den, 1e-30))))
+            return rsum(
+                jnp.sum(w * (mx[:, 0] + jnp.log(jnp.maximum(den, 1e-30)))))
 
         def uniform(alive):
             n_alive = jnp.sum(alive)
@@ -1228,8 +1238,22 @@ def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
         p, alive, tot = out[0], out[4], out[7]
         return p, alive, tot
 
-    _MASKED_EM_CACHE[key] = run
     return run
+
+
+def _get_masked_squarem(Mpad: int, Rpad: int, eta: float, mct: float,
+                        max_iterations: int, max_rounds: int = 5):
+    """Compile-once single-device entry over the shared body (_squarem_body).
+    Mpad/Rpad key the cache so bucketed workloads reuse executables."""
+    key = (Mpad, Rpad, float(eta), float(mct), int(max_iterations),
+           int(max_rounds))
+    fn = _MASKED_EM_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(_squarem_body(eta, mct, max_iterations, max_rounds))
+        _MASKED_EM_CACHE[key] = fn
+    return fn
 
 
 def _round_up(n: int, step: int) -> int:

@@ -65,7 +65,7 @@ class PipelineConfig:
     trim_start: int = 0
     trim_end: int = 0
     force_leaf: bool = False
-    device_place: bool = False  # batched on-device sketch+score (TpuPlacer)
+    device_place: bool = True  # DEFAULT: device scoring + exact f64 rescue
     aligner: str = "minimap2"  # minimap2 | bwa (aDNA whole-read mode)
     refine: bool = False
     refine_top_pct: float = 0.01
@@ -142,19 +142,6 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
 def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     p = idx.params
     seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
-    if cfg.device_place:
-        blockers = [name for name, bad in [
-            ("--min-seed-quality", cfg.min_seed_quality > 0),
-            ("--trim", cfg.trim_start > 0 or cfg.trim_end > 0),
-            ("--dedup", cfg.dedup_reads),
-            ("--hpc", p.hpc),
-            ("--mask-seeds", cfg.seed_mask_fraction > 0),
-        ] if bad]
-        if blockers:
-            cfg.log(f"[place] --device-place unsupported with "
-                    f"{'/'.join(blockers)}; using the host engine")
-        else:
-            return _run_placement_device(cfg, idx, seqs)
     if cfg.min_seed_quality > 0:
         from .place.engine import sketch_reads_quality
 
@@ -182,39 +169,35 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     sk = prepare_read_sketch(freq, p.k, len(seqs),
                              min_read_support=cfg.min_read_support,
                              seed_mask_fraction=cfg.seed_mask_fraction)
-    res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
+    res = None
+    if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
+        # DEFAULT: device row-delta scoring + widened tie selection, exact
+        # f64 path-replay rescue of the candidates — byte-identical to the
+        # host engine by construction (place/query_tpu.py::place_exact).
+        # dump-all-scores/refine need the full f64 matrix: host engine.
+        try:
+            res = _get_placer(idx).place_exact(sk, force_leaf=cfg.force_leaf)
+        except Exception as e:  # device unavailable/capacity: host fallback
+            cfg.log(f"[place] device path unavailable ({e}); host engine")
+            res = None
+        if res is None:
+            cfg.log("[place] device tie-candidates inconclusive; host engine")
+    if res is None:
+        res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
     return _finish_placement(cfg, idx, res, len(seqs))
 
 
-def _run_placement_device(cfg: PipelineConfig, idx: IndexArrays, seqs: list):
-    """Placement via the batched on-device path (sketch + finalize + score as
-    compiled device programs; see place/query_tpu.py).  Scores are f32 on
-    device — equal to the host engine within ~1e-4, which can shift the last
-    printed decimal vs the byte-exact golden outputs; hence opt-in."""
-    from .place.engine import select_best
+def _get_placer(idx: IndexArrays):
+    """Cached TpuPlacer (device index upload + cuckoo table + compiled
+    programs), reused across samples in batch mode."""
     from .place.query_tpu import TpuPlacer
 
-    t0 = time.time()
-    # reuse the placer (device index upload + cuckoo table + compiled
-    # programs) across samples in batch mode; pad_len only grows
-    pad = max((len(s) for s in seqs), default=160)
-    cached = getattr(_run_placement_device, "_placer", None)
-    if cached is not None and cached.idx is idx and cached.pad_len >= pad:
-        placer = cached
-    else:
-        placer = TpuPlacer(idx, pad_len=pad)
-        _run_placement_device._placer = placer
-    if cfg.dump_all_scores or cfg.refine:
-        # these need the full per-node score matrix on the host
-        scores = placer.place(seqs, min_read_support=cfg.min_read_support)
-        res = select_best(scores.astype(np.float64), idx.parent_index,
-                          force_leaf=cfg.force_leaf)
-    else:
-        res = placer.place_best_host(seqs,
-                                     min_read_support=cfg.min_read_support,
-                                     force_leaf=cfg.force_leaf)
-    cfg.log(f"[place] device path: {len(seqs)} reads in {time.time()-t0:.1f}s")
-    return _finish_placement(cfg, idx, res, len(seqs))
+    cached = getattr(_get_placer, "_placer", None)
+    if cached is not None and cached.idx is idx:
+        return cached
+    placer = TpuPlacer(idx)
+    _get_placer._placer = placer
+    return placer
 
 
 def _finish_placement(cfg: PipelineConfig, idx: IndexArrays, res, n_reads: int):

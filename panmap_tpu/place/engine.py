@@ -23,8 +23,7 @@ import numpy as np
 
 from ..index.builder import IndexArrays
 from ..sketch.cpu import U64, read_kminmer_counts, rol
-
-METRICS = ("log_raw", "log_cosine", "containment", "weighted_containment", "log_containment")
+from .metrics import METRICS, finalize_scores, row_metric_deltas, wc_denominator
 
 
 def homopolymer_hashes(k: int) -> list[int]:
@@ -222,32 +221,20 @@ def score_nodes(index: IndexArrays, sk: ReadSketch, force_leaf: bool = False,
         found = np.zeros(len(H), dtype=bool)
         lrc = np.zeros(len(H))
 
-    log_child = np.where(C > 0, np.log1p(C.astype(np.float64)), 0.0)
-    log_parent = np.where(P > 0, np.log1p(P.astype(np.float64)), 0.0)
-
-    mag_delta = log_child * log_child - log_parent * log_parent
+    # shared f64 metric-delta body (place/metrics.py — one definition site
+    # for every scoring path; this numpy-f64 call is the parity oracle)
+    Pf = P.astype(np.float64)
+    Cf = C.astype(np.float64)
+    (mag_delta, lograw_delta, logcos_delta, wc_delta, logcont_delta,
+     presence_f) = row_metric_deltas(np, lrc, Pf, Cf, found)
+    presence_delta = presence_f.astype(np.int64)
     uniq_delta = (C > 0).astype(np.int64) - (P > 0).astype(np.int64)
-
-    active = ((C - P) != 0) & found
-    became_present = ((P == 0) & (C != 0)).astype(np.int64)
-    became_absent = ((C == 0) & (P != 0)).astype(np.int64)
-    presence_delta = np.where(active, became_present - became_absent, 0)
-
-    with np.errstate(divide="ignore", invalid="ignore"):
-        old_contrib = np.where(P > 0, lrc / P, 0.0)
-        new_contrib = np.where(C > 0, lrc / C, 0.0)
-        old_wc = np.where(P > 0, 1.0 / P, 0.0)
-        new_wc = np.where(C > 0, 1.0 / C, 0.0)
-    lograw_delta = np.where(active, new_contrib - old_contrib, 0.0)
-    logcos_delta = np.where(active, lrc * (log_child - log_parent), 0.0)
-    wc_delta = np.where(active, new_wc - old_wc, 0.0)
-    logcont_delta = presence_delta * lrc
 
     # weighted-containment denominator from the root's rows, in stored order
     # (src/placement.cpp:1861-1876)
     root_rows = slice(int(offs[0]), int(offs[1]))
-    root_mask = (C[root_rows] > 0) & found[root_rows]
-    wc_den = float(np.cumsum(np.where(root_mask, new_wc[root_rows], 0.0))[-1]) if offs[1] > offs[0] else 0.0
+    wc_den = float(wc_denominator(np, lrc[root_rows], Cf[root_rows],
+                                  found[root_rows])) if offs[1] > offs[0] else 0.0
 
     # accumulate parent->child with sequential f64 adds (reference add order)
     f64_metrics = (mag_delta, lograw_delta, logcos_delta, wc_delta, logcont_delta)
@@ -280,30 +267,83 @@ def score_nodes(index: IndexArrays, sk: ReadSketch, force_leaf: bool = False,
             for m, arr in enumerate(int_metrics):
                 acc_i[i, m] = base_i[m] + arr[a:b].sum()
 
-    genome_mag_sq = acc_f[:, 0]
-    lograw_num = acc_f[:, 1]
-    logcos_num = acc_f[:, 2]
-    wc_num = acc_f[:, 3]
-    logcont_num = acc_f[:, 4]
-    presence = acc_i[:, 1].astype(np.float64)
-
-    lrm = sk.log_read_magnitude
-    genome_mag = np.sqrt(np.maximum(genome_mag_sq, 0.0))
-    scores = np.zeros((n_nodes, 5))
-    if lrm > 0:
-        scores[:, 0] = lograw_num / lrm
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(genome_mag > 0, logcos_num / (lrm * genome_mag), 0.0)
-        scores[:, 1] = np.clip(cos, 0.0, 1.0)
-    if sk.read_unique_seed_count > 0:
-        scores[:, 2] = presence / sk.read_unique_seed_count
-    if wc_den > 0:
-        scores[:, 3] = wc_num / wc_den
-    if sk.log_containment_denominator > 0:
-        scores[:, 4] = logcont_num / sk.log_containment_denominator
-
+    acc = np.concatenate([acc_f, acc_i[:, 1:2].astype(np.float64)], axis=1)
+    scores = finalize_scores(np, acc, sk.log_read_magnitude,
+                             sk.read_unique_seed_count,
+                             sk.log_containment_denominator, wc_den)
     return select_best(scores, parent, force_leaf=force_leaf,
                        skip_node_index=skip_node_index)
+
+
+def rescore_paths(index: IndexArrays, sk: ReadSketch, nodes) -> np.ndarray:
+    """Exact f64 scores for a SMALL set of nodes by replaying each node's
+    root->node delta path with the same sequential f64 addition order as
+    score_nodes (the reference's built-in verify_scores idea,
+    placement.cpp:776-791).  This is the exact-rescue stage of the default
+    device placement path: the device selects tie candidates with a widened
+    f32 tolerance, and this replay recomputes their scores bit-identically
+    to the host engine.  Returns f64 [len(nodes), 5] in METRICS order.
+    """
+    parent = index.parent_index
+    offs = index.node_offsets.astype(np.int64)
+    nodes = [int(n) for n in nodes]
+    seen: set = set()
+    for n in nodes:
+        i = n
+        while i not in seen:
+            seen.add(i)
+            if i == 0:
+                break
+            i = int(parent[i])
+    order = sorted(seen)  # DFS indices: parents precede children
+    if not order:
+        return np.zeros((0, 5))
+    if order[0] != 0:
+        order.insert(0, 0)  # root rows always needed for wc_den
+
+    row_idx = np.concatenate(
+        [np.arange(offs[i], offs[i + 1]) for i in order]) if order else \
+        np.empty(0, np.int64)
+    H = index.seed_hashes[row_idx]
+    Pf = index.parent_counts[row_idx].astype(np.float64)
+    Cf = index.child_counts[row_idx].astype(np.float64)
+    if len(sk.sorted_hashes):
+        ii = np.searchsorted(sk.sorted_hashes, H)
+        iic = np.minimum(ii, len(sk.sorted_hashes) - 1)
+        found = sk.sorted_hashes[iic] == H
+        lrc = np.where(found, sk.log_counts[iic], 0.0)
+    else:
+        found = np.zeros(len(H), dtype=bool)
+        lrc = np.zeros(len(H))
+    deltas = row_metric_deltas(np, lrc, Pf, Cf, found)
+    presence_int = deltas[5].astype(np.int64)
+
+    root_m = int(offs[1] - offs[0])
+    wc_den = float(wc_denominator(np, lrc[:root_m], Cf[:root_m],
+                                  found[:root_m])) if root_m else 0.0
+
+    acc_f: dict = {}
+    acc_i: dict = {}
+    pos = 0
+    for i in order:
+        m = int(offs[i + 1] - offs[i])
+        base_f = acc_f[int(parent[i])] if i else np.zeros(5)
+        base_i = acc_i[int(parent[i])] if i else 0
+        vals = base_f.copy()
+        for mth in range(5):
+            arr = deltas[mth][pos : pos + m]
+            if m:
+                vals[mth] = np.cumsum(
+                    np.concatenate(([base_f[mth]], arr)))[-1]
+        acc_f[i] = vals
+        acc_i[i] = base_i + int(presence_int[pos : pos + m].sum())
+        pos += m
+
+    acc = np.stack(
+        [np.concatenate([acc_f[n], [float(acc_i[n])]]) for n in nodes])
+    return finalize_scores(np, acc, sk.log_read_magnitude,
+                           sk.read_unique_seed_count,
+                           sk.log_containment_denominator, wc_den)
 
 
 def select_best(scores: np.ndarray, parent_index: np.ndarray,

@@ -47,7 +47,13 @@ class DeviceIndex:
     root_rows: tuple  # (start, end) row range of the root node
 
 
-def prepare_device_index(idx: IndexArrays) -> DeviceIndex:
+def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
+    """Host->device index preparation.  With ``mesh`` (a 1-D
+    jax.sharding.Mesh over the "data" axis), the row tensors are padded to a
+    multiple of the mesh size with inert rows (P == C == 0: every metric
+    delta is exactly 0) and placed SHARDED across the devices — the
+    multi-chip product path (SURVEY §5.8: seed-change rows split over chips,
+    partial per-node metric sums psum'd over ICI)."""
     from ..utils.fastnp import unique_inverse
 
     uniq, row_id = unique_inverse(idx.seed_hashes)
@@ -107,6 +113,8 @@ def map_read_table(dev: DeviceIndex, seed_freq: dict, min_support: int):
 def make_score_fn(n_nodes: int, n_rows: int):
     """Jitted scoring over fixed-size row/read tables."""
 
+    from .metrics import euler_prefix, row_node_sums
+
     @jax.jit
     def score(row_id, row_parent, row_child, row_node, euler_in, euler_out,
               read_ids, read_logc):
@@ -115,37 +123,10 @@ def make_score_fn(n_nodes: int, n_rows: int):
         posc = jnp.clip(pos, 0, jnp.maximum(read_ids.shape[0] - 1, 0))
         found = jnp.where(read_ids.shape[0] > 0, read_ids[posc] == row_id, False)
         lrc = jnp.where(found, read_logc[posc], 0.0)
-
-        P = row_parent
-        C = row_child
-        log_child = jnp.where(C > 0, jnp.log1p(C), 0.0)
-        log_parent = jnp.where(P > 0, jnp.log1p(P), 0.0)
-        mag_delta = log_child * log_child - log_parent * log_parent
-        active = ((C - P) != 0) & found
-        became_present = ((P == 0) & (C != 0)).astype(jnp.float32)
-        became_absent = ((C == 0) & (P != 0)).astype(jnp.float32)
-        presence_delta = jnp.where(active, became_present - became_absent, 0.0)
-        old_contrib = jnp.where(P > 0, lrc / jnp.maximum(P, 1.0), 0.0)
-        new_contrib = jnp.where(C > 0, lrc / jnp.maximum(C, 1.0), 0.0)
-        old_wc = jnp.where(P > 0, 1.0 / jnp.maximum(P, 1.0), 0.0)
-        new_wc = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1.0), 0.0)
-        lograw_delta = jnp.where(active, new_contrib - old_contrib, 0.0)
-        logcos_delta = jnp.where(active, lrc * (log_child - log_parent), 0.0)
-        wc_delta = jnp.where(active, new_wc - old_wc, 0.0)
-        logcont_delta = presence_delta * lrc
-
-        deltas = jnp.stack(
-            [mag_delta, lograw_delta, logcos_delta, wc_delta, logcont_delta,
-             presence_delta], axis=1)
-        node_sums = jax.ops.segment_sum(deltas, row_node, num_segments=n_nodes)
-
-        # Euler-tour ancestor prefix: +delta at entry, -delta at exit
-        slots = jnp.zeros((2 * n_nodes + 1, deltas.shape[1]), dtype=jnp.float32)
-        slots = slots.at[euler_in].add(node_sums)
-        slots = slots.at[euler_out + 1].add(-node_sums)
-        pref = jnp.cumsum(slots, axis=0)
-        acc = pref[euler_in]
-        return acc
+        # shared delta body + Euler-tour ancestor prefix (place/metrics.py)
+        node_sums = row_node_sums(lrc, row_parent, row_child, found, row_node,
+                                  n_nodes)
+        return euler_prefix(node_sums, euler_in, euler_out, n_nodes)
 
     return score
 
@@ -160,27 +141,15 @@ def compute_scores_tpu(dev: DeviceIndex, read_ids, read_logc, log_mag: float,
            dev.euler_in, dev.euler_out, jnp.asarray(read_ids),
            jnp.asarray(read_logc))
     )
-    genome_mag_sq, lograw, logcos, wc_num, logcont, presence = acc.T
-    scores = np.zeros((dev.n_nodes, 5), dtype=np.float64)
-    if log_mag > 0:
-        scores[:, 0] = lograw / log_mag
-        gm = np.sqrt(np.maximum(genome_mag_sq, 0.0))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(gm > 0, logcos / (log_mag * gm), 0.0)
-        scores[:, 1] = np.clip(cos, 0.0, 1.0)
-    if read_unique > 0:
-        scores[:, 2] = presence / read_unique
     # weighted containment denominator from root rows (host, f64)
     a, b = dev.root_rows
-    rc = np.asarray(dev.row_child[a:b])
+    rc = np.asarray(dev.row_child[a:b]).astype(np.float64)
     rid = np.asarray(dev.row_id[a:b])
     pos = np.searchsorted(read_ids, rid)
     posc = np.minimum(pos, max(len(read_ids) - 1, 0))
     found = (len(read_ids) > 0) & (read_ids[posc] == rid)
-    inv = np.where((rc > 0) & found, 1.0 / np.maximum(rc, 1.0), 0.0)
-    wc_den = float(inv.sum())
-    if wc_den > 0:
-        scores[:, 3] = wc_num / wc_den
-    if logcont_den > 0:
-        scores[:, 4] = logcont / logcont_den
-    return scores
+    from .metrics import finalize_scores, wc_denominator
+
+    wc_den = float(wc_denominator(np, rc, rc, found))
+    return finalize_scores(np, acc.astype(np.float64), log_mag, read_unique,
+                           logcont_den, wc_den)

@@ -239,40 +239,16 @@ class TpuPlacer:
         jit).  Same math as place/engine_tpu.py; see placement.cpp:242-345.
         uid_logc > 0 exactly marks found+kept seeds (log1p of a count >= 1 is
         strictly positive), so one gather serves as both value and flag."""
+        from .metrics import euler_prefix, row_node_sums, wc_denominator
+
         n_nodes = self.dev.n_nodes
         a, b = self.dev.root_rows
         lrc = uid_logc[row_id]
         found = lrc > 0
-        P = row_parent
-        C = row_child
-        log_child = jnp.where(C > 0, jnp.log1p(C), 0.0)
-        log_parent = jnp.where(P > 0, jnp.log1p(P), 0.0)
-        mag_delta = log_child * log_child - log_parent * log_parent
-        active = ((C - P) != 0) & found
-        became_present = ((P == 0) & (C != 0)).astype(jnp.float32)
-        became_absent = ((C == 0) & (P != 0)).astype(jnp.float32)
-        presence_delta = jnp.where(active, became_present - became_absent, 0.0)
-        old_contrib = jnp.where(P > 0, lrc / jnp.maximum(P, 1.0), 0.0)
-        new_contrib = jnp.where(C > 0, lrc / jnp.maximum(C, 1.0), 0.0)
-        old_wc = jnp.where(P > 0, 1.0 / jnp.maximum(P, 1.0), 0.0)
-        new_wc = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1.0), 0.0)
-        lograw_delta = jnp.where(active, new_contrib - old_contrib, 0.0)
-        logcos_delta = jnp.where(active, lrc * (log_child - log_parent), 0.0)
-        wc_delta = jnp.where(active, new_wc - old_wc, 0.0)
-        logcont_delta = presence_delta * lrc
-        root_inv = jnp.where((C[a:b] > 0) & found[a:b],
-                             1.0 / jnp.maximum(C[a:b], 1.0), 0.0)
-        wc_den = jnp.sum(root_inv)
-        deltas = jnp.stack(
-            [mag_delta, lograw_delta, logcos_delta, wc_delta,
-             logcont_delta, presence_delta], axis=1)
-        node_sums = jax.ops.segment_sum(deltas, row_node,
-                                        num_segments=n_nodes)
-        slots = jnp.zeros((2 * n_nodes + 1, 6), dtype=jnp.float32)
-        slots = slots.at[euler_in].add(node_sums)
-        slots = slots.at[euler_out + 1].add(-node_sums)
-        pref = jnp.cumsum(slots, axis=0)
-        return pref[euler_in], wc_den
+        wc_den = wc_denominator(jnp, lrc[a:b], row_child[a:b], found[a:b])
+        node_sums = row_node_sums(lrc, row_parent, row_child, found, row_node,
+                                  n_nodes)
+        return euler_prefix(node_sums, euler_in, euler_out, n_nodes), wc_den
 
     def _make_finalize_score(self):
         """One fused program: 2-key sort of every padded k-min-mer slot
@@ -340,21 +316,11 @@ class TpuPlacer:
                                    float(lden))
 
     def _device_scores(self, acc, wc_den, log_mag, nuniq, lden):
-        """scores[N,5] from the accumulator — _finish_scores, traced."""
-        gmsq, lograw, logcos, wc_num, logcont, presence = [
-            acc[:, i] for i in range(6)]
-        z = jnp.zeros_like(lograw)
-        ok = log_mag > 0
-        s0 = jnp.where(ok, lograw / jnp.where(ok, log_mag, 1.0), z)
-        gm = jnp.sqrt(jnp.maximum(gmsq, 0.0))
-        den = log_mag * gm
-        s1 = jnp.clip(jnp.where(den > 0, logcos / jnp.where(den > 0, den, 1.0),
-                                z), 0.0, 1.0)
-        s2 = jnp.where(nuniq > 0, presence / jnp.maximum(nuniq, 1.0), z)
-        s3 = jnp.where(wc_den > 0, wc_num / jnp.where(wc_den > 0, wc_den, 1.0),
-                       z)
-        s4 = jnp.where(lden > 0, logcont / jnp.where(lden > 0, lden, 1.0), z)
-        return jnp.stack([s0, s1, s2, s4], axis=1), s3
+        """scores[N,5] in METRICS order from the accumulator — the shared
+        finalize body (place/metrics.py), traced."""
+        from .metrics import finalize_scores
+
+        return finalize_scores(jnp, acc, log_mag, nuniq, lden, wc_den)
 
     def _make_select_fn(self):
         """Tolerance-aware best/tie selection (placement.cpp:355-401) on
@@ -364,9 +330,7 @@ class TpuPlacer:
 
         @jax.jit
         def sel(acc, wc_den, log_mag, nuniq, lden, eligible):
-            s0124, s3 = self._device_scores(acc, wc_den, log_mag, nuniq, lden)
-            scores = jnp.concatenate(
-                [s0124[:, :3], s3[:, None], s0124[:, 3:]], axis=1)
+            scores = self._device_scores(acc, wc_den, log_mag, nuniq, lden)
             col = jnp.where(eligible[:, None], scores, -jnp.inf)
             best = jnp.max(col, axis=0)
             tol = jnp.maximum(best * 1e-4, 1e-9)
@@ -468,9 +432,7 @@ class TpuPlacer:
             acc, wc_den = self._score_rows(
                 row_id, row_parent, row_child, row_node, euler_in, euler_out,
                 uid_logc)
-            s0124, s3 = self._device_scores(acc, wc_den, log_mag, nuniq, lden)
-            scores = jnp.concatenate(
-                [s0124[:, :3], s3[:, None], s0124[:, 3:]], axis=1)
+            scores = self._device_scores(acc, wc_den, log_mag, nuniq, lden)
             col = jnp.where(eligible[:, None], scores, -jnp.inf)
             best = jnp.max(col, axis=0)
             tol = jnp.maximum(best * 1e-4, 1e-9)
@@ -522,6 +484,130 @@ class TpuPlacer:
             res.best_index[name] = int(idxs[0]) if len(idxs) else None
         return res
 
+    def _make_widened_select_fn(self):
+        """Candidate-superset selection: like _make_host_score_fn but with the
+        tolerance widened beyond the f32 accumulation error bound, so the set
+        provably contains every node the exact f64 rule (placement.cpp:355-401)
+        would tie.  The host then replays only the candidates' root->node
+        paths in f64 (engine.rescore_paths) — the device path and the
+        byte-exact golden outputs become the same path."""
+
+        @jax.jit
+        def sel(uids, lc, log_mag, nuniq, lden, row_id, row_parent, row_child,
+                row_node, euler_in, euler_out, eligible):
+            nu = int(self.dev.unique_hashes.shape[0])
+            uid_logc = jnp.zeros(nu, jnp.float32).at[uids].set(
+                lc, mode="drop", unique_indices=True)
+            acc, wc_den = self._score_rows(
+                row_id, row_parent, row_child, row_node, euler_in, euler_out,
+                uid_logc)
+            scores = self._device_scores(acc, wc_den, log_mag, nuniq, lden)
+            col = jnp.where(eligible[:, None], scores, -jnp.inf)
+            best = jnp.max(col, axis=0)
+            tol = jnp.maximum(best * 1e-4, 1e-9)
+            cutoff = best - (2.0 * tol + 1e-5)
+            cand = (col >= cutoff) & (col > -1e-5)
+            return jnp.packbits(cand, axis=0)
+
+        return sel
+
+    def place_exact(self, sk, force_leaf: bool = False):
+        """DEFAULT production path: device scoring + widened tie selection,
+        then exact f64 path-replay rescore of the candidates on the host —
+        returns results bit-identical to engine.score_nodes (same sketch sk).
+        Returns None when the exactness guarantee cannot be kept (empty
+        candidate set for some metric, or candidate blow-up): caller falls
+        back to the full host engine."""
+        from .engine import METRICS, PlacementScores, rescore_paths
+
+        if not hasattr(self, "_widened_select_fn"):
+            self._widened_select_fn = self._make_widened_select_fn()
+        if not hasattr(self, "_elig_all"):
+            n = self.dev.n_nodes
+            elig = np.ones(n, dtype=bool)
+            is_parent = np.zeros(n, dtype=bool)
+            is_parent[self.idx.parent_index[1:]] = True
+            self._elig_all = jnp.asarray(elig)
+            self._elig_leaf = jnp.asarray(elig & ~is_parent)
+
+        # f32 device read table derived from the SAME f64 sketch used for the
+        # exact rescore (so the join/filtering is identical by construction)
+        U = self.dev.unique_hashes
+        H = sk.sorted_hashes
+        pos = np.searchsorted(U, H)
+        posc = np.minimum(pos, max(len(U) - 1, 0)).astype(np.int32)
+        found = (len(U) > 0) & (len(H) > 0) & (U[posc] == H)
+        uids = posc[found]
+        lc = sk.log_counts[found].astype(np.float32)
+
+        # metrics whose f64 denominator is 0 have an IDENTICALLY-ZERO score
+        # column (finalize_scores): exact result is best=0.0, no ties —
+        # computable on host without any candidate set (e.g. wc_den == 0
+        # when no root row matches a read seed)
+        offs = self.idx.node_offsets.astype(np.int64)
+        ra, rb = int(offs[0]), int(offs[1])
+        Hr = self.idx.seed_hashes[ra:rb]
+        Cr = self.idx.child_counts[ra:rb].astype(np.float64)
+        if len(sk.sorted_hashes) and rb > ra:
+            ri = np.searchsorted(sk.sorted_hashes, Hr)
+            ric = np.minimum(ri, len(sk.sorted_hashes) - 1)
+            rfound = sk.sorted_hashes[ric] == Hr
+        else:
+            rfound = np.zeros(rb - ra, dtype=bool)
+        from .metrics import wc_denominator
+
+        wc_den64 = float(wc_denominator(np, np.zeros(rb - ra), Cr, rfound)) \
+            if rb > ra else 0.0
+        dens = (sk.log_read_magnitude, sk.log_read_magnitude,
+                float(sk.read_unique_seed_count), wc_den64,
+                sk.log_containment_denominator)
+        zero_metric = [d == 0.0 for d in dens]
+        nu = len(U)
+        cap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
+        pu = np.full(cap, nu, np.int32)
+        pu[: len(uids)] = uids
+        pl = np.zeros(cap, np.float32)
+        pl[: len(uids)] = lc
+        dev = self.dev
+        elig = self._elig_leaf if force_leaf else self._elig_all
+        packed = self._widened_select_fn(
+            pu, pl, np.float32(sk.log_read_magnitude),
+            np.int32(sk.read_unique_seed_count),
+            np.float32(sk.log_containment_denominator),
+            dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
+            dev.euler_in, dev.euler_out, elig)
+        cand = np.unpackbits(np.asarray(packed), axis=0,
+                             count=self.dev.n_nodes).astype(bool)
+        cand[:, zero_metric] = False  # identically-zero columns: no rescue
+        union = np.flatnonzero(cand.any(axis=1))
+        if len(union) > 16384:
+            return None  # exactness not guaranteed: full host engine instead
+        exact = rescore_paths(self.idx, sk, union)  # f64 [len(union), 5]
+
+        res = PlacementScores(scores=np.zeros((0, 5)))
+        for m, name in enumerate(METRICS):
+            if zero_metric[m]:
+                # engine.select_best on an all-zero column: best 0.0, no ties
+                res.best_score[name] = 0.0
+                res.tied_indices[name] = []
+                res.best_index[name] = None
+                continue
+            in_cand = cand[union, m]
+            if not in_cand.any():
+                return None  # widened f32 set empty => f64 best unknowable
+            col = np.where(in_cand, exact[:, m], -np.inf)
+            best = float(col.max())
+            if best <= 0:
+                # every candidate non-positive: the f64 max over ALL nodes may
+                # sit below the f32 candidate floor — not provably exact
+                return None
+            tol = max(best * 1e-4, 1e-9)
+            tied = union[(col >= best - tol) & (col > 0)]
+            res.best_score[name] = best if best > -np.inf else 0.0
+            res.tied_indices[name] = tied.tolist()
+            res.best_index[name] = int(tied[0]) if len(tied) else None
+        return res
+
     def _score_by_table(self, uid_logc):
         """Score rows by gathering each row's unique-hash id from the dense
         per-uid logc table built in finalize (one gather per row; the
@@ -534,20 +620,8 @@ class TpuPlacer:
             dev.euler_in, dev.euler_out, uid_logc)
 
     def _finish_scores(self, acc, log_mag, read_unique, logcont_den):
-        genome_mag_sq, lograw, logcos, wc_num, logcont, presence = acc.T
-        n = self.dev.n_nodes
-        scores = np.zeros((n, 5))
-        if log_mag > 0:
-            scores[:, 0] = lograw / log_mag
-            gm = np.sqrt(np.maximum(genome_mag_sq, 0.0))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(gm > 0, logcos / (log_mag * gm), 0.0)
-            scores[:, 1] = np.clip(cos, 0.0, 1.0)
-        if read_unique > 0:
-            scores[:, 2] = presence / read_unique
+        from .metrics import finalize_scores
+
         wc_den = getattr(self, "_last_wc_den", 0.0)
-        if wc_den > 0:
-            scores[:, 3] = wc_num / wc_den
-        if logcont_den > 0:
-            scores[:, 4] = logcont / logcont_den
-        return scores
+        return finalize_scores(np, acc.astype(np.float64), log_mag,
+                               read_unique, logcont_den, wc_den)

@@ -322,3 +322,126 @@ def test_tree_accumulate_native_matches_python(rng):
             ref_i[i, m] = base_i[m] + dis[m][a:b].sum()
     assert np.array_equal(acc_f, ref_f)
     assert np.array_equal(acc_i, ref_i)
+
+
+def _synthetic_index(nprng, read_hashes, n_nodes=9, lo=4, hi=12, miss=0.3,
+                     k=19, s=8, t=0, l=3):
+    from panmap_tpu.index.builder import IndexArrays, IndexParams
+
+    parent = np.array([0, 0, 1, 1, 0, 4, 4, 6, 6], dtype=np.uint32)[:n_nodes]
+    rows_per_node = nprng.integers(lo, hi, n_nodes)
+    offsets = np.zeros(n_nodes + 1, dtype=np.uint64)
+    offsets[1:] = np.cumsum(rows_per_node)
+    T = int(offsets[-1])
+    pick = nprng.integers(0, len(read_hashes), T)
+    hashes = read_hashes[pick]
+    m = nprng.random(T) < miss
+    hashes = np.where(m, nprng.integers(1, 1 << 62, T).astype(np.uint64),
+                      hashes)
+    return IndexArrays(
+        params=IndexParams(k=k, s=s, t=t, l=l, open=False),
+        node_ids=[f"n{i}" for i in range(n_nodes)],
+        parent_index=parent,
+        identical_to_parent=np.zeros(n_nodes, bool),
+        block_ranges=np.zeros((1, 2), np.uint32),
+        seed_hashes=hashes,
+        parent_counts=nprng.integers(0, 4, T).astype(np.int16),
+        child_counts=nprng.integers(0, 4, T).astype(np.int16),
+        node_offsets=offsets,
+    )
+
+
+def test_rescore_paths_is_bit_exact(rng):
+    """Path-replay rescoring must equal score_nodes EXACTLY (==) at every
+    node: same sequential f64 addition order, same shared metric body."""
+    from panmap_tpu.place.engine import (
+        prepare_read_sketch,
+        rescore_paths,
+        score_nodes,
+        sketch_reads,
+    )
+
+    k, s, t, l = 19, 8, 0, 3
+    nprng = np.random.default_rng(13)
+    base = [random_dna(rng, 150) for _ in range(20)]
+    seqs = base + base[:5]
+    freq = sketch_reads(seqs, k, s, t, l, False)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
+    idx = _synthetic_index(nprng, read_hashes)
+
+    sk_ = prepare_read_sketch(freq, k, len(seqs), min_read_support=1)
+    full = score_nodes(idx, sk_)
+    all_nodes = list(range(len(idx.node_ids)))
+    replay = rescore_paths(idx, sk_, all_nodes)
+    assert np.array_equal(replay, full.scores)  # bit-exact, not allclose
+
+
+def test_place_exact_matches_host_engine(rng):
+    """The DEFAULT pipeline placement path (device widened tie selection +
+    exact f64 path rescue) must reproduce the host engine's best scores, best
+    indices and tie sets EXACTLY, including under force_leaf."""
+    from panmap_tpu.place.engine import (
+        METRICS,
+        prepare_read_sketch,
+        score_nodes,
+        sketch_reads,
+    )
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    k, s, t, l = 19, 8, 0, 3
+    nprng = np.random.default_rng(17)
+    base = [random_dna(rng, 150) for _ in range(24)]
+    seqs = base + base[:7]
+    freq = sketch_reads(seqs, k, s, t, l, False)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
+    idx = _synthetic_index(nprng, read_hashes, miss=0.25)
+
+    placer = TpuPlacer(idx, pad_len=152, batch=32)
+    for ms in (-1, 1, 2):
+        for fl in (False, True):
+            sk_ = prepare_read_sketch(freq, k, len(seqs), min_read_support=ms)
+            exact = score_nodes(idx, sk_, force_leaf=fl)
+            got = placer.place_exact(sk_, force_leaf=fl)
+            assert got is not None, (ms, fl)
+            for m in METRICS:
+                assert got.best_index[m] == exact.best_index[m], (ms, fl, m)
+                assert got.best_score[m] == exact.best_score[m], (ms, fl, m)
+                assert got.tied_indices[m] == exact.tied_indices[m], (ms, fl, m)
+
+
+def test_place_exact_zero_wc_denominator(rng):
+    """A root whose rows match no read seed gives wc_den == 0: the wc column
+    is identically zero and place_exact must still return the host engine's
+    exact result (best 0.0, no ties) instead of falling back (the rsv_4K
+    self-placement sample hits exactly this)."""
+    from panmap_tpu.place.engine import (
+        METRICS,
+        prepare_read_sketch,
+        score_nodes,
+        sketch_reads,
+    )
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    k, s, t, l = 19, 8, 0, 3
+    nprng = np.random.default_rng(23)
+    base = [random_dna(rng, 150) for _ in range(16)]
+    freq = sketch_reads(base, k, s, t, l, False)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
+    idx = _synthetic_index(nprng, read_hashes, miss=0.25)
+    # overwrite the ROOT's rows with absent hashes -> wc_den == 0
+    a, b = int(idx.node_offsets[0]), int(idx.node_offsets[1])
+    idx.seed_hashes[a:b] = nprng.integers(1, 1 << 62, b - a).astype(np.uint64)
+
+    sk_ = prepare_read_sketch(freq, k, len(base), min_read_support=1)
+    exact = score_nodes(idx, sk_)
+    assert exact.best_score["weighted_containment"] == 0.0
+    placer = TpuPlacer(idx, pad_len=152, batch=32)
+    got = placer.place_exact(sk_)
+    assert got is not None
+    for m in METRICS:
+        assert got.best_index[m] == exact.best_index[m], m
+        assert got.best_score[m] == exact.best_score[m], m
+        assert got.tied_indices[m] == exact.tied_indices[m], m
