@@ -7,6 +7,7 @@ Mirrors the reference CLI surface (src/main.cpp:1940-2131 option groups,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import __version__
@@ -23,6 +24,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("reads2", nargs="?", default="", help="mate reads")
     p.add_argument("-o", "--output", default="", help="output prefix")
     p.add_argument("-t", "--threads", type=int, default=0, help="threads (advisory)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard device scoring over N chips (0 = auto: all "
+                        "local devices when more than one; 1 = single device)")
+    p.add_argument("--dist-coordinator", default="", metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (multi-host: one "
+                        "process per host; see panmap_tpu/parallel/dist.py)")
+    p.add_argument("--dist-nprocs", type=int, default=0, metavar="N",
+                   help="total number of processes in the multi-host job")
+    p.add_argument("--dist-pid", type=int, default=-1, metavar="I",
+                   help="this process's id in the multi-host job")
     p.add_argument("-V", "--version", action="version",
                    version=f"panmap-tpu {__version__}")
     p.add_argument("--stop", default="", choices=["", "index", "place", "align", "genotype", "consensus"],
@@ -103,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--em-delta-threshold", type=float, default=0.0)
     g.add_argument("--em-maximum-rounds", type=int, default=5)
     g.add_argument("--em-maximum-iterations", type=int, default=1000)
+    g.add_argument("--em-f64", action="store_true",
+                   help="run the abundance EM in host float64 (the "
+                        "reference's precision; bounds f32 drift risk)")
     g.add_argument("--top-oc", type=int, default=1000)
     g.add_argument("--dust", type=float, default=100.0)
     g.add_argument("--discard", type=float, default=0.0)
@@ -197,6 +211,14 @@ def main(argv=None):
     if not args.random_seed and args.seed != 42:
         args.random_seed = str(args.seed)
 
+    if args.dist_coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # multi-host: initialize BEFORE any jax use so jax.devices() spans
+        # the cluster and the --mesh programs shard over it
+        from .parallel.dist import maybe_initialize
+
+        maybe_initialize(args.dist_coordinator, args.dist_nprocs,
+                         args.dist_pid, log=log)
+
     if args.simulate:
         from .simulate import run_simulate
 
@@ -255,6 +277,7 @@ def main(argv=None):
             write_read_scores_filtered=args.write_meta_read_scores_filtered,
             batch_size=args.batch_size,
             host_score=args.host_score,
+            em_f64=args.em_f64,
             threads=args.threads,
             stop=args.stop,
             log=log,
@@ -312,6 +335,7 @@ def main(argv=None):
         threads=args.threads, batch_file=args.batch_file,
         dump_all_scores=args.dump_all_scores,
         profile_dir=args.profile_dir,
+        mesh=args.mesh,
     )
     cfg.log = log
     return run_pipeline(cfg) or 0

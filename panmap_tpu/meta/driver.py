@@ -58,6 +58,7 @@ class MetaConfig:
     filter_and_assign: bool = False
     batch_size: int = 1_000_000  # filter-and-assign read-stream batch
     host_score: bool = False  # --host-score: threaded native CPU scoring
+    em_f64: bool = False  # --em-f64: host float64 EM (reference precision)
     taxonomy_path: str = ""
     taxonomic_rank: str = "Family"
     max_taxon_number: int = 1
@@ -230,15 +231,32 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
 
     cand_names = [midx.node_ids[n] for n in candidates]
     t0 = time.time()
-    res = run_squarem(
-        snap, read_lens, weights, cand_names,
-        eta=cfg.em_convergence_threshold,
-        max_change_threshold=cfg.em_delta_threshold,
-        max_iterations=cfg.em_maximum_iterations,
-        max_rounds=cfg.em_maximum_rounds,
-        col_map=col_map,
-        prefer_cpu=getattr(cfg, "host_score", False),
-    )
+    if getattr(cfg, "em_f64", False):
+        # --em-f64: the reference's precision envelope (f64 Eigen with Kahan
+        # sums, mgsr.cpp:4341-4443) via the host numpy-f64 SQUAREM — bounds
+        # any f32 drift risk on divergent mixtures at the cost of host time
+        if col_map is not None:  # device tiled snap [Rpad, cols] -> [M, R]
+            S_np = np.asarray(snap)[: len(reads)][:, col_map].T.copy()
+        else:
+            S_np = np.asarray(snap)
+        res = run_squarem(
+            S_np.astype(np.uint16), read_lens, weights, cand_names,
+            eta=cfg.em_convergence_threshold,
+            max_change_threshold=cfg.em_delta_threshold,
+            max_iterations=cfg.em_maximum_iterations,
+            max_rounds=cfg.em_maximum_rounds,
+            backend="numpy",
+        )
+    else:
+        res = run_squarem(
+            snap, read_lens, weights, cand_names,
+            eta=cfg.em_convergence_threshold,
+            max_change_threshold=cfg.em_delta_threshold,
+            max_iterations=cfg.em_maximum_iterations,
+            max_rounds=cfg.em_maximum_rounds,
+            col_map=col_map,
+            prefer_cpu=getattr(cfg, "host_score", False),
+        )
     em_dt = time.time() - t0
     if res.n_iterations:
         cfg.log(f"[meta] EM: {res.n_iterations} SQUAREM steps in {em_dt:.1f}s "

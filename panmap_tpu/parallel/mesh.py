@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -59,7 +59,7 @@ def make_sharded_score_fn(mesh: Mesh, n_nodes: int):
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P(None), P(None)),
         out_specs=P(None),
-        check_rep=False,
+        
     )
 
     @jax.jit
@@ -85,7 +85,7 @@ def make_sharded_sketch_fn(mesh: Mesh, k: int, s: int, t: int, open_: bool):
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=(P("data"), P("data"), P("data")),
-        check_rep=False,
+        
     )
 
 
@@ -113,5 +113,5 @@ def make_sharded_em_fn(mesh: Mesh, eta: float = 1e-5,
     sharded = shard_map(
         _props_only, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P(None)),
-        out_specs=P(None), check_rep=False)
+        out_specs=P(None))
     return jax.jit(sharded)

@@ -77,6 +77,7 @@ class PipelineConfig:
     baq: bool = False  # probabilistic realignment quality caps in pileup
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
+    mesh: int = 0  # devices for sharded scoring: 0=auto(all>1), 1=off, N=N
     batch_file: str = ""
     profile_dir: str = ""  # jax.profiler trace output dir (--profile)
     dump_all_scores: str = ""
@@ -176,7 +177,8 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
         # host engine by construction (place/query_tpu.py::place_exact).
         # dump-all-scores/refine need the full f64 matrix: host engine.
         try:
-            res = _get_placer(idx).place_exact(sk, force_leaf=cfg.force_leaf)
+            res = _get_placer(idx, cfg).place_exact(sk,
+                                                    force_leaf=cfg.force_leaf)
         except Exception as e:  # device unavailable/capacity: host fallback
             cfg.log(f"[place] device path unavailable ({e}); host engine")
             res = None
@@ -187,15 +189,38 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     return _finish_placement(cfg, idx, res, len(seqs))
 
 
-def _get_placer(idx: IndexArrays):
+def _resolve_mesh(cfg: PipelineConfig):
+    """--mesh semantics: 0 = auto (shard over all local devices when there is
+    more than one), 1 = single device, N>1 = first N devices.  Returns a
+    jax.sharding.Mesh or None."""
+    import jax
+
+    from .parallel.mesh import make_mesh
+
+    n_avail = len(jax.devices())
+    want = cfg.mesh if cfg.mesh > 0 else (n_avail if n_avail > 1 else 1)
+    if want <= 1:
+        return None
+    if want > n_avail:
+        cfg.log(f"[mesh] {want} devices requested, {n_avail} available; "
+                f"using {n_avail}")
+        want = n_avail
+    return make_mesh(want)
+
+
+def _get_placer(idx: IndexArrays, cfg: PipelineConfig | None = None):
     """Cached TpuPlacer (device index upload + cuckoo table + compiled
     programs), reused across samples in batch mode."""
     from .place.query_tpu import TpuPlacer
 
+    mesh = _resolve_mesh(cfg) if cfg is not None else None
+    msize = 0 if mesh is None else int(mesh.devices.size)
     cached = getattr(_get_placer, "_placer", None)
-    if cached is not None and cached.idx is idx:
+    if (cached is not None and cached.idx is idx
+            and getattr(cached, "_mesh_size", 0) == msize):
         return cached
-    placer = TpuPlacer(idx)
+    placer = TpuPlacer(idx, mesh=mesh)
+    placer._mesh_size = msize
     _get_placer._placer = placer
     return placer
 

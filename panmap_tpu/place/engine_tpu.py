@@ -76,12 +76,42 @@ def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
         depth[i] = depth[parent[i]] + 1
     euler_in = 2 * np.arange(n_nodes, dtype=np.int64) - depth
     euler_out = euler_in + 2 * sizes - 1  # exit slot
+    # the Euler-tour prefix is only valid for PREORDER numbering (subtree of
+    # i = [i, i+sizes[i])); the builder emits DFS preorder — this guards
+    # against synthetic test trees that merely satisfy parent[i] < i
+    if n_nodes > 1:
+        ii = np.arange(1, n_nodes)
+        pp = parent[ii]
+        if not np.all((pp < ii) & (ii < pp + sizes[pp])):
+            raise ValueError("index parent_index is not in DFS preorder")
+
+    rid = row_id.astype(np.int32)
+    rp = idx.parent_counts.astype(np.float32)
+    rc = idx.child_counts.astype(np.float32)
+    rn = row_node
+    if mesh is None:
+        put = jnp.asarray
+    else:
+        nd = int(mesh.devices.size)
+        pad = (-len(rid)) % nd
+        if pad:
+            rid = np.concatenate([rid, np.zeros(pad, np.int32)])
+            rp = np.concatenate([rp, np.zeros(pad, np.float32)])
+            rc = np.concatenate([rc, np.zeros(pad, np.float32)])
+            rn = np.concatenate([rn, np.zeros(pad, np.int32)])
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+
+        def put(x):
+            return jax.device_put(x, sh)
+
     return DeviceIndex(
         unique_hashes=uniq,
-        row_id=jnp.asarray(row_id.astype(np.int32)),
-        row_parent=jnp.asarray(idx.parent_counts.astype(np.float32)),
-        row_child=jnp.asarray(idx.child_counts.astype(np.float32)),
-        row_node=jnp.asarray(row_node),
+        row_id=put(rid),
+        row_parent=put(rp),
+        row_child=put(rc),
+        row_node=put(rn),
         euler_in=jnp.asarray(euler_in.astype(np.int32)),
         euler_out=jnp.asarray(euler_out.astype(np.int32)),
         n_nodes=n_nodes,

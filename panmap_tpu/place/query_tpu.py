@@ -105,10 +105,24 @@ def _bsearch2(uhi, ulo, qhi, qlo):
 class TpuPlacer:
     """Device index tensors + compiled programs for repeated placement queries."""
 
-    def __init__(self, idx: IndexArrays, pad_len: int = 160, batch: int = 16384):
+    def __init__(self, idx: IndexArrays, pad_len: int = 160,
+                 batch: int = 16384, mesh=None):
+        """``mesh``: optional 1-D jax.sharding.Mesh ("data" axis) — index rows
+        shard across the devices and per-node metric partials combine with a
+        psum over ICI (--mesh; SURVEY §5.8).  None = single device."""
         self.idx = idx
-        self.dev = et.prepare_device_index(idx)
+        self.mesh = mesh
+        self.dev = et.prepare_device_index(idx, mesh=mesh)
         self.params = idx.params
+        if mesh is not None:
+            # replicate the small tree tensors explicitly so mixed-sharding
+            # jits don't guess (euler arrays are ~N*4 bytes)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            d = self.dev
+            d.euler_in = jax.device_put(np.asarray(d.euler_in), rep)
+            d.euler_out = jax.device_put(np.asarray(d.euler_out), rep)
         self.pad_len = pad_len = ((pad_len + 7) // 8) * 8  # 2-bit pack needs L%8==0
         self.batch = batch
         p = self.params
@@ -243,11 +257,29 @@ class TpuPlacer:
 
         n_nodes = self.dev.n_nodes
         a, b = self.dev.root_rows
-        lrc = uid_logc[row_id]
-        found = lrc > 0
-        wc_den = wc_denominator(jnp, lrc[a:b], row_child[a:b], found[a:b])
-        node_sums = row_node_sums(lrc, row_parent, row_child, found, row_node,
-                                  n_nodes)
+        # wc_den from the (few) root rows: slice the global row arrays — under
+        # a mesh XLA gathers the slice from shard 0, negligible traffic
+        lrc_root = uid_logc[row_id[a:b]]
+        wc_den = wc_denominator(jnp, lrc_root, row_child[a:b], lrc_root > 0)
+        if self.mesh is None:
+            lrc = uid_logc[row_id]
+            node_sums = row_node_sums(lrc, row_parent, row_child, lrc > 0,
+                                      row_node, n_nodes)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def body(rid, rp, rc, rn, ul):
+                lrc = ul[rid]
+                partial = row_node_sums(lrc, rp, rc, lrc > 0, rn, n_nodes)
+                return jax.lax.psum(partial, "data")
+
+            node_sums = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P("data"), P("data"), P("data"), P("data"),
+                          P(None)),
+                out_specs=P(None))(
+                row_id, row_parent, row_child, row_node, uid_logc)
         return euler_prefix(node_sums, euler_in, euler_out, n_nodes), wc_den
 
     def _make_finalize_score(self):

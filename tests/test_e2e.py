@@ -129,6 +129,22 @@ def test_meta_mixture_70_30(outdir, tmp_path):
     minr = [k for k in props if "node_1330" in k][0]
     assert 0.18 < props[minr] < 0.45
 
+    # --em-f64 (reference precision, host f64 SQUAREM): abundance must agree
+    # with the f32 device EM to 5 decimals on this mixture — the recorded
+    # parity bound for the golden 5-dp target (VERDICT item 10)
+    cfg64 = MetaConfig(panman=PANMAN, reads1=str(reads),
+                       output=str(outdir / "mix64"),
+                       index_out=os.path.join(CACHE, "rsv4k.ptmidx.npz"),
+                       em_f64=True)
+    cfg64.log = lambda *a: None
+    run_meta(cfg64)
+    lines64 = [l.split("\t")
+               for l in open(str(outdir / "mix64") + ".mgsr.abundance.out")]
+    props64 = {l[0].split(",")[0]: float(l[1]) for l in lines64}
+    assert set(props64) == set(props)
+    for k2 in props:
+        assert abs(props64[k2] - props[k2]) < 1e-5, (k2, props[k2], props64[k2])
+
 
 def test_index_delta_replay_matches_direct_sketch(rsv_index):
     """Index oracle: replaying seed-count deltas root->node must equal the

@@ -445,3 +445,43 @@ def test_place_exact_zero_wc_denominator(rng):
         assert got.best_index[m] == exact.best_index[m], m
         assert got.best_score[m] == exact.best_score[m], m
         assert got.tied_indices[m] == exact.tied_indices[m], m
+
+
+def test_place_exact_on_mesh_matches_host_engine(rng):
+    """--mesh product path: rows sharded over the virtual 8-device mesh,
+    per-node metric partials psum'd; place_exact must stay bit-identical to
+    the host engine (the exact-rescue contract is sharding-independent)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from panmap_tpu.parallel.mesh import make_mesh
+    from panmap_tpu.place.engine import (
+        METRICS,
+        prepare_read_sketch,
+        score_nodes,
+        sketch_reads,
+    )
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    k, s, t, l = 19, 8, 0, 3
+    # seed 17 = the single-device exactness test's index (positive best
+    # scores; adversarial all-non-positive columns are covered there)
+    nprng = np.random.default_rng(17)
+    base = [random_dna(rng, 150) for _ in range(24)]
+    seqs = base + base[:7]
+    freq = sketch_reads(seqs, k, s, t, l, False)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
+    idx = _synthetic_index(nprng, read_hashes, miss=0.25)
+
+    placer = TpuPlacer(idx, pad_len=152, batch=32, mesh=make_mesh(8))
+    for ms in (-1, 1):
+        sk_ = prepare_read_sketch(freq, k, len(seqs), min_read_support=ms)
+        exact = score_nodes(idx, sk_)
+        got = placer.place_exact(sk_)
+        assert got is not None, ms
+        for m in METRICS:
+            assert got.best_index[m] == exact.best_index[m], (ms, m)
+            assert got.best_score[m] == exact.best_score[m], (ms, m)
+            assert got.tied_indices[m] == exact.tied_indices[m], (ms, m)
