@@ -22,6 +22,164 @@ from ..native import baq_glocal_native
 _BIDX = {"A": 0, "C": 1, "G": 2, "T": 3}
 
 
+def baq_glocal_py(ref: np.ndarray, query: np.ndarray, quals: np.ndarray,
+                  bw_cap: int, gapd: float, gape: float):
+    """Banded glocal profile-HMM posterior — the numpy formulation and test
+    oracle of the native kernel (pt_baq_glocal mirrors this function the way
+    every other native kernel mirrors its python twin).
+
+    Model semantics match htslib BAQ (probaln_glocal behavior, which bcftools
+    mpileup -B-off relies on): three states M/I/D over ref columns, the query
+    may enter/leave the reference anywhere (glocal), banded so row i only
+    holds columns |k - i| <= bw, forward/backward with per-row scaling, then
+    a per-query-base MAP state and a phred-scaled posterior error.
+
+    Band layout (the repo's formulation): each query row i carries vectors of
+    width 2*bw+3 over OFFSETS j = k - (i - bw) + 1 with zero guard slots at
+    j=0 and j=2*bw+2.  Under this indexing the diagonal predecessor
+    (i-1, k-1) sits at the SAME j, the vertical predecessor (i-1, k) at j+1,
+    and the in-row predecessor (i, k-1) at j-1 — so the M and I updates are
+    pure elementwise vector ops and only the D state needs a short in-row
+    scan (a first-order linear recurrence).
+
+    Returns (state i32[Lq], q u8[Lq]): state = (ref_col << 2) | tag
+    (tag 0 = M, 1 = I), q = phred posterior error, capped at 99.
+    """
+    lr, lq = len(ref), len(query)
+    if lr <= 0 or lq <= 0:
+        return None
+    bw = min(max(lr, lq), bw_cap)
+    bw = max(bw, abs(lr - lq))
+    W = 2 * bw + 3  # band vector width incl. guard slots
+
+    qp = 10.0 ** (-quals.astype(np.float64) / 10.0)
+    # transition probabilities (rows: from M, from I, from D)
+    sM = sI = 1.0 / (2 * lq + 2)
+    mm = (1 - 2 * gapd) * (1 - sM)   # M->M
+    mi = md = gapd * (1 - sM)        # M->I, M->D
+    im = (1 - gape) * (1 - sI)       # I->M
+    ii = gape * (1 - sI)             # I->I
+    dm = 1 - gape                    # D->M
+    dd = gape                        # D->D
+    bM = (1 - gapd) / lr             # glocal begin
+    bI = gapd / lr
+
+    def row_cols(i):
+        """(k_lo, k_hi, j_lo) for query row i (1-based), k 1-based."""
+        k_lo, k_hi = max(1, i - bw), min(lr, i + bw)
+        return k_lo, k_hi, k_lo - (i - bw) + 1
+
+    def emit(i):
+        """Match-emission vector for row i over its band columns."""
+        k_lo, k_hi, j_lo = row_cols(i)
+        rseg = ref[k_lo - 1 : k_hi]
+        qb = query[i - 1]
+        e = np.where(rseg == qb, 1.0 - qp[i - 1], qp[i - 1] / 3.0)
+        e = np.where((rseg > 3) | (qb > 3), 1.0, e)
+        return e, k_lo, k_hi, j_lo
+
+    fM = np.zeros((lq + 1, W))
+    fI = np.zeros((lq + 1, W))
+    fD = np.zeros((lq + 1, W))
+    s = np.zeros(lq + 2)
+    s[0] = 1.0
+
+    # forward row 1: glocal entry at any column
+    e, k_lo, k_hi, j_lo = emit(1)
+    sl = slice(j_lo, j_lo + (k_hi - k_lo + 1))
+    fM[1, sl] = e * bM
+    fI[1, sl] = 0.25 * bI
+    s[1] = fM[1].sum() + fI[1].sum()
+
+    for i in range(2, lq + 1):
+        e, k_lo, k_hi, j_lo = emit(i)
+        n = k_hi - k_lo + 1
+        sl = slice(j_lo, j_lo + n)
+        M = 1.0 / s[i - 1]
+        # diagonal predecessor at same j; vertical predecessor at j+1
+        pM, pI, pD = fM[i - 1], fI[i - 1], fD[i - 1]
+        fM[i, sl] = e * (mm * pM[sl] + im * pI[sl]
+                         + dm * pD[sl]) * M
+        up = slice(j_lo + 1, j_lo + n + 1)
+        fI[i, sl] = 0.25 * (mi * pM[up] + ii * pI[up]) * M
+        # in-row D scan: fD[j] = md*fM[j-1] + dd*fD[j-1]
+        d = 0.0
+        for j in range(j_lo, j_lo + n):
+            d = md * fM[i, j - 1] + dd * d
+            fD[i, j] = d
+        s[i] = fM[i, sl].sum() + fI[i, sl].sum() + fD[i, sl].sum()
+
+    ML = 1.0 / s[lq]
+    s[lq + 1] = (fM[lq].sum() * sM + fI[lq].sum() * sI) * ML
+
+    bMk = np.zeros((lq + 1, W))
+    bIk = np.zeros((lq + 1, W))
+    bDk = np.zeros((lq + 1, W))
+    k_lo, k_hi, j_lo = row_cols(lq)
+    sl = slice(j_lo, j_lo + (k_hi - k_lo + 1))
+    bMk[lq, sl] = sM / s[lq] / s[lq + 1]
+    bIk[lq, sl] = sI / s[lq] / s[lq + 1]
+
+    for i in range(lq - 1, 0, -1):
+        k_lo, k_hi, j_lo = row_cols(i)
+        n = k_hi - k_lo + 1
+        sl = slice(j_lo, j_lo + n)
+        # emission of row i+1 evaluated at column k+1 (same j under the
+        # shifted row-(i+1) indexing), zero past the reference end
+        rseg = np.zeros(n)
+        ks = np.arange(k_lo, k_hi + 1)  # this row's columns; child col = k+1
+        valid = ks < lr
+        qb = query[i]
+        rnext = ref[np.minimum(ks, lr - 1)]
+        ev = np.where(rnext == qb, 1.0 - qp[i], qp[i] / 3.0)
+        ev = np.where((rnext > 3) | (qb > 3), 1.0, ev)
+        rseg[:] = np.where(valid, ev, 0.0)
+        nM, nI = bMk[i + 1], bIk[i + 1]
+        eM = rseg * nM[sl]  # e(i+1, k+1) * bM(i+1, k+1) — diagonal term
+        dn = slice(j_lo - 1, j_lo + n - 1)  # (i+1, k) = j-1 in row i+1
+        bMk[i, sl] = eM * mm + 0.25 * mi * nI[dn]
+        bIk[i, sl] = eM * im + 0.25 * ii * nI[dn]
+        # in-row right-to-left D scan (row 1 has no D state: y factor)
+        if i > 1:
+            d = 0.0
+            for j in range(j_lo + n - 1, j_lo - 1, -1):
+                d = rseg[j - j_lo] * nM[j] * dm + dd * d
+                bDk[i, j] = d
+        # the D contribution to M comes through the in-row D at k+1
+        bMk[i, sl] += md * bDk[i, sl.start + 1 : sl.stop + 1]
+        N = 1.0 / s[i]
+        bMk[i, sl] *= N
+        bIk[i, sl] *= N
+        bDk[i, sl] *= N
+
+    state = np.zeros(lq, dtype=np.int32)
+    q = np.zeros(lq, dtype=np.uint8)
+    for i in range(1, lq + 1):
+        k_lo, k_hi, j_lo = row_cols(i)
+        n = k_hi - k_lo + 1
+        sl = slice(j_lo, j_lo + n)
+        M = 1.0 / s[i]
+        zM = M * fM[i, sl] * bMk[i, sl]
+        zI = M * fI[i, sl] * bIk[i, sl]
+        tot = zM.sum() + zI.sum()
+        if tot <= 0.0:  # degenerate posterior: no information
+            state[i - 1] = -1
+            q[i - 1] = 0
+            continue
+        # first-maximum in (k asc, M before I) scan order
+        z = np.empty(2 * n)
+        z[0::2] = zM
+        z[1::2] = zI
+        best = int(np.argmax(z))
+        mx = z[best] / tot
+        kbest = k_lo + best // 2
+        tag = best & 1
+        state[i - 1] = (kbest - 1) << 2 | tag
+        kq = int(-4.343 * np.log(1.0 - mx) + 0.499)
+        q[i - 1] = 99 if kq > 100 else kq
+    return state, q
+
+
 def _codes(s: str) -> np.ndarray:
     out = np.full(len(s), 4, dtype=np.uint8)
     for i, ch in enumerate(s):

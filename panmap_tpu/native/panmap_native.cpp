@@ -560,171 +560,195 @@ void pt_join_u64(const uint64_t* q, int64_t n, const uint64_t* U, int64_t m,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// BAQ: banded glocal profile-HMM posterior (htslib probaln.c semantics).
+// BAQ: banded glocal profile-HMM posterior.  C++ twin of the numpy oracle in
+// genotype/baq.py::baq_glocal_py (which documents the model); semantics are
+// the htslib BAQ behavior bcftools mpileup relies on.
 //
-// States M/I/D over ref positions; query enters at any ref column (glocal).
-// Forward/backward with per-row scaling, then per-query-base MAP state and
-// phred-scaled posterior error q[i]; state[i] = (ref_col << 2) | state_tag.
-// Transition parameters: gap open d, gap extend e, band width bw.
+// Band layout: each query row i (1-based) carries M/I/D vectors of width
+// 2*bw+3 over offsets j = k - (i - bw) + 1 with zero guard slots at both
+// ends.  Under this indexing the diagonal predecessor (i-1, k-1) sits at the
+// SAME j, the vertical predecessor (i-1, k) at j+1, the in-row predecessor
+// (i, k-1) at j-1 — M and I updates are elementwise over the band and only
+// the D state needs a short in-row scan (first-order linear recurrence).
 // ---------------------------------------------------------------------------
-
-namespace {
-constexpr double BAQ_EI = 0.25;
-constexpr double BAQ_EM = 1.0 / 3.0;
-
-inline int band_u(int bw, int i, int k) {
-    int x = i - bw;
-    if (x < 0) x = 0;
-    return (k - x + 1) * 3;
-}
-}  // namespace
 
 extern "C" {
 
 // ref/query: 0..3 codes (>=4 ambiguous); qual: phred per query base.
-// state/q: l_query outputs.  Returns 0 on success.
+// state/q: l_query outputs; state[i] = (ref_col << 2) | tag (0=M, 1=I).
+// Returns 0 on success.
 int pt_baq_glocal(const uint8_t* ref, int l_ref, const uint8_t* query,
                   int l_query, const uint8_t* qual_in, int bw_cap, double gapd,
                   double gape, int* state, uint8_t* q) {
     if (l_ref <= 0 || l_query <= 0) return -1;
-    int bw = l_ref > l_query ? l_ref : l_query;
+    const int lr = l_ref, lq = l_query;
+    int bw = lr > lq ? lr : lq;
     if (bw > bw_cap) bw = bw_cap;
-    int diff = l_ref - l_query;
+    int diff = lr - lq;
     if (diff < 0) diff = -diff;
     if (bw < diff) bw = diff;
-    int bw2 = bw * 2 + 1;
-    size_t i_dim = (bw2 < l_ref ? (size_t)bw2 * 3 + 6 : (size_t)l_ref * 3 + 6);
+    const int W = 2 * bw + 3;  // band vector width incl. guard slots
 
-    std::vector<double> f((size_t)(l_query + 1) * i_dim, 0.0);
-    std::vector<double> b((size_t)(l_query + 1) * i_dim, 0.0);
-    std::vector<double> s(l_query + 2, 0.0);
-    std::vector<double> qp(l_query);
-    for (int i = 0; i < l_query; ++i)
+    std::vector<double> qp(lq);
+    for (int i = 0; i < lq; ++i)
         qp[i] = pow(10.0, -(double)qual_in[i] / 10.0);
 
-    double sM = 1.0 / (2 * l_query + 2), sI = sM;
-    double m[9];
-    m[0] = (1 - gapd - gapd) * (1 - sM);
-    m[1] = m[2] = gapd * (1 - sM);
-    m[3] = (1 - gape) * (1 - sI);
-    m[4] = gape * (1 - sI);
-    m[5] = 0.0;
-    m[6] = 1 - gape;
-    m[7] = 0.0;
-    m[8] = gape;
-    double bM = (1 - gapd) / l_ref;
-    double bI = gapd / l_ref;
+    // transition probabilities (named, not the htslib m[9] table)
+    const double sM = 1.0 / (2 * lq + 2), sI = sM;
+    const double t_mm = (1 - 2 * gapd) * (1 - sM);  // M->M
+    const double t_mi = gapd * (1 - sM);            // M->I
+    const double t_md = gapd * (1 - sM);            // M->D
+    const double t_im = (1 - gape) * (1 - sI);      // I->M
+    const double t_ii = gape * (1 - sI);            // I->I
+    const double t_dm = 1 - gape;                   // D->M
+    const double t_dd = gape;                       // D->D
+    const double beginM = (1 - gapd) / lr;          // glocal begin
+    const double beginI = gapd / lr;
 
-    // ---- forward ----
-    f[band_u(bw, 0, 0)] = s[0] = 1.0;
+    // row band extent: columns k in [k_lo(i), k_hi(i)], offset j = k-(i-bw)+1
+    auto k_lo = [&](int i) { return i - bw > 1 ? i - bw : 1; };
+    auto k_hi = [&](int i) { return i + bw < lr ? i + bw : lr; };
+    auto j_of = [&](int i, int k) { return k - (i - bw) + 1; };
+
+    // match-emission over a row's band columns
+    auto emit_row = [&](int i, double* e) {
+        const uint8_t qb = query[i - 1];
+        const double pe = qp[i - 1];
+        const int lo = k_lo(i), hi = k_hi(i), j0 = j_of(i, lo);
+        for (int k = lo; k <= hi; ++k) {
+            const uint8_t rb = ref[k - 1];
+            e[j0 + k - lo] = (rb > 3 || qb > 3) ? 1.0
+                             : (rb == qb ? 1.0 - pe : pe / 3.0);
+        }
+    };
+
+    std::vector<double> fM((size_t)(lq + 1) * W, 0.0);
+    std::vector<double> fI((size_t)(lq + 1) * W, 0.0);
+    std::vector<double> fD((size_t)(lq + 1) * W, 0.0);
+    std::vector<double> s(lq + 2, 0.0);
+    std::vector<double> e(W, 0.0);
+    s[0] = 1.0;
+
+    // ---- forward: row 1 enters the reference anywhere (glocal) ----
     {
-        double* fi = &f[1 * i_dim];
-        int end = l_ref < bw + 1 ? l_ref : bw + 1;
+        emit_row(1, e.data());
+        double* rM = &fM[1 * (size_t)W];
+        double* rI = &fI[1 * (size_t)W];
+        const int lo = k_lo(1), hi = k_hi(1), j0 = j_of(1, lo);
         double sum = 0.0;
-        for (int k = 1; k <= end; ++k) {
-            double e = (ref[k - 1] > 3 || query[0] > 3)
-                           ? 1.0
-                           : (ref[k - 1] == query[0] ? 1.0 - qp[0]
-                                                     : qp[0] * BAQ_EM);
-            int u = band_u(bw, 1, k);
-            fi[u + 0] = e * bM;
-            fi[u + 1] = BAQ_EI * bI;
-            sum += fi[u] + fi[u + 1];
+        for (int j = j0; j <= j0 + hi - lo; ++j) {
+            rM[j] = e[j] * beginM;
+            rI[j] = 0.25 * beginI;
+            sum += rM[j] + rI[j];
         }
         s[1] = sum;
     }
-    for (int i = 2; i <= l_query; ++i) {
-        double* fi = &f[(size_t)i * i_dim];
-        double* fi1 = &f[(size_t)(i - 1) * i_dim];
-        double qli = qp[i - 1];
-        uint8_t qyi = query[i - 1];
-        int beg = 1 > i - bw ? 1 : i - bw;
-        int end = l_ref < i + bw ? l_ref : i + bw;
-        double E[4] = {qli * BAQ_EM, 1.0 - qli, 1.0, 1.0};
-        double M = 1.0 / s[i - 1];
-        double sum = 0.0;
-        for (int k = beg; k <= end; ++k) {
-            int u = band_u(bw, i, k);
-            int v11 = band_u(bw, i - 1, k - 1);
-            int v10 = band_u(bw, i - 1, k);
-            int v01 = band_u(bw, i, k - 1);
-            double e = E[(ref[k - 1] > 3 || qyi > 3) * 2 + (ref[k - 1] == qyi)];
-            fi[u + 0] = e * (m[0] * M * fi1[v11 + 0] + m[3] * M * fi1[v11 + 1] +
-                             m[6] * M * fi1[v11 + 2]);
-            fi[u + 1] = BAQ_EI * (m[1] * M * fi1[v10 + 0] + m[4] * M * fi1[v10 + 1]);
-            fi[u + 2] = m[2] * fi[v01 + 0] + m[8] * fi[v01 + 2];
-            sum += fi[u] + fi[u + 1] + fi[u + 2];
+    for (int i = 2; i <= lq; ++i) {
+        emit_row(i, e.data());
+        const double M = 1.0 / s[i - 1];
+        double* rM = &fM[(size_t)i * W];
+        double* rI = &fI[(size_t)i * W];
+        double* rD = &fD[(size_t)i * W];
+        const double* pM = &fM[(size_t)(i - 1) * W];
+        const double* pI = &fI[(size_t)(i - 1) * W];
+        const double* pD = &fD[(size_t)(i - 1) * W];
+        const int lo = k_lo(i), hi = k_hi(i), j0 = j_of(i, lo);
+        const int j1 = j0 + hi - lo;
+        double sum = 0.0, d = 0.0;
+        for (int j = j0; j <= j1; ++j) {
+            // diagonal predecessor at the same j, vertical at j+1
+            rM[j] = e[j] * (t_mm * pM[j] + t_im * pI[j] + t_dm * pD[j]) * M;
+            rI[j] = 0.25 * (t_mi * pM[j + 1] + t_ii * pI[j + 1]) * M;
+            d = t_md * rM[j - 1] + t_dd * d;  // in-row D scan
+            rD[j] = d;
+            sum += rM[j] + rI[j] + rD[j];
         }
         s[i] = sum;
     }
     {
+        const double M = 1.0 / s[lq];
+        const double* rM = &fM[(size_t)lq * W];
+        const double* rI = &fI[(size_t)lq * W];
         double sum = 0.0;
-        double M = 1.0 / s[l_query];
-        for (int k = 1; k <= l_ref; ++k) {
-            int u = band_u(bw, l_query, k);
-            if (u < 3 || (size_t)u >= i_dim) continue;
-            sum += M * f[(size_t)l_query * i_dim + u + 0] * sM +
-                   M * f[(size_t)l_query * i_dim + u + 1] * sI;
-        }
-        s[l_query + 1] = sum;
+        for (int j = 0; j < W; ++j) sum += rM[j] * sM + rI[j] * sI;
+        s[lq + 1] = sum * M;
     }
 
     // ---- backward ----
-    for (int k = 1; k <= l_ref; ++k) {
-        int u = band_u(bw, l_query, k);
-        if (u < 3 || (size_t)u >= i_dim) continue;
-        double* bi = &b[(size_t)l_query * i_dim];
-        bi[u + 0] = sM / s[l_query] / s[l_query + 1];
-        bi[u + 1] = sI / s[l_query] / s[l_query + 1];
-    }
-    for (int i = l_query - 1; i >= 1; --i) {
-        double* bi = &b[(size_t)i * i_dim];
-        double* bi1 = &b[(size_t)(i + 1) * i_dim];
-        double y = (i > 1) ? 1.0 : 0.0;
-        double qli1 = qp[i];
-        uint8_t qyi1 = query[i];
-        int beg = 1 > i - bw ? 1 : i - bw;
-        int end = l_ref < i + bw ? l_ref : i + bw;
-        double E[4] = {qli1 * BAQ_EM, 1.0 - qli1, 1.0, 1.0};
-        for (int k = end; k >= beg; --k) {
-            int u = band_u(bw, i, k);
-            int v11 = band_u(bw, i + 1, k + 1);
-            int v10 = band_u(bw, i + 1, k);
-            int v01 = band_u(bw, i, k + 1);
-            double e = (k >= l_ref)
-                           ? 0.0
-                           : E[(ref[k] > 3 || qyi1 > 3) * 2 + (ref[k] == qyi1)] *
-                                 bi1[v11];
-            bi[u + 0] = e * m[0] + BAQ_EI * m[1] * bi1[v10 + 1] + m[2] * bi[v01 + 2];
-            bi[u + 1] = e * m[3] + BAQ_EI * m[4] * bi1[v10 + 1];
-            bi[u + 2] = (e * m[6] + m[8] * bi[v01 + 2]) * y;
+    std::vector<double> bM((size_t)(lq + 1) * W, 0.0);
+    std::vector<double> bI((size_t)(lq + 1) * W, 0.0);
+    std::vector<double> bD((size_t)(lq + 1) * W, 0.0);
+    {
+        double* rM = &bM[(size_t)lq * W];
+        double* rI = &bI[(size_t)lq * W];
+        const int lo = k_lo(lq), hi = k_hi(lq), j0 = j_of(lq, lo);
+        const double vM = sM / s[lq] / s[lq + 1];
+        const double vI = sI / s[lq] / s[lq + 1];
+        for (int j = j0; j <= j0 + hi - lo; ++j) {
+            rM[j] = vM;
+            rI[j] = vI;
         }
-        int ub = band_u(bw, i, beg), ue = band_u(bw, i, end) + 2;
-        double n = 1.0 / s[i];
-        for (int k = ub; k <= ue; ++k) bi[k] *= n;
+    }
+    for (int i = lq - 1; i >= 1; --i) {
+        const uint8_t qb = query[i];  // next row's base (i+1, 1-based)
+        const double pe = qp[i];
+        double* rM = &bM[(size_t)i * W];
+        double* rI = &bI[(size_t)i * W];
+        double* rD = &bD[(size_t)i * W];
+        const double* nM = &bM[(size_t)(i + 1) * W];
+        const double* nI = &bI[(size_t)(i + 1) * W];
+        const int lo = k_lo(i), hi = k_hi(i), j0 = j_of(i, lo);
+        const int j1 = j0 + hi - lo;
+        // right-to-left: emission of row i+1 at column k+1 shares this j
+        double d = 0.0;
+        for (int j = j1, k = hi; j >= j0; --j, --k) {
+            double eM = 0.0;
+            if (k < lr) {
+                const uint8_t rb = ref[k];  // ref column k+1, 0-based k
+                const double ev = (rb > 3 || qb > 3)
+                                      ? 1.0
+                                      : (rb == qb ? 1.0 - pe : pe / 3.0);
+                eM = ev * nM[j];  // e(i+1, k+1) * bM(i+1, k+1)
+            }
+            if (i > 1) {  // row 1 has no D state
+                d = eM * t_dm + t_dd * d;
+                rD[j] = d;
+            }
+            rM[j] = eM * t_mm + 0.25 * t_mi * nI[j - 1] + t_md * rD[j + 1];
+            rI[j] = eM * t_im + 0.25 * t_ii * nI[j - 1];
+        }
+        const double N = 1.0 / s[i];
+        for (int j = j0; j <= j1; ++j) {
+            rM[j] *= N;
+            rI[j] *= N;
+            rD[j] *= N;
+        }
     }
 
-    // ---- MAP per query base ----
-    for (int i = 1; i <= l_query; ++i) {
-        double* fi = &f[(size_t)i * i_dim];
-        double* bi = &b[(size_t)i * i_dim];
-        int beg = 1 > i - bw ? 1 : i - bw;
-        int end = l_ref < i + bw ? l_ref : i + bw;
-        double M = 1.0 / s[i];
-        double sum = 0.0, mx = 0.0;
-        int max_k = -1;
-        for (int k = beg; k <= end; ++k) {
-            int u = band_u(bw, i, k);
-            double z = M * fi[u + 0] * bi[u + 0];
-            if (z > mx) { mx = z; max_k = (k - 1) << 2 | 0; }
-            sum += z;
-            z = M * fi[u + 1] * bi[u + 1];
-            if (z > mx) { mx = z; max_k = (k - 1) << 2 | 1; }
-            sum += z;
+    // ---- per-base MAP state + phred posterior ----
+    for (int i = 1; i <= lq; ++i) {
+        const double* rfM = &fM[(size_t)i * W];
+        const double* rfI = &fI[(size_t)i * W];
+        const double* rbM = &bM[(size_t)i * W];
+        const double* rbI = &bI[(size_t)i * W];
+        const int lo = k_lo(i), hi = k_hi(i), j0 = j_of(i, lo);
+        const double M = 1.0 / s[i];
+        double tot = 0.0, mx = 0.0;
+        int best = -1;
+        for (int k = lo, j = j0; k <= hi; ++k, ++j) {
+            const double zM = M * rfM[j] * rbM[j];
+            if (zM > mx) { mx = zM; best = (k - 1) << 2 | 0; }
+            const double zI = M * rfI[j] * rbI[j];
+            if (zI > mx) { mx = zI; best = (k - 1) << 2 | 1; }
+            tot += zM + zI;
         }
-        mx /= sum;
-        state[i - 1] = max_k;
-        int kq = (int)(-4.343 * log(1.0 - mx) + 0.499);
+        state[i - 1] = best;
+        if (tot <= 0.0) {  // degenerate posterior: no information
+            q[i - 1] = 0;
+            continue;
+        }
+        mx /= tot;
+        const int kq = (int)(-4.343 * log(1.0 - mx) + 0.499);
         q[i - 1] = kq > 100 ? 99 : (uint8_t)kq;
     }
     return 0;

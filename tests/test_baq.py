@@ -60,3 +60,40 @@ def test_baq_leaves_clean_reads_alone():
                       quals=[35] * 120, qs=0)
     assert baq_realign_read(read, _codes(ref))
     assert all(q == 35 for q in read.quals)
+
+
+def test_native_baq_matches_numpy_twin():
+    """pt_baq_glocal is the C++ twin of baq_glocal_py (genotype/baq.py): the
+    band-offset formulation must agree EXACTLY (state and integer phred) on
+    random ref/query pairs incl. ambiguous bases and extreme bands."""
+    import numpy as np
+
+    from panmap_tpu.genotype.baq import baq_glocal_py
+    from panmap_tpu.native import baq_glocal_native, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        lr = int(rng.integers(20, 160))
+        lq = int(rng.integers(10, 120))
+        ref = rng.integers(0, 4, lr).astype(np.uint8)
+        if lr > lq:
+            off = int(rng.integers(0, lr - lq))
+            q = ref[off : off + lq].copy()
+        else:
+            q = rng.integers(0, 4, lq).astype(np.uint8)
+        mut = rng.random(lq) < 0.06
+        q[mut] = (q[mut] + rng.integers(1, 4, mut.sum())) % 4
+        if trial % 5 == 0:
+            q[rng.integers(0, lq)] = 4
+        if trial % 7 == 0:
+            ref[rng.integers(0, lr)] = 4
+        quals = rng.integers(5, 45, lq).astype(np.uint8)
+        bw = int(rng.integers(3, 25))
+        s_py, q_py = baq_glocal_py(ref, q, quals, bw, 0.001, 0.1)
+        s_c, q_c = baq_glocal_native(ref, q, quals, bw, 0.001, 0.1)
+        assert np.array_equal(s_py, s_c), trial
+        assert np.array_equal(q_py, q_c), trial
