@@ -34,6 +34,9 @@ BASES = "ACGT"
 _BIDX = {b: i for i, b in enumerate(BASES)}
 for b in "acgt":
     _BIDX[b] = _BIDX[b.upper()]
+_BLUT = np.full(256, 4, dtype=np.int8)  # ASCII base -> 0..3 code (4 = other)
+for _ch, _bi in _BIDX.items():
+    _BLUT[ord(_ch)] = _bi
 
 MIN_BQ = 1
 MAX_BQ = 60
@@ -258,19 +261,20 @@ class PlacedRead:
         return self.rs + sum(ln for ln, op in self.cigar if op in "MDN=X")
 
 
-def _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n):
+def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
+                               flat_rid, Qcat, Scat, n):
     """Vectorized mate-overlap quality tweak (tweak_overlap_quality semantics,
     identical to the legacy per-pair `_apply_overlap_tweaks` below, which is
     kept as the test oracle).  Operates in place on the concatenated qual
     array: ref positions covered by both mates of a proper pair are located
-    as duplicate (pair, refpos) keys among the flat pileup entries."""
-    n_kept = len(kept)
-    pairedok = np.fromiter((r.is_paired and r.is_proper for r in kept),
-                           bool, n_kept)
+    as duplicate (pair, refpos) keys among the flat pileup entries.
+    pairedok/qnames/rs_arr describe the kept reads (arrays, not objects —
+    shared by the object and columnar pileup front-ends)."""
+    n_kept = len(rs_arr)
     ids = np.flatnonzero(pairedok)
     if len(ids) < 2:
         return
-    un, inv, cnt = np.unique(np.array([kept[i].qname for i in ids]),
+    un, inv, cnt = np.unique(np.array([qnames[i] for i in ids]),
                              return_inverse=True, return_counts=True)
     two = cnt == 2
     if not two.any():
@@ -281,7 +285,6 @@ def _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n):
     gi2 = np.flatnonzero(two)
     mi = ids[gorder[gstart[gi2]]]       # first occurrence (dict order i)
     mj = ids[gorder[gstart[gi2] + 1]]   # second occurrence j
-    rs_arr = np.fromiter((r.rs for r in kept), np.int64, n_kept)
     ma = np.where(rs_arr[mj] < rs_arr[mi], mj, mi)  # leftmost mate 'a'
     pid = np.full(n_kept, -1, dtype=np.int64)
     amul_of = np.zeros(n_kept, dtype=np.int64)
@@ -408,10 +411,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
 
         apply_baq(reads, ref)
     n = len(ref)
-    blut = np.full(256, 4, dtype=np.int8)
-    for ch, bi in _BIDX.items():
-        blut[ord(ch)] = bi
-    ref_idx = blut[np.frombuffer(ref.encode(), dtype=np.uint8)]
+    ref_idx = _BLUT[np.frombuffer(ref.encode(), dtype=np.uint8)]
 
     # orphan skip (mpileup.c:294) + per-start depth cap
     usable = [r for r in reads if not (r.is_paired and not r.is_proper)]
@@ -472,9 +472,8 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
                                          min(qa, qb)))
                 rpos += ln
 
-    records: list = []
     if not seg_len:
-        return records
+        return []
     sl = np.asarray(seg_len, dtype=np.int64)
     csum = np.concatenate(([0], np.cumsum(sl)))
     rel = np.arange(csum[-1]) - np.repeat(csum[:-1], sl)
@@ -487,15 +486,244 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
     depth += np.bincount(flat_p, minlength=n)
 
     rlens = np.array([len(r.seq) for r in kept], dtype=np.int64)
-    roffs = np.concatenate(([0], np.cumsum(rlens)))
     Qcat = np.concatenate(
         [np.asarray(r.quals, dtype=np.int64) for r in kept])
     Scat = np.frombuffer("".join(r.seq for r in kept).encode(), np.uint8)
     mqs = np.minimum(np.array([r.mapq for r in kept], dtype=np.int64), 60)
     revs = np.array([1 if r.rev else 0 for r in kept], dtype=np.int8)
+    pairedok = np.fromiter((r.is_paired and r.is_proper for r in kept),
+                           bool, len(kept))
+    qnames = [r.qname for r in kept]
+    rs_arr = np.fromiter((r.rs for r in kept), np.int64, len(kept))
+    return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
+                          indel_events, rlens, Qcat, Scat, mqs, revs,
+                          pairedok, qnames, rs_arr)
 
+
+@dataclass
+class ColumnarReads:
+    """Emit-order columnar alignment set (the BAM writer's arrays), the
+    zero-object input of pileup_call_columnar.  stream is the BAM-coded
+    cigar stream (op = word & 0xF, len = word >> 4) incl. soft clips;
+    seq/qual blobs are ORIENTED (as aligned) with 0-based quals."""
+
+    rs: np.ndarray       # i64[nrec] leftmost ref pos
+    stream: np.ndarray   # u32 flat cigar words
+    coff: np.ndarray     # i64[nrec+1] cigar offsets
+    seq_blob: np.ndarray  # u8 concatenated oriented bases (ASCII)
+    qual_blob: np.ndarray  # u8 concatenated quals
+    soff: np.ndarray     # i64[nrec+1] seq/qual offsets
+    mapq: np.ndarray     # i64[nrec]
+    rev: np.ndarray      # bool[nrec]
+    proper: np.ndarray   # bool[nrec]
+    paired: bool
+    qnames: list         # str[nrec]
+
+
+def pileup_call_columnar(ref: str, cols: ColumnarReads,
+                         max_depth: int = MAX_DEPTH):
+    """Columnar twin of pileup_call: the per-read python cigar walk is
+    replaced by one vectorized pass over the flat cigar stream (the object
+    path stays the oracle; tests assert record equality).  No PlacedRead
+    objects are built — the pipeline feeds the BAM writer's arrays straight
+    in (conversion.cpp:83-184 runs bcftools on the BAM; we run on the
+    columns)."""
+    n = len(ref)
+    ref_idx = _BLUT[np.frombuffer(ref.encode(), dtype=np.uint8)]
+
+    nrec = len(cols.rs)
+    usable = np.ones(nrec, dtype=bool)
+    if cols.paired:
+        usable = cols.proper.astype(bool)  # orphan skip (mpileup.c:294)
+    uidx = np.flatnonzero(usable)
+    order = uidx[np.argsort(cols.rs[uidx], kind="stable")]
+
+    # per-record ref span from the cigar stream (ops M/D/N/=/X advance ref)
+    ops_all = (cols.stream & np.uint32(0xF)).astype(np.int64)
+    lens_all = (cols.stream >> np.uint32(4)).astype(np.int64)
+    is_ref = (ops_all == 0) | (ops_all == 2) | (ops_all == 3) \
+        | (ops_all == 7) | (ops_all == 8)
+    drc = np.concatenate(([0], np.cumsum(np.where(is_ref, lens_all, 0))))
+    spans = drc[cols.coff[1:]] - drc[cols.coff[:-1]]
+    ends = cols.rs + spans
+
+    # depth cap (per-start heap in the object path): skip entirely when the
+    # uncapped coverage never reaches max_depth — the heap size at any read
+    # equals the kept reads overlapping its start, bounded by true depth
+    cover = np.zeros(n + 2, dtype=np.int64)
+    np.add.at(cover, np.minimum(cols.rs[order], n), 1)
+    np.add.at(cover, np.minimum(ends[order], n + 1), -1)
+    if int(np.cumsum(cover).max()) >= max_depth:
+        import heapq
+
+        heap: list = []
+        kept_l = []
+        rs_o = cols.rs[order].tolist()
+        en_o = ends[order].tolist()
+        for j, (r0, e0) in enumerate(zip(rs_o, en_o)):
+            while heap and heap[0] <= r0:
+                heapq.heappop(heap)
+            if len(heap) >= max_depth:
+                continue
+            heapq.heappush(heap, e0)
+            kept_l.append(order[j])
+        order = np.asarray(kept_l, dtype=np.int64)
+    kept = order  # emit-order record ids, sorted by rs
+    nk = len(kept)
+    if nk == 0:
+        return []
+
+    # kept reads' flat cigar tables
+    nops = (cols.coff[1:] - cols.coff[:-1])[kept]
+    row_of = np.repeat(np.arange(nk, dtype=np.int64), nops)
+    op_src = np.repeat(cols.coff[:-1][kept], nops) + (
+        np.arange(int(nops.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(nops)[:-1])), nops))
+    ops = ops_all[op_src]
+    lns = lens_all[op_src]
+    dq = np.where((ops == 0) | (ops == 1) | (ops == 4) | (ops == 7)
+                  | (ops == 8), lns, 0)
+    dr = np.where((ops == 0) | (ops == 2) | (ops == 3) | (ops == 7)
+                  | (ops == 8), lns, 0)
+    opstart = np.concatenate(([0], np.cumsum(nops)))[:-1]
+    exq = np.concatenate(([0], np.cumsum(dq)[:-1]))
+    exr = np.concatenate(([0], np.cumsum(dr)[:-1]))
+    qpos0 = exq - exq[opstart][row_of]          # query pos before each op
+    rpos0 = cols.rs[kept][row_of] + (exr - exr[opstart][row_of])
+
+    # M segments -> flat per-base entries
+    is_m = (ops == 0) | (ops == 7) | (ops == 8)
+    sl = lns[is_m]
+    seg_p0 = rpos0[is_m]
+    seg_q0 = qpos0[is_m]
+    seg_rid = row_of[is_m]
+    csum = np.concatenate(([0], np.cumsum(sl)))
+    relb = np.arange(csum[-1]) - np.repeat(csum[:-1], sl)
+    flat_p = np.repeat(seg_p0, sl) + relb
+    flat_qi = np.repeat(seg_q0, sl) + relb
+    flat_rid = np.repeat(seg_rid, sl)
+    in_ref = (flat_p >= 0) & (flat_p < n)
+    flat_p, flat_qi, flat_rid = (flat_p[in_ref], flat_qi[in_ref],
+                                 flat_rid[in_ref])
+    depth = np.bincount(flat_p, minlength=n).astype(np.int64)
+
+    # kept blobs (gather the kept reads' seq/qual segments)
+    lq = (cols.soff[1:] - cols.soff[:-1])[kept]
+    roffs = np.concatenate(([0], np.cumsum(lq)))
+    bsrc = np.repeat(cols.soff[:-1][kept], lq) + (
+        np.arange(int(lq.sum())) - np.repeat(roffs[:-1], lq))
+    Qcat = cols.qual_blob[bsrc].astype(np.int64)
+    Scat = cols.seq_blob[bsrc]
+    mqs = np.minimum(cols.mapq[kept], 60).astype(np.int64)
+    revs = cols.rev[kept].astype(np.int8)
+
+    # indel events (rare: python loop only over I/D ops, as the object path)
+    indel_events = []
+    quals_of = Qcat  # kept-concatenated, offsets roffs
+    idl = np.flatnonzero((ops == 1) | ((ops == 2) & (lns > 0)))
+    for oi in idl.tolist():
+        rid = int(row_of[oi])
+        ln = int(lns[oi])
+        rpos = int(rpos0[oi])
+        qpos = int(qpos0[oi])
+        base = int(roffs[rid])
+        rl = int(lq[rid])
+        if ops[oi] == 1:  # insertion
+            if 0 < rpos <= n and ln > 0:
+                w = quals_of[base + qpos : base + qpos + ln]
+                qev = int(w.min()) if len(w) else 0
+                a = rpos - 1
+                ins = Scat[base + qpos : base + qpos + ln].tobytes().decode()
+                while a >= 1 and ins[-1] == ref[a]:
+                    ins = ref[a] + ins[:-1]
+                    a -= 1
+                indel_events.append((a, rid, ("I", ins), qev))
+        else:  # deletion
+            if 0 < rpos and rpos + ln <= n:
+                qa = int(quals_of[base + qpos - 1]) if qpos > 0 else 0
+                qb = int(quals_of[base + qpos]) if qpos < rl else qa
+                s0 = rpos
+                while s0 >= 2 and ref[s0 - 1] == ref[s0 + ln - 1]:
+                    s0 -= 1
+                indel_events.append((s0 - 1, rid, ("D", ln), min(qa, qb)))
+
+    pairedok = (np.full(nk, cols.paired) & cols.proper[kept]
+                if cols.paired else np.zeros(nk, dtype=bool))
+    qnames = [cols.qnames[i] for i in kept.tolist()]
+    return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
+                          indel_events, lq, Qcat, Scat, mqs, revs,
+                          pairedok, qnames, cols.rs[kept])
+
+
+_TALLY_CACHE: dict = {}
+
+
+def tally_columns_device(col_id, g_q, g_s, g_b, ncol):
+    """Device twin of the per-column tallies: base counts (BCF), quality
+    sums (QS) and strand allele depths (ADF/ADR) as ONE jitted scatter-add
+    program over ref columns — SURVEY §7 step 4's 'pileup counting as a JAX
+    scatter-add' (reference: bcftools fills these walking the pileup,
+    conversion.cpp:83-184).  Shapes are pow2-bucketed so repeat workloads
+    reuse compiled programs; padded entries scatter out of range (dropped).
+    The numpy bincounts in _pileup_finish are the oracle — qualities are
+    small ints, so the f32 sums are exact and equality is bitwise.
+    Opt-in via PANMAP_TPU_DEVICE_PILEUP=1: over a thin remote device link
+    the dispatch costs more than the count at single-sample scale."""
+    import jax
+    import jax.numpy as jnp
+
+    E = 1 << max(int(np.ceil(np.log2(max(len(col_id), 1)))), 10)
+    C = 1 << max(int(np.ceil(np.log2(max(ncol, 1)))), 8)
+    key = (E, C)
+    fn = _TALLY_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def run(cid, q, s, b):
+            # padded entries carry cid == C: their flat indices fall past
+            # every table and drop
+            one = jnp.ones(E, jnp.int32)
+            bcf = jnp.zeros(C * 5, jnp.int32).at[
+                cid * 5 + jnp.minimum(b, 4)].add(one, mode="drop")
+            v = b < 4
+            cb = jnp.where(v, cid * 4 + b, C * 4)
+            qs = jnp.zeros(C * 4, jnp.float32).at[cb].add(
+                q.astype(jnp.float32), mode="drop")
+            adf = jnp.zeros(C * 4, jnp.int32).at[
+                jnp.where(s == 0, cb, C * 4)].add(one, mode="drop")
+            adr = jnp.zeros(C * 4, jnp.int32).at[
+                jnp.where(s == 1, cb, C * 4)].add(one, mode="drop")
+            return (bcf.reshape(C, 5), qs.reshape(C, 4),
+                    adf.reshape(C, 4), adr.reshape(C, 4))
+
+        fn = _TALLY_CACHE[key] = run
+    cid = np.full(E, C, np.int32)
+    cid[: len(col_id)] = col_id
+    qq = np.zeros(E, np.int32)
+    qq[: len(col_id)] = g_q
+    ss = np.zeros(E, np.int32)
+    ss[: len(col_id)] = g_s
+    bb = np.full(E, 4, np.int32)
+    bb[: len(col_id)] = g_b
+    bcf, qs, adf, adr = fn(cid, qq, ss, bb)
+    return (np.asarray(bcf)[:ncol].astype(np.int64),
+            np.asarray(qs)[:ncol].astype(np.float64),
+            np.asarray(adf)[:ncol].astype(np.int64),
+            np.asarray(adr)[:ncol].astype(np.int64))
+
+
+def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
+                   indel_events, rlens, Qcat, Scat, mqs, revs, pairedok,
+                   qnames, rs_arr):
+    """Shared pileup back half: overlap tweaks, quality shaping, per-column
+    errmod + tallies, SNP calling, indel calling.  Consumed by both the
+    object front-end (pileup_call) and the columnar one
+    (pileup_call_columnar)."""
+    records: list = []
+    roffs = np.concatenate(([0], np.cumsum(rlens)))
     aqi = roffs[flat_rid] + flat_qi
-    _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n)
+    _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
+                               flat_rid, Qcat, Scat, n)
     q = Qcat[aqi]
     left_ok = flat_qi > 0
     q = np.where(left_ok,
@@ -508,7 +736,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
     q = np.minimum(q, MAX_BQ)
     q = np.minimum(q, mqs[flat_rid])
     q = np.clip(q, 4, 63)
-    b = blut[Scat[aqi]]
+    b = _BLUT[Scat[aqi]]
     e_p = flat_p[keep_q]
     e_q = q[keep_q]
     e_s = revs[flat_rid[keep_q]]
@@ -537,16 +765,23 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
     capped = _cumcount(col_id) < ERRMOD_MAXN
     DIAG, BSUM, _CC = _ERRMOD.cal_columns(
         col_id[capped], g_q[capped], g_s[capped], g_b[capped], ncol)
-    BCF = np.bincount(col_id * 5 + np.minimum(g_b, 4),
-                      minlength=ncol * 5).reshape(ncol, 5)
-    v_all = g_b < 4
-    QS = np.bincount(col_id[v_all] * 4 + g_b[v_all],
-                     weights=g_q[v_all].astype(np.float64),
-                     minlength=ncol * 4).reshape(ncol, 4)
-    ADF = np.bincount(col_id[v_all & (g_s == 0)] * 4 + g_b[v_all & (g_s == 0)],
-                      minlength=ncol * 4).reshape(ncol, 4)
-    ADR = np.bincount(col_id[v_all & (g_s == 1)] * 4 + g_b[v_all & (g_s == 1)],
-                      minlength=ncol * 4).reshape(ncol, 4)
+    import os as _os
+
+    if _os.environ.get("PANMAP_TPU_DEVICE_PILEUP") == "1":
+        BCF, QS, ADF, ADR = tally_columns_device(col_id, g_q, g_s, g_b, ncol)
+    else:
+        BCF = np.bincount(col_id * 5 + np.minimum(g_b, 4),
+                          minlength=ncol * 5).reshape(ncol, 5)
+        v_all = g_b < 4
+        QS = np.bincount(col_id[v_all] * 4 + g_b[v_all],
+                         weights=g_q[v_all].astype(np.float64),
+                         minlength=ncol * 4).reshape(ncol, 4)
+        ADF = np.bincount(
+            col_id[v_all & (g_s == 0)] * 4 + g_b[v_all & (g_s == 0)],
+            minlength=ncol * 4).reshape(ncol, 4)
+        ADR = np.bincount(
+            col_id[v_all & (g_s == 1)] * 4 + g_b[v_all & (g_s == 1)],
+            minlength=ncol * 4).reshape(ncol, 4)
 
     for gi in range(ncol):
         a0 = int(gstart[gi])

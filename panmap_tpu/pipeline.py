@@ -15,11 +15,13 @@ import numpy as np
 
 from .align.core import Aligner
 from .genotype.caller import (
+    ColumnarReads,
     PlacedRead,
     apply_spectrum,
     build_consensus,
     phred_scale_matrix,
     pileup_call,
+    pileup_call_columnar,
     write_vcf,
 )
 from .index.builder import IndexArrays, IndexParams, build_index
@@ -260,6 +262,46 @@ def _clip_names(names, idx):
     return out
 
 
+def _columnar_to_placed(cols):
+    """PlacedRead objects from the columnar set (the BAQ path needs per-read
+    realignment; cigars exclude the soft clips, qs carries the 5' clip).
+    Clip geometry is derived from the cigar stream itself."""
+    ops = cols.stream & np.uint32(0xF)
+    lns = (cols.stream >> np.uint32(4)).astype(np.int64)
+    coff = cols.coff
+    first = coff[:-1]
+    nonempty = coff[1:] > first
+    has5 = (nonempty & (ops[np.minimum(first, max(len(ops) - 1, 0))] == 4)) \
+        .astype(np.int64)
+    last = np.maximum(coff[1:] - 1, 0)
+    has3 = (nonempty & (ops[last] == 4)
+            & (coff[1:] - first - has5 > 0)).astype(np.int64)
+    nc = (coff[1:] - first) - has5 - has3
+    qs_arr = np.where(has5 == 1, lns[np.minimum(first, max(len(lns) - 1, 0))],
+                      0)
+    has_clip = (has5 | has3) > 0
+
+    q64 = cols.qual_blob.astype(np.int64)
+    all_ln = lns.tolist()
+    all_op = np.frombuffer(b"MIDNSHP=X", "S1")[ops]
+    all_op = [x.decode() for x in all_op.tolist()]
+    seq_all = cols.seq_blob.tobytes().decode()
+    eoff_l = cols.soff.tolist()
+    c0_l = (first + has5).tolist()
+    c1_l = (first + has5 + nc).tolist()
+    placed = []
+    for r in range(len(cols.rs)):
+        a, b = eoff_l[r], eoff_l[r + 1]
+        c0, c1 = c0_l[r], c1_l[r]
+        placed.append(PlacedRead(
+            rs=int(cols.rs[r]), cigar=list(zip(all_ln[c0:c1], all_op[c0:c1])),
+            seq=seq_all[a:b], quals=q64[a:b], qs=int(qs_arr[r]),
+            qname=cols.qnames[r], is_proper=bool(cols.proper[r]),
+            is_paired=cols.paired, mapq=int(cols.mapq[r]),
+            rev=bool(cols.rev[r]), has_clip=bool(has_clip[r])))
+    return placed
+
+
 def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
                    defer_bam):
     """Columnar twin of the add_record/write_bam object path (which remains
@@ -372,31 +414,16 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
             for c, (ln, op) in enumerate(extra[i]):
                 stream[dst + c] = (ln << 4) | _CIGAR_CODE[op]
 
-    # placed reads (genotyping input), emit order — matches the object path
-    placed = []
-    q64 = qual_blob.astype(np.int64)
+    # genotyping input, emit order: the same columnar arrays the BAM encode
+    # uses (pileup_call_columnar walks the flat cigar stream vectorized).
+    # PlacedRead objects are built only when BAQ needs per-read realignment.
     names_clip = _clip_names(names, emit.tolist())
-    all_ln = (stream >> np.uint32(4)).tolist()
-    all_op = np.frombuffer(b"MIDNSHP=X", "S1")[stream & np.uint32(0xF)]
-    all_op = [x.decode() for x in all_op.tolist()]
-    seq_all = seq_blob.tobytes().decode()
-    rs_l = rs[emit].tolist()
-    qs_l = qs_o[emit].tolist()
-    mq_l = mapqs[emit].tolist()
-    er_l = eff_rev.tolist()
-    pr_l = proper_rec.tolist()
-    hc_l = ((clip5 > 0) | (clip3 > 0)).tolist()
-    eoff_l = eoff.tolist()
-    c0_l = (coff[:-1] + has5).tolist()
-    c1_l = (coff[:-1] + has5 + nc).tolist()
-    for r in range(nrec):
-        a, b = eoff_l[r], eoff_l[r + 1]
-        c0, c1 = c0_l[r], c1_l[r]
-        placed.append(PlacedRead(
-            rs=rs_l[r], cigar=list(zip(all_ln[c0:c1], all_op[c0:c1])),
-            seq=seq_all[a:b], quals=q64[a:b], qs=qs_l[r],
-            qname=names_clip[r], is_proper=pr_l[r], is_paired=paired,
-            mapq=mq_l[r], rev=er_l[r], has_clip=hc_l[r]))
+    placed = ColumnarReads(
+        rs=rs[emit], stream=stream, coff=coff, seq_blob=seq_blob,
+        qual_blob=qual_blob, soff=eoff, mapq=mapqs[emit], rev=eff_rev,
+        proper=proper_rec, paired=paired, qnames=names_clip)
+    if getattr(cfg, "baq", False):
+        placed = _columnar_to_placed(placed)
 
     # final BAM order: stable sort by pos (same as the object path's sort)
     order = np.argsort(rs[emit], kind="stable")
@@ -600,7 +627,10 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
 
 def run_genotyping(cfg: PipelineConfig, idx: IndexArrays, ref: str,
                    best_node: str, placed):
-    records = pileup_call(ref, placed, baq=cfg.baq)
+    if isinstance(placed, ColumnarReads):
+        records = pileup_call_columnar(ref, placed)
+    else:
+        records = pileup_call(ref, placed, baq=cfg.baq)
     if cfg.no_mutation_spectrum:
         phred = None  # main.cpp:2450: gate-only filtering, no prior
     elif cfg.mutation_matrix:

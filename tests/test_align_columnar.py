@@ -69,6 +69,9 @@ def test_columnar_matches_object_path(tmp_path, paired):
 
     tree = _Tree(ref)
     refA, placedA = P.run_alignment(Cfg, tree, "n0")
+    # the columnar path now returns ColumnarReads; PlacedRead equivalence is
+    # checked through the same converter the BAQ path uses
+    placedA = P._columnar_to_placed(placedA)
     bamA = open(Cfg.output + ".bam", "rb").read()
     Cfg.output = str(tmp_path / "b")
     orig = AB.BatchAligner.align_batch_arrays

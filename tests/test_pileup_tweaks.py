@@ -96,7 +96,12 @@ def test_flat_tweaks_match_legacy():
             [np.asarray(r.quals, dtype=np.int64) for r in kept])
         Scat = np.frombuffer("".join(r.seq for r in kept).encode(), np.uint8)
         aqi = roffs[flat_rid] + flat_qi
-        _apply_overlap_tweaks_flat(kept, flat_p, aqi, flat_rid, Qcat, Scat, n)
+        pairedok = np.fromiter((r.is_paired and r.is_proper for r in kept),
+                               bool, len(kept))
+        qnames = [r.qname for r in kept]
+        rs_arr = np.fromiter((r.rs for r in kept), np.int64, len(kept))
+        _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
+                                   flat_rid, Qcat, Scat, n)
 
         assert np.array_equal(Qcat, q_legacy), f"trial {trial} diverged"
 
@@ -151,3 +156,105 @@ def test_cal_columns_matches_cal_arrays():
         assert np.array_equal(np.diag(out1)[:5], diag[c]), c
         assert np.array_equal(bsum1, bsum[c]), c
         assert np.array_equal(c1, cc[c]), c
+
+
+def _random_columnar(rng, ref, nreads=240, paired=True):
+    """Random aligned read set in columnar form (cigars incl. soft clips,
+    oriented blobs), mirroring what _emit_columnar produces."""
+    import numpy as np
+
+    from panmap_tpu.genotype.caller import ColumnarReads
+
+    n = len(ref)
+    rs, stream, coff, seqs, quals, mapq, rev, proper, names = \
+        [], [], [0], [], [], [], [], [], []
+    for i in range(nreads):
+        L = int(rng.integers(60, 120))
+        p0 = int(rng.integers(0, n - L - 20))
+        words = []
+        # optional 5' clip
+        c5 = int(rng.integers(0, 8)) if rng.random() < 0.3 else 0
+        if c5:
+            words.append((c5 << 4) | 4)
+        qleft = L - c5
+        # body: M with occasional I/D
+        while qleft > 0:
+            m = min(qleft, int(rng.integers(20, 60)))
+            words.append((m << 4) | 0)
+            qleft -= m
+            if qleft > 3 and rng.random() < 0.35:
+                if rng.random() < 0.5:
+                    ln = int(rng.integers(1, 3))
+                    words.append((ln << 4) | 1)  # I
+                    qleft -= ln
+                else:
+                    ln = int(rng.integers(1, 4))
+                    words.append((ln << 4) | 2)  # D
+        # optional 3' clip folded from the tail M
+        seq = "".join(rng.choice(list("ACGT"), L))
+        qual = rng.integers(8, 42, L).astype(np.uint8)
+        rs.append(p0)
+        stream.extend(words)
+        coff.append(len(stream))
+        seqs.append(seq)
+        quals.append(qual)
+        mapq.append(int(rng.integers(20, 60)))
+        rev.append(bool(rng.random() < 0.5))
+        proper.append(bool(rng.random() < 0.9) if paired else False)
+        names.append(f"r{i//2}" if paired else f"r{i}")
+    soff = np.concatenate(([0], np.cumsum([len(s) for s in seqs])))
+    return ColumnarReads(
+        rs=np.array(rs, np.int64),
+        stream=np.array(stream, np.uint32),
+        coff=np.array(coff, np.int64),
+        seq_blob=np.frombuffer("".join(seqs).encode(), np.uint8).copy(),
+        qual_blob=np.concatenate(quals),
+        soff=soff.astype(np.int64),
+        mapq=np.array(mapq, np.int64),
+        rev=np.array(rev, bool),
+        proper=np.array(proper, bool),
+        paired=paired,
+        qnames=names)
+
+
+def test_pileup_columnar_matches_object_front_end():
+    """pileup_call_columnar (vectorized cigar walk over the flat stream) must
+    produce record-identical output to pileup_call on PlacedRead objects —
+    incl. indel events, soft clips, orphan skip and mate-overlap tweaks."""
+    import numpy as np
+
+    from panmap_tpu.genotype.caller import pileup_call, pileup_call_columnar
+    from panmap_tpu.pipeline import _columnar_to_placed
+
+    rng = np.random.default_rng(31)
+    ref = "".join(rng.choice(list("ACGT"), 3000))
+    for paired in (True, False):
+        cols = _random_columnar(rng, ref, paired=paired)
+        rec_c = pileup_call_columnar(ref, cols)
+        # object twin via the pipeline's converter
+        placed = _columnar_to_placed(cols)
+        rec_o = pileup_call(ref, placed)
+        assert len(rec_c) == len(rec_o), paired
+        for a, b in zip(rec_c, rec_o):
+            assert (a.pos, a.ref, a.alts, a.gt, a.pls, a.ads, a.dp, a.qual) \
+                == (b.pos, b.ref, b.alts, b.gt, b.pls, b.ads, b.dp, b.qual)
+
+
+def test_device_tally_matches_numpy(monkeypatch):
+    """PANMAP_TPU_DEVICE_PILEUP=1 routes the column tallies through the
+    jitted scatter-add program; records must be identical (int quality sums
+    are exact in f32)."""
+    import numpy as np
+
+    from panmap_tpu.genotype.caller import pileup_call_columnar
+
+    rng = np.random.default_rng(33)
+    ref = "".join(rng.choice(list("ACGT"), 2000))
+    cols = _random_columnar(rng, ref, nreads=160)
+    base = pileup_call_columnar(ref, cols)
+    monkeypatch.setenv("PANMAP_TPU_DEVICE_PILEUP", "1")
+    dev = pileup_call_columnar(ref, cols)
+    assert len(base) == len(dev)
+    for a, b in zip(base, dev):
+        assert (a.pos, a.ref, a.alts, a.gt, a.pls, a.ads, a.dp, a.qual) \
+            == (b.pos, b.ref, b.alts, b.gt, b.pls, b.ads, b.dp, b.qual)
