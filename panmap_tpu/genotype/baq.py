@@ -15,6 +15,8 @@ Reimplements the --baq path of the reference's genotyping stack:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ..native import baq_glocal_native
@@ -185,6 +187,90 @@ def _codes(s: str) -> np.ndarray:
     for i, ch in enumerate(s):
         out[i] = _BIDX.get(ch, 4)
     return out
+
+
+def glocal_score_py(ref: np.ndarray, query: np.ndarray, quals: np.ndarray,
+                    bw_cap: int, gapd: float, gape: float) -> int:
+    """Forward-only glocal score (htslib probaln score semantics, the
+    realignment objective of the bcftools indel model): the phred-scaled
+    likelihood -4.343 * (sum log s_i + log(l_ref * l_query)) over the same
+    banded forward recursion as baq_glocal_py.  Returns int phred (higher =
+    worse fit), or a large sentinel when the recursion degenerates."""
+    lr, lq = len(ref), len(query)
+    if lr <= 0 or lq <= 0:
+        return 0x7FFFFF
+    bw = min(max(lr, lq), bw_cap)
+    bw = max(bw, abs(lr - lq))
+    W = 2 * bw + 3
+
+    qp = 10.0 ** (-quals.astype(np.float64) / 10.0)
+    sM = sI = 1.0 / (2 * lq + 2)
+    mm = (1 - 2 * gapd) * (1 - sM)
+    mi = md = gapd * (1 - sM)
+    im = (1 - gape) * (1 - sI)
+    ii = gape * (1 - sI)
+    dm = 1 - gape
+    dd = gape
+    beginM = (1 - gapd) / lr
+    beginI = gapd / lr
+
+    def row_cols(i):
+        k_lo, k_hi = max(1, i - bw), min(lr, i + bw)
+        return k_lo, k_hi, k_lo - (i - bw) + 1
+
+    def emit(i):
+        k_lo, k_hi, j_lo = row_cols(i)
+        rseg = ref[k_lo - 1 : k_hi]
+        qb = query[i - 1]
+        e = np.where(rseg == qb, 1.0 - qp[i - 1], qp[i - 1] / 3.0)
+        e = np.where((rseg > 3) | (qb > 3), 1.0, e)
+        return e, k_lo, k_hi, j_lo
+
+    pM = np.zeros(W)
+    pI = np.zeros(W)
+    pD = np.zeros(W)
+    s = np.zeros(lq + 2)
+    s[0] = 1.0
+    e, k_lo, k_hi, j_lo = emit(1)
+    sl = slice(j_lo, j_lo + (k_hi - k_lo + 1))
+    pM[sl] = e * beginM
+    pI[sl] = 0.25 * beginI
+    s[1] = pM.sum() + pI.sum()
+    for i in range(2, lq + 1):
+        e, k_lo, k_hi, j_lo = emit(i)
+        n = k_hi - k_lo + 1
+        sl = slice(j_lo, j_lo + n)
+        if s[i - 1] <= 0:
+            return 0x7FFFFF
+        M = 1.0 / s[i - 1]
+        nM = np.zeros(W)
+        nI = np.zeros(W)
+        nD = np.zeros(W)
+        nM[sl] = e * (mm * pM[sl] + im * pI[sl] + dm * pD[sl]) * M
+        up = slice(j_lo + 1, j_lo + n + 1)
+        nI[sl] = 0.25 * (mi * pM[up] + ii * pI[up]) * M
+        d = 0.0
+        for j in range(j_lo, j_lo + n):
+            d = md * nM[j - 1] + dd * d
+            nD[j] = d
+        pM, pI, pD = nM, nI, nD
+        s[i] = pM[sl].sum() + pI[sl].sum() + pD[sl].sum()
+    if s[lq] <= 0:
+        return 0x7FFFFF
+    s[lq + 1] = (pM.sum() * sM + pI.sum() * sI) / s[lq]
+
+    # probaln's product-chunked log accumulation, kept verbatim for parity
+    p = 1.0
+    pr1 = 0.0
+    for i in range(lq + 2):
+        p *= s[i]
+        if p < 1e-100:
+            pr1 += -4.343 * math.log(p)
+            p = 1.0
+    if p <= 0:
+        return 0x7FFFFF
+    pr1 += -4.343 * math.log(p * lr * lq)
+    return int(pr1 + 0.499)
 
 
 def baq_realign_read(read, ref_codes: np.ndarray) -> bool:

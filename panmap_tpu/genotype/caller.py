@@ -495,9 +495,30 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
                            bool, len(kept))
     qnames = [r.qname for r in kept]
     rs_arr = np.fromiter((r.rs for r in kept), np.int64, len(kept))
+
+    # object-path IndelInput: cigar codes with the 5' soft clip restored
+    # (PlacedRead cigars exclude clips; qs carries the 5' one)
+    from .indel import IndelInput
+
+    _OPC = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "=": 7, "X": 8}
+    o_ops, o_lns, o_off = [], [], [0]
+    for r in kept:
+        if r.qs > 0:
+            o_ops.append(4)
+            o_lns.append(r.qs)
+        for ln, op in r.cigar:
+            o_ops.append(_OPC.get(op, 0))
+            o_lns.append(ln)
+        o_off.append(len(o_ops))
+    indel_input = IndelInput(
+        rs=rs_arr, ops=np.asarray(o_ops, np.int64),
+        lns=np.asarray(o_lns, np.int64), opoff=np.asarray(o_off, np.int64),
+        seq=Scat, quals=Qcat,
+        soff=np.concatenate(([0], np.cumsum(rlens))).astype(np.int64),
+        mapq=mqs, rev=revs)
     return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                           indel_events, rlens, Qcat, Scat, mqs, revs,
-                          pairedok, qnames, rs_arr)
+                          pairedok, qnames, rs_arr, indel_input=indel_input)
 
 
 @dataclass
@@ -650,9 +671,17 @@ def pileup_call_columnar(ref: str, cols: ColumnarReads,
     pairedok = (np.full(nk, cols.paired) & cols.proper[kept]
                 if cols.paired else np.zeros(nk, dtype=bool))
     qnames = [cols.qnames[i] for i in kept.tolist()]
+    from .indel import IndelInput
+
+    indel_input = IndelInput(
+        rs=cols.rs[kept].astype(np.int64), ops=ops, lns=lns,
+        opoff=np.concatenate(([0], np.cumsum(nops))).astype(np.int64),
+        seq=Scat, quals=Qcat, soff=roffs.astype(np.int64), mapq=mqs,
+        rev=revs)
     return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                           indel_events, lq, Qcat, Scat, mqs, revs,
-                          pairedok, qnames, cols.rs[kept])
+                          pairedok, qnames, cols.rs[kept],
+                          indel_input=indel_input)
 
 
 _TALLY_CACHE: dict = {}
@@ -714,7 +743,7 @@ def tally_columns_device(col_id, g_q, g_s, g_b, ncol):
 
 def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                    indel_events, rlens, Qcat, Scat, mqs, revs, pairedok,
-                   qnames, rs_arr):
+                   qnames, rs_arr, indel_input=None):
     """Shared pileup back half: overlap tweaks, quality shaping, per-column
     errmod + tallies, SNP calling, indel calling.  Consumed by both the
     object front-end (pileup_call) and the columnar one
@@ -751,8 +780,9 @@ def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
     order = np.argsort(g_p, kind="stable")
     g_p, g_q, g_s, g_b = g_p[order], g_q[order], g_s[order], g_b[order]
     if len(g_p) == 0:
-        records.extend(_call_indels(ref, n, indel_events, flat_p, flat_rid,
-                                    q, keep_q, revs, mqs, depth))
+        records.extend(_indel_records(ref, n, indel_events, flat_p,
+                                      flat_rid, q, keep_q, revs, mqs, depth,
+                                      indel_input))
         records.sort(key=lambda rec: rec.pos)
         return records
     gstart = np.concatenate(
@@ -840,11 +870,29 @@ def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                 ads=ads,
             )
         )
-    records.extend(_call_indels(ref, n, indel_events, flat_p, flat_rid,
-                                q, keep_q, revs, mqs, depth))
+    records.extend(_indel_records(ref, n, indel_events, flat_p, flat_rid,
+                                  q, keep_q, revs, mqs, depth, indel_input))
     records.sort(key=lambda rec: rec.pos)
     return records
 
+
+
+
+def _indel_records(ref, n, indel_events, flat_p, flat_rid, q, keep_q, revs,
+                   mqs, depth, indel_input):
+    """Indel dispatch: the bcftools-realignment caller (genotype/indel.py)
+    by default; the simplified left-normalized CIGAR-event caller
+    (_call_indels) as the legacy oracle (PANMAP_TPU_LEGACY_INDELS=1 or no
+    IndelInput available)."""
+    import os as _os
+
+    if (indel_input is None
+            or _os.environ.get("PANMAP_TPU_LEGACY_INDELS") == "1"):
+        return _call_indels(ref, n, indel_events, flat_p, flat_rid, q,
+                            keep_q, revs, mqs, depth)
+    from .indel import call_indels_realign
+
+    return call_indels_realign(ref, indel_input, depth, _ERRMOD)
 
 def _call_indels(ref: str, n: int, indel_events: list, flat_p, flat_rid,
                  flat_q, keep_q, revs, mqs, depth):
