@@ -105,6 +105,20 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     """Build-or-load the index next to the panman (cache semantics of
     main.cpp:371-396: params must match, index newer than panman)."""
     path = cfg.index_path or cfg.index_out or cfg.panman + ".ptidx.npz"
+    # interoperability: --index pointing at a REFERENCE-BUILT .idx ("PMI1"
+    # header) loads through the compatibility reader (io/refidx.py) so a
+    # reference user's existing index drives placement directly
+    if cfg.index_path and os.path.exists(cfg.index_path):
+        with open(cfg.index_path, "rb") as _fh:
+            magic = _fh.read(4)
+        if magic == b"PMI1":
+            from .io.refidx import read_ref_index
+
+            idx = read_ref_index(cfg.index_path)
+            cfg.log(f"[index] loaded reference .idx "
+                    f"({len(idx.seed_hashes)} seed changes, "
+                    f"{len(idx.node_ids)} nodes)")
+            return idx, tree
     want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open, hpc=cfg.hpc,
                 flank_mask_bp=cfg.flank_mask_bp, impute_amb=cfg.impute,
                 extent_guard=cfg.extent_guard)
