@@ -522,10 +522,12 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
     t0 = time.time()
     avg_len = sum(len(s) for s in seqs) / max(len(seqs), 1)
     if cfg.aligner == "bwa":
-        # ancient-DNA whole-read mode (main.cpp:1979, bwa_align.c)
-        from .align.adna import AdnaAligner
+        # ancient-DNA whole-read mode (main.cpp:1979, bwa_align.c): the TRUE
+        # bwa-aln FM-index search (align/bwt.py); the minimizer backend
+        # (align/adna.py) stays as the scalable fallback for large refs
+        from .align.bwt import BwtAligner
 
-        ad = AdnaAligner(ref)
+        ad = BwtAligner(ref)
         paired = False
         pairs = [(a, None) for a in ad.align_batch(seqs)]
     elif avg_len >= 500:

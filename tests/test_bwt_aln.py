@@ -1,0 +1,166 @@
+"""True BWT bwa-aln backend (align/bwt.py): FM-index correctness, the
+bounded-difference search semantics, and the damage x divergence
+concordance study against the minimizer backend (the VERDICT item-9
+fidelity study — the BWT search IS the reference algorithm, so concordance
+against it quantifies the old behavioral substitute)."""
+
+import numpy as np
+import pytest
+
+from panmap_tpu.align.adna import AdnaAligner, bwa_cal_maxdiff
+from panmap_tpu.align.bwt import BwtAligner, FmIndex, cal_width, match_gap
+
+BASES = "ACGT"
+
+
+def _rand_ref(rng, n):
+    return "".join(rng.choice(list(BASES), n))
+
+
+def _rc(s):
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def test_fm_index_exact_search_finds_all_occurrences():
+    rng = np.random.default_rng(1)
+    ref = _rand_ref(rng, 4000) + _rand_ref(rng, 50) * 3  # repeated tail
+    fm = FmIndex(np.array([BASES.find(c) for c in ref], dtype=np.int64))
+    pat = ref[4000:4030]
+    codes = np.array([BASES.find(c) for c in pat], dtype=np.int64)
+    k, l = fm.full
+    for c in codes[::-1]:
+        k, l = fm.extend(k, l, int(c))
+    hits = sorted(int(fm.sa[i]) for i in range(k, l + 1))
+    expect = sorted(i for i in range(len(ref) - 29)
+                    if ref[i : i + 30] == pat)
+    assert hits == expect and len(hits) == 3
+
+
+def test_cal_width_lower_bounds():
+    """D-array: a pattern with one foreign block needs >= 1 difference."""
+    rng = np.random.default_rng(2)
+    ref = _rand_ref(rng, 3000)
+    codes = np.array([BASES.find(c) for c in ref], dtype=np.int64)
+    fm_rev = FmIndex(codes[::-1].copy())
+    pat = list(ref[500:560])
+    pat[30] = "A" if pat[30] != "A" else "C"
+    pc = np.array([BASES.find(c) for c in "".join(pat)], dtype=np.int64)
+    bid, _w = cal_width(fm_rev, pc)
+    assert bid[-1] >= 1  # the full pattern provably needs a difference
+    assert bid[25] == 0  # the clean prefix needs none
+
+
+def test_bwt_alignments_exact_mm_indel_strand():
+    rng = np.random.default_rng(3)
+    ref = _rand_ref(rng, 12000)
+    B = BwtAligner(ref)
+
+    a = B.align_read(ref[5000:5080])
+    assert (a.mapped, a.rs, a.rev, a.nm, a.mapq) == (True, 5000, False, 0, 37)
+
+    r = list(ref[7000:7080])
+    r[10] = "A" if r[10] != "A" else "C"
+    r[50] = "A" if r[50] != "A" else "C"
+    a2 = B.align_read(_rc("".join(r)))
+    assert (a2.mapped, a2.rs, a2.rev, a2.nm) == (True, 7000, True, 2)
+
+    a3 = B.align_read(ref[9000:9040] + ref[9042:9082])  # 2bp deletion
+    assert (a3.mapped, a3.rs, a3.re) == (True, 9000, 9082)
+    assert a3.cigar == [(40, "M"), (2, "D"), (40, "M")]
+    assert a3.nm == 2
+
+    a4 = B.align_read(ref[11000:11040] + "G" + ref[11040:11079])  # 1bp ins
+    assert (a4.mapped, a4.rs) == (True, 11000)
+    assert sum(ln for ln, op in a4.cigar if op == "I") == 1
+
+
+def test_bwt_repeat_mapq_zero():
+    """A read from an exact repeat has c1 > 1 -> mapq 0 (bwa_approx_mapQ)."""
+    rng = np.random.default_rng(4)
+    unit = _rand_ref(rng, 300)
+    ref = _rand_ref(rng, 2000) + unit + _rand_ref(rng, 800) + unit \
+        + _rand_ref(rng, 1000)
+    B = BwtAligner(ref)
+    a = B.align_read(unit[100:180])
+    assert a.mapped and a.mapq == 0
+
+
+def test_bwt_maxdiff_gate():
+    """More differences than bwa_cal_maxdiff -> unmapped (whole-read
+    acceptance, no soft-clip rescue — bwa aln's contract)."""
+    rng = np.random.default_rng(5)
+    ref = _rand_ref(rng, 8000)
+    B = BwtAligner(ref)
+    L = 70
+    md = bwa_cal_maxdiff(L, thres=0.01)
+    r = list(ref[3000 : 3000 + L])
+    step = L // (md + 3)
+    for j in range(0, (md + 2) * step, step):
+        r[j] = {"A": "C", "C": "G", "G": "T", "T": "A"}[r[j]]
+    a = B.align_read("".join(r))
+    assert not a.mapped
+
+
+def test_match_gap_finds_all_equal_hits():
+    """c1 counts the SA-interval mass of best-score hits across copies."""
+    rng = np.random.default_rng(6)
+    unit = _rand_ref(rng, 120)
+    ref = unit + _rand_ref(rng, 500) + unit + _rand_ref(rng, 500) + unit
+    codes = np.array([BASES.find(c) for c in ref], dtype=np.int64)
+    fm = FmIndex(codes)
+    fm_rev = FmIndex(codes[::-1].copy())
+    pat = np.array([BASES.find(c) for c in unit[20:90]], dtype=np.int64)
+    bid, wid = cal_width(fm_rev, pat)
+    hits, c1, _c2, _ = match_gap(fm, pat, bid, wid, 4)
+    assert c1 == 3
+    positions = sorted(int(fm.sa[h.k + i])
+                       for h in hits if h.score == hits[0].score
+                       for i in range(h.l - h.k + 1))
+    assert positions == [20, 640, 1260]
+
+
+@pytest.mark.parametrize("damage,divergence", [(0.0, 0.0), (0.3, 0.01),
+                                               (0.5, 0.02)])
+def test_concordance_bwt_vs_minimizer_backend(damage, divergence):
+    """Damage x divergence concordance grid (the fidelity study): the true
+    BWT search vs the dense-minimizer behavioral backend.  The BWT backend
+    is the reference algorithm; the study quantifies the substitute's
+    agreement and asserts the BWT side recovers essentially everything."""
+    rng = np.random.default_rng(int(damage * 100) + int(divergence * 1000))
+    ref = _rand_ref(rng, 16000)
+    B = BwtAligner(ref)
+    M = AdnaAligner(ref)
+    n = 120
+    L = 70
+    n_bwt = n_min = n_same_pos = n_both = 0
+    for i in range(n):
+        p = int(rng.integers(0, len(ref) - L))
+        r = list(ref[p : p + L])
+        for j in range(L):  # divergence: uniform substitutions
+            if rng.random() < divergence:
+                r[j] = BASES[(BASES.find(r[j]) + 1 + int(rng.integers(3)))
+                             % 4]
+        for j in range(6):  # aDNA damage at read ends
+            if r[j] == "C" and rng.random() < damage:
+                r[j] = "T"
+            if r[-1 - j] == "G" and rng.random() < damage:
+                r[-1 - j] = "A"
+        read = "".join(r)
+        if rng.random() < 0.5:
+            read = _rc(read)
+        a = B.align_read(read)
+        b = M.align_read(read)
+        n_bwt += a.mapped
+        n_min += b.mapped
+        if a.mapped and b.mapped:
+            n_both += 1
+            n_same_pos += (a.rs == b.rs and a.rev == b.rev)
+    # the true algorithm recovers (essentially) everything; at the harshest
+    # cell a few reads legitimately exceed bwa_cal_maxdiff (bwa drops them
+    # too — whole-read acceptance)
+    floor = n - 2 if damage < 0.5 else n - 8
+    assert n_bwt >= floor, (damage, divergence, n_bwt)
+    # concordance where both map: positions must agree near-always
+    if n_both:
+        assert n_same_pos / n_both >= 0.97, (damage, divergence,
+                                             n_same_pos, n_both)
