@@ -97,34 +97,38 @@ def sketch_reads_quality(seqs: list, quals: list, k: int, s: int, t: int,
     """Quality-filtered sketch (--min-seed-quality; placement.cpp:1388-1545):
     a syncmer passes when the mean Phred over its k-mer reaches the threshold
     and its start is inside the primer-trim range; a k-min-mer counts only
-    when all l member syncmers pass."""
+    when all l member syncmers pass.  Vectorized per read (prefix-sum mean
+    quals, sliding all-pass window); counts accumulate with one np.unique in
+    first-appearance order so the dict matches the per-element loop it
+    replaced (the top-fraction mask tie-breaks on insertion order)."""
     from ..sketch.cpu import kminmer_hashes_oriented, syncmer_list
 
-    freq: dict = {}
+    parts = []
     for seq, qual in zip(seqs, quals):
         pos, H, rev = syncmer_list(seq, k, s, open_, t)
         if len(H) < l:
             continue
-        q = np.frombuffer(qual.encode(), dtype=np.uint8).astype(np.float64) - 33.0
+        q = np.frombuffer(qual.encode(), dtype=np.uint8).astype(np.float64) \
+            - 33.0
         cq = np.concatenate(([0.0], np.cumsum(q)))
-        lo = trim_start
-        hi = len(seq) - trim_end - k
-        passes = np.empty(len(pos), dtype=bool)
-        for j, p in enumerate(pos):
-            avg = (cq[min(p + k, len(q))] - cq[p]) / k
-            passes[j] = lo <= p <= hi and avg >= min_seed_quality
+        p = np.asarray(pos, dtype=np.int64)
+        avg = (cq[np.minimum(p + k, len(q))] - cq[p]) / k
+        passes = ((p >= trim_start) & (p <= len(seq) - trim_end - k)
+                  & (avg >= min_seed_quality))
         if l == 1:
-            for h, ok in zip(H.tolist(), passes.tolist()):
-                if ok:
-                    freq[h] = freq.get(h, 0) + 1
+            parts.append(H[passes])
             continue
         km, valid, _ = kminmer_hashes_oriented(H, k, l, rev)
-        win_ok = np.ones(len(km), dtype=bool)
-        for j in range(l):
-            win_ok &= passes[j : j + len(km)]
-        for h in km[valid & win_ok].tolist():
-            freq[h] = freq.get(h, 0) + 1
-    return freq
+        cp = np.concatenate(([0], np.cumsum(passes.astype(np.int64))))
+        win_ok = (cp[l:] - cp[:-l]) == l  # all l member syncmers pass
+        parts.append(km[valid & win_ok[: len(km)]])
+    if not parts:
+        return {}
+    allh = np.concatenate(parts)
+    uniq, first, counts = np.unique(allh, return_index=True,
+                                    return_counts=True)
+    order = np.argsort(first)
+    return {int(h): int(c) for h, c in zip(uniq[order], counts[order])}
 
 
 def resolve_min_read_support(seed_freq: dict, configured: int) -> int:

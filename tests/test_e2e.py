@@ -731,3 +731,22 @@ def test_meta_amplicon_grouped_masking(outdir, tmp_path):
     top_row = ab.split("\n")[0].split("\t")
     assert "MZ515733.1" in top_row[0], top_row
     assert float(top_row[1]) > 0.6
+
+
+def test_pipeline_mesh_outputs_identical(rsv_index, outdir):
+    """--mesh 8 on the virtual CPU mesh: the full pipeline's placement.tsv
+    and VCF must be byte-identical to the single-device run (the exact-f64
+    rescue makes the sharded path bit-equal by construction)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    out1 = run_pipe(rsv_index, outdir, f"{DATA}/MZ515733.1.fastq", "mesh1",
+                    mesh=1)
+    # a fresh placer per mesh size (the pipeline caches by (idx, mesh))
+    out8 = run_pipe(rsv_index, outdir, f"{DATA}/MZ515733.1.fastq", "mesh8",
+                    mesh=8)
+    assert open(out1 + ".placement.tsv").read() == \
+        open(out8 + ".placement.tsv").read()
+    assert open(out1 + ".vcf").read().replace("mesh1", "x") == \
+        open(out8 + ".vcf").read().replace("mesh8", "x")

@@ -125,3 +125,57 @@ def test_hpc_compress():
     comp, mapping = sk.hpc_compress_with_mapping("AAACCCGGGT")
     assert comp == "ACGT"
     assert mapping.tolist() == [0, 3, 6, 9]
+
+
+def test_quality_filtered_sketch_matches_loop_oracle():
+    """Vectorized --min-seed-quality sketch vs the per-position loop it
+    replaced: identical counts AND identical dict insertion order (the
+    top-fraction mask tie-breaks on it)."""
+    import random
+
+    import numpy as np
+
+    from panmap_tpu.place.engine import sketch_reads_quality
+    from panmap_tpu.sketch.cpu import kminmer_hashes_oriented, syncmer_list
+
+    def oracle(seqs, quals, k, s, t, l, open_, minq, trim_start, trim_end):
+        freq = {}
+        for seq, qual in zip(seqs, quals):
+            pos, H, rev = syncmer_list(seq, k, s, open_, t)
+            if len(H) < l:
+                continue
+            q = np.frombuffer(qual.encode(), np.uint8).astype(np.float64) - 33
+            cq = np.concatenate(([0.0], np.cumsum(q)))
+            lo, hi = trim_start, len(seq) - trim_end - k
+            passes = np.empty(len(pos), dtype=bool)
+            for j, p in enumerate(pos):
+                avg = (cq[min(p + k, len(q))] - cq[p]) / k
+                passes[j] = lo <= p <= hi and avg >= minq
+            if l == 1:
+                for h, ok in zip(H.tolist(), passes.tolist()):
+                    if ok:
+                        freq[h] = freq.get(h, 0) + 1
+                continue
+            km, valid, _ = kminmer_hashes_oriented(H, k, l, rev)
+            win_ok = np.ones(len(km), dtype=bool)
+            for j in range(l):
+                win_ok &= passes[j : j + len(km)]
+            for h in km[valid & win_ok].tolist():
+                freq[h] = freq.get(h, 0) + 1
+        return freq
+
+    rng = random.Random(19)
+    seqs, quals = [], []
+    for i in range(80):
+        L = rng.randint(40, 180)
+        seqs.append("".join(rng.choice("ACGT") for _ in range(L)))
+        quals.append("".join(chr(33 + rng.randint(2, 40)) for _ in range(L)))
+    seqs += seqs[:10]  # duplicates
+    quals += quals[:10]
+    for (k, s, t, l, open_) in ((19, 8, 0, 3, False), (15, 8, 2, 1, False)):
+        for minq, ts, te in ((20.0, 0, 0), (25.0, 5, 7)):
+            got = sketch_reads_quality(seqs, quals, k, s, t, l, open_, minq,
+                                       ts, te)
+            want = oracle(seqs, quals, k, s, t, l, open_, minq, ts, te)
+            assert got == want, (k, l, minq)
+            assert list(got) == list(want), "insertion order changed"
