@@ -278,6 +278,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             host_score=args.host_score,
             em_f64=args.em_f64,
+            mesh=args.mesh,
             threads=args.threads,
             stop=args.stop,
             log=log,

@@ -59,6 +59,7 @@ class MetaConfig:
     batch_size: int = 1_000_000  # filter-and-assign read-stream batch
     host_score: bool = False  # --host-score: threaded native CPU scoring
     em_f64: bool = False  # --em-f64: host float64 EM (reference precision)
+    mesh: int = 0  # --mesh: shard the EM's reads over N devices (0 = auto)
     taxonomy_path: str = ""
     taxonomic_rank: str = "Family"
     max_taxon_number: int = 1
@@ -248,6 +249,18 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
             backend="numpy",
         )
     else:
+        mesh = None
+        want_mesh = getattr(cfg, "mesh", 0)
+        if want_mesh != 1:
+            import jax
+
+            n_avail = len(jax.devices())
+            want = want_mesh if want_mesh > 0 else (n_avail if n_avail > 1
+                                                    else 1)
+            if want > 1:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(min(want, n_avail))
         res = run_squarem(
             snap, read_lens, weights, cand_names,
             eta=cfg.em_convergence_threshold,
@@ -256,6 +269,7 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
             max_rounds=cfg.em_maximum_rounds,
             col_map=col_map,
             prefer_cpu=getattr(cfg, "host_score", False),
+            mesh=mesh,
         )
     em_dt = time.time() - t0
     if res.n_iterations:

@@ -1265,7 +1265,8 @@ def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
                        max_change_threshold: float = 0.0,
                        max_iterations: int = 1000,
                        max_rounds: int = 5,
-                       col_map: np.ndarray | None = None) -> EMResult:
+                       col_map: np.ndarray | None = None,
+                       mesh=None) -> EMResult:
     """Device-resident SQUAREM: S_rm is a u16 score matrix ALREADY on device;
     nothing matrix-sized crosses the host link.  Identical-column collapse
     uses two random f32 projections (identical columns always project
@@ -1349,11 +1350,36 @@ def run_squarem_device(S_rm, read_lens: np.ndarray, read_weights: np.ndarray,
     lens_pad = jnp.asarray(lens_host)
     w_pad = jnp.asarray(w_host)
 
-    fn = _get_masked_squarem(Mpad, Rrows, eta, max_change_threshold,
-                             max_iterations, max_rounds)
     alive = np.zeros(Mpad, dtype=bool)
     alive[:Mk] = True
-    p_dev, alive_dev, it_dev = fn(S_pad, lens_pad, w_pad, jnp.asarray(alive))
+    ndev = 0 if mesh is None else int(mesh.devices.size)
+    if ndev > 1 and Rrows % ndev == 0:
+        # --mesh: READS shard across the chips; the same fused-rounds body
+        # runs under shard_map with its E-step statistics psum'd over ICI
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import make_sharded_em_full_fn
+
+        key = ("mesh", Mpad, Rrows, float(eta),
+               float(max_change_threshold), int(max_iterations),
+               int(max_rounds), ndev)
+        fn = _MASKED_EM_CACHE.get(key)
+        if fn is None:
+            fn = make_sharded_em_full_fn(
+                mesh, eta=eta, max_change_threshold=max_change_threshold,
+                max_iterations=max_iterations, max_rounds=max_rounds)
+            _MASKED_EM_CACHE[key] = fn
+        shard = NamedSharding(mesh, PartitionSpec("data"))
+        rep = NamedSharding(mesh, PartitionSpec())
+        p_dev, alive_dev, it_dev = fn(
+            jax.device_put(S_pad, shard), jax.device_put(lens_pad, shard),
+            jax.device_put(w_pad, shard), jax.device_put(
+                jnp.asarray(alive), rep))
+    else:
+        fn = _get_masked_squarem(Mpad, Rrows, eta, max_change_threshold,
+                                 max_iterations, max_rounds)
+        p_dev, alive_dev, it_dev = fn(S_pad, lens_pad, w_pad,
+                                      jnp.asarray(alive))
     p_np = np.asarray(p_dev, dtype=np.float64)
     total_iters = int(it_dev)
     sel = np.asarray(alive_dev)[:Mk]
@@ -1369,7 +1395,7 @@ def run_squarem(score_matrix, read_lens: np.ndarray,
                 eta: float = 1e-5, max_change_threshold: float = 0.0,
                 max_iterations: int = 1000, max_rounds: int = 5,
                 backend: str = "auto", col_map=None,
-                prefer_cpu: bool = False) -> EMResult:
+                prefer_cpu: bool = False, mesh=None) -> EMResult:
     """score_matrix: [nodes, reads] u16 (numpy) — or a device [reads, nodes]
     jax array (possibly padded/tile-ordered, with col_map from
     score_all(tiled=True)), which dispatches to run_squarem_device.
@@ -1382,7 +1408,7 @@ def run_squarem(score_matrix, read_lens: np.ndarray,
             score_matrix, read_lens, read_weights, node_names, eta=eta,
             max_change_threshold=max_change_threshold,
             max_iterations=max_iterations, max_rounds=max_rounds,
-            col_map=col_map)
+            col_map=col_map, mesh=mesh)
     M0, R0 = score_matrix.shape
     if backend == "jax" or (backend == "auto" and M0 * R0 > 5_000_000):
         import jax
@@ -1407,7 +1433,7 @@ def run_squarem(score_matrix, read_lens: np.ndarray,
         return run_squarem_device(
             S_dev, read_lens, read_weights, node_names,
             eta=eta, max_change_threshold=max_change_threshold,
-            max_iterations=max_iterations, max_rounds=max_rounds)
+            max_iterations=max_iterations, max_rounds=max_rounds, mesh=mesh)
     # collapse identical score vectors into groups
     uniq_cols: dict = {}
     identical_groups: dict = defaultdict(list)

@@ -115,3 +115,21 @@ def make_sharded_em_fn(mesh: Mesh, eta: float = 1e-5,
         in_specs=(P("data"), P("data"), P("data"), P(None)),
         out_specs=P(None))
     return jax.jit(sharded)
+
+
+def make_sharded_em_full_fn(mesh: Mesh, eta: float = 1e-5,
+                            max_change_threshold: float = 0.0,
+                            max_iterations: int = 1000,
+                            max_rounds: int = 5):
+    """Like make_sharded_em_fn but returns the full (props, alive,
+    iterations) triple — the drop-in the production run_squarem_device
+    routes through under --mesh."""
+    from ..meta.engine import _squarem_body
+
+    body = _squarem_body(eta, max_change_threshold, max_iterations,
+                         max_rounds, axis_name="data")
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P(None)),
+        out_specs=(P(None), P(None), P()))  # iterations is a scalar
+    return jax.jit(sharded)

@@ -133,3 +133,26 @@ def test_device_em_rescales_after_round_drop():
     assert set(d) == {"n0", "n1"}
     for k in h:
         assert abs(h[k] - d[k]) < 2e-3, (k, h[k], d[k])
+
+
+def test_run_squarem_device_mesh_matches_single():
+    """Production EM routing under --mesh: run_squarem_device(mesh=8) must
+    agree with the single-device fused-rounds EM (same shared body, E-step
+    statistics psum'd over the read shards)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    import jax.numpy as jnp
+
+    from panmap_tpu.meta.engine import run_squarem_device
+    from panmap_tpu.parallel.mesh import make_mesh
+
+    S, lens, w, names = _synthetic(M=10, R=4096, seed=5)
+    Srm = jnp.asarray(np.ascontiguousarray(S.T))  # [R, M] device-resident
+    one = run_squarem_device(Srm, lens, w, names, max_rounds=5)
+    eight = run_squarem_device(Srm, lens, w, names, max_rounds=5,
+                               mesh=make_mesh(8))
+    assert one.node_names == eight.node_names
+    assert np.allclose(one.props, eight.props, atol=2e-4), \
+        np.abs(one.props - eight.props).max()
