@@ -32,6 +32,18 @@ import numpy as np
 
 from .baq import glocal_score_py
 
+
+def _glocal_score(ref_codes, q_codes, qq, bw, gapd, gape) -> int:
+    """Native forward-only glocal score (pt_glocal_score — exact-equality
+    fuzz-tested twin of glocal_score_py, which remains the oracle and the
+    fallback)."""
+    from ..native import glocal_score_native
+
+    sc = glocal_score_native(ref_codes, q_codes, qq, bw, gapd, gape)
+    if sc is None:
+        return glocal_score_py(ref_codes, q_codes, qq, bw, gapd, gape)
+    return sc
+
 # bcftools mpileup defaults (mpileup.c:1363-1384)
 MIN_SUPPORT = 2
 MIN_FRAC = 0.05
@@ -467,7 +479,7 @@ def _gap_prep_and_call(ref, n, inp, codes_blob, plp, pos, errmod, depth,
                     [seg, np.full(seg_len - len(seg), 4, np.int64)])
             if len(seg) == 0:
                 continue
-            sc = glocal_score_py(seg, query, qq, abs(ty) + 3, 1e-4, 1e-2)
+            sc = _glocal_score(seg, query, qq, abs(ty) + 3, 1e-4, 1e-2)
             if sc < 0:
                 continue
             lnorm = int(100.0 * sc / (qend - qbeg) + 0.499) * INDEL_BIAS

@@ -66,6 +66,10 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_void_p, ctypes.c_void_p]
     lib.pt_baq_glocal.restype = ctypes.c_int
+    lib.pt_glocal_score.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+    lib.pt_glocal_score.restype = ctypes.c_int
     lib.pt_sketch_count.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -224,6 +228,22 @@ def baq_glocal_native(ref_codes: np.ndarray, q_codes: np.ndarray,
     if rc != 0:
         return None
     return state, q
+
+
+def glocal_score_native(ref_codes: np.ndarray, q_codes: np.ndarray,
+                        quals: np.ndarray, bw: int, gapd: float,
+                        gape: float):
+    """Forward-only glocal phred score (probaln score mode) — the indel
+    realignment objective; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    q_codes = np.ascontiguousarray(q_codes, dtype=np.uint8)
+    quals = np.ascontiguousarray(quals, dtype=np.uint8)
+    return int(lib.pt_glocal_score(
+        ref_codes.ctypes.data, len(ref_codes), q_codes.ctypes.data,
+        len(q_codes), quals.ctypes.data, bw, gapd, gape))
 
 
 def rolling_syncmers_native(b: np.ndarray, k: int, s: int, t: int,

@@ -757,6 +757,116 @@ int pt_baq_glocal(const uint8_t* ref, int l_ref, const uint8_t* query,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Forward-only glocal score (probaln score mode) — the C++ twin of
+// genotype/baq.py::glocal_score_py, used per (read x type) by the bcftools-
+// realignment indel caller (genotype/indel.py).  Same band-offset
+// formulation and operation order as the python oracle.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// ref/query: 0..3 codes (>=4 ambiguous); qual: phred per query base.
+// Returns the phred score, or 0x7FFFFF on degenerate recursions.
+int pt_glocal_score(const uint8_t* ref, int l_ref, const uint8_t* query,
+                    int l_query, const uint8_t* qual_in, int bw_cap,
+                    double gapd, double gape) {
+    const int SENT = 0x7FFFFF;
+    if (l_ref <= 0 || l_query <= 0) return SENT;
+    const int lr = l_ref, lq = l_query;
+    int bw = lr > lq ? lr : lq;
+    if (bw > bw_cap) bw = bw_cap;
+    int diff = lr - lq;
+    if (diff < 0) diff = -diff;
+    if (bw < diff) bw = diff;
+    const int W = 2 * bw + 3;
+
+    std::vector<double> qp(lq);
+    for (int i = 0; i < lq; ++i)
+        qp[i] = pow(10.0, -(double)qual_in[i] / 10.0);
+
+    const double sM = 1.0 / (2 * lq + 2), sI = sM;
+    const double t_mm = (1 - 2 * gapd) * (1 - sM);
+    const double t_mi = gapd * (1 - sM);
+    const double t_md = gapd * (1 - sM);
+    const double t_im = (1 - gape) * (1 - sI);
+    const double t_ii = gape * (1 - sI);
+    const double t_dm = 1 - gape;
+    const double t_dd = gape;
+    const double beginM = (1 - gapd) / lr;
+    const double beginI = gapd / lr;
+
+    auto k_lo = [&](int i) { return i - bw > 1 ? i - bw : 1; };
+    auto k_hi = [&](int i) { return i + bw < lr ? i + bw : lr; };
+    auto j_of = [&](int i, int k) { return k - (i - bw) + 1; };
+
+    std::vector<double> pM(W, 0.0), pI(W, 0.0), pD(W, 0.0);
+    std::vector<double> nM(W, 0.0), nI(W, 0.0), nD(W, 0.0);
+    std::vector<double> e(W, 0.0);
+    std::vector<double> s(lq + 2, 0.0);
+    s[0] = 1.0;
+
+    auto emit_row = [&](int i) {
+        const uint8_t qb = query[i - 1];
+        const double pe = qp[i - 1];
+        const int lo = k_lo(i), hi = k_hi(i), j0 = j_of(i, lo);
+        for (int k = lo; k <= hi; ++k) {
+            const uint8_t rb = ref[k - 1];
+            e[j0 + k - lo] = (rb > 3 || qb > 3) ? 1.0
+                             : (rb == qb ? 1.0 - pe : pe / 3.0);
+        }
+    };
+
+    {
+        emit_row(1);
+        const int lo = k_lo(1), hi = k_hi(1), j0 = j_of(1, lo);
+        double sum = 0.0;
+        for (int j = j0; j <= j0 + hi - lo; ++j) {
+            pM[j] = e[j] * beginM;
+            pI[j] = 0.25 * beginI;
+            sum += pM[j] + pI[j];
+        }
+        s[1] = sum;
+    }
+    for (int i = 2; i <= lq; ++i) {
+        emit_row(i);
+        if (s[i - 1] <= 0) return SENT;
+        const double M = 1.0 / s[i - 1];
+        const int lo = k_lo(i), hi = k_hi(i), j0 = j_of(i, lo);
+        const int j1 = j0 + hi - lo;
+        std::fill(nM.begin(), nM.end(), 0.0);
+        std::fill(nI.begin(), nI.end(), 0.0);
+        std::fill(nD.begin(), nD.end(), 0.0);
+        double sum = 0.0, d = 0.0;
+        for (int j = j0; j <= j1; ++j) {
+            nM[j] = e[j] * (t_mm * pM[j] + t_im * pI[j] + t_dm * pD[j]) * M;
+            nI[j] = 0.25 * (t_mi * pM[j + 1] + t_ii * pI[j + 1]) * M;
+            d = t_md * nM[j - 1] + t_dd * d;
+            nD[j] = d;
+            sum += nM[j] + nI[j] + nD[j];
+        }
+        pM.swap(nM); pI.swap(nI); pD.swap(nD);
+        s[i] = sum;
+    }
+    if (s[lq] <= 0) return SENT;
+    {
+        double mm = 0.0, ii = 0.0;
+        for (int j = 0; j < W; ++j) { mm += pM[j]; ii += pI[j]; }
+        s[lq + 1] = (mm * sM + ii * sI) / s[lq];
+    }
+    // probaln's product-chunked log accumulation, kept verbatim for parity
+    double p = 1.0, pr1 = 0.0;
+    for (int i = 0; i <= lq + 1; ++i) {
+        p *= s[i];
+        if (p < 1e-100) { pr1 += -4.343 * log(p); p = 1.0; }
+    }
+    if (p <= 0) return SENT;
+    pr1 += -4.343 * log(p * (double)lr * (double)lq);
+    return (int)(pr1 + 0.499);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Short-read seed-and-extend aligner (minimap2-sr-equivalent), the native
 // twin of align/batch.py::BatchAligner._align_chunk + align/core.py::
 // Aligner._extend / banded_affine_dp / extension_dp.  Semantics mirror the
