@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--index-out", default="",
                    help="write the built index to this path "
                         "(default: next to the panman)")
+    g.add_argument("--export-ref-idx", default="", metavar="PATH",
+                   help="also write the index in the REFERENCE binary's "
+                        ".idx format (PMI1 + LiteIndex capnp) for interop")
     g.add_argument("--zstd-level", type=int, default=-1,
                    help="index container compression level; >0 stores the "
                         "index compressed instead of mmap-friendly raw")
@@ -337,6 +340,7 @@ def main(argv=None):
         dump_all_scores=args.dump_all_scores,
         profile_dir=args.profile_dir,
         mesh=args.mesh,
+        export_ref_idx=args.export_ref_idx,
     )
     cfg.log = log
     return run_pipeline(cfg) or 0

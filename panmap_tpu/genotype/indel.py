@@ -308,8 +308,13 @@ def call_indels_realign(ref: str, inp: IndelInput, depth: np.ndarray,
     return records
 
 
+_str_cache: dict = {}
+
+
 def _gap_prep_and_call(ref, n, inp, codes_blob, plp, pos, errmod, depth,
                        SiteRecord, _het_phred):
+    if len(_str_cache) > 4096:
+        _str_cache.clear()
     # ---- bcf_cgp_find_types ----
     sizes = [indel for (_r, indel, _q, _d) in plp if indel != 0]
     n_tot = len(plp)
@@ -484,12 +489,17 @@ def _gap_prep_and_call(ref, n, inp, codes_blob, plp, pos, errmod, depth,
                 continue
             lnorm = int(100.0 * sc / (qend - qbeg) + 0.499) * INDEL_BIAS
             s_packed = (sc << 8) | min(255, int(lnorm))
-            # STR adjustment over the aligned consensus segment
+            # STR adjustment over the aligned consensus segment (memoized:
+            # many reads share tbeg/tend windows of the same ref2)
             iscore = 0
             r_start = rs_r
             r_end = rs_r + sum(int(l) for o, l in zip(ops_r, lns_r)
                                if int(o) in _RADV) - 1
-            for (st, en, rlen) in find_str(seg):
+            skey = seg.tobytes()
+            reps = _str_cache.get(skey)
+            if reps is None:
+                reps = _str_cache[skey] = find_str(seg)
+            for (st, en, rlen) in reps:
                 if st <= qpos_t <= en:
                     iscore += (en - st) // rlen
                     if st + tbeg <= r_start or en + tbeg >= r_end:

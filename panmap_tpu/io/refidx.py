@@ -82,6 +82,145 @@ def _concat_ragged(lst, dtype):
     return (np.concatenate(parts) if parts else np.empty(0, dtype))
 
 
+class _CapnpEncoder:
+    """Minimal single-segment Cap'n Proto encoder (exactly the subset the
+    LiteIndex schema needs) — the writer half of the interop story: an index
+    built HERE can be handed to reference-binary users."""
+
+    def __init__(self):
+        self.words = [0]  # word 0 = root pointer
+
+    def alloc(self, n):
+        off = len(self.words)
+        self.words.extend([0] * n)
+        return off
+
+    def put_struct_ptr(self, at, target, data_words, ptr_words):
+        off = target - at - 1
+        self.words[at] = ((off & 0x3FFFFFFF) << 2) | 0 \
+            | (data_words << 32) | (ptr_words << 48)
+
+    def put_list_ptr(self, at, target, esize, count):
+        off = target - at - 1
+        self.words[at] = ((off & 0x3FFFFFFF) << 2) | 1 \
+            | (esize << 32) | (count << 35)
+
+    def prim_list(self, at, values, esize, bytes_per):
+        """esize code: 2=1B, 3=2B, 4=4B, 5=8B."""
+        values = np.asarray(values)
+        n = len(values)
+        nwords = (n * bytes_per + 7) // 8
+        tgt = self.alloc(nwords)
+        dt = {1: "<u1", 2: "<i2", 4: "<u4", 8: "<u8"}[bytes_per]
+        buf = np.zeros(nwords * 8, np.uint8)
+        buf[: n * bytes_per] = np.ascontiguousarray(
+            values.astype(dt)).view(np.uint8)
+        w = buf.view("<u8")
+        for i in range(nwords):
+            self.words[tgt + i] = int(w[i])
+        self.put_list_ptr(at, tgt, esize, n)
+
+    def f64_list(self, at, values):
+        n = len(values)
+        tgt = self.alloc(n)
+        bits = np.asarray(values, "<f8").view("<u8")
+        for i in range(n):
+            self.words[tgt + i] = int(bits[i])
+        self.put_list_ptr(at, tgt, 5, n)
+
+    def text(self, at, s: str):
+        b = s.encode() + b"\x00"
+        nwords = (len(b) + 7) // 8
+        tgt = self.alloc(nwords)
+        for w in range(nwords):
+            chunk = b[w * 8 : w * 8 + 8].ljust(8, b"\x00")
+            self.words[tgt + w] = struct.unpack("<Q", chunk)[0]
+        self.put_list_ptr(at, tgt, 2, len(b))
+
+    def composite_list(self, at, count, data_words, ptr_words):
+        per = data_words + ptr_words
+        tgt = self.alloc(1 + count * per)
+        self.words[tgt] = ((count & 0x3FFFFFFF) << 2) | 0 \
+            | (data_words << 32) | (ptr_words << 48)
+        self.put_list_ptr(at, tgt, 7, count * per)
+        return tgt + 1  # element 0 (past the tag word)
+
+    def message(self) -> bytes:
+        seg = b"".join(struct.pack("<Q", w & 0xFFFFFFFFFFFFFFFF)
+                       for w in self.words)
+        return struct.pack("<II", 0, len(self.words)) + seg
+
+
+def write_ref_index(path: str, idx: IndexArrays, compressed: bool = False,
+                    zstd_level: int = 3, segment_rows: int = 500_000_000):
+    """Write IndexArrays in the REFERENCE's on-disk .idx format (PMI1 header
+    + LiteIndex capnp payload, raw or multi-frame ZSTD) so a reference-
+    binary user can consume an index built here.  read_ref_index is the
+    round-trip check; formatVersion = 4 (panmap_utils.hpp:27)."""
+    p = idx.params
+    e = _CapnpEncoder()
+    root = e.alloc(2 + 11)
+    e.put_struct_ptr(0, root, 2, 11)
+    d = bytearray(16)
+    struct.pack_into("<HHHH", d, 0, p.k, p.s, p.t, p.l)
+    d[8] = (1 if p.open else 0) | ((1 if p.hpc else 0) << 1)
+    struct.pack_into("<H", d, 10, 4)  # formatVersion
+    e.words[root] = struct.unpack_from("<Q", d, 0)[0]
+    e.words[root + 1] = struct.unpack_from("<Q", d, 8)[0]
+    P = root + 2
+
+    lt = e.alloc(2)
+    e.put_struct_ptr(P + 0, lt, 0, 2)
+    n_nodes = len(idx.node_ids)
+    el0 = e.composite_list(lt + 0, n_nodes, 1, 1)
+    for i in range(n_nodes):
+        base = el0 + i * 2
+        e.words[base] = int(idx.parent_index[i]) \
+            | ((1 if idx.identical_to_parent[i] else 0) << 32)
+        e.text(base + 1, idx.node_ids[i])
+    nb = len(idx.block_ranges)
+    el1 = e.composite_list(lt + 1, nb, 1, 0)
+    for i in range(nb):
+        e.words[el1 + i] = int(idx.block_ranges[i, 0]) \
+            | (int(idx.block_ranges[i, 1]) << 32)
+
+    def ragged(pi, values, esize, bytes_per):
+        n = len(values)
+        nseg = max((n + segment_rows - 1) // segment_rows, 1)
+        outer = e.alloc(nseg)
+        e.put_list_ptr(P + pi, outer, 6, nseg)
+        for si in range(nseg):
+            e.prim_list(outer + si,
+                        values[si * segment_rows : (si + 1) * segment_rows],
+                        esize, bytes_per)
+
+    ragged(1, idx.seed_hashes, 5, 8)
+    ragged(2, idx.parent_counts, 3, 2)
+    ragged(3, idx.child_counts, 3, 2)
+    e.prim_list(P + 4, idx.node_offsets, 5, 8)
+    e.f64_list(P + 10, np.asarray(idx.substitution_matrix,
+                                  np.float64).reshape(-1)[:16])
+
+    hdr = bytearray(IDX_HEADER_SIZE)
+    struct.pack_into("<6I", hdr, 0, IDX_MAGIC, IDX_HEADER_VERSION,
+                     p.k, p.s, p.t, p.l)
+    hdr[24] = 1 if p.hpc else 0
+    hdr[25] = 1 if p.open else 0
+    hdr[26] = 0 if compressed else 1
+    msg = e.message()
+    with open(path, "wb") as fh:
+        fh.write(bytes(hdr))
+        if compressed:
+            import zstandard
+
+            cctx = zstandard.ZstdCompressor(level=zstd_level)
+            FRAME = 64 * 1024 * 1024
+            for off in range(0, len(msg), FRAME):
+                fh.write(cctx.compress(msg[off : off + FRAME]))
+        else:
+            fh.write(msg)
+
+
 def read_ref_index(path: str) -> IndexArrays:
     """Decode a reference-built .idx into IndexArrays."""
     hdr = read_idx_header(path)

@@ -80,6 +80,7 @@ class PipelineConfig:
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
     mesh: int = 0  # devices for sharded scoring: 0=auto(all>1), 1=off, N=N
+    export_ref_idx: str = ""  # write the index in the reference .idx format
     batch_file: str = ""
     profile_dir: str = ""  # jax.profiler trace output dir (--profile)
     dump_all_scores: str = ""
@@ -746,6 +747,18 @@ def run_batch(cfg: PipelineConfig):
     if not samples:
         cfg.log("[batch] no samples in batch file")
         return 1
+    # multi-host: each jax.distributed process takes its contiguous shard of
+    # the manifest (host-side work stays per-host data-parallel, mirroring
+    # the reference's single-node batch mode; SURVEY §5.8)
+    from .parallel.dist import process_read_shard
+
+    shard = process_read_shard(len(samples))
+    if shard != slice(0, len(samples)):
+        cfg.log(f"[batch] process shard: samples "
+                f"[{shard.start}, {shard.stop}) of {len(samples)}")
+        samples = samples[shard]
+        if not samples:
+            return 0
     cfg.log(f"[batch] {len(samples)} samples")
     tree = None
     idx, tree = ensure_index(cfg, tree)
@@ -841,6 +854,13 @@ def _run_pipeline_inner(cfg: PipelineConfig):
         return run_batch(cfg)
     tree = None
     idx, tree = ensure_index(cfg, tree)
+    if cfg.export_ref_idx:
+        from .io.refidx import write_ref_index
+
+        write_ref_index(cfg.export_ref_idx, idx,
+                        compressed=cfg.index_compressed)
+        cfg.log(f"[index] exported reference-format .idx to "
+                f"{cfg.export_ref_idx}")
     if cfg.stop == "index" or not cfg.reads1:
         return
     # the tree is only needed from the align stage on: prefetch it on a

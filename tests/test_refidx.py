@@ -227,3 +227,44 @@ def test_cross_validate_against_reference_idx():
         [sys.executable, "tools/validate_ref_idx.py", ref_idx, panman],
         capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_write_ref_index_round_trip(tmp_path, compressed):
+    """write_ref_index (the interop writer) round-trips through
+    read_ref_index bit-for-bit on a synthetic IndexArrays, raw and ZSTD."""
+    from panmap_tpu.index.builder import IndexArrays, IndexParams
+    from panmap_tpu.io.refidx import write_ref_index
+
+    rng = np.random.default_rng(7)
+    n_nodes = 6
+    offs = np.array([0, 4, 7, 7, 12, 15, 20], np.uint64)
+    T = int(offs[-1])
+    idx = IndexArrays(
+        params=IndexParams(k=21, s=11, t=2, l=1, open=True, hpc=False),
+        node_ids=[f"node_{i}" for i in range(n_nodes)],
+        parent_index=np.array([0, 0, 1, 1, 3, 3], np.uint32),
+        identical_to_parent=np.array([0, 0, 1, 0, 0, 1], bool),
+        block_ranges=np.array([[0, 111], [111, 230]], np.uint32),
+        seed_hashes=rng.integers(1, 1 << 62, T, dtype=np.uint64),
+        parent_counts=rng.integers(-5, 6, T).astype(np.int16),
+        child_counts=rng.integers(-5, 6, T).astype(np.int16),
+        node_offsets=offs,
+        substitution_matrix=rng.random(16),
+    )
+    path = tmp_path / "ours.idx"
+    write_ref_index(str(path), idx, compressed=compressed)
+    got = read_ref_index(str(path))
+    assert got.node_ids == idx.node_ids
+    assert np.array_equal(got.parent_index, idx.parent_index)
+    assert np.array_equal(got.identical_to_parent, idx.identical_to_parent)
+    assert np.array_equal(got.block_ranges, idx.block_ranges)
+    assert np.array_equal(got.seed_hashes, idx.seed_hashes)
+    assert np.array_equal(got.parent_counts, idx.parent_counts)
+    assert np.array_equal(got.child_counts, idx.child_counts)
+    assert np.array_equal(got.node_offsets, idx.node_offsets)
+    assert np.allclose(got.substitution_matrix,
+                       idx.substitution_matrix.reshape(-1))
+    pp = got.params
+    assert (pp.k, pp.s, pp.t, pp.l, pp.open, pp.hpc) == (21, 11, 2, 1,
+                                                         True, False)
