@@ -53,6 +53,24 @@ _G_LOG_N = np.array([int(4.343 * math.log(n) + 0.5) if n else 0
 
 STATE_M, STATE_I, STATE_D = 0, 1, 2
 
+# the per-read best-first search is interpreted python: exact and fast on
+# the tiny genomes this pipeline places against, but super-linear work on
+# big references / huge read sets.  Above these bounds the callers dispatch
+# to the vectorized minimizer backend (align/adna.py) instead.
+BWT_MAX_REF = 1 << 20      # 1 Mb reference
+BWT_MAX_READS = 50_000
+
+
+def pick_adna_aligner(ref: str, n_reads: int):
+    """The production --aligner bwa dispatch: the true BWT search within its
+    practical envelope, the minimizer behavioral backend beyond it
+    (concordance quantified in tests/test_bwt_aln.py)."""
+    if len(ref) <= BWT_MAX_REF and n_reads <= BWT_MAX_READS:
+        return BwtAligner(ref), "bwt"
+    from .adna import AdnaAligner
+
+    return AdnaAligner(ref), "minimizer"
+
 
 def _suffix_array(codes: np.ndarray) -> np.ndarray:
     """Suffix array by prefix doubling (text includes a unique sentinel)."""
@@ -328,8 +346,6 @@ class BwtAligner:
             return aln
         max_diff = bwa_cal_maxdiff(lq, thres=self.fnr)
 
-        best = None  # (score, rev, hit, c1, c2)
-        tot_c1 = tot_c2 = 0
         all_scored = []
         for rev in (False, True):
             pat = codes if not rev else _RC_CODE[codes[::-1]].astype(np.int64)
@@ -337,11 +353,9 @@ class BwtAligner:
             # text's index (prepending pat[i] there matches reverse(prefix)
             # in rev(T) <=> the prefix in T)
             bid, wid = cal_width(self.fm_rev, pat)
-            hits, c1, c2, _bs = match_gap(self.fm, pat, bid, wid, max_diff)
+            hits, _c1, _c2, _bs = match_gap(self.fm, pat, bid, wid, max_diff)
             for h in hits:
                 all_scored.append((h.score, rev, h))
-            tot_c1 += c1
-            tot_c2 += c2
         if not all_scored:
             return aln
         all_scored.sort(key=lambda t: t[0])
@@ -372,13 +386,13 @@ class BwtAligner:
         # NM = substitutions + gap bases (bwa refine_gapped semantics)
         aln.nm = hit.n_mm + hit.n_ins + hit.n_del
         aln.score = -(hit.n_mm + hit.n_gapo + hit.n_gape)
-        # bwa_approx_mapQ (bwase.c:101-110)
-        n_diff_best = hit.n_mm + hit.n_gapo + hit.n_gape
+        # bwa_approx_mapQ (bwase.c:101-110): the max_diff saturation test is
+        # on MISMATCHES alone (p->n_mm == mm), not total diffs
         if c1 == 0:
             aln.mapq = 23
         elif c1 > 1:
             aln.mapq = 0
-        elif n_diff_best == max_diff:
+        elif hit.n_mm == max_diff:
             aln.mapq = 25
         elif c2 == 0:
             aln.mapq = 37

@@ -298,6 +298,8 @@ def call_indels_realign(ref: str, inp: IndelInput, depth: np.ndarray,
                 int(inp.rs[r]), inp.ops[a:b], inp.lns[a:b], pos)
             if covers:
                 plp.append((r, indel, qpos, is_del))
+                if len(plp) >= MAX_DEPTH_INDEL:  # bcftools --max-idepth gate
+                    break
         if not plp:
             continue
 
@@ -528,10 +530,10 @@ def _gap_prep_and_call(ref, n, inp, codes_blob, plp, pos, errmod, depth,
         aux[K] = (sc[0] & 0x3F) << 16 | seqq << 8 | indelq
         sumq[sc[0] & 0x3F] += min(indelq, seqq)
 
-    # order types by sumq desc (stable: equal sums keep ascending t, as the
-    # C insertion sort does), REF type moved to slot 0
-    order = [t for _negq, t in sorted((-sumq[t], t)
-                                      for t in range(n_types))]
+    # order types by the C's packed key (sumq<<6 | t) DESCENDING — on equal
+    # sumq the HIGHER type index sorts first (bcf_cgp_compute_indelQ's
+    # insertion sort over the packed ints); REF type moved to slot 0
+    order = sorted(range(n_types), key=lambda t: -((sumq[t] << 6) | t))
     order.remove(ref_type)
     order.insert(0, ref_type)
     indel_types = [types[t] for t in order[:4]]

@@ -472,7 +472,7 @@ def _align_assigned_reads(cfg, midx, node_idxs, assigned_fq_path):
     keeps the batch-streaming path memory-bounded."""
     import os
 
-    from ..align.bwt import BwtAligner
+    from ..align.bwt import pick_adna_aligner
     from ..io.bam import compute_sam_flags, write_bam
     from ..io.panman import load_panman
     from ..sketch.cpu import reverse_complement
@@ -500,7 +500,7 @@ def _align_assigned_reads(cfg, midx, node_idxs, assigned_fq_path):
             ref_fa.write(f">{node_id}\n")
             for i in range(0, len(ref), 80):
                 ref_fa.write(ref[i : i + 80] + "\n")
-            ad = BwtAligner(ref)
+            ad, _backend = pick_adna_aligner(ref, len(origs))
             entries = []
             for o in origs:
                 a = ad.align_read(seqs[o])

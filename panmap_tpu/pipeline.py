@@ -480,14 +480,23 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
                    + _struct.pack("<i", len(ref)))
 
     def _write():
-        # compress in bounded 64-block windows (same SLICE as io.bam's
-        # write_bam) so peak RSS stays ~1 slice of chunks + compressed
-        # blocks instead of ~2x the whole uncompressed BAM
-        full = stream_head + body
+        # compress in bounded 64-block windows (same SLICE boundaries as
+        # io.bam's write_bam over head+body) WITHOUT materializing the
+        # concatenated stream: only the first window copies (head + body
+        # prefix); the rest are memoryview slices of body — peak RSS stays
+        # ~1 slice of chunks + compressed blocks
         SLICE = 64 * 65000
+        total = len(stream_head) + len(body)
+        mv = memoryview(body)
         with open(cfg.output + ".bam", "wb") as fh:
-            for o in range(0, len(full), SLICE):
-                fh.write(_bgzf_compress_parallel(full[o:o + SLICE], level=6))
+            for o in range(0, total, SLICE):
+                if o < len(stream_head):
+                    win = stream_head[o:] + bytes(
+                        mv[: SLICE - (len(stream_head) - o)])
+                else:
+                    bo = o - len(stream_head)
+                    win = mv[bo : bo + SLICE]
+                fh.write(_bgzf_compress_parallel(win, level=6))
             fh.write(BGZF_EOF)
         _write_bai(cfg.output + ".bam.bai", [None] * nrec, len(ref))
 
@@ -524,11 +533,12 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
     avg_len = sum(len(s) for s in seqs) / max(len(seqs), 1)
     if cfg.aligner == "bwa":
         # ancient-DNA whole-read mode (main.cpp:1979, bwa_align.c): the TRUE
-        # bwa-aln FM-index search (align/bwt.py); the minimizer backend
-        # (align/adna.py) stays as the scalable fallback for large refs
-        from .align.bwt import BwtAligner
+        # bwa-aln FM-index search within its practical envelope, the
+        # vectorized minimizer backend beyond it (align/bwt.py dispatch)
+        from .align.bwt import pick_adna_aligner
 
-        ad = BwtAligner(ref)
+        ad, backend = pick_adna_aligner(ref, len(seqs))
+        cfg.log(f"[align] aDNA backend: {backend}")
         paired = False
         pairs = [(a, None) for a in ad.align_batch(seqs)]
     elif avg_len >= 500:

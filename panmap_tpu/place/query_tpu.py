@@ -539,7 +539,7 @@ class TpuPlacer:
             tol = jnp.maximum(best * 1e-4, 1e-9)
             cutoff = best - (2.0 * tol + 1e-5)
             cand = (col >= cutoff) & (col > -1e-5)
-            return jnp.packbits(cand, axis=0)
+            return jnp.packbits(cand, axis=0), best
 
         return sel
 
@@ -602,12 +602,13 @@ class TpuPlacer:
         pl[: len(uids)] = lc
         dev = self.dev
         elig = self._elig_leaf if force_leaf else self._elig_all
-        packed = self._widened_select_fn(
+        packed, best32 = self._widened_select_fn(
             pu, pl, np.float32(sk.log_read_magnitude),
             np.int32(sk.read_unique_seed_count),
             np.float32(sk.log_containment_denominator),
             dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
             dev.euler_in, dev.euler_out, elig)
+        best32 = np.asarray(best32, dtype=np.float64)
         cand = np.unpackbits(np.asarray(packed), axis=0,
                              count=self.dev.n_nodes).astype(bool)
         cand[:, zero_metric] = False  # identically-zero columns: no rescue
@@ -634,6 +635,14 @@ class TpuPlacer:
                 # sit below the f32 candidate floor — not provably exact
                 return None
             tol = max(best * 1e-4, 1e-9)
+            # MEASURED error guard for the widening assumption: the device's
+            # f32 best vs the exact f64 best among candidates.  The cutoff
+            # budgeted (tol + 1e-5) of f32 accumulation error on top of the
+            # exact tie rule; if the OBSERVED device error at the argmax
+            # already eats half that budget, the bound cannot be trusted at
+            # other nodes either — fall back to the full host engine.
+            if abs(best32[m] - best) > 0.5 * (tol + 1e-5):
+                return None
             tied = union[(col >= best - tol) & (col > 0)]
             res.best_score[name] = best if best > -np.inf else 0.0
             res.tied_indices[name] = tied.tolist()

@@ -164,3 +164,22 @@ def test_concordance_bwt_vs_minimizer_backend(damage, divergence):
     if n_both:
         assert n_same_pos / n_both >= 0.97, (damage, divergence,
                                              n_same_pos, n_both)
+
+
+def test_bwt_gapped_unique_hit_mapq37():
+    """bwa_approx_mapQ saturates at 25 only when MISMATCHES hit max_diff
+    (bwase.c: p->n_mm == mm) — a unique gapped best hit whose total diffs
+    reach max_diff but with n_mm < max_diff still gets mapq 37."""
+    rng = np.random.default_rng(8)
+    ref = _rand_ref(rng, 9000)
+    B = BwtAligner(ref)
+    L = 70
+    md = bwa_cal_maxdiff(L, thres=0.01)
+    assert md >= 2
+    # deletion of length md: 1 open + (md-1) extensions = md total diffs,
+    # zero mismatches
+    p = 4000
+    read = ref[p : p + 30] + ref[p + 30 + md : p + L + md]
+    a = B.align_read(read)
+    assert a.mapped and a.rs == p
+    assert a.nm == md and a.mapq == 37, (md, a.nm, a.mapq)
