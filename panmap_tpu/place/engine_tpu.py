@@ -86,8 +86,11 @@ def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
             raise ValueError("index parent_index is not in DFS preorder")
 
     rid = row_id.astype(np.int32)
-    rp = idx.parent_counts.astype(np.float32)
-    rc = idx.child_counts.astype(np.float32)
+    # counts upload as i16 (their storage dtype): halves the host->device
+    # transfer of two of the four row tensors; device programs cast to f32
+    # at entry (row_node_sums) — i16 -> f32 is exact
+    rp = idx.parent_counts.astype(np.int16)
+    rc = idx.child_counts.astype(np.int16)
     rn = row_node
     if mesh is None:
         put = jnp.asarray
@@ -96,8 +99,8 @@ def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
         pad = (-len(rid)) % nd
         if pad:
             rid = np.concatenate([rid, np.zeros(pad, np.int32)])
-            rp = np.concatenate([rp, np.zeros(pad, np.float32)])
-            rc = np.concatenate([rc, np.zeros(pad, np.float32)])
+            rp = np.concatenate([rp, np.zeros(pad, np.int16)])
+            rc = np.concatenate([rc, np.zeros(pad, np.int16)])
             rn = np.concatenate([rn, np.zeros(pad, np.int32)])
         from jax.sharding import NamedSharding, PartitionSpec
 

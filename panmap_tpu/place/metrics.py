@@ -82,10 +82,14 @@ def wc_denominator(xp, lrc_root, C_root, found_root):
 
 def row_node_sums(lrc, P, C, found, row_node, n_nodes):
     """Traced: stack the deltas and segment-sum them per node.  Used by every
-    device path; the mesh path psums the result across row shards."""
+    device path; the mesh path psums the result across row shards.  P/C may
+    arrive as narrow integers (the index uploads counts as i16 to halve the
+    transfer) — cast to the compute dtype here."""
     import jax
     import jax.numpy as jnp
 
+    P = P.astype(lrc.dtype)
+    C = C.astype(lrc.dtype)
     deltas = jnp.stack(row_metric_deltas(jnp, lrc, P, C, found), axis=1)
     return jax.ops.segment_sum(deltas, row_node, num_segments=n_nodes)
 

@@ -260,7 +260,9 @@ class TpuPlacer:
         # wc_den from the (few) root rows: slice the global row arrays — under
         # a mesh XLA gathers the slice from shard 0, negligible traffic
         lrc_root = uid_logc[row_id[a:b]]
-        wc_den = wc_denominator(jnp, lrc_root, row_child[a:b], lrc_root > 0)
+        wc_den = wc_denominator(jnp, lrc_root,
+                                row_child[a:b].astype(lrc_root.dtype),
+                                lrc_root > 0)
         if self.mesh is None:
             lrc = uid_logc[row_id]
             node_sums = row_node_sums(lrc, row_parent, row_child, lrc > 0,

@@ -485,3 +485,56 @@ def test_place_exact_on_mesh_matches_host_engine(rng):
             assert got.best_index[m] == exact.best_index[m], (ms, m)
             assert got.best_score[m] == exact.best_score[m], (ms, m)
             assert got.tied_indices[m] == exact.tied_indices[m], (ms, m)
+
+
+def test_place_exact_large_index_stress(rng):
+    """Stress the widened-selection error bound at scale: a 20k-node /
+    ~600k-row preorder tree with counts up to 100 (large accumulator
+    magnitudes).  place_exact must either match the host engine EXACTLY or
+    refuse (None -> host fallback) — a silently wrong tie set is the only
+    failure mode this guards against."""
+    from panmap_tpu.index.builder import IndexArrays, IndexParams
+    from panmap_tpu.place.engine import (
+        METRICS,
+        prepare_read_sketch,
+        score_nodes,
+    )
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    nprng = np.random.default_rng(41)
+    NN = 20000
+    parent = np.zeros(NN, np.uint32)
+    chain = [0]
+    for i in range(1, NN):
+        d = int(nprng.integers(0, len(chain)))
+        parent[i] = chain[d]
+        chain = chain[: d + 1] + [i]
+    rows = nprng.integers(8, 52, NN)
+    offs = np.zeros(NN + 1, np.uint64)
+    offs[1:] = np.cumsum(rows)
+    T = int(offs[-1])
+    hashes = nprng.integers(1, 1 << 62, T).astype(np.uint64)
+    read_h = np.unique(nprng.choice(hashes, size=T // 3))
+    freq = {int(h): int(c)
+            for h, c in zip(read_h, nprng.integers(1, 40, len(read_h)))}
+    matched = np.isin(hashes, read_h)
+    pc = nprng.integers(0, 100, T).astype(np.int16)
+    cc = nprng.integers(0, 100, T).astype(np.int16)
+    pc[matched] = nprng.integers(0, 3, int(matched.sum()))
+    cc[matched] = nprng.integers(1, 100, int(matched.sum()))
+    idx = IndexArrays(
+        params=IndexParams(), node_ids=[f"n{i}" for i in range(NN)],
+        parent_index=parent, identical_to_parent=np.zeros(NN, bool),
+        block_ranges=np.zeros((1, 2), np.uint32), seed_hashes=hashes,
+        parent_counts=pc, child_counts=cc, node_offsets=offs)
+
+    sk_ = prepare_read_sketch(freq, 19, 100000, min_read_support=1)
+    exact = score_nodes(idx, sk_)
+    placer = TpuPlacer(idx)
+    got = placer.place_exact(sk_)
+    if got is None:
+        return  # measured-error guard refused: falls back to host (valid)
+    for m in METRICS:
+        assert got.best_index[m] == exact.best_index[m], m
+        assert got.best_score[m] == exact.best_score[m], m
+        assert got.tied_indices[m] == exact.tied_indices[m], m
