@@ -241,6 +241,8 @@ def run_simulate(panman: str, ref: str, out_prefix: str, mutnum: list,
         log(f"[sim] rep {r}: {node} +{len(rows)} mutations -> {tag}.fa, "
             f"{tag}.truth.vcf")
         if not no_reads:
+            if _run_iss(tag, model, n_reads, seed, log):
+                continue  # reference-exact InSilicoSeq path succeeded
             pairs = generate_reads(mutated, n_reads // 2, err, rng)
             with open(tag + "_R1.fastq", "w") as f1, \
                     open(tag + "_R2.fastq", "w") as f2:
@@ -250,3 +252,28 @@ def run_simulate(panman: str, ref: str, out_prefix: str, mutnum: list,
             log(f"[sim] rep {r}: {len(pairs)} read pairs ({model} err={err}) "
                 f"-> {tag}_R[12].fastq")
     return 0
+
+
+def _run_iss(tag: str, model: str, n_reads: int, seed: str, log) -> bool:
+    """The reference's exact read generator: shell out to InSilicoSeq
+    (`iss generate --model <m> --genomes <fa> -n N --output <prefix> --cpus
+    C --seed S`, simulate.cpp:533-540).  Used whenever `iss` is on PATH;
+    this image does not bundle it, so the internal Illumina-like model above
+    is the fallback (documented deviation)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("iss") is None:
+        return False
+    cmd = ["iss", "generate", "--model", model, "--genomes", tag + ".fa",
+           "-n", str(n_reads), "--output", tag,
+           "--cpus", str(os.cpu_count() or 1)]
+    if seed:
+        cmd += ["--seed", seed]
+    log(f"[sim] iss cmd: {' '.join(cmd)}")
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
+    except Exception as exc:
+        log(f"[sim] iss failed ({exc}); internal read model instead")
+        return False
+    return True
