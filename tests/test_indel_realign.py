@@ -236,3 +236,25 @@ def test_legacy_indel_oracle_still_available(monkeypatch):
     monkeypatch.setenv("PANMAP_TPU_LEGACY_INDELS", "1")
     recs = pileup_call_columnar(ref, cols)
     assert any(len(r.ref) > 1 for r in recs)
+
+
+def test_indel_near_snp_cluster_consensus_masking():
+    """The bcf_cgp_ref_sample 70% N-masking: a high-frequency SNP adjacent
+    to a real deletion must not suppress the indel call (the SNP locus is
+    masked to N in the per-sample consensus, so realignment doesn't pay a
+    mismatch for it on either allele)."""
+    rng = np.random.default_rng(17)
+    ref = "".join(rng.choice(list(BASES), 900))
+    # haplotype: SNP at 395 + 5bp deletion after 400
+    alt_base = "A" if ref[395] != "A" else "C"
+    hap = ref[:395] + alt_base + ref[396:401] + ref[406:]
+    cols = _tile_reads(ref, hap, [(400, -5)])
+    recs = pileup_call_columnar(ref, cols)
+    dels = [r for r in recs if r.pos == 400 and len(r.ref) > len(r.alts[0])]
+    assert dels, [(r.pos, r.ref, r.alts) for r in recs]
+    assert dels[0].gt == 1
+    assert len(dels[0].ref) - len(dels[0].alts[0]) == 5
+    # the SNP itself is still called by the SNP path
+    snps = [r for r in recs if r.pos == 395 and len(r.ref) == 1
+            and len(r.alts[0]) == 1]
+    assert snps and snps[0].alts[0] == alt_base
