@@ -104,6 +104,23 @@ def ensure_meta_index(cfg: MetaConfig, tree=None):
     return midx, tree
 
 
+def _resolve_meta_mesh(cfg):
+    """--mesh for the meta path (same semantics as the placement pipeline:
+    0 = auto when >1 local device, 1 = off, N = first N devices)."""
+    want_mesh = getattr(cfg, "mesh", 0)
+    if want_mesh == 1:
+        return None
+    import jax
+
+    n_avail = len(jax.devices())
+    want = want_mesh if want_mesh > 0 else (n_avail if n_avail > 1 else 1)
+    if want <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(min(want, n_avail))
+
+
 def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
     if midx is None:
         midx, tree = ensure_meta_index(cfg)
@@ -141,6 +158,7 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
 
     scorer = MetaScorer(midx, reads)
     want_scores_tsv = getattr(cfg, "write_read_scores_unfiltered", False)
+    mesh = _resolve_meta_mesh(cfg)
     # large read sets: event-based batched scorer (identical results; the
     # python DFS is kept for pseudochain and node-score collection)
     fast = None
@@ -151,7 +169,7 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
         from .engine_tpu import TpuMetaScorer
 
         t0 = time.time()
-        fast = TpuMetaScorer(midx, reads)
+        fast = TpuMetaScorer(midx, reads, mesh=mesh)
         cfg.log(f"[meta] presence events built in {time.time()-t0:.1f}s "
                 f"({len(fast.ev_pos)} events)")
     if fast is not None:
@@ -249,18 +267,6 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
             backend="numpy",
         )
     else:
-        mesh = None
-        want_mesh = getattr(cfg, "mesh", 0)
-        if want_mesh != 1:
-            import jax
-
-            n_avail = len(jax.devices())
-            want = want_mesh if want_mesh > 0 else (n_avail if n_avail > 1
-                                                    else 1)
-            if want > 1:
-                from ..parallel.mesh import make_mesh
-
-                mesh = make_mesh(min(want, n_avail))
         res = run_squarem(
             snap, read_lens, weights, cand_names,
             eta=cfg.em_convergence_threshold,

@@ -108,10 +108,16 @@ class TpuMetaScorer:
     NODE_CHUNK = 2048
     READ_CHUNK = 4096
 
-    def __init__(self, midx, reads: list, batch: int = 512):
+    def __init__(self, midx, reads: list, batch: int = 512, mesh=None):
+        """``mesh``: optional 1-D jax.sharding.Mesh ("data") — the resident
+        read blocks shard across the devices and each chip scores its local
+        blocks against the (replicated) per-chunk presence bitmap; the
+        node-chunk event scan is duplicated per device (tiny next to the
+        row-gather bandwidth the sharding splits).  --mesh product path."""
         del batch  # legacy knob of the COO scorer
         self.midx = midx
         self.reads = reads
+        self.mesh = mesh
         self.n_nodes = len(midx.node_ids)
 
         all_h = (np.concatenate([r.hashes for r in reads])
@@ -173,6 +179,11 @@ class TpuMetaScorer:
         dummy = self.n_rows - 1  # the all-zero P row
         B = self.READ_CHUNK
         Rpad = ((R + B - 1) // B) * B if R else B
+        if mesh is not None:
+            # block axis must divide the mesh; pad with inert dummy blocks
+            nd = int(mesh.devices.size)
+            nb = Rpad // B
+            Rpad = ((nb + nd - 1) // nd) * nd * B
         self.Rpad = Rpad
         fwd_sl = np.full((Rpad, S), dummy, dtype=np.int32)
         rev_sl = np.full((Rpad, S), dummy, dtype=np.int32)
@@ -188,8 +199,19 @@ class TpuMetaScorer:
         # resident [nB, B, S]: a fused per-node-chunk program scans the read
         # blocks on device, so the whole read set costs ONE dispatch per chunk
         self.n_blocks = Rpad // B
-        self._occ_fwd_dev = jnp.asarray(fwd_sl.reshape(self.n_blocks, B, S))
-        self._occ_rev_dev = jnp.asarray(rev_sl.reshape(self.n_blocks, B, S))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec("data"))
+            self._occ_fwd_dev = jax.device_put(
+                fwd_sl.reshape(self.n_blocks, B, S), sh)
+            self._occ_rev_dev = jax.device_put(
+                rev_sl.reshape(self.n_blocks, B, S), sh)
+        else:
+            self._occ_fwd_dev = jnp.asarray(
+                fwd_sl.reshape(self.n_blocks, B, S))
+            self._occ_rev_dev = jnp.asarray(
+                rev_sl.reshape(self.n_blocks, B, S))
         self._max_occ = int(nseeds.max()) if R else 0
 
         # per-node-chunk carry-in presence state (flips with pos < chunk lo)
@@ -290,7 +312,6 @@ class TpuMetaScorer:
         # remote-device link stalled lower() for ~100s per program
         pack32 = np.arange(32, dtype=np.uint32)
 
-        @jax.jit
         def run(carries, ev_keys, ev_cols, ev_dels, fwd_all, rev_all):
             def chunk(_, xs):
                 state, ev_key, ev_col, ev_delta = xs
@@ -323,7 +344,18 @@ class TpuMetaScorer:
                 chunk, None, (carries, ev_keys, ev_cols, ev_dels))
             return ms, sn  # [K, nB, B], [K, nB, B, C]
 
-        return run
+        if self.mesh is not None:
+            # --mesh: read blocks shard on their leading axis; the event
+            # tensors/carries replicate and every device runs the chunk scan
+            # over its local blocks (outputs stay sharded on the block axis)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            return jax.jit(shard_map(
+                run, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(), P("data"), P("data")),
+                out_specs=(P(None, "data"), P(None, "data"))))
+        return jax.jit(run)
 
     def _make_gather_fn(self):
         """Candidate-column selection over a group's [G, nB, B, C] score

@@ -275,6 +275,19 @@ def test_tpu_meta_scorer_matches_python_dfs(tmp_path):
     assert np.array_equal(ms_fast, ms_slow)
     assert np.array_equal(snap_fast, snap_slow)
 
+    # --mesh: read blocks sharded over the virtual 8-device mesh — scores
+    # must stay IDENTICAL (per-read work is independent; the event scan is
+    # replicated per device)
+    import jax
+
+    if len(jax.devices()) >= 2:
+        from panmap_tpu.parallel.mesh import make_mesh
+
+        sharded = TpuMetaScorer(midx, reads, mesh=make_mesh(8))
+        ms_sh, snap_sh = sharded.score_all(cand)
+        assert np.array_equal(ms_sh, ms_slow)
+        assert np.array_equal(snap_sh, snap_slow)
+
 
 def test_mammoth_adna_bwa_pipeline(outdir, tmp_path):
     """End-to-end on the bundled extended_mammoth panman (second real PanMAN,
