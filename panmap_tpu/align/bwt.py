@@ -22,9 +22,16 @@ disabled, trim 0) with the exact bwt_match_gap search semantics
 
 Conventions differ from bwa internally (we search the oriented read
 right-to-left against the FORWARD reference's FM index and run both
-orientations explicitly; bwa reverses reads against one index) — the hit
-SET is the same.  CIGARs for gapped hits come from the same whole-read
-semiglobal DP the behavioral backend uses (bwa's refine_gapped analog).
+orientations explicitly; bwa searches one pattern against a fwd+revcomp
+doubled reference, making its pruning bounds global across strands).  The
+two-search formulation threads each strand's best_score/best_diff/best_cnt
+into the other's initial bounds and re-runs the first strand when the
+second improved the global best (match_gap seed_best), so the cross-strand
+top2 shrink / best_score stop / MAX_TOP2 counter match the combined
+search; the one remaining deviation is pop INTERLEAVING, which can only
+matter through the MAX_ENTRIES safety valve on pathological reads.  CIGARs
+for gapped hits come from the same whole-read semiglobal DP the behavioral
+backend uses (bwa's refine_gapped analog).
 
 The genomes this pipeline places against are tiny (16-30kb), so the full
 suffix array and dense occ table are built directly in numpy.
@@ -162,17 +169,28 @@ class BwtHit:
 
 
 def match_gap(fm: FmIndex, pat: np.ndarray, width_bid, width_w,
-              max_diff: int):
+              max_diff: int, seed_best=None):
     """bwt_match_gap port: all alignments of `pat` within the bounds.
-    Returns (hits, best_cnt_c1, other_cnt_c2, best_score)."""
+    Returns (hits, best_cnt_c1, other_cnt_c2, best_score).
+
+    `seed_best` = (best_score, best_diff, best_cnt) threads another strand's
+    results into this search's initial pruning bounds: real bwa searches one
+    pattern against a fwd+revcomp doubled reference, so the top2 max-diff
+    shrink, the best_score stop, and the MAX_TOP2 counter are GLOBAL across
+    strands — seeding reproduces that for the two-search formulation
+    (BwtAligner.align_read runs the strands to a fixed point)."""
     L = len(pat)
     if int((pat > 3).sum()) > max_diff:
         return [], 0, 0, 1 << 30
-    best_score = S_MM * (max_diff + 1) + S_GAPO * (MAX_GAPO + 1) \
-        + S_GAPE * (MAX_GAPE + 1)
-    best_diff = max_diff + 1
-    cur_max_diff = max_diff
-    best_cnt = 0
+    if seed_best is not None:
+        best_score, best_diff, best_cnt = seed_best
+        cur_max_diff = min(best_diff + 1, max_diff)
+    else:
+        best_score = S_MM * (max_diff + 1) + S_GAPO * (MAX_GAPO + 1) \
+            + S_GAPE * (MAX_GAPE + 1)
+        best_diff = max_diff + 1
+        cur_max_diff = max_diff
+        best_cnt = 0
     width_bid = width_bid.copy()
     width_w = width_w.copy()
     hits: list = []
@@ -230,7 +248,10 @@ def match_gap(fm: FmIndex, pat: np.ndarray, width_bid, width_w,
 
         if hit_found:
             sc = S_MM * n_mm + S_GAPO * n_gapo + S_GAPE * n_gape
-            if not hits:
+            # pops are in increasing score order, so only the FIRST hit can
+            # improve best_score (sc < best_score also covers beating a
+            # seeded cross-strand bound)
+            if sc < best_score:
                 best_score = sc
                 best_diff = n_mm + n_gapo + n_gape
                 cur_max_diff = min(best_diff + 1, max_diff)  # top2
@@ -346,15 +367,54 @@ class BwtAligner:
             return aln
         max_diff = bwa_cal_maxdiff(lq, thres=self.fnr)
 
+        # bwa searches one pattern against a fwd+revcomp doubled reference, so
+        # its pruning bounds (top2 shrink / best_score stop / MAX_TOP2) are
+        # global across strands.  Two-search formulation: run fwd, seed rev
+        # with fwd's best; if rev improved the global best, re-run fwd seeded
+        # with the tightened bounds (fixed point — the unseeded fwd pass may
+        # have kept hits the combined search would have pruned, inflating c2)
+        def _best_of(hits):
+            if not hits:
+                return None
+            bsc = min(h.score for h in hits)
+            bdiff = min(h.n_mm + h.n_gapo + h.n_gape
+                        for h in hits if h.score == bsc)
+            bcnt = sum(h.l - h.k + 1 for h in hits if h.score == bsc)
+            return bsc, bdiff, bcnt
+
+        def _merge_seed(a, b):
+            if a is None or b is None:
+                return a if b is None else b
+            if a[0] != b[0]:
+                return a if a[0] < b[0] else b
+            return a[0], min(a[1], b[1]), a[2] + b[2]
+
+        pats = {rev: (codes if not rev
+                      else _RC_CODE[codes[::-1]].astype(np.int64))
+                for rev in (False, True)}
+        # D-array over pat PREFIXES: left-to-right scan on the reversed
+        # text's index (prepending pat[i] there matches reverse(prefix)
+        # in rev(T) <=> the prefix in T)
+        widths = {rev: cal_width(self.fm_rev, pats[rev])
+                  for rev in (False, True)}
+        hits_by = {}
+        seed = None
+        for rev in (False, True):
+            bid, wid = widths[rev]
+            hits_by[rev], _c1, _c2, _bs = match_gap(
+                self.fm, pats[rev], bid, wid, max_diff, seed_best=seed)
+            seed = _merge_seed(seed, _best_of(hits_by[rev]))
+        fwd_best = _best_of(hits_by[False])
+        if (seed is not None and hits_by[False]
+                and (fwd_best is None or seed[0] < fwd_best[0])):
+            bid, wid = widths[False]
+            # exclude fwd's own best from the seed to avoid double-counting
+            hits_by[False], _c1, _c2, _bs = match_gap(
+                self.fm, pats[False], bid, wid, max_diff,
+                seed_best=_best_of(hits_by[True]))
         all_scored = []
         for rev in (False, True):
-            pat = codes if not rev else _RC_CODE[codes[::-1]].astype(np.int64)
-            # D-array over pat PREFIXES: left-to-right scan on the reversed
-            # text's index (prepending pat[i] there matches reverse(prefix)
-            # in rev(T) <=> the prefix in T)
-            bid, wid = cal_width(self.fm_rev, pat)
-            hits, _c1, _c2, _bs = match_gap(self.fm, pat, bid, wid, max_diff)
-            for h in hits:
+            for h in hits_by[rev]:
                 all_scored.append((h.score, rev, h))
         if not all_scored:
             return aln

@@ -10,6 +10,7 @@ The parameter header is embedded so cache validation never touches the payload.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -43,10 +44,23 @@ def save_index(path: str, idx: IndexArrays, compressed: bool = False):
         node_offsets=idx.node_offsets,
         substitution_matrix=idx.substitution_matrix,
     )
-    if compressed:
-        np.savez_compressed(path, **arrays)
-    else:
-        np.savez(path, **arrays)
+    # atomic publish: write to a process-unique temp in the same directory,
+    # then rename over the destination — concurrent readers (multi-host batch
+    # mode shares the cache path on a shared filesystem) never see a partial
+    # file, and concurrent writers are last-writer-wins with identical content
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        if compressed:
+            np.savez_compressed(tmp, **arrays)
+        else:
+            np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def read_index_params(path: str) -> dict:

@@ -52,6 +52,26 @@ def maybe_initialize(coordinator: str = "", num_processes: int = 0,
     return False
 
 
+def process_rank_safe() -> tuple:
+    """(process_index, process_count) WITHOUT forcing a backend handshake in
+    single-process mode (forked host-stage workers must never spin up their
+    own device clients).  Only consults jax when distributed mode was
+    actually initialized (maybe_initialize ran, or the env announces a
+    coordinator)."""
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return 0, 1
+    if not (getattr(maybe_initialize, "_done", False)
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        return 0, 1
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
 def process_read_shard(n_items: int) -> slice:
     """This process's contiguous shard of a host-side work list (FASTQ
     streaming, BAM/VCF writing stay per-host data-parallel, mirroring the

@@ -119,18 +119,56 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
             cfg.log(f"[index] loaded reference .idx "
                     f"({len(idx.seed_hashes)} seed changes, "
                     f"{len(idx.node_ids)} nodes)")
+            # index params are authoritative at use time (the reference
+            # overrides CLI from the index, placement.cpp:1094-1101) — but a
+            # silent disagreement with configured seeding flags is a footgun,
+            # so mirror the npz path's validation with a loud warning
+            p = idx.params
+            got = dict(k=p.k, s=p.s, t=p.t, l=p.l, open=p.open, hpc=p.hpc)
+            cli = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open,
+                       hpc=cfg.hpc)
+            diff = {key: (cli[key], got[key]) for key in got
+                    if cli[key] != got[key]}
+            if diff:
+                cfg.log("[index] warning: configured seeding params disagree "
+                        "with the loaded reference index and are IGNORED "
+                        "(index is authoritative): " + ", ".join(
+                            f"{key}={a}->index {b}"
+                            for key, (a, b) in sorted(diff.items())))
             return idx, tree
     want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open, hpc=cfg.hpc,
                 flank_mask_bp=cfg.flank_mask_bp, impute_amb=cfg.impute,
                 extent_guard=cfg.extent_guard)
-    if os.path.exists(path) and not cfg.reindex:
+    def _cache_usable():
+        if not os.path.exists(path) or cfg.reindex:
+            return False
         try:
             hdr = read_index_params(path)
-            if (all(hdr.get(key, False) == val for key, val in want.items())
-                    and os.path.getmtime(path) >= os.path.getmtime(cfg.panman)):
-                return load_index(path), tree
+            return (all(hdr.get(key, False) == val
+                        for key, val in want.items())
+                    and os.path.getmtime(path) >= os.path.getmtime(cfg.panman))
         except Exception:
-            pass
+            return False
+
+    if _cache_usable():
+        return load_index(path), tree
+    # multi-host: only process 0 builds the shared cache (save_index publishes
+    # it with an atomic rename); peers poll for it and only build themselves
+    # on timeout (still safe — identical content, atomic replace)
+    from .parallel.dist import process_rank_safe
+
+    pid, nproc = process_rank_safe()
+    if nproc > 1 and pid != 0 and not cfg.reindex:
+        wait_s = float(os.environ.get("PANMAP_TPU_INDEX_WAIT_S", "900"))
+        cfg.log(f"[index] process {pid}: waiting for process 0 to build "
+                f"{path} (up to {wait_s:.0f}s)")
+        deadline = time.time() + wait_s
+        while time.time() < deadline:
+            if _cache_usable():
+                return load_index(path), tree
+            time.sleep(2.0)
+        cfg.log(f"[index] process {pid}: cache did not appear; building "
+                f"locally")
     if tree is None:
         tree = load_panman(cfg.panman)
     t0 = time.time()
@@ -190,8 +228,9 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     res = None
     if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
         # DEFAULT: device row-delta scoring + widened tie selection, exact
-        # f64 path-replay rescue of the candidates — byte-identical to the
-        # host engine by construction (place/query_tpu.py::place_exact).
+        # f64 path-replay rescue of the candidates, guarded per query (see
+        # place/query_tpu.py::place_exact); any guard trip returns None and
+        # the full f64 host engine runs instead.
         # dump-all-scores/refine need the full f64 matrix: host engine.
         try:
             res = _get_placer(idx, cfg).place_exact(sk,

@@ -520,11 +520,15 @@ class TpuPlacer:
 
     def _make_widened_select_fn(self):
         """Candidate-superset selection: like _make_host_score_fn but with the
-        tolerance widened beyond the f32 accumulation error bound, so the set
-        provably contains every node the exact f64 rule (placement.cpp:355-401)
-        would tie.  The host then replays only the candidates' root->node
-        paths in f64 (engine.rescore_paths) — the device path and the
-        byte-exact golden outputs become the same path."""
+        tolerance widened by a budget (tol + 1e-5) for f32 accumulation error,
+        intended to contain every node the exact f64 rule
+        (placement.cpp:355-401) would tie.  The budget is EMPIRICAL, not a
+        derived bound, so place_exact verifies it per query (measured f32-vs-
+        f64 error at every candidate + f64 closure check on the best excluded
+        node) and falls back to the full host engine on any suspicion.  The
+        host then replays only the candidates' root->node paths in f64
+        (engine.rescore_paths).  Also returns the full f32 score matrix so the
+        host can locate the best node OUTSIDE the candidate set."""
 
         @jax.jit
         def sel(uids, lc, log_mag, nuniq, lden, row_id, row_parent, row_child,
@@ -541,17 +545,22 @@ class TpuPlacer:
             tol = jnp.maximum(best * 1e-4, 1e-9)
             cutoff = best - (2.0 * tol + 1e-5)
             cand = (col >= cutoff) & (col > -1e-5)
-            return jnp.packbits(cand, axis=0), best
+            return jnp.packbits(cand, axis=0), best, col
 
         return sel
 
     def place_exact(self, sk, force_leaf: bool = False):
         """DEFAULT production path: device scoring + widened tie selection,
-        then exact f64 path-replay rescore of the candidates on the host —
-        returns results bit-identical to engine.score_nodes (same sketch sk).
-        Returns None when the exactness guarantee cannot be kept (empty
-        candidate set for some metric, or candidate blow-up): caller falls
-        back to the full host engine."""
+        then exact f64 path-replay rescore of the candidates on the host.
+        The widened cutoff's f32-error budget is verified PER QUERY rather
+        than assumed: (a) the measured |f32 - f64| error at EVERY candidate
+        must stay within half the budget, and (b) the best f32 node OUTSIDE
+        the candidate set is itself rescored in f64 and must fall strictly
+        below best - tol (candidate-set closure).  When every guard passes
+        the result equals engine.score_nodes on the same sketch; on any
+        suspicion (guard trip, empty candidate set for some metric, or
+        candidate blow-up) this returns None and the caller falls back to
+        the full f64 host engine."""
         from .engine import METRICS, PlacementScores, rescore_paths
 
         if not hasattr(self, "_widened_select_fn"):
@@ -604,22 +613,35 @@ class TpuPlacer:
         pl[: len(uids)] = lc
         dev = self.dev
         elig = self._elig_leaf if force_leaf else self._elig_all
-        packed, best32 = self._widened_select_fn(
+        packed, best32, col32 = self._widened_select_fn(
             pu, pl, np.float32(sk.log_read_magnitude),
             np.int32(sk.read_unique_seed_count),
             np.float32(sk.log_containment_denominator),
             dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
             dev.euler_in, dev.euler_out, elig)
-        best32 = np.asarray(best32, dtype=np.float64)
+        del best32  # superseded: the error guard below checks every candidate
+        col32 = np.asarray(col32, dtype=np.float64)  # [n_nodes, 5], -inf inelig
         cand = np.unpackbits(np.asarray(packed), axis=0,
                              count=self.dev.n_nodes).astype(bool)
         cand[:, zero_metric] = False  # identically-zero columns: no rescue
         union = np.flatnonzero(cand.any(axis=1))
         if len(union) > 16384:
             return None  # exactness not guaranteed: full host engine instead
-        exact = rescore_paths(self.idx, sk, union)  # f64 [len(union), 5]
+        # closure witnesses: the best f32 node OUTSIDE each metric's candidate
+        # set (the most likely node for the widened cutoff to have wrongly
+        # excluded); rescored in f64 alongside the candidates
+        out_col = np.where(cand, -np.inf, col32)
+        out_arg = out_col.argmax(axis=0)
+        out_has = np.isfinite(out_col[out_arg, np.arange(5)]) & ~np.asarray(
+            zero_metric)
+        witnesses = np.unique(out_arg[out_has])
+        witnesses = witnesses[~np.isin(witnesses, union)]
+        allnodes = np.concatenate([union, witnesses]).astype(np.int64)
+        exact = rescore_paths(self.idx, sk, allnodes)  # f64 [len, 5]
+        rank = {int(n): i for i, n in enumerate(allnodes)}
 
         res = PlacementScores(scores=np.zeros((0, 5)))
+        nu_rows = np.arange(len(union))
         for m, name in enumerate(METRICS):
             if zero_metric[m]:
                 # engine.select_best on an all-zero column: best 0.0, no ties
@@ -630,21 +652,29 @@ class TpuPlacer:
             in_cand = cand[union, m]
             if not in_cand.any():
                 return None  # widened f32 set empty => f64 best unknowable
-            col = np.where(in_cand, exact[:, m], -np.inf)
+            col = np.where(in_cand, exact[nu_rows, m], -np.inf)
             best = float(col.max())
             if best <= 0:
                 # every candidate non-positive: the f64 max over ALL nodes may
                 # sit below the f32 candidate floor — not provably exact
                 return None
             tol = max(best * 1e-4, 1e-9)
-            # MEASURED error guard for the widening assumption: the device's
-            # f32 best vs the exact f64 best among candidates.  The cutoff
+            # MEASURED error guard for the widening assumption: the cutoff
             # budgeted (tol + 1e-5) of f32 accumulation error on top of the
-            # exact tie rule; if the OBSERVED device error at the argmax
-            # already eats half that budget, the bound cannot be trusted at
-            # other nodes either — fall back to the full host engine.
-            if abs(best32[m] - best) > 0.5 * (tol + 1e-5):
+            # exact tie rule.  Check the observed |f32 - f64| at EVERY
+            # candidate (not just the argmax): if any node's device score
+            # already eats half that budget, the budget cannot be trusted for
+            # the excluded nodes either — fall back to the full host engine.
+            err = np.abs(col32[union[in_cand], m] - exact[nu_rows[in_cand], m])
+            if float(err.max()) > 0.5 * (tol + 1e-5):
                 return None
+            # CLOSURE guard: the best f32 node outside the candidate set must
+            # sit strictly below the exact tie cutoff in f64, otherwise the
+            # widened selection may have dropped a true tie — fall back.
+            if out_has[m]:
+                w = int(out_arg[m])
+                if exact[rank[w], m] >= best - tol:
+                    return None
             tied = union[(col >= best - tol) & (col > 0)]
             res.best_score[name] = best if best > -np.inf else 0.0
             res.tied_indices[name] = tied.tolist()

@@ -538,3 +538,53 @@ def test_place_exact_large_index_stress(rng):
         assert got.best_index[m] == exact.best_index[m], m
         assert got.best_score[m] == exact.best_score[m], m
         assert got.tied_indices[m] == exact.tied_indices[m], m
+
+def test_place_exact_closure_guard_refuses_bad_candidate_set(rng):
+    """Candidate-set CLOSURE guard (ADVICE r2): if the widened f32 selection
+    wrongly excludes a node the exact f64 rule would pick (simulated here by
+    clearing the true argmax's candidate bit), place_exact must detect it via
+    the f64 rescore of the best excluded node and return None (host fallback)
+    — never a silently wrong tie set."""
+    from panmap_tpu.place.engine import (
+        METRICS,
+        prepare_read_sketch,
+        score_nodes,
+        sketch_reads,
+    )
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    k, s, t, l = 19, 8, 0, 3
+    nprng = np.random.default_rng(59)
+    base = [random_dna(rng, 150) for _ in range(24)]
+    freq = sketch_reads(base, k, s, t, l, False)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
+    idx = _synthetic_index(nprng, read_hashes, miss=0.25)
+
+    sk_ = prepare_read_sketch(freq, k, len(base), min_read_support=1)
+    exact = score_nodes(idx, sk_)
+    placer = TpuPlacer(idx, pad_len=152, batch=32)
+    # sanity: the unmolested path matches
+    got = placer.place_exact(sk_)
+    assert got is not None
+    assert got.best_index == exact.best_index
+
+    # wrap the select fn: forcibly clear the true best node's candidate bit
+    # for one metric with a non-trivial tie set
+    inner = placer._widened_select_fn
+    n = len(idx.node_ids)
+    victim_m = 0
+    victim_node = exact.best_index[METRICS[victim_m]]
+    assert victim_node is not None
+
+    def tampered(*args):
+        packed, best, col = inner(*args)
+        cand = np.unpackbits(np.asarray(packed), axis=0, count=n).astype(bool)
+        cand[victim_node, victim_m] = False
+        return np.packbits(cand, axis=0), best, col
+
+    placer._widened_select_fn = tampered
+    got2 = placer.place_exact(sk_)
+    # the true best is now the best f32 node OUTSIDE the candidate set; its
+    # f64 rescore sits at/above best - tol -> the closure guard must refuse
+    assert got2 is None
