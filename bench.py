@@ -100,12 +100,33 @@ def main():
     st = aligner.pallas_stats
     n_mapped = int((ares["mapped"] == 1).sum())
     log(f"[bench] align: {dt_align:.3f}s -> {n_reads/dt_align:,.0f} reads/s "
-        f"({n_mapped} mapped, pallas mode={aligner.pallas_mode})")
+        f"({n_mapped} mapped, pallas mode={aligner.pallas_mode}, "
+        f"deferred {st['deferred'] if st else 0}, "
+        f"host-routed {st.get('routed_host', 0) if st else 0})")
     if st and st["device_s"] > 0:
-        log(f"[bench] pallas SW: {st['device_scored']} windows, "
+        log(f"[bench] pallas SW (auto path): {st['device_scored']} windows, "
             f"{st['cells']/1e9:.3f} Gcells in {st['device_s']:.3f}s = "
             f"{st['cells']/st['device_s']/1e9:.2f} GCUPS "
             f"(survivors {st['survivors']})")
+    elif st and st.get("routed_host"):
+        # deferred set below the device-dispatch breakeven: the auto path
+        # ran the host DP.  Measure the kernel itself on a forced pass so
+        # the device DP stays characterized on every bench run.
+        os.environ["PANMAP_PALLAS_MIN_WINDOWS"] = "0"
+        try:
+            forced = BatchAligner(ref)
+            forced.align_batch_arrays(aseqs[:2048])  # warmup
+            forced.pallas_stats = None
+            forced.align_batch_arrays(aseqs)
+            fs = forced.pallas_stats
+            if fs and fs["device_s"] > 0:
+                log(f"[bench] pallas SW (forced device pass): "
+                    f"{fs['device_scored']} windows, "
+                    f"{fs['cells']/1e9:.3f} Gcells in {fs['device_s']:.3f}s "
+                    f"= {fs['cells']/fs['device_s']/1e9:.2f} GCUPS "
+                    f"(bit-gate: survivors {fs['survivors']})")
+        finally:
+            del os.environ["PANMAP_PALLAS_MIN_WINDOWS"]
 
     dt = dt_place + dt_align
     rps = n_reads / dt

@@ -229,12 +229,37 @@ class BatchAligner(Aligner):
     _B_TIERS = (64, 256, 1024, 4096)
     _B_CAP = 4096
 
+    # device-dispatch breakeven: below this many deferred windows the native
+    # banded DP finishes before a single remote-TPU round-trip would (the
+    # kernel wins on bulk, not latency — measured ~40µs/window host vs ~80ms
+    # fixed dispatch cost over the tunnel); interpret mode ignores it so the
+    # kernel stays tested on CPU.  Override with PANMAP_PALLAS_MIN_WINDOWS.
+    MIN_DEVICE_WINDOWS = 2048
+
+    def _min_device_windows(self):
+        import os
+
+        v = os.environ.get("PANMAP_PALLAS_MIN_WINDOWS", "")
+        return int(v) if v else self.MIN_DEVICE_WINDOWS
+
     def _resolve_deferred(self, seqs: list, res: dict, mode: str):
         """Score the mapped==3 rows (full-window banded DP) on device with
         the Pallas banded-SW kernel, drop rows under MIN_DP_MAX, and run the
-        host DP only for the survivors' CIGAR traceback."""
+        host DP only for the survivors' CIGAR traceback.  Small deferred sets
+        (below the device-dispatch breakeven) run the host DP directly."""
         rows = np.flatnonzero(res["mapped"] == 3)
         if len(rows) == 0:
+            return
+        if mode == "tpu" and len(rows) < self._min_device_windows():
+            stats = self.pallas_stats
+            if stats is None:
+                stats = self.pallas_stats = dict(
+                    deferred=0, device_scored=0, survivors=0, cells=0,
+                    device_s=0.0, routed_host=0)
+            stats["deferred"] += len(rows)
+            stats["survivors"] += len(rows)
+            stats["routed_host"] = stats.get("routed_host", 0) + len(rows)
+            self._host_dp_rows(seqs, res, rows.tolist())
             return
         ref = self.index.codes2
         lens = res["lens"]
@@ -311,6 +336,20 @@ class BatchAligner(Aligner):
             host_rows = rows.tolist()
 
         stats["survivors"] += len(host_rows)
+        self._host_dp_rows(seqs, res, host_rows, queries)
+
+    def _host_dp_rows(self, seqs: list, res: dict, host_rows: list,
+                      queries: dict | None = None):
+        """Exact banded DP + CIGAR traceback on host for the given deferred
+        rows (threaded: the native DP releases the GIL)."""
+        ref = self.index.codes2
+        if queries is None:
+            queries = {}
+            for r in host_rows:
+                codes = encode(np.frombuffer(seqs[r].encode(), dtype=np.uint8))
+                if res["rev"][r]:
+                    codes = _RC[codes[::-1]]
+                queries[r] = codes
         cap = res["cig"].shape[1]
         code = {c: i for i, c in enumerate(self._CIG_OPS)}
         from ..native import banded_dp_native

@@ -153,3 +153,40 @@ def test_aligner_arrays_device_stage_identical():
         np.testing.assert_array_equal(base[key], got[key], err_msg=key)
     np.testing.assert_array_equal(base["cig"], got["cig"])
     assert base["extra_cigars"] == got["extra_cigars"]
+
+def test_breakeven_routing_host_path_identical():
+    """mode="tpu" with a deferred set below MIN_DEVICE_WINDOWS routes the
+    windows to the host DP (device dispatch latency beats throughput at small
+    counts) — outputs must equal the all-host path exactly, and the stats
+    must record the routing."""
+    from panmap_tpu.align.batch import BatchAligner
+    from panmap_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(31)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    reads = []
+    for _ in range(80):
+        pos = int(rng.integers(0, len(ref) - 180))
+        reads.append(_mutate_read(rng, ref, pos, 151))
+
+    host = BatchAligner(ref)
+    host.pallas_mode = None
+    base = host.align_batch(reads)
+
+    routed = BatchAligner(ref)
+    routed.pallas_mode = "tpu"  # CPU machine: would die on dispatch, but the
+    # deferred set (< MIN_DEVICE_WINDOWS) must be routed to host before any
+    # device call is attempted
+    got = routed.align_batch(reads)
+
+    st = routed.pallas_stats
+    assert st is not None and st["deferred"] > 0
+    assert st.get("routed_host", 0) == st["deferred"]
+    assert st["device_scored"] == 0
+    for i, (a, b) in enumerate(zip(base, got)):
+        assert (a.mapped, a.rs, a.re, a.qs, a.qe, a.rev, a.score, a.mapq,
+                a.nm, a.cigar) == (
+            b.mapped, b.rs, b.re, b.qs, b.qe, b.rev, b.score, b.mapq,
+            b.nm, b.cigar), f"read {i} diverged"
