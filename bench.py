@@ -128,7 +128,27 @@ def main():
         finally:
             del os.environ["PANMAP_PALLAS_MIN_WINDOWS"]
 
-    dt = dt_place + dt_align
+    # ---- pipelined placement+align (the headline) ----
+    # Placement's device program runs while the host computes the alignment
+    # stage's read-side minimizers (reference-independent), so the device
+    # window costs no wall time; alignment then runs its anchoring/verify
+    # phase against the resolved best node with the precomputed triples.
+    # Identical outputs to the sequential stages (tests/test_align_native.py).
+    pt = []
+    for _ in range(7):
+        t0 = time.time()
+        fut = placer.place_best_host_async(seqs)
+        pre = BatchAligner.precompute_minimizers(aseqs)
+        res2 = fut()
+        ares2 = aligner.align_batch_arrays(aseqs, pre=pre)
+        pt.append(time.time() - t0)
+        assert res2.best_index["log_containment"] == best
+        assert int((ares2["mapped"] == 1).sum()) == n_mapped
+    dt_pipe = min(pt)
+    log(f"[bench] pipelined place+align: {dt_pipe:.3f}s -> "
+        f"{n_reads/dt_pipe:,.0f} reads/s")
+
+    dt = min(dt_pipe, dt_place + dt_align)
     rps = n_reads / dt
     log(f"[bench] placement+align: {dt:.3f}s -> {rps:,.0f} reads/s")
 

@@ -160,10 +160,21 @@ class BatchAligner(Aligner):
             self.pallas_mode = _pallas_mode()
         return self.pallas_mode
 
-    def align_batch(self, seqs: list):
+    @staticmethod
+    def precompute_minimizers(seqs: list, k: int = KMER, w: int = WINDOW):
+        """Reference-independent phase 1 of the native aligner: per-read
+        minimizer triples.  Run this while placement's device program is in
+        flight (the alignment reference — the best node — is not known yet),
+        then pass the handle as align_batch*(pre=...).  None without the
+        native library (callers just skip the overlap)."""
+        from ..native import min_sr_native
+
+        return min_sr_native(seqs, k, w)
+
+    def align_batch(self, seqs: list, pre: dict | None = None):
         """Returns list[Alignment] (one per read)."""
         if self.use_native:
-            out = self._align_batch_native(seqs)
+            out = self._align_batch_native(seqs, pre)
             if out is not None:
                 return out
         if len(seqs) > self.CHUNK:
@@ -175,13 +186,13 @@ class BatchAligner(Aligner):
 
     _CIG_OPS = "MIDNSHP=X"
 
-    def _align_batch_native(self, seqs: list):
+    def _align_batch_native(self, seqs: list, pre: dict | None = None):
         from ..native import align_sr_native
 
         mode = self._resolve_pallas_mode()
         res = align_sr_native(seqs, self.index.codes2, self.index.h,
                               self.index.pos, self.index.strand,
-                              self.k, self.w, defer_dp=bool(mode))
+                              self.k, self.w, defer_dp=bool(mode), pre=pre)
         if res is None:
             return None
         if mode:
@@ -398,7 +409,7 @@ class BatchAligner(Aligner):
             else:
                 res["mapped"][r] = 2  # oracle redo downstream
 
-    def align_batch_arrays(self, seqs: list):
+    def align_batch_arrays(self, seqs: list, pre: dict | None = None):
         """Columnar twin of align_batch: returns the native per-read arrays
         (mapped/rev/rs/re/qs/qe ORIENTED/score/mapq/nm/ncig/cig/lens) with
         cigar-overflow rows merged back from the oracle path; `extra_cigars`
@@ -409,7 +420,7 @@ class BatchAligner(Aligner):
         mode = self._resolve_pallas_mode()
         res = align_sr_native(seqs, self.index.codes2, self.index.h,
                               self.index.pos, self.index.strand,
-                              self.k, self.w, defer_dp=bool(mode))
+                              self.k, self.w, defer_dp=bool(mode), pre=pre)
         if res is None:
             return None
         if mode:

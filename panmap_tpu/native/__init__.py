@@ -93,7 +93,15 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int]                                      # defer_dp
+        ctypes.c_int,                                      # defer_dp
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pre CSR
+        ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "pt_min_sr"):
+        lib.pt_min_sr.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,          # k, w, threads
+            ctypes.c_void_p, ctypes.c_void_p,                  # wc_off, cnt
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     if hasattr(lib, "pt_score_simple"):
         lib.pt_score_simple.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # tree
@@ -284,10 +292,49 @@ def encode_reads_native(seqs: list, pad_to: int):
     return out, np.minimum(lens, pad_to).astype(np.int32)
 
 
+def min_sr_native(seqs: list, k: int, w: int, threads: int = 0):
+    """Phase 1 of align_sr_native: per-read minimizer triples, reference-
+    independent.  Returns a dict (joined byte buffer + offsets + worst-case
+    CSR of (pos, hash, strand) triples) to pass as align_sr_native(pre=...),
+    or None without the library.  Running this while the placement device
+    program is in flight hides the alignment's read-scan cost entirely."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_min_sr"):
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    joined = "".join(seqs).encode()
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    n = len(seqs)
+    m = np.maximum(lens - k + 1, 0)
+    wc_off = np.concatenate(([0], np.cumsum(m)))
+    cap = int(wc_off[-1])
+    cnt = np.zeros(n, dtype=np.int32)
+    # worst-case triple buffers are large (~13 B per query position); fresh
+    # allocations would page-fault the whole extent on every call, so reuse a
+    # grow-only scratch (correct as long as the previous result is no longer
+    # in use, which the one-batch-at-a-time callers guarantee)
+    sc = getattr(min_sr_native, "_scratch", None)
+    if sc is None or len(sc[0]) < cap:
+        sc = (np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.uint64),
+              np.empty(cap, dtype=np.uint8))
+        min_sr_native._scratch = sc
+    pos, hsh, strand = sc
+    lib.pt_min_sr(buf.ctypes.data, offsets.ctypes.data, n, k, w, threads,
+                  wc_off.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
+                  hsh.ctypes.data, strand.ctypes.data)
+    gen = min_sr_native._gen = getattr(min_sr_native, "_gen", 0) + 1
+    return {"buf": buf, "offsets": offsets, "lens": lens, "k": k, "w": w,
+            "wc_off": wc_off, "cnt": cnt, "pos": pos, "hash": hsh,
+            "strand": strand, "gen": gen}
+
+
 def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
                     idx_pos: np.ndarray, idx_strand: np.ndarray, k: int,
                     w: int, threads: int = 0, cigar_cap: int = 64,
-                    defer_dp: bool = False):
+                    defer_dp: bool = False, pre: dict | None = None):
     """Native twin of align/batch.py::BatchAligner.align_batch.  Returns a
     dict of per-read arrays (mapped 0/1/2, rev, rs, re, qs, qe oriented,
     score, mapq, nm, ncig, cig u32[n,cap]) or None without the library.
@@ -301,10 +348,16 @@ def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    joined = "".join(seqs).encode()
-    buf = np.frombuffer(joined, dtype=np.uint8)
-    lens = np.array([len(s) for s in seqs], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lens)))
+    if pre is not None and pre["k"] == k and pre["w"] == w \
+            and len(pre["lens"]) == len(seqs) \
+            and pre["gen"] == getattr(min_sr_native, "_gen", 0):
+        buf, offsets, lens = pre["buf"], pre["offsets"], pre["lens"]
+    else:
+        pre = None
+        joined = "".join(seqs).encode()
+        buf = np.frombuffer(joined, dtype=np.uint8)
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
     n = len(seqs)
     ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
     idx_h = np.ascontiguousarray(idx_h, dtype=np.uint64)
@@ -331,7 +384,12 @@ def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
         out["rs"].ctypes.data, out["re"].ctypes.data, out["qs"].ctypes.data,
         out["qe"].ctypes.data, out["score"].ctypes.data,
         out["mapq"].ctypes.data, out["nm"].ctypes.data,
-        out["ncig"].ctypes.data, out["cig"].ctypes.data, int(defer_dp))
+        out["ncig"].ctypes.data, out["cig"].ctypes.data, int(defer_dp),
+        pre["wc_off"].ctypes.data if pre is not None else None,
+        pre["cnt"].ctypes.data if pre is not None else None,
+        pre["pos"].ctypes.data if pre is not None else None,
+        pre["hash"].ctypes.data if pre is not None else None,
+        pre["strand"].ctypes.data if pre is not None else None)
     out["lens"] = lens
     return out
 

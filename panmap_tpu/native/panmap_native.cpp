@@ -936,6 +936,11 @@ struct Scratch {
     std::vector<int64_t> diag0, diag1;  // (diag<<1) carrying nothing; per rel
     std::vector<int64_t> qv0, qv1;
     std::vector<int64_t> sortbuf;
+    // selected minimizer triples (filled by min_scan or supplied precomputed)
+    std::vector<int32_t> minpos;
+    std::vector<uint64_t> minhash;
+    std::vector<uint8_t> minstrand;
+    std::vector<int> dq;  // min_scan monotonic deque
 };
 
 // Local affine-gap DP with query-end bonuses (align/core.py::banded_affine_dp,
@@ -1353,14 +1358,9 @@ static void extend(const Ctx& C, Scratch& S, const uint8_t* q, int lq,
 }
 
 // One read end-to-end: minimizers -> anchors -> cluster -> verify/extend.
-// Mirrors align/batch.py::_align_chunk per-read semantics (incl. best/second
-// cluster selection by votes with (rel, diag) creation-order tie-break).
-static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
-                      int lq, Aln& a) {
-    int k = C.k, w = C.w;
-    int m = lq - k + 1;
-    if (m <= 0) return;
-    S.codes.resize(lq);
+static void encode_read(const uint8_t* seq_bytes, int lq,
+                        std::vector<uint8_t>& out) {
+    out.resize(lq);
     for (int i = 0; i < lq; ++i) {
         uint8_t b = seq_bytes[i];
         uint8_t c;
@@ -1371,9 +1371,22 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
             case 'T': case 't': c = 3; break;
             default: c = 4;
         }
-        S.codes[i] = c;
+        out[i] = c;
     }
-    const uint8_t* codes = S.codes.data();
+}
+
+// Read-side minimizer scan (reference-independent phase of align_one): fills
+// S.minpos/minhash/minstrand with the selected (position, canonical hash,
+// strand) triples.  Split out so callers can precompute it for a whole batch
+// while the placement device program is still in flight (the alignment
+// reference is not known until placement resolves, but this phase never
+// touches it).
+static void min_scan(int k, int w, const uint8_t* codes, int lq, Scratch& S) {
+    S.minpos.clear();
+    S.minhash.clear();
+    S.minstrand.clear();
+    int m = lq - k + 1;
+    if (m <= 0) return;
     uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
     S.h.resize(m);
     S.strand.resize(m);
@@ -1408,39 +1421,75 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
             if (S.h[j] < S.h[jm]) jm = j;
         if (S.h[jm] != U64MAX) S.sortbuf.push_back(jm);
     } else {
-        int nwin = m - w + 1;
-        // window minima via monotonic deque
-        std::vector<int> dq(m);
-        std::vector<uint64_t> wm(nwin);
+        // monotonic deque (buffer lives in Scratch: a per-read malloc here
+        // dominated the scan cost)
+        auto& dq = S.dq;
+        dq.resize(m);
+        // tie-preserving monotonic deque (pop on strictly-greater, so equal
+        // values stay queued and the deque is value-nondecreasing from the
+        // head): a position j is selected iff some window's minimum equals
+        // h[j], i.e. iff j appears in the head-run of equal minima of a
+        // window.  Window-min positions are nondecreasing as the window
+        // slides and each head-run is position-ascending, so emitting only
+        // j > last_emit yields every selected position exactly once, in
+        // ascending order — identical output to the O(m*w) scan of the
+        // numpy oracle (batch.py::batch_minimizers), amortized O(1)/base.
         int head = 0, tail = 0;
+        int last_emit = -1;
         for (int i = 0; i < m; ++i) {
-            while (tail > head && S.h[dq[tail - 1]] >= S.h[i]) --tail;
+            while (tail > head && S.h[dq[tail - 1]] > S.h[i]) --tail;
             dq[tail++] = i;
             if (dq[head] <= i - w) ++head;
-            if (i >= w - 1) wm[i - w + 1] = S.h[dq[head]];
-        }
-        for (int j = 0; j < m; ++j) {
-            if (S.h[j] == U64MAX) continue;
-            int i0 = std::max(0, j - w + 1);
-            int i1 = std::min(nwin - 1, j);
-            bool is_min = false;
-            for (int i = i0; i <= i1; ++i)
-                if (wm[i] == S.h[j]) {
-                    is_min = true;
-                    break;
+            if (i >= w - 1) {
+                uint64_t mv = S.h[dq[head]];
+                if (mv == U64MAX) continue;
+                for (int x = head; x < tail && S.h[dq[x]] == mv; ++x) {
+                    int j = dq[x];
+                    if (j > last_emit) {
+                        S.sortbuf.push_back(j);
+                        last_emit = j;
+                    }
                 }
-            if (is_min) S.sortbuf.push_back(j);
+            }
         }
     }
-    if (S.sortbuf.empty()) return;
+    for (int64_t jj : S.sortbuf) {
+        int j = (int)jj;
+        S.minpos.push_back((int32_t)j);
+        S.minhash.push_back(S.h[j]);
+        S.minstrand.push_back(S.strand[j]);
+    }
+}
+
+// Mirrors align/batch.py::_align_chunk per-read semantics (incl. best/second
+// cluster selection by votes with (rel, diag) creation-order tie-break).
+// mpos/mhash/mstrand/nmin: optional precomputed minimizer triples from
+// min_scan (nmin < 0 => scan inline).
+static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
+                      int lq, Aln& a, const int32_t* mpos = nullptr,
+                      const uint64_t* mhash = nullptr,
+                      const uint8_t* mstrand = nullptr, int64_t nmin = -1) {
+    int k = C.k, w = C.w;
+    if (lq - k + 1 <= 0) return;
+    encode_read(seq_bytes, lq, S.codes);
+    const uint8_t* codes = S.codes.data();
+    if (nmin < 0) {
+        min_scan(k, w, codes, lq, S);
+        mpos = S.minpos.data();
+        mhash = S.minhash.data();
+        mstrand = S.minstrand.data();
+        nmin = (int64_t)S.minpos.size();
+    }
+    if (nmin == 0) return;
     // anchors per rel strand: (diag, qv)
     S.diag0.clear();
     S.qv0.clear();
     S.diag1.clear();
     S.qv1.clear();
-    for (int64_t jj : S.sortbuf) {
-        int j = (int)jj;
-        uint64_t hv = S.h[j];
+    for (int64_t ii = 0; ii < nmin; ++ii) {
+        int j = (int)mpos[ii];
+        uint64_t hv = mhash[ii];
+        uint8_t st = mstrand[ii];
         // equal_range over sorted idx_h
         int64_t lo = 0, hi = C.m_idx;
         while (lo < hi) {
@@ -1453,7 +1502,7 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
         int64_t e = lo;
         while (e < C.m_idx && C.idx_h[e] == hv) ++e;
         for (int64_t t = lo; t < e; ++t) {
-            int rel = C.idx_strand[t] ^ S.strand[j];
+            int rel = C.idx_strand[t] ^ st;
             int64_t pos = C.idx_pos[t];
             if (rel == 0) {
                 S.diag0.push_back(pos - j);
@@ -1561,6 +1610,49 @@ extern "C" {
 // qs/qe outputs are ORIENTED coordinates (caller flips for rev reads, like
 // batch.py does).  out_mapped: 0=unmapped, 1=mapped, 2=cigar overflow (caller
 // must realign that read with the Python oracle path).
+// Batched read-side minimizer precompute (phase 1 of pt_align_sr; reference-
+// independent, so it can run while the placement device program is in
+// flight).  Caller supplies worst-case CSR offsets wc_off[i] = cumsum of
+// max(lq_i - k + 1, 0); triples for read i land at [wc_off[i],
+// wc_off[i] + out_cnt[i]).
+void pt_min_sr(const uint8_t* joined, const int64_t* offsets, int64_t n_reads,
+               int k, int w, int n_threads, const int64_t* wc_off,
+               int32_t* out_cnt, int32_t* out_pos, uint64_t* out_hash,
+               uint8_t* out_strand) {
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t a0, int64_t b0) {
+        sr::Scratch S;
+        for (int64_t i = a0; i < b0; ++i) {
+            const uint8_t* sb = joined + offsets[i];
+            int lq = (int)(offsets[i + 1] - offsets[i]);
+            out_cnt[i] = 0;
+            if (lq - k + 1 <= 0) continue;
+            sr::encode_read(sb, lq, S.codes);
+            sr::min_scan(k, w, S.codes.data(), lq, S);
+            int n = (int)S.minpos.size();
+            out_cnt[i] = n;
+            int64_t o = wc_off[i];
+            for (int x = 0; x < n; ++x) {
+                out_pos[o + x] = S.minpos[x];
+                out_hash[o + x] = S.minhash[x];
+                out_strand[o + x] = S.minstrand[x];
+            }
+        }
+    };
+    if (n_threads == 1 || n_reads < 256) {
+        work(0, n_reads);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int ti = 0; ti < n_threads; ++ti) {
+        int64_t a0 = ti * chunk, b0 = std::min<int64_t>(a0 + chunk, n_reads);
+        if (a0 >= b0) break;
+        threads.emplace_back(work, a0, b0);
+    }
+    for (auto& th : threads) th.join();
+}
+
 void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
                  int64_t n_reads, const uint8_t* ref_codes, int64_t lr,
                  const uint64_t* idx_h, const int32_t* idx_pos,
@@ -1569,17 +1661,25 @@ void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
                  uint8_t* out_rev, int32_t* out_rs, int32_t* out_re,
                  int32_t* out_qs, int32_t* out_qe, int32_t* out_score,
                  int32_t* out_mapq, int32_t* out_nm, int32_t* out_ncig,
-                 uint32_t* out_cig, int defer_dp) {
+                 uint32_t* out_cig, int defer_dp, const int64_t* pre_off,
+                 const int32_t* pre_cnt, const int32_t* pre_pos,
+                 const uint64_t* pre_hash, const uint8_t* pre_strand) {
     sr::Ctx C{ref_codes, lr, idx_h, idx_pos, idx_strand, m_idx, k, w,
               defer_dp};
     if (n_threads < 1) n_threads = 1;
+    bool pre = pre_off != nullptr && pre_cnt != nullptr;
     auto work = [&](int64_t a0, int64_t b0) {
         sr::Scratch S;
         for (int64_t i = a0; i < b0; ++i) {
             const uint8_t* sb = joined + offsets[i];
             int lq = (int)(offsets[i + 1] - offsets[i]);
             sr::Aln A;
-            sr::align_one(C, S, sb, lq, A);
+            if (pre)
+                sr::align_one(C, S, sb, lq, A, pre_pos + pre_off[i],
+                              pre_hash + pre_off[i], pre_strand + pre_off[i],
+                              pre_cnt[i]);
+            else
+                sr::align_one(C, S, sb, lq, A);
             if (A.defer) {
                 // mapped==3: full-window DP deferred to the device scoring
                 // stage.  Field reuse: rs/re = window [lo,hi), score = votes,

@@ -555,18 +555,61 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
     return ref, placed
 
 
+def _start_align_prefetch(cfg: PipelineConfig):
+    """Kick the alignment stage's placement-independent work onto a worker
+    thread: the fastq re-read and (for the short-read native aligner) the
+    read-side minimizer scan.  Returns a zero-arg joiner yielding
+    (names, seqs, quals, pre) — pre is None when not applicable.  Runs
+    inside placement's wall time (the scan is native and releases the GIL)."""
+    import threading
+
+    box = {}
+
+    def work():
+        try:
+            names, seqs, quals = fastq.read_paired_for_alignment(
+                cfg.reads1, cfg.reads2 or None)
+            pre = None
+            avg = sum(len(s) for s in seqs) / max(len(seqs), 1)
+            if cfg.aligner != "bwa" and avg < 500:
+                from .align.batch import BatchAligner
+
+                pre = BatchAligner.precompute_minimizers(seqs)
+            box["v"] = (names, seqs, quals, pre)
+        except Exception as exc:
+            box["err"] = exc
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+
+    def join():
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        return box["v"]
+
+    return join
+
+
 def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
-                  defer_bam: bool = False):
+                  defer_bam: bool = False, prefetch=None):
     """Align reads to the best node's sequence and write the BAM.  With
     defer_bam=True the BAM encode+write runs on a worker thread and a
     3-tuple (ref, placed, join_fn) is returned — genotyping only consumes
-    `placed`, so the caller can overlap the write with the call stage."""
+    `placed`, so the caller can overlap the write with the call stage.
+    `prefetch` is an optional _start_align_prefetch joiner carrying the
+    fastq re-read and the minimizer pre-scan done during placement."""
     ref = tree.get_string(best_node)
     ref_path = cfg.output + ".ref.fa"
     with open(ref_path, "w") as fh:
         fh.write(f">{best_node}\n{ref}\n")
 
-    names, seqs, quals = fastq.read_paired_for_alignment(cfg.reads1, cfg.reads2 or None)
+    pre = None
+    if prefetch is not None:
+        names, seqs, quals, pre = prefetch()
+    else:
+        names, seqs, quals = fastq.read_paired_for_alignment(
+            cfg.reads1, cfg.reads2 or None)
     paired = bool(cfg.reads2)
     t0 = time.time()
     avg_len = sum(len(s) for s in seqs) / max(len(seqs), 1)
@@ -593,7 +636,8 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
         from .align.batch import BatchAligner
 
         aligner = BatchAligner(ref)
-        res = aligner.align_batch_arrays(seqs) if aligner.use_native else None
+        res = (aligner.align_batch_arrays(seqs, pre=pre)
+               if aligner.use_native else None)
         if res is not None:
             cfg.log(f"[align] {len(seqs)} reads in {time.time()-t0:.1f}s")
             return _emit_columnar(cfg, names, seqs, quals, res, paired, ref,
@@ -938,6 +982,13 @@ def _run_pipeline_inner(cfg: PipelineConfig):
                 return _box["tree"]
 
         tree_future = _Fut()
+    # alignment-stage prefetch: the fastq re-read and the read-side minimizer
+    # scan are independent of the placement result (the best node only picks
+    # the REFERENCE), so both run on a worker thread inside placement's wall
+    # time; run_alignment consumes them
+    align_prefetch = None
+    if cfg.reads1 and cfg.stop not in ("place",) and not cfg.refine:
+        align_prefetch = _start_align_prefetch(cfg)
     if cfg.reference_node:
         # main.cpp:2473-2475: skip placement, force the reference node
         cfg.log(f"[place] placement skipped, forced reference {cfg.reference_node}")
@@ -962,7 +1013,8 @@ def _run_pipeline_inner(cfg: PipelineConfig):
         return
     if tree is None:
         tree = load_panman(cfg.panman)
-    ref, placed, bam_join = run_alignment(cfg, tree, best_id, defer_bam=True)
+    ref, placed, bam_join = run_alignment(cfg, tree, best_id, defer_bam=True,
+                                          prefetch=align_prefetch)
     if cfg.stop == "align":
         bam_join()
         return

@@ -480,11 +480,23 @@ class TpuPlacer:
         """Hybrid fast path: native host sketch+count+join, device row-delta
         scoring + selection.  Falls back to the all-device path when the
         native library is missing.  Same results as place_best."""
+        return self.place_best_host_async(seqs, min_read_support,
+                                          force_leaf)()
+
+    def place_best_host_async(self, seqs: list, min_read_support: int = -1,
+                              force_leaf: bool = False):
+        """Pipelined variant of place_best_host: the host sketch runs now and
+        the device program is DISPATCHED (JAX dispatch is asynchronous);
+        returns a zero-arg resolver that blocks on the device result.  The
+        caller can do reference-independent host work (e.g. the alignment
+        stage's read minimizer precompute) between dispatch and resolve —
+        that work then runs entirely inside the device's compute window."""
         from .engine import METRICS, PlacementScores
 
         sk = self.sketch_host(seqs, min_read_support)
         if sk is None:
-            return self.place_best(seqs, min_read_support, force_leaf)
+            res = self.place_best(seqs, min_read_support, force_leaf)
+            return lambda: res
         uids, lc, log_mag, nuniq, lden = sk
         if not hasattr(self, "_host_score_fn"):
             self._host_score_fn = self._make_host_score_fn()
@@ -506,17 +518,21 @@ class TpuPlacer:
             pu, pl, np.float32(log_mag), np.int32(nuniq), np.float32(lden),
             dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
             dev.euler_in, dev.euler_out, elig)
-        best = np.asarray(best)
-        tied = np.unpackbits(np.asarray(packed), axis=0,
-                             count=self.dev.n_nodes).astype(bool)
-        res = PlacementScores(scores=np.zeros((0, 5)))
-        for m, name in enumerate(METRICS):
-            b = float(best[m])
-            idxs = np.flatnonzero(tied[:, m])
-            res.best_score[name] = b if np.isfinite(b) else 0.0
-            res.tied_indices[name] = idxs.tolist()
-            res.best_index[name] = int(idxs[0]) if len(idxs) else None
-        return res
+
+        def resolve():
+            b_ = np.asarray(best)  # blocks on the device computation
+            tied = np.unpackbits(np.asarray(packed), axis=0,
+                                 count=self.dev.n_nodes).astype(bool)
+            res = PlacementScores(scores=np.zeros((0, 5)))
+            for m, name in enumerate(METRICS):
+                b = float(b_[m])
+                idxs = np.flatnonzero(tied[:, m])
+                res.best_score[name] = b if np.isfinite(b) else 0.0
+                res.tied_indices[name] = idxs.tolist()
+                res.best_index[name] = int(idxs[0]) if len(idxs) else None
+            return res
+
+        return resolve
 
     def _make_widened_select_fn(self):
         """Candidate-superset selection: like _make_host_score_fn but with the

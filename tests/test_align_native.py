@@ -158,3 +158,76 @@ def test_native_matches_oracle_golden_reads():
         _cmp(g, w, i)
         n_mapped += g.mapped
     assert n_mapped > 80000
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_precomputed_minimizers_match_inline(seed):
+    """Phase-split equality: align with min_sr_native-precomputed triples
+    (the placement-overlap path) must be bit-identical to the inline scan,
+    across every read family in the synthetic corpus."""
+    from panmap_tpu.native import min_sr_native
+
+    rng = random.Random(seed)
+    ref = _ref(rng)
+    al = BatchAligner(ref)
+    reads = _reads(rng, ref)
+    pre = min_sr_native(reads, al.k, al.w)
+    assert pre is not None
+    want = al.align_batch_arrays(reads)
+    got = al.align_batch_arrays(reads, pre=pre)
+    for key in ("mapped", "rev", "rs", "re", "qs", "qe", "score", "mapq",
+                "nm", "ncig", "cig"):
+        assert np.array_equal(want[key], got[key]), key
+
+
+def test_stale_precompute_is_recomputed_inline():
+    """A pre handle invalidated by a later min_sr_native call (the grow-only
+    scratch was reused) must be ignored, not silently used."""
+    from panmap_tpu.native import min_sr_native
+
+    rng = random.Random(3)
+    ref = _ref(rng, 3000)
+    al = BatchAligner(ref)
+    reads_a = _reads(rng, ref, n=30)
+    reads_b = _reads(rng, ref, n=30)
+    pre_a = min_sr_native(reads_a, al.k, al.w)
+    min_sr_native(reads_b, al.k, al.w)  # clobbers the scratch
+    want = al.align_batch_arrays(reads_a)
+    got = al.align_batch_arrays(reads_a, pre=pre_a)  # stale: must recompute
+    for key in ("mapped", "rs", "re", "score", "cig"):
+        assert np.array_equal(want[key], got[key]), key
+
+
+def test_min_scan_matches_numpy_on_tie_rich_reads():
+    """The tie-preserving deque emit must select exactly the positions the
+    numpy window-min oracle selects — exercised on repeat-motif reads where
+    many k-mers hash identically (every window is a tie)."""
+    from panmap_tpu.align.batch import batch_minimizers
+    from panmap_tpu.native import min_sr_native
+    from panmap_tpu.sketch.tpu import encode_reads_batch
+
+    rng = random.Random(5)
+    reads = []
+    for motif in ("AC", "ACG", "ACGT", "AACGT", "A"):
+        reads.append(motif * (150 // len(motif)))
+    for _ in range(20):  # random reads with embedded repeats
+        L = rng.randrange(60, 150)
+        r = "".join(rng.choice(BASES) for _ in range(L))
+        m = rng.choice(("AT", "GGC"))
+        i = rng.randrange(0, max(L - 40, 1))
+        r = r[:i] + m * 15 + r[i + 30:]
+        reads.append(r)
+    reads.append("ACGT" * 8)  # short (m <= w)
+    al_k, al_w = 21, 11
+    pre = min_sr_native(reads, al_k, al_w)
+    assert pre is not None
+    enc, lens = encode_reads_batch(reads, pad_to=max(len(r) for r in reads))
+    ridx, qpos, qh, qstrand = batch_minimizers(enc, lens, al_k, al_w)
+    for i, r in enumerate(reads):
+        sel = np.flatnonzero(ridx == i)
+        o = int(pre["wc_off"][i])
+        n = int(pre["cnt"][i])
+        assert n == len(sel), (i, r[:30], n, len(sel))
+        assert np.array_equal(pre["pos"][o : o + n], qpos[sel]), i
+        assert np.array_equal(pre["hash"][o : o + n], qh[sel]), i
+        assert np.array_equal(pre["strand"][o : o + n], qstrand[sel]), i
