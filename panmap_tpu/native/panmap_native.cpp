@@ -49,28 +49,58 @@ struct Tables {
 };
 const Tables T;
 
-// forward/rc hashes of every length-w window (sketch/cpu.py _window_hashes):
+// branchless variable rotates (lane-independent, so loops over these
+// vectorize to vprolvq/vprorvq under -march=native on avx512)
+inline uint64_t rolv(uint64_t x, uint64_t r) {
+    unsigned rr = (unsigned)r & 63u;
+    return (x << rr) | (x >> ((64u - rr) & 63u));
+}
+inline uint64_t rorv(uint64_t x, uint64_t r) {
+    unsigned rr = (unsigned)r & 63u;
+    return (x >> rr) | (x << ((64u - rr) & 63u));
+}
+
+// Window hashing in prefix-XOR form (sketch/cpu.py _window_hashes semantics):
 //   F_i = XOR_j rol(h[i+j], w-1-j),  R_i = XOR_j rol(hc[i+j], j)
-// computed with O(1) rolling updates.
+// Rotation is a bit permutation, so it commutes with XOR; substituting
+// m = i+j gives
+//   F_i = rol(P[i+w] ^ P[i], (w-1+i) & 63)   with P = prefix-XOR of
+//                                                  u_m = ror(h[m], m & 63)
+//   R_i = ror(Q[i+w] ^ Q[i], i & 63)          with Q = prefix-XOR of
+//                                                  v_m = rol(hc[m], m & 63)
+// ONE prefix pair serves every window size (the syncmer scan needs both k
+// and s), and each output element is independent of its neighbors, so the
+// per-window loops vectorize — unlike the serial rolling recurrence.
+static void hash_prefixes(const uint64_t* h, const uint64_t* hc, int64_t n,
+                          uint64_t* P, uint64_t* Q) {  // P,Q length n+1
+    for (int64_t m = 0; m < n; ++m) {  // vectorizable rotate pass
+        P[m + 1] = rorv(h[m], (uint64_t)m);
+        Q[m + 1] = rolv(hc[m], (uint64_t)m);
+    }
+    P[0] = 0;
+    Q[0] = 0;
+    for (int64_t m = 0; m < n; ++m) {  // serial XOR prefix (1 op/elem)
+        P[m + 1] ^= P[m];
+        Q[m + 1] ^= Q[m];
+    }
+}
+
+static void window_hashes_pfx(const uint64_t* P, const uint64_t* Q, int64_t n,
+                              int w, uint64_t* F, uint64_t* R) {
+    int64_t m = n - w + 1;
+    for (int64_t i = 0; i < m; ++i)
+        F[i] = rolv(P[i + w] ^ P[i], (uint64_t)(w - 1 + i));
+    for (int64_t i = 0; i < m; ++i)
+        R[i] = rorv(Q[i + w] ^ Q[i], (uint64_t)i);
+}
+
 static void window_hashes(const uint64_t* h, const uint64_t* hc, int64_t n,
                           int w, uint64_t* F, uint64_t* R) {
     int64_t m = n - w + 1;
     if (m <= 0) return;
-    uint64_t f = 0, r = 0;
-    for (int j = 0; j < w; ++j) {
-        f ^= rol(h[j], w - 1 - j);
-        r ^= rol(hc[j], j);
-    }
-    F[0] = f;
-    R[0] = r;
-    for (int64_t i = 1; i < m; ++i) {
-        f = rol(f, 1) ^ rol(h[i - 1], w) ^ h[i + w - 1];
-        uint64_t rprev = R[i - 1] ^ hc[i - 1];
-        r = (rprev >> 1) | (rprev << 63);  // ror 1
-        r ^= rol(hc[i + w - 1], w - 1);
-        F[i] = f;
-        R[i] = r;
-    }
+    std::vector<uint64_t> P(n + 1), Q(n + 1);
+    hash_prefixes(h, hc, n, P.data(), Q.data());
+    window_hashes_pfx(P.data(), Q.data(), n, w, F, R);
 }
 
 // sliding minimum over windows of length w (monotonic deque)
@@ -102,9 +132,10 @@ void pt_rolling_syncmers(const uint8_t* seq, int64_t n, int k, int s, int t,
         hc[i] = T.chash_comp[seq[i]];
     }
     int64_t mk = n - k + 1, ms = n - s + 1;
-    std::vector<uint64_t> Fk(mk), Rk(mk), Fs(ms), Rs(ms);
-    window_hashes(h.data(), hc.data(), n, k, Fk.data(), Rk.data());
-    window_hashes(h.data(), hc.data(), n, s, Fs.data(), Rs.data());
+    std::vector<uint64_t> Fk(mk), Rk(mk), Fs(ms), Rs(ms), P(n + 1), Q(n + 1);
+    hash_prefixes(h.data(), hc.data(), n, P.data(), Q.data());
+    window_hashes_pfx(P.data(), Q.data(), n, k, Fk.data(), Rk.data());
+    window_hashes_pfx(P.data(), Q.data(), n, s, Fs.data(), Rs.data());
 
     int w = k - s + 1;
     std::vector<uint64_t> Fmin(mk), Rmin(mk);
@@ -173,53 +204,43 @@ void pt_encode_reads(const uint8_t* joined, const int64_t* offsets, int64_t b,
 
 namespace {
 
-struct CountMap {
-    std::vector<uint64_t> keys;
-    std::vector<uint32_t> vals;
-    size_t mask = 0;
-    size_t n = 0;
-
-    void init(size_t cap) {  // cap must be a power of two
-        keys.assign(cap, U64MAX);
-        vals.assign(cap, 0);
-        mask = cap - 1;
-        n = 0;
-    }
-    inline size_t slot(uint64_t h) const {
-        return (size_t)((h ^ (h >> 29)) * 0x9E3779B97F4A7C15ULL >> 17) & mask;
-    }
-    void grow() {
-        std::vector<uint64_t> ok;
-        std::vector<uint32_t> ov;
-        ok.swap(keys);
-        ov.swap(vals);
-        size_t old_cap = mask + 1;
-        init(old_cap * 2);
-        for (size_t i = 0; i < old_cap; ++i)
-            if (ok[i] != U64MAX) add(ok[i], ov[i]);
-    }
-    inline void add(uint64_t h, uint32_t c) {
-        if ((n + 1) * 10 > (mask + 1) * 7) grow();
-        size_t i = slot(h);
-        for (;;) {
-            if (keys[i] == U64MAX) {
-                keys[i] = h;
-                vals[i] = c;
-                ++n;
-                return;
-            }
-            if (keys[i] == h) {
-                vals[i] += c;
-                return;
-            }
-            i = (i + 1) & mask;
+// LSD radix sort for u64 (8 passes x 8 bits): counting into the arbitrary-
+// order hash map was the dominant cost of the read sketch (every add is an
+// LLC miss once the table outgrows L2); sort + run-length-count streams
+// sequentially instead and yields SORTED distinct hashes, which the caller's
+// index join can then consume with a merge scan.
+static void radix_sort_u64(std::vector<uint64_t>& v,
+                           std::vector<uint64_t>& tmp) {
+    size_t n = v.size();
+    if (n < 2) return;
+    tmp.resize(n);
+    uint64_t* a = v.data();
+    uint64_t* b = tmp.data();
+    // 6 passes x 11 bits (last pass 9): fewer full-array sweeps than 8x8
+    constexpr int RADIX_BITS = 11, NPASS = 6;
+    constexpr size_t NBUCKET = (size_t)1 << RADIX_BITS;
+    std::vector<size_t> hist(NBUCKET);
+    for (int pass = 0; pass < NPASS; ++pass) {
+        int sh = pass * RADIX_BITS;
+        std::fill(hist.begin(), hist.end(), 0);
+        for (size_t i = 0; i < n; ++i)
+            ++hist[(a[i] >> sh) & (NBUCKET - 1)];
+        size_t sum = 0;
+        for (size_t x = 0; x < NBUCKET; ++x) {
+            size_t c = hist[x];
+            hist[x] = sum;
+            sum += c;
         }
+        for (size_t i = 0; i < n; ++i)
+            b[hist[(a[i] >> sh) & (NBUCKET - 1)]++] = a[i];
+        std::swap(a, b);
     }
-};
+    if (a != v.data()) std::copy(a, a + n, v.data());
+}
 
 // scratch buffers reused across reads within one thread
 struct SketchScratch {
-    std::vector<uint64_t> h, hc, Fk, Rk, Fs, Rs, Fmin, Rmin, H, h2;
+    std::vector<uint64_t> h, hc, Fk, Rk, Fs, Rs, Fmin, Rmin, H, h2, P, Q;
     std::vector<int32_t> pos;
     std::vector<uint8_t> rev;  // per-syncmer strand (Rk < Fk)
 };
@@ -273,12 +294,14 @@ static void scan_read_syncmers(const uint8_t* seq, int64_t nn, int k, int s,
         any_amb |= (sc.h[i] == 0);
     }
     int64_t ms = nn - s + 1;
-    sc.Fk.resize(m);
-    sc.Rk.resize(m);
     sc.Fs.resize(ms);
     sc.Rs.resize(ms);
-    window_hashes(sc.h.data(), sc.hc.data(), nn, k, sc.Fk.data(), sc.Rk.data());
-    window_hashes(sc.h.data(), sc.hc.data(), nn, s, sc.Fs.data(), sc.Rs.data());
+    sc.P.resize(nn + 1);
+    sc.Q.resize(nn + 1);
+    const uint64_t* P = sc.P.data();
+    const uint64_t* Q = sc.Q.data();
+    hash_prefixes(sc.h.data(), sc.hc.data(), nn, sc.P.data(), sc.Q.data());
+    window_hashes_pfx(P, Q, nn, s, sc.Fs.data(), sc.Rs.data());
     int w = k - s + 1;
     sc.Fmin.resize(m);
     sc.Rmin.resize(m);
@@ -299,21 +322,24 @@ static void scan_read_syncmers(const uint8_t* seq, int64_t nn, int k, int s,
             rev_sync = (sc.Rs[i + k - s - t] == sc.Rmin[i]) ||
                        (sc.Rs[i + t] == sc.Rmin[i]);
         }
-        bool sync = (fwd_sync || rev_sync) && bad_run == 0 &&
-                    (sc.Fk[i] != sc.Rk[i]);
-        if (sync) {
-            sc.H.push_back(sc.Fk[i] < sc.Rk[i] ? sc.Fk[i] : sc.Rk[i]);
-            sc.pos.push_back((int32_t)i);
-            sc.rev.push_back(sc.Rk[i] < sc.Fk[i]);
+        if ((fwd_sync || rev_sync) && bad_run == 0) {
+            // k-window hashes only at syncmer candidates (~1/6 of positions)
+            uint64_t Fk = rolv(P[i + k] ^ P[i], (uint64_t)(k - 1 + i));
+            uint64_t Rk = rorv(Q[i + k] ^ Q[i], (uint64_t)i);
+            if (Fk != Rk) {
+                sc.H.push_back(Fk < Rk ? Fk : Rk);
+                sc.pos.push_back((int32_t)i);
+                sc.rev.push_back(Rk < Fk);
+            }
         }
         if (any_amb) bad_run -= (sc.h[i] == 0);
     }
 }
 
-static void sketch_count_range(const uint8_t* joined, const int64_t* offsets,
-                               int64_t r0, int64_t r1, int k, int s, int t,
-                               int open_, int l, int trim_start, int trim_end,
-                               CountMap& map) {
+static void sketch_collect_range(const uint8_t* joined, const int64_t* offsets,
+                                 int64_t r0, int64_t r1, int k, int s, int t,
+                                 int open_, int l, int trim_start,
+                                 int trim_end, std::vector<uint64_t>& vals) {
     SketchScratch sc;
     for (int64_t r = r0; r < r1; ++r) {
         const uint8_t* seq = joined + offsets[r];
@@ -333,7 +359,7 @@ static void sketch_count_range(const uint8_t* joined, const int64_t* offsets,
         int64_t mh = (int64_t)(hi_i - lo_i);
         if (l == 1) {
             for (int64_t i = 0; i < mh; ++i)
-                if (H[i] != U64MAX) map.add(H[i], 1);
+                if (H[i] != U64MAX) vals.push_back(H[i]);
             continue;
         }
         if (mh < l) continue;
@@ -348,7 +374,7 @@ static void sketch_count_range(const uint8_t* joined, const int64_t* offsets,
             }
             if (f != rr) {  // palindromic windows skipped
                 uint64_t canon = f < rr ? f : rr;
-                if (canon != U64MAX) map.add(canon, 1);
+                if (canon != U64MAX) vals.push_back(canon);
             }
         }
     }
@@ -358,42 +384,69 @@ static void sketch_count_range(const uint8_t* joined, const int64_t* offsets,
 
 extern "C" {
 
-// Returns the number of distinct k-min-mers written to out_hash/out_count,
-// or -1 if cap was insufficient (caller retries with a larger cap).
+// Returns the number of distinct k-min-mers written to out_hash/out_count
+// (SORTED ascending by hash), or -1 if cap was insufficient (caller retries
+// with a larger cap).
 int64_t pt_sketch_count(const uint8_t* joined, const int64_t* offsets,
                         int64_t n_reads, int k, int s, int t, int open_, int l,
                         int trim_start, int trim_end, int n_threads,
                         uint64_t* out_hash, uint32_t* out_count, int64_t cap) {
     if (n_threads < 1) n_threads = 1;
     if (n_threads > (int)n_reads) n_threads = n_reads > 0 ? (int)n_reads : 1;
-    std::vector<CountMap> maps(n_threads);
+    // per-thread: collect raw canonical hashes, radix sort, run-length count
+    std::vector<std::vector<uint64_t>> keys(n_threads);
+    std::vector<std::vector<uint32_t>> cnts(n_threads);
     std::vector<std::thread> threads;
     int64_t chunk = (n_reads + n_threads - 1) / n_threads;
     for (int ti = 0; ti < n_threads; ++ti) {
         int64_t r0 = ti * chunk;
         int64_t r1 = r0 + chunk < n_reads ? r0 + chunk : n_reads;
-        maps[ti].init(1 << 16);
         if (r0 >= r1) continue;
         threads.emplace_back([&, ti, r0, r1]() {
-            sketch_count_range(joined, offsets, r0, r1, k, s, t, open_, l,
-                               trim_start, trim_end, maps[ti]);
+            auto& v = keys[ti];
+            v.reserve((size_t)((r1 - r0) * 24));
+            sketch_collect_range(joined, offsets, r0, r1, k, s, t, open_, l,
+                                 trim_start, trim_end, v);
+            std::vector<uint64_t> tmp;
+            radix_sort_u64(v, tmp);
+            // run-length encode in place: v becomes distinct keys
+            auto& c = cnts[ti];
+            c.reserve(v.size() / 2 + 16);
+            size_t w = 0;
+            for (size_t i = 0; i < v.size();) {
+                uint64_t h = v[i];
+                size_t j = i + 1;
+                while (j < v.size() && v[j] == h) ++j;
+                v[w] = h;
+                c.push_back((uint32_t)(j - i));
+                ++w;
+                i = j;
+            }
+            v.resize(w);
         });
     }
     for (auto& th : threads) th.join();
-    CountMap& m0 = maps[0];
-    for (int ti = 1; ti < n_threads; ++ti) {
-        CountMap& mi = maps[ti];
-        for (size_t i = 0; i <= mi.mask; ++i)
-            if (mi.keys[i] != U64MAX) m0.add(mi.keys[i], mi.vals[i]);
-    }
-    if ((int64_t)m0.n > cap) return -1;
+    // k-way merge of the sorted per-thread distinct lists
+    std::vector<size_t> pos(n_threads, 0);
     int64_t w = 0;
-    for (size_t i = 0; i <= m0.mask; ++i)
-        if (m0.keys[i] != U64MAX) {
-            out_hash[w] = m0.keys[i];
-            out_count[w] = m0.vals[i];
-            ++w;
-        }
+    for (;;) {
+        uint64_t best = U64MAX;
+        bool any = false;
+        for (int ti = 0; ti < n_threads; ++ti)
+            if (pos[ti] < keys[ti].size() && keys[ti][pos[ti]] <= best) {
+                best = keys[ti][pos[ti]];
+                any = true;
+            }
+        if (!any) break;
+        uint64_t total = 0;
+        for (int ti = 0; ti < n_threads; ++ti)
+            if (pos[ti] < keys[ti].size() && keys[ti][pos[ti]] == best)
+                total += cnts[ti][pos[ti]++];
+        if (w >= cap) return -1;
+        out_hash[w] = best;
+        out_count[w] = (uint32_t)total;
+        ++w;
+    }
     return w;
 }
 
@@ -927,6 +980,14 @@ struct Aln {
     int votes = 0, second = 0;
 };
 
+// anchor cluster (shared by align_one's selection and Scratch reuse)
+struct Clu {
+    int votes;
+    int span;
+    int64_t med, dmin, dmax;
+    int rel;
+};
+
 // DP scratch reused across reads within one thread.
 struct Scratch {
     std::vector<int32_t> H, E, F, base;
@@ -941,6 +1002,13 @@ struct Scratch {
     std::vector<uint64_t> minhash;
     std::vector<uint8_t> minstrand;
     std::vector<int> dq;  // min_scan monotonic deque
+    // verify_diag buffers (a malloc per read dominated the verify phase)
+    std::vector<int32_t> vSv, vbl;
+    std::vector<uint8_t> vmt;
+    // align_one cluster selection + extend's reversed-ref window
+    std::vector<Clu> clus;
+    std::vector<int> ord;
+    std::vector<uint8_t> rw;
 };
 
 // Local affine-gap DP with query-end bonuses (align/core.py::banded_affine_dp,
@@ -1163,7 +1231,7 @@ struct Verify {
 };
 
 static Verify verify_diag(const uint8_t* q, int lq, const uint8_t* ref,
-                          int64_t lr, int64_t diag) {
+                          int64_t lr, int64_t diag, Scratch& SC) {
     Verify V;
     int64_t q_lo = std::max<int64_t>(0, -diag);
     int64_t q_hi = std::min<int64_t>(lq, lr - diag);
@@ -1178,8 +1246,10 @@ static Verify verify_diag(const uint8_t* q, int lq, const uint8_t* ref,
     // best_lead = prefix max; totals[c] = S[c] + endb(c) + best_lead[c];
     // jbest = first argmax over c in 1..n; ibest = first c<=jbest with
     // lead[c] == best_lead[jbest].
-    std::vector<int32_t> Sv(n + 1);
-    std::vector<uint8_t> mt(n);
+    SC.vSv.resize(n + 1);
+    SC.vmt.resize(n);
+    auto& Sv = SC.vSv;
+    auto& mt = SC.vmt;
     Sv[0] = 0;
     for (int c = 0; c < n; ++c) {
         uint8_t qc = q[q_lo + c];
@@ -1192,7 +1262,8 @@ static Verify verify_diag(const uint8_t* q, int lq, const uint8_t* ref,
     int32_t best_lead = lead0;
     int32_t best_tot = NEG;
     int jbest = 0;
-    std::vector<int32_t> bl(n + 1);
+    SC.vbl.resize(n + 1);
+    auto& bl = SC.vbl;
     bl[0] = best_lead;
     for (int c = 1; c <= n; ++c) {
         int32_t lead = -Sv[c];
@@ -1237,6 +1308,50 @@ struct Ctx {
     // (window, votes) so the caller can score the batch on the TPU (the
     // Pallas banded-SW kernel) and run host traceback only for survivors
     int defer_dp = 0;
+    // open-addressing table over the DISTINCT hashes of the (sorted) ref
+    // index: hash -> first row of its run.  Replaces the per-minimizer
+    // binary search (13 dependent branches over ~5k entries) with 1-2
+    // probes.  Built once per batch call; read-only across threads.
+    std::vector<uint64_t> tkey;
+    std::vector<int32_t> tval;
+    uint64_t tmask = 0;
+
+    void build_table() {
+        if (m_idx <= 0) return;
+        size_t cap = 64;
+        while (cap < (size_t)m_idx * 2) cap <<= 1;
+        tkey.assign(cap, U64MAX);
+        tval.assign(cap, -1);
+        tmask = cap - 1;
+        for (int64_t i = 0; i < m_idx; ++i) {
+            if (i > 0 && idx_h[i] == idx_h[i - 1]) continue;
+            uint64_t hv = idx_h[i];
+            size_t p = (size_t)((hv ^ (hv >> 33)) * 0xFF51AFD7ED558CCDULL) &
+                       tmask;
+            while (tkey[p] != U64MAX) p = (p + 1) & tmask;
+            tkey[p] = hv;
+            tval[p] = (int32_t)i;
+        }
+    }
+    inline int64_t lookup(uint64_t hv) const {
+        if (tmask == 0) {  // no table: fall back to binary search
+            int64_t lo = 0, hi = m_idx;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (idx_h[mid] < hv)
+                    lo = mid + 1;
+                else
+                    hi = mid;
+            }
+            return (lo < m_idx && idx_h[lo] == hv) ? lo : -1;
+        }
+        size_t p = (size_t)((hv ^ (hv >> 33)) * 0xFF51AFD7ED558CCDULL) & tmask;
+        while (tkey[p] != U64MAX) {
+            if (tkey[p] == hv) return tval[p];
+            p = (p + 1) & tmask;
+        }
+        return -1;
+    }
 };
 
 static void finish(Aln& a, int score, int qs, int qe, int rs, int re,
@@ -1266,7 +1381,7 @@ static void extend(const Ctx& C, Scratch& S, const uint8_t* q, int lq,
     int64_t q_lo = std::max<int64_t>(0, -rs0);
     int64_t q_hi = std::min<int64_t>(lq, C.lr - rs0);
     if (q_hi - q_lo >= C.k && dmin == dmax) {
-        Verify V = verify_diag(q, lq, C.ref, C.lr, diag);
+        Verify V = verify_diag(q, lq, C.ref, C.lr, diag, S);
         int qs = V.qs, qe = V.qe;
         int clip5 = qs, clip3 = lq - qe;
         if (V.score > 0 && clip5 < 10 && clip3 < 10) {
@@ -1306,7 +1421,8 @@ static void extend(const Ctx& C, Scratch& S, const uint8_t* q, int lq,
                 S.tmp.assign(q, q + hl);
                 std::reverse(S.tmp.begin(), S.tmp.end());
                 int wlo = (int)std::max<int64_t>(0, rs - hl - MAX_GAP - 16);
-                std::vector<uint8_t> rw(C.ref + wlo, C.ref + rs);
+                auto& rw = S.rw;
+                rw.assign(C.ref + wlo, C.ref + rs);
                 std::reverse(rw.begin(), rw.end());
                 Cigar ec;
                 int qext = 0, rext = 0;
@@ -1390,7 +1506,10 @@ static void min_scan(int k, int w, const uint8_t* codes, int lq, Scratch& S) {
     uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
     S.h.resize(m);
     S.strand.resize(m);
-    // rolling packed kmers with ambiguity tracking
+    // pass 1 (serial, cheap): rolling packed kmers with ambiguity tracking;
+    // stage the canonical kmer per position so pass 2's mm_hash64 — the
+    // expensive part (~12 ops/position) — runs position-independent and
+    // auto-vectorizes
     uint64_t fwd = 0, rev = 0;
     int ambig = 0;  // count of codes>=4 in current window
     // rev holds complement(seq[j+i]) at bit 2i per window; pre-offset the
@@ -1408,10 +1527,13 @@ static void min_scan(int k, int w, const uint8_t* codes, int lq, Scratch& S) {
         ambig += c >= 4;
         if (j > 0) ambig -= codes[j - 1] >= 4;
         uint8_t st = rev < fwd;
-        uint64_t canon = st ? rev : fwd;
         bool ok = (ambig == 0) && (fwd != rev);
-        S.h[j] = ok ? mm_hash64(canon, mask) : U64MAX;
+        S.h[j] = ok ? (st ? rev : fwd) : U64MAX;
         S.strand[j] = st;
+    }
+    for (int j = 0; j < m; ++j) {  // pass 2: vectorized invertible hash
+        uint64_t x = S.h[j];
+        S.h[j] = x == U64MAX ? U64MAX : mm_hash64(x, mask);
     }
     // minimizer selection
     S.sortbuf.clear();  // reuse as minimizer position list
@@ -1490,15 +1612,8 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
         int j = (int)mpos[ii];
         uint64_t hv = mhash[ii];
         uint8_t st = mstrand[ii];
-        // equal_range over sorted idx_h
-        int64_t lo = 0, hi = C.m_idx;
-        while (lo < hi) {
-            int64_t mid = (lo + hi) >> 1;
-            if (C.idx_h[mid] < hv)
-                lo = mid + 1;
-            else
-                hi = mid;
-        }
+        int64_t lo = C.lookup(hv);  // first row of hv's run (index sorted)
+        if (lo < 0) continue;
         int64_t e = lo;
         while (e < C.m_idx && C.idx_h[e] == hv) ++e;
         for (int64_t t = lo; t < e; ++t) {
@@ -1514,14 +1629,9 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
         }
     }
     // cluster per rel (sorted by diag, split on gaps > MAX_GAP)
-    struct Clu {
-        int votes;
-        int span;
-        int64_t med, dmin, dmax;
-        int rel;
-    };
-    std::vector<Clu> clus;
-    std::vector<int> ord;
+    auto& clus = S.clus;
+    auto& ord = S.ord;
+    clus.clear();
     for (int rel = 0; rel < 2; ++rel) {
         auto& D = rel == 0 ? S.diag0 : S.diag1;
         auto& Q = rel == 0 ? S.qv0 : S.qv1;
@@ -1529,8 +1639,22 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
         if (n == 0) continue;
         ord.resize(n);
         for (size_t i = 0; i < n; ++i) ord[i] = (int)i;
-        std::stable_sort(ord.begin(), ord.end(),
-                         [&](int x, int y) { return D[x] < D[y]; });
+        if (n <= 48) {
+            // insertion sort (stable): typical anchor counts are ~10-30 and
+            // stable_sort's temp-buffer malloc per read dominated this phase
+            for (size_t i = 1; i < n; ++i) {
+                int x = ord[i];
+                size_t j = i;
+                while (j > 0 && D[x] < D[ord[j - 1]]) {
+                    ord[j] = ord[j - 1];
+                    --j;
+                }
+                ord[j] = x;
+            }
+        } else {
+            std::stable_sort(ord.begin(), ord.end(),
+                             [&](int x, int y) { return D[x] < D[y]; });
+        }
         size_t s0 = 0;
         for (size_t i = 1; i <= n; ++i) {
             if (i == n || D[ord[i]] - D[ord[i - 1]] > MAX_GAP) {
@@ -1575,7 +1699,7 @@ static void align_one(const Ctx& C, Scratch& S, const uint8_t* seq_bytes,
         q = S.oriented.data();
     }
     // batch fast path check (verify on med diagonal)
-    Verify V = verify_diag(q, lq, C.ref, C.lr, B.med);
+    Verify V = verify_diag(q, lq, C.ref, C.lr, B.med, S);
     bool single = B.dmin == B.dmax;
     int clip5 = V.qs, clip3 = lq - V.qe;
     bool needs_dp = !single || clip5 >= 10 || clip3 >= 10 || V.score <= 0;
@@ -1666,6 +1790,7 @@ void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
                  const uint64_t* pre_hash, const uint8_t* pre_strand) {
     sr::Ctx C{ref_codes, lr, idx_h, idx_pos, idx_strand, m_idx, k, w,
               defer_dp};
+    C.build_table();
     if (n_threads < 1) n_threads = 1;
     bool pre = pre_off != nullptr && pre_cnt != nullptr;
     auto work = [&](int64_t a0, int64_t b0) {
