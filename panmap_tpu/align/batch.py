@@ -352,7 +352,16 @@ class BatchAligner(Aligner):
     def _host_dp_rows(self, seqs: list, res: dict, host_rows: list,
                       queries: dict | None = None):
         """Exact banded DP + CIGAR traceback on host for the given deferred
-        rows (threaded: the native DP releases the GIL)."""
+        rows.  Fast path: ONE native call realigns the whole subset with the
+        full DP enabled (pt_align_sr_rows — same window formula, same banded
+        DP, so outputs are identical to the per-row loop below, which remains
+        the fallback/oracle)."""
+        if res.get("_buf") is not None and len(host_rows):
+            from ..native import align_sr_rows_native
+
+            if align_sr_rows_native(res, host_rows,
+                                    cigar_cap=res["cig"].shape[1]):
+                return
         ref = self.index.codes2
         if queries is None:
             queries = {}

@@ -96,6 +96,20 @@ def get_lib():
         ctypes.c_int,                                      # defer_dp
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pre CSR
         ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "pt_align_sr_rows"):
+        lib.pt_align_sr_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads
+            ctypes.c_void_p, ctypes.c_int64,                   # row subset
+            ctypes.c_void_p, ctypes.c_int64,                   # ref codes
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pre CSR
+            ctypes.c_void_p, ctypes.c_void_p]
     if hasattr(lib, "pt_min_sr"):
         lib.pt_min_sr.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads
@@ -391,7 +405,51 @@ def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
         pre["hash"].ctypes.data if pre is not None else None,
         pre["strand"].ctypes.data if pre is not None else None)
     out["lens"] = lens
+    # retained so align_sr_rows_native can realign deferred rows without
+    # re-joining the read batch (the buffers back the arrays above)
+    out["_buf"] = buf
+    out["_offsets"] = offsets
+    out["_ref"] = (ref_codes, idx_h, idx_pos, idx_strand, k, w)
+    out["_pre"] = pre
     return out
+
+
+def align_sr_rows_native(res: dict, rows, threads: int = 0,
+                         cigar_cap: int = 64):
+    """Realign a subset of reads (deferred mapped==3 rows) natively with the
+    full banded DP enabled, writing results in place into ``res``'s arrays.
+    One library call replaces the per-row python DP loop.  Returns True, or
+    None when the library/entry point is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_align_sr_rows"):
+        return None
+    if "_buf" not in res:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    rows64 = np.ascontiguousarray(rows, dtype=np.int64)
+    buf, offsets = res["_buf"], res["_offsets"]
+    ref_codes, idx_h, idx_pos, idx_strand, k, w = res["_ref"]
+    pre = res.get("_pre")
+    if pre is not None and pre["gen"] != getattr(min_sr_native, "_gen", 0):
+        pre = None  # the grow-only triple scratch was reused since
+    n = len(res["mapped"])
+    lib.pt_align_sr_rows(
+        buf.ctypes.data, offsets.ctypes.data, n,
+        rows64.ctypes.data, len(rows64), ref_codes.ctypes.data,
+        len(ref_codes), idx_h.ctypes.data, idx_pos.ctypes.data,
+        idx_strand.ctypes.data, len(idx_h), k, w, threads, cigar_cap,
+        res["mapped"].ctypes.data, res["rev"].ctypes.data,
+        res["rs"].ctypes.data, res["re"].ctypes.data, res["qs"].ctypes.data,
+        res["qe"].ctypes.data, res["score"].ctypes.data,
+        res["mapq"].ctypes.data, res["nm"].ctypes.data,
+        res["ncig"].ctypes.data, res["cig"].ctypes.data,
+        pre["wc_off"].ctypes.data if pre is not None else None,
+        pre["cnt"].ctypes.data if pre is not None else None,
+        pre["pos"].ctypes.data if pre is not None else None,
+        pre["hash"].ctypes.data if pre is not None else None,
+        pre["strand"].ctypes.data if pre is not None else None)
+    return True
 
 
 def banded_dp_native(q: np.ndarray, r: np.ndarray, cap: int = 256):

@@ -1777,25 +1777,30 @@ void pt_min_sr(const uint8_t* joined, const int64_t* offsets, int64_t n_reads,
     for (auto& th : threads) th.join();
 }
 
-void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
-                 int64_t n_reads, const uint8_t* ref_codes, int64_t lr,
-                 const uint64_t* idx_h, const int32_t* idx_pos,
-                 const uint8_t* idx_strand, int64_t m_idx, int k, int w,
-                 int n_threads, int cigar_cap, uint8_t* out_mapped,
-                 uint8_t* out_rev, int32_t* out_rs, int32_t* out_re,
-                 int32_t* out_qs, int32_t* out_qe, int32_t* out_score,
-                 int32_t* out_mapq, int32_t* out_nm, int32_t* out_ncig,
-                 uint32_t* out_cig, int defer_dp, const int64_t* pre_off,
-                 const int32_t* pre_cnt, const int32_t* pre_pos,
-                 const uint64_t* pre_hash, const uint8_t* pre_strand) {
+static void align_sr_impl(const uint8_t* joined, const int64_t* offsets,
+                          int64_t n_reads, const int64_t* rows, int64_t n_rows,
+                          const uint8_t* ref_codes, int64_t lr,
+                          const uint64_t* idx_h, const int32_t* idx_pos,
+                          const uint8_t* idx_strand, int64_t m_idx, int k,
+                          int w, int n_threads, int cigar_cap,
+                          uint8_t* out_mapped, uint8_t* out_rev,
+                          int32_t* out_rs, int32_t* out_re, int32_t* out_qs,
+                          int32_t* out_qe, int32_t* out_score,
+                          int32_t* out_mapq, int32_t* out_nm,
+                          int32_t* out_ncig, uint32_t* out_cig, int defer_dp,
+                          const int64_t* pre_off, const int32_t* pre_cnt,
+                          const int32_t* pre_pos, const uint64_t* pre_hash,
+                          const uint8_t* pre_strand) {
     sr::Ctx C{ref_codes, lr, idx_h, idx_pos, idx_strand, m_idx, k, w,
               defer_dp};
     C.build_table();
     if (n_threads < 1) n_threads = 1;
     bool pre = pre_off != nullptr && pre_cnt != nullptr;
+    int64_t n_items = rows != nullptr ? n_rows : n_reads;
     auto work = [&](int64_t a0, int64_t b0) {
         sr::Scratch S;
-        for (int64_t i = a0; i < b0; ++i) {
+        for (int64_t x = a0; x < b0; ++x) {
+            int64_t i = rows != nullptr ? rows[x] : x;
             const uint8_t* sb = joined + offsets[i];
             int lq = (int)(offsets[i + 1] - offsets[i]);
             sr::Aln A;
@@ -1848,18 +1853,59 @@ void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
             }
         }
     };
-    if (n_threads == 1 || n_reads < 256) {
-        work(0, n_reads);
+    if (n_threads == 1 || n_items < 256) {
+        work(0, n_items);
         return;
     }
     std::vector<std::thread> threads;
-    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    int64_t chunk = (n_items + n_threads - 1) / n_threads;
     for (int ti = 0; ti < n_threads; ++ti) {
-        int64_t a0 = ti * chunk, b0 = std::min<int64_t>(a0 + chunk, n_reads);
+        int64_t a0 = ti * chunk, b0 = std::min<int64_t>(a0 + chunk, n_items);
         if (a0 >= b0) break;
         threads.emplace_back(work, a0, b0);
     }
     for (auto& th : threads) th.join();
+}
+
+void pt_align_sr(const uint8_t* joined, const int64_t* offsets,
+                 int64_t n_reads, const uint8_t* ref_codes, int64_t lr,
+                 const uint64_t* idx_h, const int32_t* idx_pos,
+                 const uint8_t* idx_strand, int64_t m_idx, int k, int w,
+                 int n_threads, int cigar_cap, uint8_t* out_mapped,
+                 uint8_t* out_rev, int32_t* out_rs, int32_t* out_re,
+                 int32_t* out_qs, int32_t* out_qe, int32_t* out_score,
+                 int32_t* out_mapq, int32_t* out_nm, int32_t* out_ncig,
+                 uint32_t* out_cig, int defer_dp, const int64_t* pre_off,
+                 const int32_t* pre_cnt, const int32_t* pre_pos,
+                 const uint64_t* pre_hash, const uint8_t* pre_strand) {
+    align_sr_impl(joined, offsets, n_reads, nullptr, 0, ref_codes, lr, idx_h,
+                  idx_pos, idx_strand, m_idx, k, w, n_threads, cigar_cap,
+                  out_mapped, out_rev, out_rs, out_re, out_qs, out_qe,
+                  out_score, out_mapq, out_nm, out_ncig, out_cig, defer_dp,
+                  pre_off, pre_cnt, pre_pos, pre_hash, pre_strand);
+}
+
+// Realign a SUBSET of reads (by index) with the full DP enabled — used to
+// resolve deferred (mapped==3) rows natively in ONE call instead of a
+// python-side per-row DP loop.  Identical outputs to align_one with
+// defer_dp=0 by construction (same window formula, same banded DP).
+void pt_align_sr_rows(const uint8_t* joined, const int64_t* offsets,
+                      int64_t n_reads, const int64_t* rows, int64_t n_rows,
+                      const uint8_t* ref_codes, int64_t lr,
+                      const uint64_t* idx_h, const int32_t* idx_pos,
+                      const uint8_t* idx_strand, int64_t m_idx, int k, int w,
+                      int n_threads, int cigar_cap, uint8_t* out_mapped,
+                      uint8_t* out_rev, int32_t* out_rs, int32_t* out_re,
+                      int32_t* out_qs, int32_t* out_qe, int32_t* out_score,
+                      int32_t* out_mapq, int32_t* out_nm, int32_t* out_ncig,
+                      uint32_t* out_cig, const int64_t* pre_off,
+                      const int32_t* pre_cnt, const int32_t* pre_pos,
+                      const uint64_t* pre_hash, const uint8_t* pre_strand) {
+    align_sr_impl(joined, offsets, n_reads, rows, n_rows, ref_codes, lr,
+                  idx_h, idx_pos, idx_strand, m_idx, k, w, n_threads,
+                  cigar_cap, out_mapped, out_rev, out_rs, out_re, out_qs,
+                  out_qe, out_score, out_mapq, out_nm, out_ncig, out_cig, 0,
+                  pre_off, pre_cnt, pre_pos, pre_hash, pre_strand);
 }
 
 }  // extern "C"
