@@ -159,10 +159,13 @@ def sketch_meta_native(seqs: list, k: int, s: int, t: int, open_: bool,
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    joined = "".join(seqs).encode()
-    buf = np.frombuffer(joined, dtype=np.uint8)
-    lens = np.array([len(x) for x in seqs], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lens)))
+    if hasattr(seqs, "cached_join"):
+        buf, offsets, _ = seqs.cached_join()
+    else:
+        joined = "".join(seqs).encode()
+        buf = np.frombuffer(joined, dtype=np.uint8)
+        lens = np.array([len(x) for x in seqs], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
     cap = max(int(offsets[-1] // 4) + 1024, 1 << 16)
     for _ in range(3):
         ro = np.empty(len(seqs) + 1, dtype=np.int64)
@@ -214,10 +217,13 @@ def sketch_count_native(seqs: list, k: int, s: int, t: int, open_: bool,
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    joined = "".join(seqs).encode()
-    buf = np.frombuffer(joined, dtype=np.uint8)
-    lens = np.array([len(x) for x in seqs], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lens)))
+    if hasattr(seqs, "cached_join"):
+        buf, offsets, _ = seqs.cached_join()
+    else:
+        joined = "".join(seqs).encode()
+        buf = np.frombuffer(joined, dtype=np.uint8)
+        lens = np.array([len(x) for x in seqs], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
     cap = 1 << 22
     for _ in range(3):
         out_hash = np.empty(cap, dtype=np.uint64)
@@ -296,10 +302,13 @@ def encode_reads_native(seqs: list, pad_to: int):
     lib = get_lib()
     if lib is None:
         return None
-    joined = "".join(seqs).encode()
-    buf = np.frombuffer(joined, dtype=np.uint8)
-    lens = np.array([len(s) for s in seqs], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lens)))
+    if hasattr(seqs, "cached_join"):
+        buf, offsets, lens = seqs.cached_join()
+    else:
+        joined = "".join(seqs).encode()
+        buf = np.frombuffer(joined, dtype=np.uint8)
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
     out = np.empty((len(seqs), pad_to), dtype=np.uint8)
     lib.pt_encode_reads(buf.ctypes.data, offsets.ctypes.data, len(seqs),
                         pad_to, out.ctypes.data)
@@ -317,10 +326,13 @@ def min_sr_native(seqs: list, k: int, w: int, threads: int = 0):
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    joined = "".join(seqs).encode()
-    buf = np.frombuffer(joined, dtype=np.uint8)
-    lens = np.array([len(s) for s in seqs], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lens)))
+    if hasattr(seqs, "cached_join"):
+        buf, offsets, lens = seqs.cached_join()
+    else:
+        joined = "".join(seqs).encode()
+        buf = np.frombuffer(joined, dtype=np.uint8)
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
     n = len(seqs)
     m = np.maximum(lens - k + 1, 0)
     wc_off = np.concatenate(([0], np.cumsum(m)))

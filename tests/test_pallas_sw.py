@@ -190,3 +190,39 @@ def test_breakeven_routing_host_path_identical():
                 a.nm, a.cigar) == (
             b.mapped, b.rs, b.re, b.qs, b.qe, b.rev, b.score, b.mapq,
             b.nm, b.cigar), f"read {i} diverged"
+
+
+def test_native_rows_resolution_matches_python_loop(monkeypatch):
+    """The deferred rows are resolved by ONE native pt_align_sr_rows call;
+    the python per-row DP loop remains the fallback/oracle.  Both must
+    produce identical arrays."""
+    from panmap_tpu.align.batch import BatchAligner
+    import panmap_tpu.native as native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(77)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    reads = []
+    for _ in range(90):
+        pos = int(rng.integers(0, len(ref) - 180))
+        reads.append(_mutate_read(rng, ref, pos, 151))
+
+    fast = BatchAligner(ref)
+    fast.pallas_mode = "tpu"  # small set -> host routing, via the native call
+    a = fast.align_batch_arrays(reads)
+    assert fast.pallas_stats and fast.pallas_stats.get("routed_host", 0) > 0
+
+    monkeypatch.setattr(native, "align_sr_rows_native",
+                        lambda *args, **kw: None)
+    slow = BatchAligner(ref)
+    slow.pallas_mode = "tpu"
+    b = slow.align_batch_arrays(reads)
+
+    for key in ("mapped", "rev", "rs", "re", "qs", "qe", "score", "mapq",
+                "nm", "ncig"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    for i in range(len(reads)):
+        nc = int(a["ncig"][i])
+        np.testing.assert_array_equal(a["cig"][i, :nc], b["cig"][i, :nc],
+                                      err_msg=f"cigar row {i}")

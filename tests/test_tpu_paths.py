@@ -277,6 +277,9 @@ def test_native_sketch_count_matches_python(rng):
                               (21, 11, 0, 2, True)):
         ref = _sketch_reads_py(seqs, k, s, t, l, open_)
         out = sketch_count_native(seqs, k, s, t, open_, l)
+        # documented contract: hashes come back SORTED ascending (the index
+        # join downstream may rely on a merge scan)
+        assert np.all(np.diff(out[0]) > 0), (k, s, t, l)
         got = dict(zip(out[0].tolist(), out[1].tolist()))
         assert got == {int(h): int(c) for h, c in ref.items()}, (k, s, t, l)
     # trim path
