@@ -263,16 +263,21 @@ def _reg2bin_vec(pos: np.ndarray, end_incl: np.ndarray) -> np.ndarray:
 
 def _scatter_section(out: np.ndarray, dst_off: np.ndarray,
                      lens: np.ndarray, blob: np.ndarray):
-    """out[dst_off[i] : dst_off[i]+lens[i]] = blob[src_off[i]:...] for all i,
-    via one fancy-index (blob is the records' section data concatenated in
-    record order).  i32 indexing halves the index traffic."""
+    """out[dst_off[i] : dst_off[i]+lens[i]] = blob[src_off[i]:...] for all i
+    (blob is the records' section data concatenated in record order).  Native
+    fast path: a memcpy per row (pt_copy_rows); the fancy-index below is the
+    numpy oracle/fallback."""
     total = int(lens.sum())
     if total == 0:
         return
+    from ..native import copy_rows_native
+
+    src_off = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)[:-1]))
+    if copy_rows_native(blob[:total], src_off, dst_off, lens, out):
+        return
     lens32 = lens.astype(np.int32)
     start = (np.repeat(dst_off.astype(np.int64), lens32)
-             - np.repeat(np.concatenate(
-                 ([0], np.cumsum(lens, dtype=np.int64)[:-1])), lens32))
+             - np.repeat(src_off, lens32))
     idx = start.astype(np.int64) + np.arange(total, dtype=np.int64)
     out[idx] = blob[:total]
 

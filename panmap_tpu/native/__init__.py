@@ -464,6 +464,60 @@ def align_sr_rows_native(res: dict, rows, threads: int = 0,
     return True
 
 
+def copy_rows_native(blob: np.ndarray, src_off: np.ndarray,
+                     dst_off: np.ndarray, lens: np.ndarray,
+                     out: np.ndarray) -> bool:
+    """Ragged row copy out[dst:dst+len] = blob[src:src+len] (bytes).  Returns
+    False without the library (caller uses the numpy gather)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_copy_rows"):
+        return False
+    if not hasattr(lib, "_cr_ready"):
+        lib.pt_copy_rows.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.pt_oriented_blobs.argtypes = [ctypes.c_void_p] * 5 + [
+            ctypes.c_int64] + [ctypes.c_void_p] * 3
+        lib._cr_ready = True
+    src_off = np.ascontiguousarray(src_off, dtype=np.int64)
+    dst_off = np.ascontiguousarray(dst_off, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    if out.dtype != np.uint8 or not out.flags.c_contiguous:
+        return False  # out is written in place: no silent copies
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    lib.pt_copy_rows(blob.ctypes.data, src_off.ctypes.data,
+                     dst_off.ctypes.data, lens.ctypes.data, len(lens),
+                     out.ctypes.data)
+    return True
+
+
+def oriented_blobs_native(joined: np.ndarray, jq: np.ndarray,
+                          src_off: np.ndarray, eoff: np.ndarray,
+                          rev: np.ndarray, lut: np.ndarray):
+    """Per-record oriented seq/qual blobs (rev records reversed, seq through
+    ``lut``, quals -33).  Returns (seq_blob, qual_blob) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_oriented_blobs"):
+        return None
+    if not hasattr(lib, "_cr_ready"):
+        lib.pt_copy_rows.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.pt_oriented_blobs.argtypes = [ctypes.c_void_p] * 5 + [
+            ctypes.c_int64] + [ctypes.c_void_p] * 3
+        lib._cr_ready = True
+    src_off = np.ascontiguousarray(src_off, dtype=np.int64)
+    eoff = np.ascontiguousarray(eoff, dtype=np.int64)
+    rev8 = np.ascontiguousarray(rev, dtype=np.uint8)
+    lut = np.ascontiguousarray(lut, dtype=np.uint8)
+    total = int(eoff[-1]) if len(eoff) else 0
+    seq_blob = np.empty(total, np.uint8)
+    qual_blob = np.empty(total, np.uint8)
+    lib.pt_oriented_blobs(joined.ctypes.data, jq.ctypes.data,
+                          src_off.ctypes.data, eoff.ctypes.data,
+                          rev8.ctypes.data, len(rev8), lut.ctypes.data,
+                          seq_blob.ctypes.data, qual_blob.ctypes.data)
+    return seq_blob, qual_blob
+
+
 def banded_dp_native(q: np.ndarray, r: np.ndarray, cap: int = 256):
     """Native banded_affine_dp (bit-exact twin of align/core.py's): returns
     (score, qs, qe, rs, re, [(len, op)]) or None without the library / on

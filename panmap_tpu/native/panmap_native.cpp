@@ -1912,6 +1912,52 @@ void pt_align_sr_rows(const uint8_t* joined, const int64_t* offsets,
 
 extern "C" {
 
+// Ragged row copy: out[dst_off[i] : dst_off[i]+lens[i]] =
+// blob[src_off[i] : src_off[i]+lens[i]].  The numpy formulation (two
+// np.repeat's + arange + fancy index per section) streams ~6 passes of i64
+// indices per byte moved; this is a memcpy per row.  Used by the columnar
+// BAM encode's section scatter and the emit-order blob reorders (the numpy
+// twin remains the fallback/oracle in io/bam.py + pipeline.py).
+void pt_copy_rows(const uint8_t* blob, const int64_t* src_off,
+                  const int64_t* dst_off, const int64_t* lens, int64_t n,
+                  uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i)
+        if (lens[i] > 0) memcpy(out + dst_off[i], blob + src_off[i],
+                                (size_t)lens[i]);
+}
+
+// Oriented per-record seq/qual blobs (pipeline._emit_columnar lines around
+// the src gather): record i copies L=eoff[i+1]-eoff[i] bytes from
+// joined/jq at src_off[i]; rev records reverse and complement (seq via the
+// caller-supplied 256-byte LUT — the python _RC_LUT stays the single
+// definition site); quals subtract 33.
+void pt_oriented_blobs(const uint8_t* joined, const uint8_t* jq,
+                       const int64_t* src_off, const int64_t* eoff,
+                       const uint8_t* rev, int64_t nrec, const uint8_t* lut,
+                       uint8_t* seq_blob, uint8_t* qual_blob) {
+    for (int64_t i = 0; i < nrec; ++i) {
+        int64_t d = eoff[i];
+        int64_t L = eoff[i + 1] - d;
+        const uint8_t* s = joined + src_off[i];
+        const uint8_t* q = jq + src_off[i];
+        if (rev[i]) {
+            for (int64_t j = 0; j < L; ++j) {
+                seq_blob[d + j] = lut[s[L - 1 - j]];
+                qual_blob[d + j] = (uint8_t)(q[L - 1 - j] - 33);
+            }
+        } else {
+            for (int64_t j = 0; j < L; ++j) {
+                seq_blob[d + j] = s[j];
+                qual_blob[d + j] = (uint8_t)(q[j] - 33);
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // test shims for the DP kernels (cross-checked against the numpy oracles)
 int pt_dbg_banded(const uint8_t* q, int lq, const uint8_t* r, int lr,
                   int32_t* out5 /*qs,qe,rs,re,ncig*/, uint32_t* cig,

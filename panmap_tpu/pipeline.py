@@ -427,17 +427,27 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
     clip3 = lq_r - qe_o[emit]
 
     # oriented seq/qual blobs in emit order (PlacedRead slices them)
-    joined = np.frombuffer("".join(seqs).encode(), np.uint8)
+    from .native import oriented_blobs_native
+
+    if hasattr(seqs, "cached_join"):
+        joined, roffs, _ = seqs.cached_join()
+    else:
+        joined = np.frombuffer("".join(seqs).encode(), np.uint8)
+        roffs = np.concatenate(([0], np.cumsum(lens)))
     jq = np.frombuffer("".join(quals).encode(), np.uint8)
-    roffs = np.concatenate(([0], np.cumsum(lens)))
-    base = np.repeat(roffs[emit], lq_r)
     eoff = np.concatenate(([0], np.cumsum(lq_r)))
-    within = np.arange(int(eoff[-1])) - np.repeat(eoff[:-1], lq_r)
-    rev_rep = np.repeat(rev[emit], lq_r)
-    src = np.where(rev_rep, base + np.repeat(lq_r, lq_r) - 1 - within,
-                   base + within)
-    seq_blob = np.where(rev_rep, _RC_LUT[joined[src]], joined[src])
-    qual_blob = (jq[src] - 33).astype(np.uint8)
+    blobs = oriented_blobs_native(joined, jq, roffs[emit], eoff, rev[emit],
+                                  _RC_LUT)
+    if blobs is not None:
+        seq_blob, qual_blob = blobs
+    else:  # numpy oracle (tests cross-check the native kernel against it)
+        base = np.repeat(roffs[emit], lq_r)
+        within = np.arange(int(eoff[-1])) - np.repeat(eoff[:-1], lq_r)
+        rev_rep = np.repeat(rev[emit], lq_r)
+        src = np.where(rev_rep, base + np.repeat(lq_r, lq_r) - 1 - within,
+                       base + within)
+        seq_blob = np.where(rev_rep, _RC_LUT[joined[src]], joined[src])
+        qual_blob = (jq[src] - 33).astype(np.uint8)
 
     # cigar stream with soft clips, in emit order
     has5 = (clip5 > 0).astype(np.int64)
@@ -480,20 +490,36 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
         placed = _columnar_to_placed(placed)
 
     # final BAM order: stable sort by pos (same as the object path's sort)
+    from .native import copy_rows_native
+
     order = np.argsort(rs[emit], kind="stable")
-    # reorder blobs per record with one gather each
-    sq_src = np.repeat(eoff[:-1][order], lq_r[order]) + (
-        np.arange(int(eoff[-1])) - np.repeat(
-            np.concatenate(([0], np.cumsum(lq_r[order])[:-1])), lq_r[order]))
-    seq_blob_s = seq_blob[sq_src]
-    qual_blob_s = qual_blob[sq_src]
+    # reorder blobs per record (one row-copy each; numpy gather = oracle)
     seq_off_s = np.concatenate(([0], np.cumsum(lq_r[order])))
+    seq_blob_s = np.empty(len(seq_blob), np.uint8)
+    qual_blob_s = np.empty(len(qual_blob), np.uint8)
+    if copy_rows_native(seq_blob, eoff[:-1][order], seq_off_s[:-1],
+                        lq_r[order], seq_blob_s):
+        copy_rows_native(qual_blob, eoff[:-1][order], seq_off_s[:-1],
+                         lq_r[order], qual_blob_s)
+    else:
+        sq_src = np.repeat(eoff[:-1][order], lq_r[order]) + (
+            np.arange(int(eoff[-1])) - np.repeat(
+                np.concatenate(([0], np.cumsum(lq_r[order])[:-1])),
+                lq_r[order]))
+        seq_blob_s = seq_blob[sq_src]
+        qual_blob_s = qual_blob[sq_src]
     nops_s = nops[order]
-    cg_src = np.repeat(coff[:-1][order], nops_s) + (
-        np.arange(int(coff[-1])) - np.repeat(
-            np.concatenate(([0], np.cumsum(nops_s)[:-1])), nops_s))
-    stream_s = stream[cg_src]
     cig_off_s = np.concatenate(([0], np.cumsum(nops_s)))
+    stream_s = np.empty(len(stream), np.uint32)
+    if copy_rows_native(stream.view(np.uint8), coff[:-1][order] * 4,
+                        cig_off_s[:-1] * 4, nops_s * 4,
+                        stream_s.view(np.uint8)):
+        pass
+    else:
+        cg_src = np.repeat(coff[:-1][order], nops_s) + (
+            np.arange(int(coff[-1])) - np.repeat(
+                np.concatenate(([0], np.cumsum(nops_s)[:-1])), nops_s))
+        stream_s = stream[cg_src]
     # ref span per record from the sorted stream
     op_s = stream_s & 0xF
     ln_s = (stream_s >> 4).astype(np.int64)
