@@ -109,24 +109,54 @@ def main():
             f"{st['cells']/st['device_s']/1e9:.2f} GCUPS "
             f"(survivors {st['survivors']})")
     elif st and st.get("routed_host"):
-        # deferred set below the device-dispatch breakeven: the auto path
-        # ran the host DP.  Measure the kernel itself on a forced pass so
-        # the device DP stays characterized on every bench run.
-        os.environ["PANMAP_PALLAS_MIN_WINDOWS"] = "0"
+        # deferred set below the device-dispatch breakeven: the auto path ran
+        # the host DP.  Characterize the kernel itself at BULK (the regime it
+        # is routed to in production): tile the workload's real deferred
+        # windows up to one full dispatch tier and time steady-state
+        # dispatches — a 584-window forced pass only measures tunnel latency.
         try:
-            forced = BatchAligner(ref)
-            forced.align_batch_arrays(aseqs[:2048])  # warmup
-            forced.pallas_stats = None
-            forced.align_batch_arrays(aseqs)
-            fs = forced.pallas_stats
-            if fs and fs["device_s"] > 0:
-                log(f"[bench] pallas SW (forced device pass): "
-                    f"{fs['device_scored']} windows, "
-                    f"{fs['cells']/1e9:.3f} Gcells in {fs['device_s']:.3f}s "
-                    f"= {fs['cells']/fs['device_s']/1e9:.2f} GCUPS "
-                    f"(bit-gate: survivors {fs['survivors']})")
-        finally:
-            del os.environ["PANMAP_PALLAS_MIN_WINDOWS"]
+            from panmap_tpu.align.pallas_sw import banded_sw_scores
+            from panmap_tpu.align.core import encode as _encode
+            from panmap_tpu.native import align_sr_native
+            import numpy as np
+
+            # re-run the front-end with deferral on (and no resolution) to
+            # recover the raw mapped==3 windows
+            raw = align_sr_native(
+                aseqs, aligner.index.codes2, aligner.index.h,
+                aligner.index.pos, aligner.index.strand, aligner.k,
+                aligner.w, defer_dp=True)
+            rows = np.flatnonzero(raw["mapped"] == 3)
+            if len(rows) == 0:
+                raise RuntimeError("no deferred windows to tile")
+            B, LQ, LW = 4096, 256, 512
+            refc = aligner.index.codes2
+            qb = np.full((B, LQ), 4, np.uint8)
+            rb = np.full((B, LW), 4, np.uint8)
+            ql = np.zeros(B, np.int32)
+            for i in range(B):
+                r = int(rows[i % len(rows)])
+                q = _encode(np.frombuffer(aseqs[r].encode(), np.uint8))
+                if raw["rev"][r]:
+                    q = np.where(q < 4, 3 - q, q)[::-1]  # revcomp
+                q = q[:LQ]
+                lo, hi = int(raw["rs"][r]), int(raw["re"][r])
+                w = refc[lo:min(hi, lo + LW)]
+                qb[i, : len(q)] = q
+                rb[i, : len(w)] = w
+                ql[i] = len(q)
+            banded_sw_scores(qb, rb, ql)  # compile + warm
+            gt = []
+            for _ in range(3):
+                t0 = time.time()
+                banded_sw_scores(qb, rb, ql)
+                gt.append(time.time() - t0)
+            cells = B * LQ * LW
+            log(f"[bench] pallas SW kernel (bulk, {B}x{LQ}x{LW}): "
+                f"{cells/1e9:.2f} Gcells/dispatch in {min(gt):.3f}s = "
+                f"{cells/min(gt)/1e9:.1f} GCUPS")
+        except Exception as exc:
+            log(f"[bench] pallas SW bulk characterization skipped: {exc}")
 
     # ---- pipelined placement+align (the headline) ----
     # Placement's device program runs while the host computes the alignment

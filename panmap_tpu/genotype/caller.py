@@ -262,7 +262,7 @@ class PlacedRead:
 
 
 def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
-                               flat_rid, Qcat, Scat, n):
+                               flat_rid, Qcat, Scat, n, pair_ids=None):
     """Vectorized mate-overlap quality tweak (tweak_overlap_quality semantics,
     identical to the legacy per-pair `_apply_overlap_tweaks` below, which is
     kept as the test oracle).  Operates in place on the concatenated qual
@@ -274,8 +274,18 @@ def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
     ids = np.flatnonzero(pairedok)
     if len(ids) < 2:
         return
-    un, inv, cnt = np.unique(np.array([qnames[i] for i in ids]),
-                             return_inverse=True, return_counts=True)
+    if pair_ids is not None:
+        # structural pair identity: int group instead of qname string-unique
+        grp = pair_ids[ids]
+        ok = grp >= 0
+        ids = ids[ok]
+        if len(ids) < 2:
+            return
+        un, inv, cnt = np.unique(grp[ok], return_inverse=True,
+                                 return_counts=True)
+    else:
+        un, inv, cnt = np.unique(np.array([qnames[i] for i in ids]),
+                                 return_inverse=True, return_counts=True)
     two = cnt == 2
     if not two.any():
         return
@@ -291,8 +301,9 @@ def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
     a_read = np.zeros(n_kept, dtype=bool)
     npairs = len(gi2)
     pid[mi] = pid[mj] = np.arange(npairs)
-    amv = np.fromiter(((_wang(_x31(nm)) & 1) for nm in un[gi2].tolist()),
-                      np.int64, npairs)
+    amv = np.fromiter(
+        ((_wang(_x31(qnames[i])) & 1) for i in mi.tolist()),
+        np.int64, npairs)
     amul_of[mi] = amul_of[mj] = amv
     a_read[ma] = True
     # entry extent per read (flat entries are grouped by read id, ascending
@@ -539,6 +550,10 @@ class ColumnarReads:
     proper: np.ndarray   # bool[nrec]
     paired: bool
     qnames: list         # str[nrec]
+    # structural pair identity (emit order pairs mates adjacently): records
+    # with the same id >= 0 are mates — lets the overlap tweak skip the
+    # qname string-unique (the object path still pairs by name = the oracle)
+    pair_ids: np.ndarray | None = None  # i64[nrec] or None
 
 
 def pileup_call_columnar(ref: str, cols: ColumnarReads,
@@ -678,10 +693,12 @@ def pileup_call_columnar(ref: str, cols: ColumnarReads,
         opoff=np.concatenate(([0], np.cumsum(nops))).astype(np.int64),
         seq=Scat, quals=Qcat, soff=roffs.astype(np.int64), mapq=mqs,
         rev=revs)
+    pair_kept = (cols.pair_ids[kept]
+                 if cols.pair_ids is not None and cols.paired else None)
     return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                           indel_events, lq, Qcat, Scat, mqs, revs,
                           pairedok, qnames, cols.rs[kept],
-                          indel_input=indel_input)
+                          indel_input=indel_input, pair_ids=pair_kept)
 
 
 _TALLY_CACHE: dict = {}
@@ -743,7 +760,7 @@ def tally_columns_device(col_id, g_q, g_s, g_b, ncol):
 
 def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                    indel_events, rlens, Qcat, Scat, mqs, revs, pairedok,
-                   qnames, rs_arr, indel_input=None):
+                   qnames, rs_arr, indel_input=None, pair_ids=None):
     """Shared pileup back half: overlap tweaks, quality shaping, per-column
     errmod + tallies, SNP calling, indel calling.  Consumed by both the
     object front-end (pileup_call) and the columnar one
@@ -752,7 +769,7 @@ def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
     roffs = np.concatenate(([0], np.cumsum(rlens)))
     aqi = roffs[flat_rid] + flat_qi
     _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
-                               flat_rid, Qcat, Scat, n)
+                               flat_rid, Qcat, Scat, n, pair_ids=pair_ids)
     q = Qcat[aqi]
     left_ok = flat_qi > 0
     q = np.where(left_ok,

@@ -485,7 +485,8 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
     placed = ColumnarReads(
         rs=rs[emit], stream=stream, coff=coff, seq_blob=seq_blob,
         qual_blob=qual_blob, soff=eoff, mapq=mapqs[emit], rev=eff_rev,
-        proper=proper_rec, paired=paired, qnames=names_clip)
+        proper=proper_rec, paired=paired, qnames=names_clip,
+        pair_ids=(emit // 2).astype(np.int64) if paired else None)
     if getattr(cfg, "baq", False):
         placed = _columnar_to_placed(placed)
 
