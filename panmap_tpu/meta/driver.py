@@ -127,6 +127,13 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
     if cfg.stop == "index" or not cfg.reads1:
         return 0
 
+    # the remote backend handshake (~5-10 s over the tunnel) runs on a
+    # daemon thread while the host sketches reads / builds events; any
+    # index-build forking happened inside ensure_meta_index above
+    from ..utils.devinit import warm_backend_async
+
+    warm_backend_async()
+
     if cfg.filter_and_assign:
         from .assign import run_filter_and_assign
 

@@ -903,6 +903,12 @@ def run_batch(cfg: PipelineConfig):
             except (OSError, ValueError):
                 pool = None
 
+    # backend handshake on a daemon thread (AFTER the pool fork above so
+    # workers never inherit a live device client)
+    from .utils.devinit import warm_backend_async
+
+    warm_backend_async()
+
     n_ok = n_fail = 0
     t_all = time.time()
     pending = []  # (i, prefix, async_result, t0)
@@ -983,6 +989,12 @@ def _run_pipeline_inner(cfg: PipelineConfig):
                 f"{cfg.export_ref_idx}")
     if cfg.stop == "index" or not cfg.reads1:
         return
+    # backend handshake (~5-10 s over the remote tunnel) on a daemon thread
+    # while the host reads/sketches; index-build forking happened inside
+    # ensure_index above
+    from .utils.devinit import warm_backend_async
+
+    warm_backend_async()
     # the tree is only needed from the align stage on: prefetch it on a
     # worker thread while placement runs (the reference pays this reload
     # serially, main.cpp:1771)
