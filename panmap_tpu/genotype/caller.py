@@ -275,9 +275,19 @@ def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
     if len(ids) < 2:
         return
     if pair_ids is not None:
-        # structural pair identity: int group instead of qname string-unique
+        # structural pair identity: int group instead of qname string-unique.
+        # The qname oracle skips names seen != 2 times among the kept paired
+        # reads (two distinct pairs sharing a name -> cnt==4 -> no tweak);
+        # mirror that with a cheap Counter so duplicate qnames behave
+        # identically to the object-path oracle.
+        from collections import Counter
+
         grp = pair_ids[ids]
         ok = grp >= 0
+        name_cnt = Counter(qnames[i] for i in ids)
+        if ok.any():
+            ok &= np.fromiter((name_cnt[qnames[i]] == 2 for i in ids),
+                              bool, len(ids))
         ids = ids[ok]
         if len(ids) < 2:
             return

@@ -38,20 +38,44 @@ def _try_build():
         return False
 
 
+def join_reads(seqs):
+    """(uint8 buffer, CSR offsets i64[n+1], lens i64[n]) for a read batch —
+    via the batch's cached join when available (io.fastq.ReadBatch), else a
+    fresh join.  The single definition of the joining logic."""
+    if hasattr(seqs, "cached_join"):
+        return seqs.cached_join()
+    buf = np.frombuffer("".join(seqs).encode(), dtype=np.uint8)
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                       count=len(seqs))
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return buf, offsets, lens
+
+
 def get_lib():
     global _lib
     if _lib is not None:
         return _lib or None
-    if not os.path.exists(_SO):
-        src = os.path.join(_DIR, "panmap_native.cpp")
-        newer = (not os.path.exists(_SO)
-                 or os.path.getmtime(src) > os.path.getmtime(_SO))
-        if newer and not _try_build():
-            _lib = False
-            return None
+    src = os.path.join(_DIR, "panmap_native.cpp")
+    stale = (not os.path.exists(_SO)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO)))
+    if stale and not _try_build() and not os.path.exists(_SO):
+        _lib = False
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
+        _lib = False
+        return None
+    # contract gate: a stale binary that predates an entry point's CONTRACT
+    # change (e.g. pt_sketch_count's sorted output, ABI v2) must not load —
+    # the numpy twins are slower but correct
+    ABI = 2
+    if not hasattr(lib, "pt_abi_version"):
+        _lib = False
+        return None
+    lib.pt_abi_version.restype = ctypes.c_int64
+    if int(lib.pt_abi_version()) != ABI:
         _lib = False
         return None
     lib.pt_rolling_syncmers.argtypes = [
@@ -110,6 +134,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pre CSR
             ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "pt_copy_rows"):
+        lib.pt_copy_rows.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.pt_oriented_blobs.argtypes = [ctypes.c_void_p] * 5 + [
+            ctypes.c_int64] + [ctypes.c_void_p] * 3
     if hasattr(lib, "pt_min_sr"):
         lib.pt_min_sr.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads
@@ -159,13 +188,7 @@ def sketch_meta_native(seqs: list, k: int, s: int, t: int, open_: bool,
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    if hasattr(seqs, "cached_join"):
-        buf, offsets, _ = seqs.cached_join()
-    else:
-        joined = "".join(seqs).encode()
-        buf = np.frombuffer(joined, dtype=np.uint8)
-        lens = np.array([len(x) for x in seqs], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
+    buf, offsets, _ = join_reads(seqs)
     cap = max(int(offsets[-1] // 4) + 1024, 1 << 16)
     for _ in range(3):
         ro = np.empty(len(seqs) + 1, dtype=np.int64)
@@ -210,20 +233,14 @@ def sketch_count_native(seqs: list, k: int, s: int, t: int, open_: bool,
                         threads: int = 0):
     """Batched seedFreqInReads: distinct canonical k-min-mer counts over all
     reads (native twin of place/engine.py::sketch_reads with
-    dedup_reads=False).  Returns (hashes u64[n], counts u32[n]) unsorted, or
-    None if the library is unavailable."""
+    dedup_reads=False).  Returns (hashes u64[n] SORTED ascending, counts u32[n]),
+    or None if the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    if hasattr(seqs, "cached_join"):
-        buf, offsets, _ = seqs.cached_join()
-    else:
-        joined = "".join(seqs).encode()
-        buf = np.frombuffer(joined, dtype=np.uint8)
-        lens = np.array([len(x) for x in seqs], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
+    buf, offsets, _ = join_reads(seqs)
     cap = 1 << 22
     for _ in range(3):
         out_hash = np.empty(cap, dtype=np.uint64)
@@ -302,13 +319,7 @@ def encode_reads_native(seqs: list, pad_to: int):
     lib = get_lib()
     if lib is None:
         return None
-    if hasattr(seqs, "cached_join"):
-        buf, offsets, lens = seqs.cached_join()
-    else:
-        joined = "".join(seqs).encode()
-        buf = np.frombuffer(joined, dtype=np.uint8)
-        lens = np.array([len(s) for s in seqs], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
+    buf, offsets, lens = join_reads(seqs)
     out = np.empty((len(seqs), pad_to), dtype=np.uint8)
     lib.pt_encode_reads(buf.ctypes.data, offsets.ctypes.data, len(seqs),
                         pad_to, out.ctypes.data)
@@ -326,13 +337,7 @@ def min_sr_native(seqs: list, k: int, w: int, threads: int = 0):
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    if hasattr(seqs, "cached_join"):
-        buf, offsets, lens = seqs.cached_join()
-    else:
-        joined = "".join(seqs).encode()
-        buf = np.frombuffer(joined, dtype=np.uint8)
-        lens = np.array([len(s) for s in seqs], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
+    buf, offsets, lens = join_reads(seqs)
     n = len(seqs)
     m = np.maximum(lens - k + 1, 0)
     wc_off = np.concatenate(([0], np.cumsum(m)))
@@ -380,10 +385,7 @@ def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
         buf, offsets, lens = pre["buf"], pre["offsets"], pre["lens"]
     else:
         pre = None
-        joined = "".join(seqs).encode()
-        buf = np.frombuffer(joined, dtype=np.uint8)
-        lens = np.array([len(s) for s in seqs], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
+        buf, offsets, lens = join_reads(seqs)
     n = len(seqs)
     ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
     idx_h = np.ascontiguousarray(idx_h, dtype=np.uint64)
@@ -472,12 +474,6 @@ def copy_rows_native(blob: np.ndarray, src_off: np.ndarray,
     lib = get_lib()
     if lib is None or not hasattr(lib, "pt_copy_rows"):
         return False
-    if not hasattr(lib, "_cr_ready"):
-        lib.pt_copy_rows.argtypes = [ctypes.c_void_p] * 4 + [
-            ctypes.c_int64, ctypes.c_void_p]
-        lib.pt_oriented_blobs.argtypes = [ctypes.c_void_p] * 5 + [
-            ctypes.c_int64] + [ctypes.c_void_p] * 3
-        lib._cr_ready = True
     src_off = np.ascontiguousarray(src_off, dtype=np.int64)
     dst_off = np.ascontiguousarray(dst_off, dtype=np.int64)
     lens = np.ascontiguousarray(lens, dtype=np.int64)
@@ -498,12 +494,6 @@ def oriented_blobs_native(joined: np.ndarray, jq: np.ndarray,
     lib = get_lib()
     if lib is None or not hasattr(lib, "pt_oriented_blobs"):
         return None
-    if not hasattr(lib, "_cr_ready"):
-        lib.pt_copy_rows.argtypes = [ctypes.c_void_p] * 4 + [
-            ctypes.c_int64, ctypes.c_void_p]
-        lib.pt_oriented_blobs.argtypes = [ctypes.c_void_p] * 5 + [
-            ctypes.c_int64] + [ctypes.c_void_p] * 3
-        lib._cr_ready = True
     src_off = np.ascontiguousarray(src_off, dtype=np.int64)
     eoff = np.ascontiguousarray(eoff, dtype=np.int64)
     rev8 = np.ascontiguousarray(rev, dtype=np.uint8)

@@ -119,6 +119,13 @@ static void sliding_min(const uint64_t* x, int64_t n, int w, uint64_t* out) {
 
 extern "C" {
 
+// Binding ABI version: bump whenever an entry point's CONTRACT changes (not
+// just when symbols are added — hasattr covers those).  v2: pt_sketch_count
+// returns hashes sorted ascending.  get_lib() refuses an old binary it
+// cannot rebuild, falling back to the numpy twins instead of silently
+// violating a contract.
+int64_t pt_abi_version() { return 2; }
+
 // Per-position syncmer scan, twin of sketch/cpu.py::rolling_syncmers.
 // hashes/is_rev/is_sync must have n-k+1 elements.
 void pt_rolling_syncmers(const uint8_t* seq, int64_t n, int k, int s, int t,
@@ -1793,10 +1800,13 @@ static void align_sr_impl(const uint8_t* joined, const int64_t* offsets,
                           const uint8_t* pre_strand) {
     sr::Ctx C{ref_codes, lr, idx_h, idx_pos, idx_strand, m_idx, k, w,
               defer_dp};
-    C.build_table();
+    int64_t n_items = rows != nullptr ? n_rows : n_reads;
+    // the O(m_idx) table build only pays for itself on bulk calls; small
+    // subset realignments (the latency-sensitive below-breakeven routing)
+    // use the binary-search fallback
+    if (n_items * 64 >= m_idx) C.build_table();
     if (n_threads < 1) n_threads = 1;
     bool pre = pre_off != nullptr && pre_cnt != nullptr;
-    int64_t n_items = rows != nullptr ? n_rows : n_reads;
     auto work = [&](int64_t a0, int64_t b0) {
         sr::Scratch S;
         for (int64_t x = a0; x < b0; ++x) {

@@ -427,13 +427,9 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
     clip3 = lq_r - qe_o[emit]
 
     # oriented seq/qual blobs in emit order (PlacedRead slices them)
-    from .native import oriented_blobs_native
+    from .native import join_reads, oriented_blobs_native
 
-    if hasattr(seqs, "cached_join"):
-        joined, roffs, _ = seqs.cached_join()
-    else:
-        joined = np.frombuffer("".join(seqs).encode(), np.uint8)
-        roffs = np.concatenate(([0], np.cumsum(lens)))
+    joined, roffs, _ = join_reads(seqs)
     jq = np.frombuffer("".join(quals).encode(), np.uint8)
     eoff = np.concatenate(([0], np.cumsum(lq_r)))
     blobs = oriented_blobs_native(joined, jq, roffs[emit], eoff, rev[emit],

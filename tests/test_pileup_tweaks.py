@@ -258,3 +258,38 @@ def test_device_tally_matches_numpy(monkeypatch):
     for a, b in zip(base, dev):
         assert (a.pos, a.ref, a.alts, a.gt, a.pls, a.ads, a.dp, a.qual) \
             == (b.pos, b.ref, b.alts, b.gt, b.pls, b.ads, b.dp, b.qual)
+
+
+def test_pair_ids_branch_matches_qname_branch_with_duplicate_names():
+    """The structural pair_ids fast path must reproduce the qname branch
+    exactly — including the oracle's skip of names seen != 2 times among the
+    kept paired reads (two distinct pairs sharing a qname get NO tweak)."""
+    rng = random.Random(13)
+    n = 1000
+    for trial in range(10):
+        kept = _mk_reads(rng, n_pairs=10, ref_len=n)
+        # give two distinct pairs the same name (4 reads share "dupname")
+        for r in kept[0:2] + kept[4:6]:
+            r.qname = "dupname"
+
+        flat_p, flat_qi, flat_rid = _flat_arrays(kept, n)
+        rlens = np.array([len(r.seq) for r in kept], dtype=np.int64)
+        roffs = np.concatenate(([0], np.cumsum(rlens)))
+        Qcat_a = np.concatenate(
+            [np.asarray(r.quals, dtype=np.int64) for r in kept])
+        Qcat_b = Qcat_a.copy()
+        Scat = np.frombuffer("".join(r.seq for r in kept).encode(), np.uint8)
+        aqi = roffs[flat_rid] + flat_qi
+        pairedok = np.fromiter((r.is_paired and r.is_proper for r in kept),
+                               bool, len(kept))
+        qnames = [r.qname for r in kept]
+        rs_arr = np.fromiter((r.rs for r in kept), np.int64, len(kept))
+        # reads were built pairwise adjacent: structural ids = i // 2
+        pair_ids = np.arange(len(kept), dtype=np.int64) // 2
+
+        _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
+                                   flat_rid, Qcat_a, Scat, n)
+        _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
+                                   flat_rid, Qcat_b, Scat, n,
+                                   pair_ids=pair_ids)
+        assert np.array_equal(Qcat_a, Qcat_b), f"trial {trial} diverged"
