@@ -280,6 +280,15 @@ def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
         # reads (two distinct pairs sharing a name -> cnt==4 -> no tweak);
         # mirror that with a cheap Counter so duplicate qnames behave
         # identically to the object-path oracle.
+        # INTENTIONAL DIVERGENCE on one malformed input: a qname that appears
+        # exactly twice but in two DIFFERENT structural pairs (each
+        # fragment's true mate dropped by filters, duplicate names across
+        # fragments).  The qname oracle pairs the two unrelated reads and
+        # tweaks them; this path sees two distinct pair groups of size 1 and
+        # correctly applies no tweak.  Duplicate read names violate the BAM
+        # contract the reference also assumes (tweak_overlap_quality keys on
+        # qname), so the structural answer is kept — see
+        # tests/test_pileup_tweaks.py::test_duplicate_qname_cross_pairs.
         from collections import Counter
 
         grp = pair_ids[ids]

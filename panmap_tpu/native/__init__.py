@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -19,19 +20,31 @@ _SO = os.path.join(_DIR, "libpanmap_native.so")
 _STAMP = os.path.join(_DIR, ".build_failed")
 
 _lib = None
+# Serializes first-load/rebuild: the align-prefetch thread and the main
+# thread's sketcher both call get_lib() on startup; without the lock two
+# racing _try_build calls could write the same .so concurrently and a
+# truncated CDLL load would silently disable the native path process-wide.
+_lib_lock = threading.Lock()
 
 
 def _try_build():
     if os.path.exists(_STAMP):
         return False
+    # build to a private temp name, then publish with an atomic rename so a
+    # concurrent loader (another process sharing the tree) never sees a
+    # half-written library
+    tmp = f"{_SO}.build.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             os.path.join(_DIR, "panmap_native.cpp"), "-o", _SO],
+             os.path.join(_DIR, "panmap_native.cpp"), "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
         try:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
             open(_STAMP, "w").close()
         except OSError:
             pass
@@ -55,11 +68,22 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib or None
+    with _lib_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked():
+    global _lib
+    if _lib is not None:  # double-checked under _lib_lock
+        return _lib or None
     src = os.path.join(_DIR, "panmap_native.cpp")
     stale = (not os.path.exists(_SO)
              or (os.path.exists(src)
                  and os.path.getmtime(src) > os.path.getmtime(_SO)))
-    if stale and not _try_build() and not os.path.exists(_SO):
+    if stale and not _try_build():
+        # policy: a source newer than the binary that we CANNOT rebuild means
+        # the binary may predate behavior fixes — refuse it and run the numpy
+        # twins (correct, slower) rather than silently running old native code
         _lib = False
         return None
     try:
@@ -326,6 +350,9 @@ def encode_reads_native(seqs: list, pad_to: int):
     return out, np.minimum(lens, pad_to).astype(np.int32)
 
 
+_min_sr_lock = threading.Lock()
+
+
 def min_sr_native(seqs: list, k: int, w: int, threads: int = 0):
     """Phase 1 of align_sr_native: per-read minimizer triples, reference-
     independent.  Returns a dict (joined byte buffer + offsets + worst-case
@@ -345,18 +372,22 @@ def min_sr_native(seqs: list, k: int, w: int, threads: int = 0):
     cnt = np.zeros(n, dtype=np.int32)
     # worst-case triple buffers are large (~13 B per query position); fresh
     # allocations would page-fault the whole extent on every call, so reuse a
-    # grow-only scratch (correct as long as the previous result is no longer
-    # in use, which the one-batch-at-a-time callers guarantee)
-    sc = getattr(min_sr_native, "_scratch", None)
-    if sc is None or len(sc[0]) < cap:
-        sc = (np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.uint64),
-              np.empty(cap, dtype=np.uint8))
-        min_sr_native._scratch = sc
-    pos, hsh, strand = sc
-    lib.pt_min_sr(buf.ctypes.data, offsets.ctypes.data, n, k, w, threads,
-                  wc_off.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
-                  hsh.ctypes.data, strand.ctypes.data)
-    gen = min_sr_native._gen = getattr(min_sr_native, "_gen", 0) + 1
+    # grow-only scratch.  The scratch and _gen counter are guarded by a lock:
+    # a pre handle is valid only until the NEXT min_sr_native call (consumers
+    # check gen), and concurrent producers must not interleave their triple
+    # writes.  One batch in flight at a time is the supported pattern.
+    with _min_sr_lock:
+        sc = getattr(min_sr_native, "_scratch", None)
+        if sc is None or len(sc[0]) < cap:
+            sc = (np.empty(cap, dtype=np.int32),
+                  np.empty(cap, dtype=np.uint64),
+                  np.empty(cap, dtype=np.uint8))
+            min_sr_native._scratch = sc
+        pos, hsh, strand = sc
+        lib.pt_min_sr(buf.ctypes.data, offsets.ctypes.data, n, k, w, threads,
+                      wc_off.ctypes.data, cnt.ctypes.data, pos.ctypes.data,
+                      hsh.ctypes.data, strand.ctypes.data)
+        gen = min_sr_native._gen = getattr(min_sr_native, "_gen", 0) + 1
     return {"buf": buf, "offsets": offsets, "lens": lens, "k": k, "w": w,
             "wc_off": wc_off, "cnt": cnt, "pos": pos, "hash": hsh,
             "strand": strand, "gen": gen}
@@ -379,13 +410,20 @@ def align_sr_native(seqs: list, ref_codes: np.ndarray, idx_h: np.ndarray,
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
+    buf, offsets, lens = join_reads(seqs)
+    # the pre handle must be bound to THIS batch, not just one of matching
+    # shape: identity of the joined buffer (ReadBatch caches it, so the same
+    # batch yields the same object) or byte-equality for plain lists
     if pre is not None and pre["k"] == k and pre["w"] == w \
             and len(pre["lens"]) == len(seqs) \
-            and pre["gen"] == getattr(min_sr_native, "_gen", 0):
+            and pre["gen"] == getattr(min_sr_native, "_gen", 0) \
+            and (pre["buf"] is buf
+                 or (len(pre["buf"]) == len(buf)
+                     and np.array_equal(pre["offsets"], offsets)
+                     and np.array_equal(pre["buf"], buf))):
         buf, offsets, lens = pre["buf"], pre["offsets"], pre["lens"]
     else:
         pre = None
-        buf, offsets, lens = join_reads(seqs)
     n = len(seqs)
     ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
     idx_h = np.ascontiguousarray(idx_h, dtype=np.uint64)

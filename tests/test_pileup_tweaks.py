@@ -293,3 +293,37 @@ def test_pair_ids_branch_matches_qname_branch_with_duplicate_names():
                                    flat_rid, Qcat_b, Scat, n,
                                    pair_ids=pair_ids)
         assert np.array_equal(Qcat_a, Qcat_b), f"trial {trial} diverged"
+
+
+def test_duplicate_qname_cross_pairs_intentional_divergence():
+    """Documented intentional divergence (malformed input): a qname seen
+    exactly TWICE among kept paired reads but in two different structural
+    pairs (each fragment's true mate dropped).  The qname branch pairs the
+    two unrelated reads and tweaks them; the structural pair_ids branch sees
+    two singleton groups and applies no tweak — the more correct answer,
+    kept deliberately (see caller._apply_overlap_tweaks_flat)."""
+    n = 1000
+    mk = lambda rs, name, L=100: PlacedRead(
+        rs=rs, cigar=[(L, "M")], seq="A" * L, quals=[30] * L, qs=0,
+        qname=name, is_proper=True, is_paired=True, mapq=60, rev=False)
+    # two fragments, same qname, heavily overlapping; their true mates are
+    # NOT in `kept` (structural groups 0 and 1 are singletons)
+    kept = [mk(100, "dup"), mk(120, "dup")]
+    flat_p, flat_qi, flat_rid = _flat_arrays(kept, n)
+    rlens = np.array([len(r.seq) for r in kept], dtype=np.int64)
+    roffs = np.concatenate(([0], np.cumsum(rlens)))
+    Qcat_q = np.concatenate([np.asarray(r.quals, np.int64) for r in kept])
+    Qcat_s = Qcat_q.copy()
+    orig = Qcat_q.copy()
+    Scat = np.frombuffer("".join(r.seq for r in kept).encode(), np.uint8)
+    aqi = roffs[flat_rid] + flat_qi
+    pairedok = np.array([True, True])
+    qnames = [r.qname for r in kept]
+    rs_arr = np.array([r.rs for r in kept], dtype=np.int64)
+    _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
+                               flat_rid, Qcat_q, Scat, n)
+    _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
+                               flat_rid, Qcat_s, Scat, n,
+                               pair_ids=np.array([0, 1], dtype=np.int64))
+    assert not np.array_equal(Qcat_q, orig), "qname branch should tweak"
+    assert np.array_equal(Qcat_s, orig), "structural branch must not tweak"
