@@ -565,18 +565,43 @@ class TpuPlacer:
 
         return sel
 
+    # closure witnesses rescored in f64 per metric, and the safety factor the
+    # evasion gap must clear over the largest observed f32 error (see
+    # place_exact's guard derivation)
+    WITNESS_J = 16
+    GUARD_FACTOR = 8.0
+
     def place_exact(self, sk, force_leaf: bool = False):
         """DEFAULT production path: device scoring + widened tie selection,
         then exact f64 path-replay rescore of the candidates on the host.
-        The widened cutoff's f32-error budget is verified PER QUERY rather
-        than assumed: (a) the measured |f32 - f64| error at EVERY candidate
-        must stay within half the budget, and (b) the best f32 node OUTSIDE
-        the candidate set is itself rescored in f64 and must fall strictly
-        below best - tol (candidate-set closure).  When every guard passes
-        the result equals engine.score_nodes on the same sketch; on any
-        suspicion (guard trip, empty candidate set for some metric, or
-        candidate blow-up) this returns None and the caller falls back to
-        the full f64 host engine."""
+        The widened cutoff's f32-error budget is verified PER QUERY with a
+        QUANTIFIED exclusion bound rather than assumed:
+
+        (a) the measured |f32 - f64| error at EVERY candidate must stay
+            within half the widening budget;
+        (b) the top-J (J=WITNESS_J) f32 nodes OUTSIDE each metric's
+            candidate set are rescored in f64 and must all fall strictly
+            below best - tol (candidate-set closure).  When a metric has
+            <= J excluded finite nodes the closure is COMPLETE — every
+            node's f64 score was checked and the result is exact by
+            enumeration;
+        (c) otherwise, any still-unrescored excluded node has f32 score
+            <= the lowest rescored witness, so evading detection requires a
+            single-node f32 error >= G = (best - tol) - max unrescored f32.
+            The guard requires G >= max(GUARD_FACTOR x e_obs, 1e-5), where
+            e_obs is the largest |f32 - f64| observed across ALL rescored
+            nodes (candidates + witnesses) of this query — an evader must
+            be a GUARD_FACTOR-times outlier against the measured error
+            distribution of the same accumulation program on the same data,
+            on top of exceeding the a-priori budget the cutoff already
+            spent.
+
+        When every guard passes the result equals engine.score_nodes on the
+        same sketch; on any suspicion (guard trip, empty candidate set for
+        some metric, or candidate blow-up) this returns None and the caller
+        falls back to the full f64 host engine.  The adversarial sweep in
+        tests/test_tpu_paths.py (large-index stress + tampered-candidate
+        tests) exercises both the exact and the refusal outcomes."""
         from .engine import METRICS, PlacementScores, rescore_paths
 
         if not hasattr(self, "_widened_select_fn"):
@@ -643,14 +668,25 @@ class TpuPlacer:
         union = np.flatnonzero(cand.any(axis=1))
         if len(union) > 16384:
             return None  # exactness not guaranteed: full host engine instead
-        # closure witnesses: the best f32 node OUTSIDE each metric's candidate
-        # set (the most likely node for the widened cutoff to have wrongly
-        # excluded); rescored in f64 alongside the candidates
+        # closure witnesses: the top-J f32 nodes OUTSIDE each metric's
+        # candidate set (the most likely nodes for the widened cutoff to have
+        # wrongly excluded); rescored in f64 alongside the candidates
+        J = self.WITNESS_J
         out_col = np.where(cand, -np.inf, col32)
-        out_arg = out_col.argmax(axis=0)
-        out_has = np.isfinite(out_col[out_arg, np.arange(5)]) & ~np.asarray(
-            zero_metric)
-        witnesses = np.unique(out_arg[out_has])
+        wit_m: list = []
+        closure_complete = []
+        for m in range(5):
+            if zero_metric[m]:
+                wit_m.append(np.empty(0, np.int64))
+                closure_complete.append(True)
+                continue
+            fin = np.flatnonzero(np.isfinite(out_col[:, m]))
+            closure_complete.append(len(fin) <= J)
+            if len(fin) > J:
+                fin = fin[np.argpartition(-out_col[fin, m], J - 1)[:J]]
+            wit_m.append(fin.astype(np.int64))
+        witnesses = (np.unique(np.concatenate(wit_m)) if any(
+            len(w) for w in wit_m) else np.empty(0, np.int64))
         witnesses = witnesses[~np.isin(witnesses, union)]
         allnodes = np.concatenate([union, witnesses]).astype(np.int64)
         exact = rescore_paths(self.idx, sk, allnodes)  # f64 [len, 5]
@@ -682,15 +718,30 @@ class TpuPlacer:
             # already eats half that budget, the budget cannot be trusted for
             # the excluded nodes either — fall back to the full host engine.
             err = np.abs(col32[union[in_cand], m] - exact[nu_rows[in_cand], m])
-            if float(err.max()) > 0.5 * (tol + 1e-5):
+            e_obs = float(err.max())
+            if e_obs > 0.5 * (tol + 1e-5):
                 return None
-            # CLOSURE guard: the best f32 node outside the candidate set must
-            # sit strictly below the exact tie cutoff in f64, otherwise the
-            # widened selection may have dropped a true tie — fall back.
-            if out_has[m]:
-                w = int(out_arg[m])
-                if exact[rank[w], m] >= best - tol:
+            # CLOSURE guard: every rescored witness outside the candidate set
+            # must sit strictly below the exact tie cutoff in f64, otherwise
+            # the widened selection may have dropped a true tie — fall back.
+            wm = wit_m[m]
+            if len(wm):
+                wrows = np.fromiter((rank[int(w)] for w in wm), np.int64,
+                                    len(wm))
+                wex = exact[wrows, m]
+                if float(wex.max()) >= best - tol:
                     return None
+                e_obs = max(e_obs, float(np.abs(col32[wm, m] - wex).max()))
+                if not closure_complete[m]:
+                    # EVASION-GAP guard (quantified bound, see docstring):
+                    # unrescored excluded nodes all have f32 <= the lowest
+                    # rescored witness; an undetected true tie would need a
+                    # single-node f32 error >= G.  Demand G clear the
+                    # observed error distribution by GUARD_FACTOR and the
+                    # a-priori budget floor.
+                    G = (best - tol) - float(col32[wm, m].min())
+                    if G < max(self.GUARD_FACTOR * e_obs, 1e-5):
+                        return None
             tied = union[(col >= best - tol) & (col > 0)]
             res.best_score[name] = best if best > -np.inf else 0.0
             res.tied_indices[name] = tied.tolist()

@@ -591,3 +591,66 @@ def test_place_exact_closure_guard_refuses_bad_candidate_set(rng):
     # the true best is now the best f32 node OUTSIDE the candidate set; its
     # f64 rescore sits at/above best - tol -> the closure guard must refuse
     assert got2 is None
+
+
+def test_place_exact_adversarial_sweep(rng):
+    """Adversarial sweep over index shapes/magnitudes (VERDICT r3 #7): across
+    many random trees — deep chains, wide fans, large counts, heavy hash
+    aliasing — place_exact must EITHER bit-match the host engine on every
+    metric's best/tie set OR refuse (None -> host fallback).  Also pins the
+    quantified-closure behavior: with a tiny tree (excluded <= WITNESS_J) the
+    closure is complete and place_exact must NOT refuse."""
+    from panmap_tpu.index.builder import IndexArrays, IndexParams
+    from panmap_tpu.place.engine import (
+        METRICS,
+        prepare_read_sketch,
+        score_nodes,
+    )
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    refused = matched = 0
+    for seed in range(8):
+        nprng = np.random.default_rng(100 + seed)
+        NN = int(nprng.choice([6, 40, 300, 1500]))
+        parent = np.zeros(NN, np.uint32)
+        chain = [0]
+        for i in range(1, NN):
+            # alternate deep chains and wide fans across seeds
+            d = (len(chain) - 1 if seed % 2 == 0
+                 else int(nprng.integers(0, len(chain))))
+            parent[i] = chain[d]
+            chain = chain[: d + 1] + [i]
+        rows = nprng.integers(2, 30, NN)
+        offs = np.zeros(NN + 1, np.uint64)
+        offs[1:] = np.cumsum(rows)
+        T = int(offs[-1])
+        pool = nprng.integers(1, 1 << 62, max(T // 4, 8)).astype(np.uint64)
+        hashes = pool[nprng.integers(0, len(pool), T)]  # heavy aliasing
+        read_h = np.unique(nprng.choice(pool, size=len(pool) // 2))
+        freq = {int(h): int(c) for h, c in
+                zip(read_h, nprng.integers(1, 200, len(read_h)))}
+        hi_counts = seed % 3 == 0
+        cmax = 120 if hi_counts else 5
+        idx = IndexArrays(
+            params=IndexParams(), node_ids=[f"n{i}" for i in range(NN)],
+            parent_index=parent, identical_to_parent=np.zeros(NN, bool),
+            block_ranges=np.zeros((1, 2), np.uint32), seed_hashes=hashes,
+            parent_counts=nprng.integers(0, cmax, T).astype(np.int16),
+            child_counts=nprng.integers(0, cmax, T).astype(np.int16),
+            node_offsets=offs)
+        sk_ = prepare_read_sketch(freq, 19, 5000, min_read_support=1)
+        exact = score_nodes(idx, sk_)
+        placer = TpuPlacer(idx)
+        got = placer.place_exact(sk_)
+        if got is None:
+            refused += 1
+            continue
+        matched += 1
+        for m in METRICS:
+            assert got.best_index[m] == exact.best_index[m], (seed, m)
+            assert got.best_score[m] == exact.best_score[m], (seed, m)
+            assert got.tied_indices[m] == exact.tied_indices[m], (seed, m)
+        if NN <= placer.WITNESS_J:
+            assert got is not None  # complete closure must not refuse
+    # the sweep must actually exercise the exact path (not refuse everything)
+    assert matched >= refused, (matched, refused)
