@@ -18,8 +18,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, local: bool = False) -> Mesh:
+    """1-D "data" mesh.  ``local=True`` restricts to THIS process's devices —
+    required whenever different processes run the mesh program on DIFFERENT
+    data (e.g. the manifest-sharded batch mode, where each host places its
+    own samples: a global mesh's psum would mix partial sums across
+    samples)."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("data",))

@@ -80,6 +80,8 @@ class PipelineConfig:
     stop: str = ""  # "", "index", "place", "align", "genotype"
     threads: int = 0
     mesh: int = 0  # devices for sharded scoring: 0=auto(all>1), 1=off, N=N
+    local_mesh_only: bool = False  # pin meshes to this process's devices
+    # (set by manifest-sharded batch mode; see _resolve_mesh)
     export_ref_idx: str = ""  # write the index in the reference .idx format
     batch_file: str = ""
     profile_dir: str = ""  # jax.profiler trace output dir (--profile)
@@ -248,12 +250,19 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
 def _resolve_mesh(cfg: PipelineConfig):
     """--mesh semantics: 0 = auto (shard over all local devices when there is
     more than one), 1 = single device, N>1 = first N devices.  Returns a
-    jax.sharding.Mesh or None."""
+    jax.sharding.Mesh or None.
+
+    Manifest-sharded batch mode (multi-process, different samples per
+    process) pins the mesh to THIS process's devices: the mesh program is
+    collective, and a global mesh would psum partial sums of DIFFERENT
+    samples together.  Single-sample multi-host mode keeps the global mesh
+    (every process runs the same sample, rows shard across hosts)."""
     import jax
 
     from .parallel.mesh import make_mesh
 
-    n_avail = len(jax.devices())
+    local_only = bool(getattr(cfg, "local_mesh_only", False))
+    n_avail = len(jax.local_devices() if local_only else jax.devices())
     want = cfg.mesh if cfg.mesh > 0 else (n_avail if n_avail > 1 else 1)
     if want <= 1:
         return None
@@ -261,7 +270,7 @@ def _resolve_mesh(cfg: PipelineConfig):
         cfg.log(f"[mesh] {want} devices requested, {n_avail} available; "
                 f"using {n_avail}")
         want = n_avail
-    return make_mesh(want)
+    return make_mesh(want, local=local_only)
 
 
 def _get_placer(idx: IndexArrays, cfg: PipelineConfig | None = None):
@@ -875,6 +884,9 @@ def run_batch(cfg: PipelineConfig):
         samples = samples[shard]
         if not samples:
             return 0
+        # each process now owns DIFFERENT samples: any device mesh must stay
+        # process-local (see _resolve_mesh)
+        cfg.local_mesh_only = True
     cfg.log(f"[batch] {len(samples)} samples")
     tree = None
     idx, tree = ensure_index(cfg, tree)
