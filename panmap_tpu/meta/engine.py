@@ -771,9 +771,30 @@ class MetaScorer:
         return max_score, snap
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _rdg_perm(read_off, read_hash, lens):
+        """Component-DFS read permutation for the native scorer (reference
+        lowMemory readDebruijnGraph.sortReads, mgsr.cpp:2160-2162) and the
+        gathered (off, hash-index) CSR it induces.  Opt-out with
+        PANMAP_TPU_RDG=0; see PARITY.md for the locality measurement."""
+        if os.environ.get("PANMAP_TPU_RDG", "1") == "0":
+            return None
+        from .rdg import debruijn_read_order
+
+        perm = debruijn_read_order(read_off, read_hash)
+        lp = lens[perm]
+        starts = read_off[:-1][perm]
+        tot = int(lp.sum())
+        csum = np.concatenate(([0], np.cumsum(lp)))
+        gather = (np.repeat(starts, lp)
+                  + (np.arange(tot) - np.repeat(csum[:-1], lp)))
+        return perm, csum, gather
+
     def _score_simple_native(self, candidate_nodes: list,
                              collect_node_scores: bool):
-        """Call the native simple-mode core; None when unavailable."""
+        """Call the native simple-mode core; None when unavailable.  Reads
+        are fed in de-Bruijn component order (affected-read updates touch
+        contiguous ranges) and results scattered back to original ids."""
         from ..native import score_simple_native
 
         reads = self.reads
@@ -783,6 +804,15 @@ class MetaScorer:
             return None
         read_hash = np.concatenate([r.hashes for r in reads])
         read_rev = np.concatenate([np.asarray(r.revs, bool) for r in reads])
+        # node_scores' per-node emission order is part of the python-oracle
+        # contract (the assignment replay and dump TSVs preserve it), so the
+        # locality permutation only applies to the pure-scoring case
+        p = (None if collect_node_scores
+             else self._rdg_perm(read_off, read_hash, lens))
+        if p is not None:
+            perm, read_off, gather = p
+            read_hash = read_hash[gather]
+            read_rev = read_rev[gather]
         res = score_simple_native(
             self.midx, read_off, read_hash, read_rev, self._relevant,
             np.asarray(candidate_nodes, np.int64),
@@ -790,6 +820,13 @@ class MetaScorer:
         if res is None:
             return None
         max_score, snap, node_scores = res
+        if p is not None:
+            ms = np.empty_like(max_score)
+            ms[perm] = max_score
+            max_score = ms
+            sn = np.empty_like(snap)
+            sn[:, perm] = snap
+            snap = sn
         if collect_node_scores:
             return max_score, snap, node_scores
         return max_score, snap
@@ -818,10 +855,24 @@ class MetaScorer:
                                     for r in reads])
         read_qend = np.concatenate([np.asarray(r.qend, np.int64)
                                     for r in reads])
+        p = self._rdg_perm(read_off, read_hash, lens)
+        if p is not None:
+            perm, read_off, gather = p
+            read_hash = read_hash[gather]
+            read_rev = read_rev[gather]
+            read_qbeg = read_qbeg[gather]
+            read_qend = read_qend[gather]
         res = score_pseudo_native(
             midx, read_off, read_hash, read_rev, read_qbeg, read_qend,
             self._relevant, np.asarray(candidate_nodes, np.int64),
             maximum_gap=maximum_gap)
+        if res is not None and p is not None:
+            max_score, snap = res
+            ms = np.empty_like(max_score)
+            ms[perm] = max_score
+            sn = np.empty_like(snap)
+            sn[:, perm] = snap
+            res = (ms, sn)
         return res
 
     def score_all_pseudo(self, candidate_nodes: list,
