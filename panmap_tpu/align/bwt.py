@@ -60,20 +60,44 @@ _G_LOG_N = np.array([int(4.343 * math.log(n) + 0.5) if n else 0
 
 STATE_M, STATE_I, STATE_D = 0, 1, 2
 
-# the per-read best-first search is interpreted python: exact and fast on
-# the tiny genomes this pipeline places against, but super-linear work on
-# big references / huge read sets.  Above these bounds the callers dispatch
-# to the vectorized minimizer backend (align/adna.py) instead.
-BWT_MAX_REF = 1 << 20      # 1 Mb reference
-BWT_MAX_READS = 50_000
+# Envelopes for the TRUE search.  With the native core (pt_bwt_aln: the same
+# best-first search in threaded C++) the bound is index memory + suffix-array
+# build time, not per-read python interpretation — 64 Mb covers every genome
+# class the reference's aDNA mode targets, with unlimited reads.  The
+# interpreted-python search keeps the old tight bounds (it is the ORACLE, not
+# the product path).  Beyond the active envelope the caller dispatches to the
+# vectorized minimizer backend (align/adna.py) WITH A LOUD WARNING — it is a
+# different algorithm (behavioral substitute, concordance quantified in
+# tests/test_bwt_aln.py).
+BWT_MAX_REF = 1 << 20        # 1 Mb reference (python search)
+BWT_MAX_READS = 50_000       # (python search)
+BWT_MAX_REF_NATIVE = 64 << 20
 
 
-def pick_adna_aligner(ref: str, n_reads: int):
+def _native_bwt_available() -> bool:
+    from ..native import get_lib
+
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "pt_bwt_aln")
+
+
+def pick_adna_aligner(ref: str, n_reads: int, log=None):
     """The production --aligner bwa dispatch: the true BWT search within its
-    practical envelope, the minimizer behavioral backend beyond it
-    (concordance quantified in tests/test_bwt_aln.py)."""
-    if len(ref) <= BWT_MAX_REF and n_reads <= BWT_MAX_READS:
+    practical envelope (native C++ core when available), the minimizer
+    behavioral backend beyond it — loudly, never silently."""
+    if _native_bwt_available():
+        if len(ref) <= BWT_MAX_REF_NATIVE:
+            return BwtAligner(ref), "bwt"
+    elif len(ref) <= BWT_MAX_REF and n_reads <= BWT_MAX_READS:
         return BwtAligner(ref), "bwt"
+    msg = (f"[align] WARNING: workload ({len(ref)} bp reference, {n_reads} "
+           f"reads) exceeds the bwa-aln search envelope"
+           + ("" if _native_bwt_available()
+              else " (native core unavailable: python-search bounds apply)")
+           + "; substituting the minimizer backend (a DIFFERENT algorithm — "
+           "behavioral concordance, not bwa-aln semantics; see "
+           "tests/test_bwt_aln.py)")
+    (log or print)(msg)
     from .adna import AdnaAligner
 
     return AdnaAligner(ref), "minimizer"
@@ -105,19 +129,19 @@ def _suffix_array(codes: np.ndarray) -> np.ndarray:
 
 
 class FmIndex:
-    """FM index with dense occ checkpoints over a 0..3 coded text + sentinel
-    (code 4, lexicographically largest so ACGT order matches bwa's L2)."""
+    """FM index over a 0..3 coded text + sentinel (code 4, lexicographically
+    largest so ACGT order matches bwa's L2).  The dense occ table (32 B/base)
+    is built LAZILY: the native search (pt_bwt_aln) only needs bwt/C/sa and
+    builds its own 64-base checkpoints, so the python-search table is paid
+    for only when the python oracle path actually runs."""
 
     def __init__(self, codes: np.ndarray):
         text = np.concatenate([codes.astype(np.int64), [4]])
         self.n = len(text)
         sa = _suffix_array(text)
         self.sa = sa
-        bwt = text[(sa - 1) % self.n]
-        # occ[c, i] = # of c in bwt[:i]
-        self.occ = np.zeros((4, self.n + 1), dtype=np.int64)
-        for c in range(4):
-            self.occ[c, 1:] = np.cumsum(bwt == c)
+        self.bwt = text[(sa - 1) % self.n].astype(np.uint8)
+        self._occ = None
         counts = np.bincount(text, minlength=5)
         # C[c] = # of symbols strictly smaller than c ('$' sorts last here,
         # mirroring bwa's primary-index handling; L2 skips it)
@@ -125,6 +149,15 @@ class FmIndex:
         self.C[1:] = np.cumsum(counts[:4])[: 4]
         # interval convention: [k, l] inclusive over SA rows
         self.full = (0, self.n - 1)
+
+    @property
+    def occ(self):
+        """occ[c, i] = # of c in bwt[:i] (python-search path only)."""
+        if self._occ is None:
+            self._occ = np.zeros((4, self.n + 1), dtype=np.int64)
+            for c in range(4):
+                self._occ[c, 1:] = np.cumsum(self.bwt == c)
+        return self._occ
 
     def extend(self, k: int, l: int, c: int):
         """Backward-search step: prepend symbol c."""
@@ -462,4 +495,51 @@ class BwtAligner:
         return aln
 
     def align_batch(self, seqs: list) -> list:
+        out = self._align_batch_native(seqs)
+        if out is not None:
+            return out
         return [self.align_read(s) for s in seqs]
+
+    def _align_batch_native(self, seqs: list):
+        """Threaded C++ search (pt_bwt_aln); gapped hits get their CIGAR from
+        the same whole-read semiglobal DP as the python path.  None without
+        the native library (callers fall back to the per-read python
+        search)."""
+        from ..native import bwt_aln_native
+
+        res = bwt_aln_native(self.fm, self.fm_rev, seqs, self.fnr)
+        if res is None:
+            return None
+        out = []
+        for i, seq in enumerate(seqs):
+            aln = Alignment()
+            if res["mapped"][i]:
+                lq = len(seq)
+                rev = bool(res["rev"][i])
+                pos = int(res["pos"][i])
+                n_ins = int(res["nins"][i])
+                n_del = int(res["ndel"][i])
+                aln.mapped = True
+                aln.rev = rev
+                aln.qs, aln.qe = 0, lq
+                if res["ngapo"][i] == 0:
+                    aln.rs, aln.re = pos, pos + lq
+                    aln.cigar = [(lq, "M")]
+                else:
+                    codes = encode(np.frombuffer(seq.encode(),
+                                                 dtype=np.uint8)) \
+                        .astype(np.int64)
+                    oriented = codes if not rev \
+                        else _RC_CODE[codes[::-1]].astype(np.int64)
+                    ref_len = lq - n_ins + n_del
+                    wlo = max(0, pos - 2)
+                    whi = min(len(self.codes), pos + ref_len + 2)
+                    _d, ws, we, cigar = semiglobal_dp(
+                        np.asarray(oriented), self.codes[wlo:whi])
+                    aln.rs, aln.re = wlo + ws, wlo + we
+                    aln.cigar = cigar
+                aln.nm = int(res["nmm"][i]) + n_ins + n_del
+                aln.score = int(res["score"][i])
+                aln.mapq = int(res["mapq"][i])
+            out.append(aln)
+        return out

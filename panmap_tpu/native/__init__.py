@@ -574,6 +574,51 @@ def banded_dp_native(q: np.ndarray, r: np.ndarray, cap: int = 256):
             cigar)
 
 
+def bwt_aln_native(fm, fm_rev, seqs: list, fnr: float, threads: int = 0):
+    """Threaded native bwa-aln search (pt_bwt_aln — the C++ twin of
+    align/bwt.py's best-first FM search, which stays as the bit-exact
+    oracle).  ``fm``/``fm_rev`` are align.bwt.FmIndex instances (only their
+    bwt/C/sa arrays are consumed; the dense python occ table is never
+    built).  Returns a dict of per-read arrays or None without the
+    library/entry point."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_bwt_aln"):
+        return None
+    if not hasattr(lib, "_bwt_ready"):
+        lib.pt_bwt_aln.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # fwd
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # rev, n
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # reads CSR
+            ctypes.c_double, ctypes.c_int] + [ctypes.c_void_p] * 10
+        lib._bwt_ready = True
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    buf, offsets, _lens = join_reads(seqs)
+    n = len(seqs)
+    bwt_f = np.ascontiguousarray(fm.bwt, dtype=np.uint8)
+    bwt_r = np.ascontiguousarray(fm_rev.bwt, dtype=np.uint8)
+    C_f = np.ascontiguousarray(fm.C, dtype=np.int64)
+    C_r = np.ascontiguousarray(fm_rev.C, dtype=np.int64)
+    sa_f = np.ascontiguousarray(fm.sa, dtype=np.int32)
+    out = {
+        "mapped": np.zeros(n, np.uint8), "rev": np.zeros(n, np.uint8),
+        "pos": np.zeros(n, np.int64), "nmm": np.zeros(n, np.int32),
+        "ngapo": np.zeros(n, np.int32), "ngape": np.zeros(n, np.int32),
+        "nins": np.zeros(n, np.int32), "ndel": np.zeros(n, np.int32),
+        "score": np.zeros(n, np.int32), "mapq": np.zeros(n, np.int32),
+    }
+    lib.pt_bwt_aln(
+        bwt_f.ctypes.data, C_f.ctypes.data, sa_f.ctypes.data,
+        bwt_r.ctypes.data, C_r.ctypes.data, int(fm.n),
+        buf.ctypes.data, offsets.ctypes.data, n, float(fnr), int(threads),
+        out["mapped"].ctypes.data, out["rev"].ctypes.data,
+        out["pos"].ctypes.data, out["nmm"].ctypes.data,
+        out["ngapo"].ctypes.data, out["ngape"].ctypes.data,
+        out["nins"].ctypes.data, out["ndel"].ctypes.data,
+        out["score"].ctypes.data, out["mapq"].ctypes.data)
+    return out
+
+
 def tree_accumulate_native(deltas_f: list, deltas_i: list, offs: np.ndarray,
                            parent: np.ndarray):
     """Native twin of score_nodes' per-node accumulation loop (bit-exact

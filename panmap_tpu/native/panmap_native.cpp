@@ -2824,3 +2824,465 @@ int64_t pt_score_simple(
 }
 
 }  // extern "C"
+
+// ======================================================================
+// bwa-aln FM-index bounded-difference search (align/bwt.py twin).
+//
+// Port of the python best-first search (itself implementing the used
+// subset of /root/reference/src/3rdparty/bwa/bwtgap.c:109-260 semantics
+// for the aDNA mode, bwa_align.c:260-268): per-score LIFO stacks, D-array
+// lower-bound pruning with the allow_M refinement, M/I/D state machine,
+// top2 shrink / best_score stop / MAX_TOP2 / MAX_ENTRIES / gap_shadow /
+// tandem-gap dedup, and bwa_approx_mapQ hit selection.  The python
+// implementation in align/bwt.py stays as the bit-exact oracle
+// (tests/test_bwt_aln.py::test_native_bwt_matches_python).
+//
+// The FM occ() uses 64-base checkpoint blocks built here from the BWT
+// string (python supplies bwt codes + C[] + the fwd suffix array; those
+// are cheap vectorized numpy constructions).
+// ======================================================================
+
+#include <atomic>
+#include <climits>
+
+namespace bwtaln {
+
+constexpr int S_MM = 3, S_GAPO = 11, S_GAPE = 4;
+constexpr int MAX_GAPO = 2, MAX_GAPE = 6;
+constexpr int INDEL_END_SKIP = 5, MAX_DEL_OCC = 10, MAX_TOP2 = 30;
+constexpr int64_t MAX_ENTRIES = 2000000;
+constexpr int ST_M = 0, ST_I = 1, ST_D = 2;
+
+struct Fm {
+    const uint8_t* bwt;  // codes 0..3, 4 = sentinel
+    int64_t n;           // text length incl sentinel
+    int64_t C[5];
+    std::vector<int32_t> cp;  // [nblk+1][4] counts of c in bwt[:64*b)
+
+    void build_cp() {
+        int64_t nblk = (n >> 6) + 1;
+        cp.assign((nblk + 1) * 4, 0);
+        int32_t run[4] = {0, 0, 0, 0};
+        for (int64_t b = 0; b < nblk; ++b) {
+            for (int c = 0; c < 4; ++c) cp[b * 4 + c] = run[c];
+            int64_t lo = b << 6, hi = std::min(n, lo + 64);
+            for (int64_t j = lo; j < hi; ++j)
+                if (bwt[j] < 4) ++run[bwt[j]];
+        }
+        cp[nblk * 4 + 0] = run[0];
+        cp[nblk * 4 + 1] = run[1];
+        cp[nblk * 4 + 2] = run[2];
+        cp[nblk * 4 + 3] = run[3];
+    }
+    // occ of all four symbols in bwt[:i)
+    inline void occ4(int64_t i, int64_t out[4]) const {
+        int64_t b = i >> 6;
+        const int32_t* base = &cp[b * 4];
+        int32_t cnt[4] = {0, 0, 0, 0};
+        const uint8_t* p = bwt + (b << 6);
+        int64_t e = i & 63;
+        for (int64_t j = 0; j < e; ++j) {
+            uint8_t c = p[j];
+            cnt[0] += (c == 0); cnt[1] += (c == 1);
+            cnt[2] += (c == 2); cnt[3] += (c == 3);
+        }
+        out[0] = base[0] + cnt[0]; out[1] = base[1] + cnt[1];
+        out[2] = base[2] + cnt[2]; out[3] = base[3] + cnt[3];
+    }
+    inline int64_t occ1(int c, int64_t i) const {
+        int64_t b = i >> 6;
+        int64_t o = cp[b * 4 + c];
+        const uint8_t* p = bwt + (b << 6);
+        int64_t e = i & 63;
+        for (int64_t j = 0; j < e; ++j) o += (p[j] == c);
+        return o;
+    }
+    // sub-intervals [k2,l2] for all four symbols of [k,l]
+    inline void extend4(int64_t k, int64_t l, int64_t k2[4],
+                        int64_t l2[4]) const {
+        int64_t ok[4], ol[4];
+        occ4(k, ok);
+        occ4(l + 1, ol);
+        for (int c = 0; c < 4; ++c) {
+            k2[c] = C[c] + ok[c];
+            l2[c] = C[c] + ol[c] - 1;
+        }
+    }
+    inline void extend1(int64_t k, int64_t l, int c, int64_t& k2,
+                        int64_t& l2) const {
+        k2 = C[c] + occ1(c, k);
+        l2 = C[c] + occ1(c, l + 1) - 1;
+    }
+};
+
+// bwt_cal_width: D-array lower bounds over the REVERSED text's index
+static void cal_width(const Fm& fmr, const uint8_t* pat, int L,
+                      int32_t* bid, int64_t* wid) {
+    int64_t k = 0, l = fmr.n - 1;
+    int b = 0;
+    for (int i = 0; i < L; ++i) {
+        int c = pat[i];
+        if (c > 3) { k = 0; l = -1; }
+        else fmr.extend1(k, l, c, k, l);
+        if (k > l) { ++b; k = 0; l = fmr.n - 1; }
+        bid[i] = b;
+        wid[i] = l - k + 1;
+    }
+}
+
+struct Hit {
+    int64_t k, l;
+    int mm, gapo, gape, ins, del, score;
+};
+
+struct Ent {
+    int32_t i;
+    int64_t k, l;
+    int8_t mm, gapo, gape, ins, del, state;
+    int32_t ldp;
+};
+
+struct SeedBest {
+    int score, diff;
+    int64_t cnt;
+    bool has = false;
+};
+
+// bwt_match_gap port; returns hits + interval mass at/below best score
+static void match_gap(const Fm& fm, const uint8_t* pat, int L,
+                      const int32_t* bid0, const int64_t* wid0, int max_diff,
+                      const SeedBest* seed, std::vector<Hit>& hits,
+                      int64_t& c1, int64_t& c2, int& best_score_out) {
+    hits.clear();
+    c1 = c2 = 0;
+    int n_amb = 0;
+    for (int i = 0; i < L; ++i) n_amb += (pat[i] > 3);
+    if (n_amb > max_diff) { best_score_out = 1 << 30; return; }
+    int best_score, best_diff, cur_max_diff;
+    int64_t best_cnt;
+    if (seed && seed->has) {
+        best_score = seed->score;
+        best_diff = seed->diff;
+        best_cnt = seed->cnt;
+        cur_max_diff = std::min(best_diff + 1, max_diff);
+    } else {
+        best_score = S_MM * (max_diff + 1) + S_GAPO * (MAX_GAPO + 1)
+            + S_GAPE * (MAX_GAPE + 1);
+        best_diff = max_diff + 1;
+        cur_max_diff = max_diff;
+        best_cnt = 0;
+    }
+    std::vector<int32_t> bid(bid0, bid0 + L);
+    std::vector<int64_t> wid(wid0, wid0 + L);
+
+    constexpr int MAXS = 160;  // > any reachable aln score + S_MM
+    std::vector<std::vector<Ent>> stacks(MAXS);
+    int64_t n_entries = 0;
+    int cur = 0;
+    auto push = [&](int score, int32_t i, int64_t k, int64_t l, int mm,
+                    int go, int ge, int ni, int nd, int state, bool is_diff,
+                    int32_t ldp) {
+        if (score >= MAXS) return;  // beyond any best+S_MM stop bound
+        stacks[score].push_back(Ent{i, k, l, (int8_t)mm, (int8_t)go,
+                                    (int8_t)ge, (int8_t)ni, (int8_t)nd,
+                                    (int8_t)state, is_diff ? i : ldp});
+        ++n_entries;
+        if (score < cur) cur = score;
+    };
+    push(0, L, 0, fm.n - 1, 0, 0, 0, 0, 0, ST_M, false, 0);
+
+    while (n_entries) {
+        if (n_entries > MAX_ENTRIES) break;
+        while (stacks[cur].empty()) ++cur;
+        int score = cur;
+        if (score > best_score + S_MM) break;
+        Ent e = stacks[cur].back();
+        stacks[cur].pop_back();
+        --n_entries;
+        int i = e.i, n_mm = e.mm, n_gapo = e.gapo, n_gape = e.gape;
+        int n_ins = e.ins, n_del = e.del, state = e.state;
+        int32_t ldp = e.ldp;
+        int64_t k = e.k, l = e.l;
+
+        int m = cur_max_diff - (n_mm + n_gapo) - n_gape;  // GAPE mode
+        if (m < 0) continue;
+        if (i > 0 && m < bid[i - 1]) continue;
+
+        bool hit_found = false;
+        if (i == 0) {
+            hit_found = true;
+        } else if (m == 0) {
+            int64_t kk = k, ll = l;
+            bool ok = true;
+            for (int j = i - 1; j >= 0; --j) {
+                int c = pat[j];
+                if (c > 3) { ok = false; break; }
+                fm.extend1(kk, ll, c, kk, ll);
+                if (kk > ll) { ok = false; break; }
+            }
+            if (!ok) continue;
+            k = kk; l = ll;
+            hit_found = true;
+        }
+
+        if (hit_found) {
+            int sc = S_MM * n_mm + S_GAPO * n_gapo + S_GAPE * n_gape;
+            if (sc < best_score) {
+                best_score = sc;
+                best_diff = n_mm + n_gapo + n_gape;
+                cur_max_diff = std::min(best_diff + 1, max_diff);  // top2
+            }
+            if (sc == best_score) {
+                best_cnt += l - k + 1;
+                c1 += l - k + 1;
+            } else {
+                if (best_cnt > MAX_TOP2) break;
+                c2 += l - k + 1;
+            }
+            bool dup = false;
+            if (n_gapo) {
+                for (const Hit& h : hits)
+                    if (h.k == k && h.l == l) { dup = true; break; }
+            }
+            if (!dup) {
+                // gap_shadow: damp widths below the last diff position
+                int64_t x = l - k + 1;
+                int jj = 0;
+                for (int t2 = 0; t2 < ldp; ++t2) {
+                    if (wid[t2] > x) wid[t2] -= x;
+                    else if (wid[t2] == x) {
+                        ++jj;
+                        bid[t2] = 1;
+                        wid[t2] = fm.n - 1 - jj;
+                    }
+                }
+                hits.push_back(Hit{k, l, n_mm, n_gapo, n_gape, n_ins, n_del,
+                                   sc});
+            }
+            continue;
+        }
+
+        --i;
+        int64_t occ = l - k + 1;
+        int64_t sk[4], sl[4];
+        fm.extend4(k, l, sk, sl);
+        bool allow_diff = true, allow_m = true;
+        if (i > 0) {
+            if (bid[i - 1] > m - 1) allow_diff = false;
+            else if (bid[i - 1] == m - 1 && bid[i] == m - 1
+                     && wid[i - 1] == wid[i]) allow_m = false;
+        }
+
+        int tmp = n_gapo + n_gape;
+        if (allow_diff && i >= INDEL_END_SKIP + tmp
+                && L - i >= INDEL_END_SKIP + tmp) {
+            if (state == ST_M) {
+                if (n_gapo < MAX_GAPO) {
+                    push(S_MM * n_mm + S_GAPO * (n_gapo + 1) + S_GAPE * n_gape,
+                         i, k, l, n_mm, n_gapo + 1, n_gape, n_ins + 1, n_del,
+                         ST_I, true, ldp);
+                    for (int c = 0; c < 4; ++c)
+                        if (sk[c] <= sl[c])
+                            push(S_MM * n_mm + S_GAPO * (n_gapo + 1)
+                                     + S_GAPE * n_gape,
+                                 i + 1, sk[c], sl[c], n_mm, n_gapo + 1,
+                                 n_gape, n_ins, n_del + 1, ST_D, true, ldp);
+                }
+            } else if (state == ST_I) {
+                if (n_gape < MAX_GAPE)
+                    push(S_MM * n_mm + S_GAPO * n_gapo + S_GAPE * (n_gape + 1),
+                         i, k, l, n_mm, n_gapo, n_gape + 1, n_ins + 1, n_del,
+                         ST_I, true, ldp);
+            } else if (state == ST_D) {
+                if (n_gape < MAX_GAPE && (n_gape + n_gapo < cur_max_diff
+                                          || occ < MAX_DEL_OCC)) {
+                    for (int c = 0; c < 4; ++c)
+                        if (sk[c] <= sl[c])
+                            push(S_MM * n_mm + S_GAPO * n_gapo
+                                     + S_GAPE * (n_gape + 1),
+                                 i + 1, sk[c], sl[c], n_mm, n_gapo,
+                                 n_gape + 1, n_ins, n_del + 1, ST_D, true,
+                                 ldp);
+                }
+            }
+        }
+
+        if (allow_diff && allow_m) {
+            for (int j = 1; j <= 4; ++j) {
+                int c = (pat[i] + j) & 3;
+                int is_mm = (j != 4 || pat[i] > 3) ? 1 : 0;
+                if (sk[c] <= sl[c])
+                    push(S_MM * (n_mm + is_mm) + S_GAPO * n_gapo
+                             + S_GAPE * n_gape,
+                         i, sk[c], sl[c], n_mm + is_mm, n_gapo, n_gape,
+                         n_ins, n_del, ST_M, is_mm != 0, ldp);
+            }
+        } else if (pat[i] < 4) {
+            int c = pat[i];
+            if (sk[c] <= sl[c])
+                push(S_MM * n_mm + S_GAPO * n_gapo + S_GAPE * n_gape, i,
+                     sk[c], sl[c], n_mm, n_gapo, n_gape, n_ins, n_del, ST_M,
+                     false, ldp);
+        }
+    }
+    best_score_out = best_score;
+}
+
+// bwtaln.c:42-55 Poisson-tail threshold
+static int cal_maxdiff(int length, double err, double thres) {
+    double elambda = std::exp(-length * err);
+    double s = elambda, y = 1.0, x = 1.0;
+    for (int kk = 1; kk < 1000; ++kk) {
+        y *= length * err;
+        x *= kk;
+        s += elambda * y / x;
+        if (1.0 - s < thres) return kk;
+    }
+    return 2;
+}
+
+}  // namespace bwtaln
+
+extern "C" {
+
+// Per-read outputs: mapped, rev, pos (min SA coord of best hit),
+// mm/gapo/gape/ins/del of the chosen hit, score (=-diffs), mapq.
+void pt_bwt_aln(const uint8_t* bwt_f, const int64_t* C_f, const int32_t* sa_f,
+                const uint8_t* bwt_r, const int64_t* C_r, int64_t n_text,
+                const uint8_t* rbuf, const int64_t* roff, int64_t n_reads,
+                double fnr, int threads, uint8_t* mapped, uint8_t* rev_out,
+                int64_t* pos_out, int32_t* nmm, int32_t* ngapo,
+                int32_t* ngape, int32_t* nins, int32_t* ndel,
+                int32_t* score_out, int32_t* mapq_out) {
+    using namespace bwtaln;
+    Fm fm{bwt_f, n_text, {C_f[0], C_f[1], C_f[2], C_f[3], C_f[4]}, {}};
+    Fm fmr{bwt_r, n_text, {C_r[0], C_r[1], C_r[2], C_r[3], C_r[4]}, {}};
+    fm.build_cp();
+    fmr.build_cp();
+    // ASCII -> code LUT (encode() semantics: acgt/ACGT, else 4)
+    uint8_t lut[256];
+    std::memset(lut, 4, sizeof lut);
+    lut['A'] = lut['a'] = 0; lut['C'] = lut['c'] = 1;
+    lut['G'] = lut['g'] = 2; lut['T'] = lut['t'] = 3;
+    static const int8_t g_log_n_thresh = 23;
+
+    if (threads < 1) threads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        std::vector<uint8_t> pat[2];
+        std::vector<int32_t> bid[2];
+        std::vector<int64_t> wid[2];
+        std::vector<Hit> hits[2], scratch;
+        for (;;) {
+            int64_t r = next.fetch_add(1);
+            if (r >= n_reads) return;
+            int64_t lo = roff[r], hi = roff[r + 1];
+            int L = (int)(hi - lo);
+            mapped[r] = 0;
+            if (L == 0) continue;
+            int max_diff = cal_maxdiff(L, 0.02, fnr);
+            // oriented patterns: fwd and reverse complement
+            pat[0].resize(L);
+            pat[1].resize(L);
+            for (int i = 0; i < L; ++i) {
+                uint8_t c = lut[rbuf[lo + i]];
+                pat[0][i] = c;
+                pat[1][L - 1 - i] = c > 3 ? 4 : (uint8_t)(3 - c);
+            }
+            SeedBest seed{};
+            for (int o = 0; o < 2; ++o) {
+                bid[o].resize(L);
+                wid[o].resize(L);
+                cal_width(fmr, pat[o].data(), L, bid[o].data(),
+                          wid[o].data());
+            }
+            auto best_of = [&](const std::vector<Hit>& hs, SeedBest& out) {
+                out.has = false;
+                if (hs.empty()) return;
+                int bsc = 1 << 30;
+                for (const Hit& h : hs) bsc = std::min(bsc, h.score);
+                int bdiff = 1 << 30;
+                int64_t bcnt = 0;
+                for (const Hit& h : hs)
+                    if (h.score == bsc) {
+                        bdiff = std::min(bdiff, h.mm + h.gapo + h.gape);
+                        bcnt += h.l - h.k + 1;
+                    }
+                out = SeedBest{bsc, bdiff, bcnt, true};
+            };
+            auto merge_seed = [&](const SeedBest& a, const SeedBest& b) {
+                if (!a.has) return b;
+                if (!b.has) return a;
+                if (a.score != b.score) return a.score < b.score ? a : b;
+                return SeedBest{a.score, std::min(a.diff, b.diff),
+                                a.cnt + b.cnt, true};
+            };
+            int64_t c1s[2], c2s[2];
+            int bs;
+            for (int o = 0; o < 2; ++o) {
+                match_gap(fm, pat[o].data(), L, bid[o].data(), wid[o].data(),
+                          max_diff, seed.has ? &seed : nullptr, hits[o],
+                          c1s[o], c2s[o], bs);
+                SeedBest sb;
+                best_of(hits[o], sb);
+                seed = merge_seed(seed, sb);
+            }
+            SeedBest fwd_best;
+            best_of(hits[0], fwd_best);
+            if (seed.has && !hits[0].empty()
+                    && (!fwd_best.has || seed.score < fwd_best.score)) {
+                SeedBest rev_best;
+                best_of(hits[1], rev_best);
+                match_gap(fm, pat[0].data(), L, bid[0].data(), wid[0].data(),
+                          max_diff, rev_best.has ? &rev_best : nullptr,
+                          hits[0], c1s[0], c2s[0], bs);
+            }
+            // merge strands: global best hit (stable: fwd first, LIFO order
+            // within a strand matches the python all_scored sort by score)
+            int best_sc = 1 << 30;
+            for (int o = 0; o < 2; ++o)
+                for (const Hit& h : hits[o]) best_sc = std::min(best_sc, h.score);
+            if (best_sc == (1 << 30)) continue;
+            int64_t c1 = 0, c2 = 0;
+            const Hit* pick = nullptr;
+            int pick_o = 0;
+            for (int o = 0; o < 2; ++o)
+                for (const Hit& h : hits[o]) {
+                    if (h.score == best_sc) {
+                        c1 += h.l - h.k + 1;
+                        if (!pick) { pick = &h; pick_o = o; }
+                    } else {
+                        c2 += h.l - h.k + 1;
+                    }
+                }
+            int64_t pos = INT64_MAX;
+            for (int64_t t = pick->k; t <= pick->l; ++t)
+                pos = std::min(pos, (int64_t)sa_f[t]);
+            mapped[r] = 1;
+            rev_out[r] = (uint8_t)pick_o;
+            pos_out[r] = pos;
+            nmm[r] = pick->mm;
+            ngapo[r] = pick->gapo;
+            ngape[r] = pick->gape;
+            nins[r] = pick->ins;
+            ndel[r] = pick->del;
+            score_out[r] = -(pick->mm + pick->gapo + pick->gape);
+            int mq;
+            if (c1 == 0) mq = 23;
+            else if (c1 > 1) mq = 0;
+            else if (pick->mm == max_diff) mq = 25;
+            else if (c2 == 0) mq = 37;
+            else {
+                int64_t n2 = std::min<int64_t>(c2, 255);
+                int g = (int)(4.343 * std::log((double)n2) + 0.5);
+                mq = g > g_log_n_thresh ? 0 : 23 - g;
+            }
+            mapq_out[r] = mq;
+        }
+    };
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

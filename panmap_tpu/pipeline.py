@@ -651,7 +651,7 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
         # vectorized minimizer backend beyond it (align/bwt.py dispatch)
         from .align.bwt import pick_adna_aligner
 
-        ad, backend = pick_adna_aligner(ref, len(seqs))
+        ad, backend = pick_adna_aligner(ref, len(seqs), log=cfg.log)
         cfg.log(f"[align] aDNA backend: {backend}")
         paired = False
         pairs = [(a, None) for a in ad.align_batch(seqs)]

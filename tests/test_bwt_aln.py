@@ -183,3 +183,72 @@ def test_bwt_gapped_unique_hit_mapq37():
     a = B.align_read(read)
     assert a.mapped and a.rs == p
     assert a.nm == md and a.mapq == 37, (md, a.nm, a.mapq)
+
+
+def test_native_bwt_matches_python():
+    """pt_bwt_aln (threaded C++ best-first search) must reproduce the python
+    search exactly: mapped set, strand, position, diff counts, score, mapq,
+    and CIGARs — across exact/mismatch/indel/strand/ambiguous cases."""
+    from panmap_tpu.native import get_lib
+
+    if get_lib() is None or not hasattr(get_lib(), "pt_bwt_aln"):
+        pytest.skip("native bwt core unavailable")
+    rng = np.random.default_rng(97)
+    ref = _rand_ref(rng, 12000)
+    B = BwtAligner(ref)
+    reads = []
+    for _ in range(160):
+        L = int(rng.integers(36, 90))
+        p = int(rng.integers(0, len(ref) - L))
+        r = list(ref[p : p + L])
+        mode = rng.integers(0, 6)
+        if mode == 1:  # mismatches
+            for _ in range(int(rng.integers(1, 3))):
+                j = int(rng.integers(0, L))
+                r[j] = BASES[(BASES.find(r[j]) + 1) % 4]
+        elif mode == 2:  # deletion from read
+            j = int(rng.integers(10, L - 10))
+            del r[j]
+        elif mode == 3:  # insertion into read
+            j = int(rng.integers(10, L - 10))
+            r.insert(j, BASES[int(rng.integers(4))])
+        elif mode == 4:  # ambiguous base
+            r[int(rng.integers(0, L))] = "N"
+        read = "".join(r)
+        if rng.random() < 0.5:
+            read = _rc(read)
+        reads.append(read)
+    native = B._align_batch_native(reads)
+    assert native is not None
+    for i, read in enumerate(reads):
+        py = B.align_read(read)
+        na = native[i]
+        assert na.mapped == py.mapped, (i, read)
+        if not py.mapped:
+            continue
+        assert (na.rev, na.rs, na.re, na.cigar, na.nm, na.score, na.mapq) \
+            == (py.rev, py.rs, py.re, py.cigar, py.nm, py.score, py.mapq), \
+            (i, read)
+
+
+def test_envelope_fallback_is_loud():
+    """Beyond the search envelope the minimizer substitute must be announced
+    via the log callback, never silent (VERDICT r3 weak #4)."""
+    from panmap_tpu.align import bwt as bwt_mod
+    from panmap_tpu.align.bwt import pick_adna_aligner
+
+    msgs = []
+    rng = np.random.default_rng(3)
+    small = _rand_ref(rng, 2000)
+    _, backend = pick_adna_aligner(small, 100, log=msgs.append)
+    assert backend == "bwt" and not msgs
+    # force the beyond-envelope branch without building a 64 Mb reference
+    old = (bwt_mod.BWT_MAX_REF_NATIVE, bwt_mod.BWT_MAX_REF)
+    try:
+        bwt_mod.BWT_MAX_REF_NATIVE = 1000
+        bwt_mod.BWT_MAX_REF = 1000
+        _, backend = pick_adna_aligner(small, 100, log=msgs.append)
+    finally:
+        bwt_mod.BWT_MAX_REF_NATIVE, bwt_mod.BWT_MAX_REF = old
+    assert backend == "minimizer"
+    assert msgs and "WARNING" in msgs[0] and "DIFFERENT algorithm" in msgs[0]
