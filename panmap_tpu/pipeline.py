@@ -229,6 +229,17 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
                              seed_mask_fraction=cfg.seed_mask_fraction)
     res = None
     if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
+        # watchdog: a wedged remote tunnel can hang the FIRST dispatch
+        # forever while jax.devices() looks healthy — bound the wait and
+        # fall back to the host engines (placement AND alignment) instead
+        from .utils.devinit import device_usable
+
+        if not device_usable():
+            cfg.log("[place] device backend unresponsive (probe timeout); "
+                    "host engines for this run")
+            os.environ["PANMAP_PALLAS"] = "0"  # align stage: stay off-device
+            cfg.device_place = False
+    if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
         # DEFAULT: device row-delta scoring + widened tie selection, exact
         # f64 path-replay rescue of the candidates, guarded per query (see
         # place/query_tpu.py::place_exact); any guard trip returns None and

@@ -654,3 +654,24 @@ def test_place_exact_adversarial_sweep(rng):
             assert got is not None  # complete closure must not refuse
     # the sweep must actually exercise the exact path (not refuse everything)
     assert matched >= refused, (matched, refused)
+
+
+def test_device_watchdog_falls_back_to_host(monkeypatch, tmp_path):
+    """A device backend that never answers the liveness probe must not hang
+    the pipeline: run_placement falls back to the host engine (and pins the
+    align stage off-device) after the probe timeout (SURVEY §5.3)."""
+    import threading
+
+    from panmap_tpu.utils import devinit
+
+    # simulate a wedged tunnel: probe thread started but never completes
+    monkeypatch.setattr(devinit, "_started", threading.Thread(target=lambda: None))
+    monkeypatch.setattr(devinit, "_probe_done", threading.Event())
+    monkeypatch.setattr(devinit, "_probe_ok", False)
+    monkeypatch.setenv("PANMAP_TPU_DEVICE_TIMEOUT_S", "0.05")
+    assert devinit.device_usable() is False
+
+    # and once the probe completes, the verdict flips without a new process
+    devinit._probe_ok = True
+    devinit._probe_done.set()
+    assert devinit.device_usable() is True
