@@ -240,28 +240,48 @@ class BatchAligner(Aligner):
     _B_TIERS = (64, 256, 1024, 4096)
     _B_CAP = 4096
 
-    # device-dispatch breakeven: below this many deferred windows the native
-    # banded DP finishes before a single remote-TPU round-trip would (the
-    # kernel wins on bulk, not latency — measured ~40µs/window host vs ~80ms
-    # fixed dispatch cost over the tunnel); interpret mode ignores it so the
-    # kernel stays tested on CPU.  Override with PANMAP_PALLAS_MIN_WINDOWS.
+    # device-dispatch breakeven for SYNCHRONOUS resolution: below this many
+    # deferred windows the native banded DP finishes before a single
+    # remote-TPU round-trip would (the kernel wins on bulk, not latency —
+    # measured ~40µs/window host vs ~80ms fixed dispatch cost over the
+    # tunnel); interpret mode ignores it so the kernel stays tested on CPU.
+    # Override with PANMAP_PALLAS_MIN_WINDOWS.
     MIN_DEVICE_WINDOWS = 2048
+    # ASYNC floor (start_deferred + finish later): the dispatch overlaps
+    # other host work (the pipeline dispatches right after the front-end and
+    # finishes just before the columnar emit consumes the rows), so the
+    # device runs even for small sets — only trivial tails stay on host.
+    # Override with PANMAP_PALLAS_MIN_WINDOWS_ASYNC.
+    MIN_DEVICE_WINDOWS_ASYNC = 64
 
-    def _min_device_windows(self):
+    def _min_device_windows(self, async_: bool = False):
         import os
 
-        v = os.environ.get("PANMAP_PALLAS_MIN_WINDOWS", "")
-        return int(v) if v else self.MIN_DEVICE_WINDOWS
+        v = os.environ.get("PANMAP_PALLAS_MIN_WINDOWS_ASYNC" if async_
+                           else "PANMAP_PALLAS_MIN_WINDOWS", "")
+        if v:
+            return int(v)
+        return (self.MIN_DEVICE_WINDOWS_ASYNC if async_
+                else self.MIN_DEVICE_WINDOWS)
 
     def _resolve_deferred(self, seqs: list, res: dict, mode: str):
+        """Synchronous deferred resolution: dispatch + finish back-to-back."""
+        fin = self._start_deferred(seqs, res, mode)
+        if fin is not None:
+            fin()
+
+    def _start_deferred(self, seqs: list, res: dict, mode: str,
+                        async_: bool = False):
         """Score the mapped==3 rows (full-window banded DP) on device with
-        the Pallas banded-SW kernel, drop rows under MIN_DP_MAX, and run the
-        host DP only for the survivors' CIGAR traceback.  Small deferred sets
-        (below the device-dispatch breakeven) run the host DP directly."""
+        the Pallas banded-SW kernel.  DISPATCHES the device programs (JAX
+        dispatch is asynchronous) and returns a zero-arg finisher that blocks
+        on the scores, drops rows under MIN_DP_MAX, and runs the host DP only
+        for the survivors' CIGAR traceback.  Sets below the active breakeven
+        run the host DP immediately (returns None, already resolved)."""
         rows = np.flatnonzero(res["mapped"] == 3)
         if len(rows) == 0:
-            return
-        if mode == "tpu" and len(rows) < self._min_device_windows():
+            return None
+        if mode == "tpu" and len(rows) < self._min_device_windows(async_):
             stats = self.pallas_stats
             if stats is None:
                 stats = self.pallas_stats = dict(
@@ -271,7 +291,7 @@ class BatchAligner(Aligner):
             stats["survivors"] += len(rows)
             stats["routed_host"] = stats.get("routed_host", 0) + len(rows)
             self._host_dp_rows(seqs, res, rows.tolist())
-            return
+            return None
         ref = self.index.codes2
         lens = res["lens"]
         stats = self.pallas_stats
@@ -303,9 +323,10 @@ class BatchAligner(Aligner):
             from .pallas_sw import banded_sw_scores
         except Exception:
             banded_sw_scores = None
-        if banded_sw_scores is not None:
-            import time as _time
+        import time as _time
 
+        pending = []  # (chunk_rows, device out3, n, lqt, lwt, t_dispatch)
+        if banded_sw_scores is not None:
             for (lqt, lwt), blist in sorted(buckets.items()):
                 for off in range(0, len(blist), self._B_CAP):
                     chunk = blist[off : off + self._B_CAP]
@@ -331,23 +352,32 @@ class BatchAligner(Aligner):
                         banded_sw_scores = None
                         host_rows.extend(chunk)
                         continue
-                    stats["device_s"] += _time.perf_counter() - t0
-                    stats["device_scored"] += n
-                    stats["cells"] += int(n) * lqt * lwt
-                    sc = out3[:n, 0]
-                    for i, r in enumerate(chunk):
-                        if sc[i] >= MIN_DP_MAX:
-                            host_rows.append(r)  # survivor: host traceback
-                        else:
-                            # window padding only widens the DP, so the device
-                            # score upper-bounds the real one: below-threshold
-                            # here is below-threshold in the exact DP too
-                            res["mapped"][r] = 0
+                    pending.append((chunk, out3, n, lqt, lwt, t0))
         else:
             host_rows = rows.tolist()
 
-        stats["survivors"] += len(host_rows)
-        self._host_dp_rows(seqs, res, host_rows, queries)
+        def finish():
+            for chunk, out3, n, lqt, lwt, t0 in pending:
+                try:
+                    sc = np.asarray(out3)[:n, 0]  # blocks on the device
+                except Exception:
+                    host_rows.extend(chunk)
+                    continue
+                stats["device_s"] += _time.perf_counter() - t0
+                stats["device_scored"] += n
+                stats["cells"] += int(n) * lqt * lwt
+                for i, r in enumerate(chunk):
+                    if sc[i] >= MIN_DP_MAX:
+                        host_rows.append(r)  # survivor: host traceback
+                    else:
+                        # window padding only widens the DP, so the device
+                        # score upper-bounds the real one: below-threshold
+                        # here is below-threshold in the exact DP too
+                        res["mapped"][r] = 0
+            stats["survivors"] += len(host_rows)
+            self._host_dp_rows(seqs, res, host_rows, queries)
+
+        return finish
 
     def _host_dp_rows(self, seqs: list, res: dict, host_rows: list,
                       queries: dict | None = None):
@@ -418,12 +448,19 @@ class BatchAligner(Aligner):
             else:
                 res["mapped"][r] = 2  # oracle redo downstream
 
-    def align_batch_arrays(self, seqs: list, pre: dict | None = None):
+    def align_batch_arrays(self, seqs: list, pre: dict | None = None,
+                           deferred_async: bool = False):
         """Columnar twin of align_batch: returns the native per-read arrays
         (mapped/rev/rs/re/qs/qe ORIENTED/score/mapq/nm/ncig/cig/lens) with
         cigar-overflow rows merged back from the oracle path; `extra_cigars`
         maps row -> [(len,op)] for rows whose cigar exceeded the array
-        capacity.  None when the native library is unavailable."""
+        capacity.  None when the native library is unavailable.
+
+        With ``deferred_async`` the Pallas window-scoring dispatch is left IN
+        FLIGHT and ``res["_fin"]`` holds the finisher (device wait + survivor
+        host DP + overflow redo); the caller must invoke it before consuming
+        the row arrays — the columnar emit does, after its res-independent
+        prep, so the device round-trip hides under host work."""
         from ..native import align_sr_native
 
         mode = self._resolve_pallas_mode()
@@ -433,7 +470,25 @@ class BatchAligner(Aligner):
         if res is None:
             return None
         if mode:
-            self._resolve_deferred(seqs, res, mode)
+            if deferred_async:
+                fin = self._start_deferred(seqs, res, mode, async_=True)
+                if fin is not None:
+                    res["extra_cigars"] = {}
+
+                    def _finish():
+                        fin()
+                        self._fix_overflow_arrays(seqs, res)
+
+                    res["_fin"] = _finish
+                    return res
+            else:
+                self._resolve_deferred(seqs, res, mode)
+        self._fix_overflow_arrays(seqs, res)
+        return res
+
+    def _fix_overflow_arrays(self, seqs: list, res: dict):
+        """Redo cigar-capacity-overflow rows (mapped==2) with the oracle
+        path and record oversized cigars in res["extra_cigars"]."""
         res["extra_cigars"] = {}
         over = np.flatnonzero(res["mapped"] == 2)
         if len(over):

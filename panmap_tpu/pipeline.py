@@ -389,6 +389,17 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
                          _write_bai, encode_bam_columnar)
     import struct as _struct
 
+    from .native import join_reads, oriented_blobs_native
+
+    # res-independent prep FIRST: while the joined read/qual buffers build,
+    # the deferred Pallas window dispatch (res["_fin"]) is still in flight —
+    # its device round-trip hides under this host work
+    joined, roffs, _ = join_reads(seqs)
+    jq = np.frombuffer("".join(quals).encode(), np.uint8)
+    fin = res.pop("_fin", None)
+    if fin is not None:
+        fin()  # blocks on device scores; survivor host DP + overflow redo
+
     n = len(seqs)
     lens = res["lens"].astype(np.int64)
     mapped = res["mapped"] == 1
@@ -446,11 +457,8 @@ def _emit_columnar(cfg, names, seqs, quals, res, paired, ref, best_node,
     clip5 = qs_o[emit]
     clip3 = lq_r - qe_o[emit]
 
-    # oriented seq/qual blobs in emit order (PlacedRead slices them)
-    from .native import join_reads, oriented_blobs_native
-
-    joined, roffs, _ = join_reads(seqs)
-    jq = np.frombuffer("".join(quals).encode(), np.uint8)
+    # oriented seq/qual blobs in emit order (PlacedRead slices them);
+    # joined/jq were built above, before the deferred-window finish
     eoff = np.concatenate(([0], np.cumsum(lq_r)))
     blobs = oriented_blobs_native(joined, jq, roffs[emit], eoff, rev[emit],
                                   _RC_LUT)
@@ -679,7 +687,7 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
         from .align.batch import BatchAligner
 
         aligner = BatchAligner(ref)
-        res = (aligner.align_batch_arrays(seqs, pre=pre)
+        res = (aligner.align_batch_arrays(seqs, pre=pre, deferred_async=True)
                if aligner.use_native else None)
         if res is not None:
             cfg.log(f"[align] {len(seqs)} reads in {time.time()-t0:.1f}s")

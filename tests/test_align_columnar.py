@@ -75,7 +75,8 @@ def test_columnar_matches_object_path(tmp_path, paired):
     bamA = open(Cfg.output + ".bam", "rb").read()
     Cfg.output = str(tmp_path / "b")
     orig = AB.BatchAligner.align_batch_arrays
-    AB.BatchAligner.align_batch_arrays = lambda self, seqs, pre=None: None
+    AB.BatchAligner.align_batch_arrays = (
+        lambda self, seqs, pre=None, deferred_async=False: None)
     try:
         refB, placedB = P.run_alignment(Cfg, tree, "n0")
     finally:
