@@ -220,6 +220,40 @@ def _wang(key: int) -> int:
     return key
 
 
+def _wang_x31_lsb_batch(names: list) -> np.ndarray:
+    """Vectorized `_wang(_x31(name)) & 1` over a name list (the per-pair
+    strand multiplier of the overlap tweak).  Bit-exact twin of the scalar
+    pair — masked Horner over a padded byte matrix, then the Wang mix in
+    u32 lanes."""
+    nn = len(names)
+    if nn == 0:
+        return np.zeros(0, np.int64)
+    bs = [s.encode() for s in names]
+    lens = np.fromiter((len(b) for b in bs), np.int64, nn)
+    L = int(lens.max()) if nn else 0
+    mat = np.zeros((nn, L), dtype=np.uint32)
+    flat = np.frombuffer(b"".join(bs), np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    idx = np.repeat(offs[:-1], lens) + (
+        np.arange(int(offs[-1])) - np.repeat(offs[:-1], lens))
+    rows = np.repeat(np.arange(nn), lens)
+    cols = np.arange(int(offs[-1])) - np.repeat(offs[:-1], lens)
+    mat[rows, cols] = flat[idx]
+    h = np.zeros(nn, dtype=np.uint32)
+    alive = lens[:, None] > np.arange(L)[None, :]
+    c31 = np.uint32(31)
+    for j in range(L):
+        h = np.where(alive[:, j], h * c31 + mat[:, j], h)
+    key = h
+    key = key + (~(key << np.uint32(15)))
+    key ^= key >> np.uint32(10)
+    key = key + (key << np.uint32(3))
+    key ^= key >> np.uint32(6)
+    key = key + (~(key << np.uint32(11)))
+    key ^= key >> np.uint32(16)
+    return (key & np.uint32(1)).astype(np.int64)
+
+
 @dataclass
 class SiteRecord:
     pos: int  # 0-based
@@ -320,9 +354,7 @@ def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
     a_read = np.zeros(n_kept, dtype=bool)
     npairs = len(gi2)
     pid[mi] = pid[mj] = np.arange(npairs)
-    amv = np.fromiter(
-        ((_wang(_x31(qnames[i])) & 1) for i in mi.tolist()),
-        np.int64, npairs)
+    amv = _wang_x31_lsb_batch([qnames[i] for i in mi.tolist()])
     amul_of[mi] = amul_of[mj] = amv
     a_read[ma] = True
     # entry extent per read (flat entries are grouped by read id, ascending
@@ -433,8 +465,52 @@ def _ref_to_seq_map(r: PlacedRead) -> dict:
     return out
 
 
+_NOPRUNE = object()  # sentinel: no column prefilter (oracle-exact record list)
+
+
+def _snp_prefilter(DIAG, QS, ref_idx, g_p, gstart, ncol, spectrum):
+    """Sound vectorized prune of SNP columns that PROVABLY cannot survive
+    apply_spectrum (the caller's final filter), so the per-column caller
+    loop runs only on plausible sites.
+
+    A column can emit a surviving record only if some ALT hom genotype val
+    d[a] (the errmod DIAG) plus its spectrum prior can reach the REF hom's
+    d[r] + prior within PL-floor slack: the min-normalization shift cancels
+    in the comparison, each floor(x+0.499) distorts a difference by < 1,
+    and the 255 PL cap cannot flip a call when every off-diagonal prior
+    exceeds every diagonal one (capped ALT PLs equal the capped/near-capped
+    REF PL at best, and the larger off-diagonal prior then keeps REF as the
+    last zero).  When that matrix guard fails — off-diagonal <= diagonal
+    anywhere — pruning is disabled entirely (returns None).  spectrum=None
+    (no prior) uses the zero matrix, where the guard holds trivially with
+    equality slack absorbed by SLACK.  Verified against the unpruned oracle
+    by tests/test_pileup_tweaks.py::test_snp_prefilter_sound."""
+    SLACK = 4.0
+    if spectrum is not None:
+        sp = np.asarray(spectrum, dtype=np.float64)
+        off = sp[~np.eye(4, dtype=bool)]
+        if off.min() <= sp[np.eye(4, dtype=bool)].max():
+            return None  # guard fails: prune nothing
+    cols = np.arange(ncol)
+    r4v = ref_idx[g_p[gstart[:-1]]]
+    valid = (r4v < 4) & (QS.sum(axis=1) > 0)
+    r4c = np.where(valid, r4v, 0)
+    D4 = DIAG[:, :4]
+    dref = D4[cols, r4c]
+    if spectrum is None:
+        offv = np.zeros((ncol, 4))
+        diagv = np.zeros(ncol)
+    else:
+        offv = sp[r4c][:, :4]
+        diagv = sp[r4c, r4c]
+    alt_ok = QS > 0
+    alt_ok[cols, r4c] = False
+    cand = np.where(alt_ok, D4 + offv, np.inf)
+    return valid & (cand.min(axis=1) <= dref + diagv + SLACK)
+
+
 def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
-                baq: bool = False):
+                baq: bool = False, spectrum=_NOPRUNE):
     """reads: list[PlacedRead]. Returns list[SiteRecord] for alt-bearing sites."""
     if baq:
         from .baq import apply_baq
@@ -548,7 +624,8 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
         mapq=mqs, rev=revs)
     return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                           indel_events, rlens, Qcat, Scat, mqs, revs,
-                          pairedok, qnames, rs_arr, indel_input=indel_input)
+                          pairedok, qnames, rs_arr, indel_input=indel_input,
+                          spectrum=spectrum)
 
 
 @dataclass
@@ -576,7 +653,7 @@ class ColumnarReads:
 
 
 def pileup_call_columnar(ref: str, cols: ColumnarReads,
-                         max_depth: int = MAX_DEPTH):
+                         max_depth: int = MAX_DEPTH, spectrum=_NOPRUNE):
     """Columnar twin of pileup_call: the per-read python cigar walk is
     replaced by one vectorized pass over the flat cigar stream (the object
     path stays the oracle; tests assert record equality).  No PlacedRead
@@ -717,7 +794,8 @@ def pileup_call_columnar(ref: str, cols: ColumnarReads,
     return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                           indel_events, lq, Qcat, Scat, mqs, revs,
                           pairedok, qnames, cols.rs[kept],
-                          indel_input=indel_input, pair_ids=pair_kept)
+                          indel_input=indel_input, pair_ids=pair_kept,
+                          spectrum=spectrum)
 
 
 _TALLY_CACHE: dict = {}
@@ -779,7 +857,8 @@ def tally_columns_device(col_id, g_q, g_s, g_b, ncol):
 
 def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                    indel_events, rlens, Qcat, Scat, mqs, revs, pairedok,
-                   qnames, rs_arr, indel_input=None, pair_ids=None):
+                   qnames, rs_arr, indel_input=None, pair_ids=None,
+                   spectrum=_NOPRUNE):
     """Shared pileup back half: overlap tweaks, quality shaping, per-column
     errmod + tallies, SNP calling, indel calling.  Consumed by both the
     object front-end (pileup_call) and the columnar one
@@ -849,7 +928,13 @@ def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
             col_id[v_all & (g_s == 1)] * 4 + g_b[v_all & (g_s == 1)],
             minlength=ncol * 4).reshape(ncol, 4)
 
-    for gi in range(ncol):
+    snp_cols = range(ncol)
+    if spectrum is not _NOPRUNE:
+        keep_col = _snp_prefilter(DIAG, QS, ref_idx, g_p, gstart, ncol,
+                                  spectrum)
+        if keep_col is not None:
+            snp_cols = np.flatnonzero(keep_col).tolist()
+    for gi in snp_cols:
         a0 = int(gstart[gi])
         p = int(g_p[a0])
         r4 = int(ref_idx[p])

@@ -253,32 +253,37 @@ def call_indels_realign(ref: str, inp: IndelInput, depth: np.ndarray,
     if nk == 0:
         return []
 
-    # candidate positions: base before any I/D op
-    cand: set = set()
-    for r in range(nk):
-        a, b = int(inp.opoff[r]), int(inp.opoff[r + 1])
-        x = int(inp.rs[r])
-        for k in range(a, b):
-            op = int(inp.ops[k])
-            ln = int(inp.lns[k])
-            if op in (0, 7, 8):
-                x += ln
-            elif op in (2, 3):
-                if op == 2 and 0 < x - 1 < n:
-                    cand.add(x - 1)
-                x += ln
-            elif op == 1:
-                if 0 < x - 1 < n:
-                    cand.add(x - 1)
-    if not cand:
+    # candidate positions (base before any I/D op) + per-position support
+    # counts, vectorized over the flat op stream.  The support count is an
+    # UPPER BOUND on gap_prep's n_alt (uncapped, can double-count a read
+    # with two ops at one pos), so `count < MIN_SUPPORT` is a sound skip:
+    # the full per-read walk would hit the same `n_alt < MIN_SUPPORT` gate.
+    ops_f = np.asarray(inp.ops, dtype=np.int64)
+    lns_f = np.asarray(inp.lns, dtype=np.int64)
+    op_read = np.repeat(np.arange(nk, dtype=np.int64), np.diff(inp.opoff))
+    radv = np.where((ops_f == 0) | (ops_f == 2) | (ops_f == 3)
+                    | (ops_f == 7) | (ops_f == 8), lns_f, 0)
+    cs = np.cumsum(radv)
+    excl = cs - radv
+    off0 = inp.opoff[:-1].astype(np.int64)
+    first_excl = np.zeros(nk, dtype=np.int64)
+    ne = np.diff(inp.opoff) > 0
+    first_excl[ne] = excl[off0[ne]]
+    x_at_op = inp.rs[op_read] + (excl - first_excl[op_read])
+    is_cand_op = (ops_f == 1) | (ops_f == 2)
+    p_all = x_at_op[is_cand_op] - 1
+    p_all = p_all[(p_all > 0) & (p_all < n)]
+    if len(p_all) == 0:
+        return []
+    p_uniq, p_cnt = np.unique(p_all, return_counts=True)
+    cand = p_uniq[p_cnt >= MIN_SUPPORT]
+    if len(cand) == 0:
         return []
 
-    # read extents for overlap queries
+    # read extents for overlap queries (segment sums of ref-advancing ops)
     spans = np.zeros(nk, dtype=np.int64)
-    for r in range(nk):
-        a, b = int(inp.opoff[r]), int(inp.opoff[r + 1])
-        spans[r] = sum(int(inp.lns[k]) for k in range(a, b)
-                       if int(inp.ops[k]) in _RADV)
+    sums = np.add.reduceat(radv, off0[ne]) if ne.any() else np.empty(0)
+    spans[ne] = sums
     ends = inp.rs + spans
 
     seq_codes_blob = np.full(len(inp.seq), 4, dtype=np.int64)
@@ -287,7 +292,7 @@ def call_indels_realign(ref: str, inp: IndelInput, depth: np.ndarray,
     seq_codes_blob[:] = _BLUT[inp.seq]
 
     records = []
-    for pos in sorted(cand):
+    for pos in cand.tolist():
         rows = np.flatnonzero((inp.rs <= pos) & (pos < ends))
         if len(rows) == 0:
             continue

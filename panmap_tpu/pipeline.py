@@ -788,10 +788,6 @@ def run_alignment(cfg: PipelineConfig, tree: PanmanTree, best_node: str,
 
 def run_genotyping(cfg: PipelineConfig, idx: IndexArrays, ref: str,
                    best_node: str, placed):
-    if isinstance(placed, ColumnarReads):
-        records = pileup_call_columnar(ref, placed)
-    else:
-        records = pileup_call(ref, placed, baq=cfg.baq)
     if cfg.no_mutation_spectrum:
         phred = None  # main.cpp:2450: gate-only filtering, no prior
     elif cfg.mutation_matrix:
@@ -800,6 +796,12 @@ def run_genotyping(cfg: PipelineConfig, idx: IndexArrays, ref: str,
         phred, _, _ = load_mutation_matrix(cfg.mutation_matrix)
     else:
         phred = phred_scale_matrix(idx.substitution_matrix)
+    # the prior doubles as the caller's sound column prefilter (columns that
+    # provably cannot survive apply_spectrum skip the per-column PL math)
+    if isinstance(placed, ColumnarReads):
+        records = pileup_call_columnar(ref, placed, spectrum=phred)
+    else:
+        records = pileup_call(ref, placed, baq=cfg.baq, spectrum=phred)
     final = apply_spectrum(records, phred, cfg.min_depth, cfg.min_qual)
     write_vcf(cfg.output + ".vcf", best_node, len(ref), final)
     cfg.log(f"[call] {len(final)} variants -> {cfg.output}.vcf")

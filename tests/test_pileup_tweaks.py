@@ -327,3 +327,53 @@ def test_duplicate_qname_cross_pairs_intentional_divergence():
                                pair_ids=np.array([0, 1], dtype=np.int64))
     assert not np.array_equal(Qcat_q, orig), "qname branch should tweak"
     assert np.array_equal(Qcat_s, orig), "structural branch must not tweak"
+
+
+def test_snp_prefilter_sound():
+    """The spectrum-driven SNP column prefilter must be SOUND: records
+    surviving apply_spectrum are identical with and without pruning, for
+    no-prior (None), realistic priors, and a degenerate prior that disables
+    the prune (off-diagonal <= diagonal)."""
+    import random
+
+    from panmap_tpu.genotype.caller import apply_spectrum, pileup_call
+
+    rng = random.Random(23)
+    n = 600
+    ref = "".join(rng.choice(BASES) for _ in range(n))
+    reads = []
+    for i in range(300):
+        L = 90
+        p = rng.randrange(0, n - L)
+        frag = list(ref[p:p + L])
+        for j in range(L):
+            if rng.random() < 0.02:  # errors
+                frag[j] = BASES[(BASES.find(frag[j]) + 1) % 4]
+        if rng.random() < 0.05:  # a few strong alt sites
+            frag[L // 2] = BASES[(BASES.find(frag[L // 2]) + 2) % 4]
+        reads.append(PlacedRead(
+            rs=p, cigar=[(L, "M")], seq="".join(frag),
+            quals=[rng.randrange(15, 50) for _ in range(L)], qs=0,
+            qname=f"r{i}", is_proper=False, is_paired=False, mapq=60,
+            rev=bool(rng.getrandbits(1))))
+    spectra = [
+        None,
+        np.array([[0.5, 30, 25, 30], [30, 0.2, 30, 22],
+                  [25, 30, 0.0, 30], [30, 22, 30, 0.1]], float),
+        np.array([[10.0, 5, 5, 5], [5, 10, 5, 5],
+                  [5, 5, 10, 5], [5, 5, 5, 10]], float),  # guard-fail: no prune
+    ]
+    for sp in spectra:
+        base = pileup_call(ref, [copyreads(r) for r in reads])
+        pruned = pileup_call(ref, [copyreads(r) for r in reads], spectrum=sp)
+        fa = apply_spectrum(base, sp, 1, 0.0)
+        fb = apply_spectrum(pruned, sp, 1, 0.0)
+        key = lambda r: (r.pos, r.ref, tuple(r.alts), r.gt, tuple(r.pls))
+        assert [key(r) for r in fa] == [key(r) for r in fb]
+        assert len(pruned) <= len(base)
+
+
+def copyreads(r):
+    import copy
+
+    return copy.deepcopy(r)
