@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable mutation-spectrum priors in genotyping")
     g.add_argument("--mutation-matrix", default="",
                    help=".mm mutation-matrix file overriding the index spectrum")
+    g.add_argument("--device-pileup", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="genotype pileup tallies on the accelerator "
+                        "(auto: on for locally-attached devices)")
 
     g = p.add_argument_group("metagenomic")
     g.add_argument("--meta", action="store_true", help="metagenomic mode")
@@ -332,7 +336,7 @@ def main(argv=None):
         refine_max_neighbor_n=args.refine_max_neighbor_n,
         no_mutation_spectrum=args.no_mutation_spectrum,
         mutation_matrix=args.mutation_matrix,
-        baq=args.baq,
+        baq=args.baq, device_pileup=args.device_pileup,
         dedup_reads=args.dedup_reads, trim_start=args.trim_start,
         trim_end=args.trim_end, force_leaf=args.force_leaf,
         device_place=args.device_place, stop=args.stop,

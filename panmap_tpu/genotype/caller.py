@@ -510,7 +510,8 @@ def _snp_prefilter(DIAG, QS, ref_idx, g_p, gstart, ncol, spectrum):
 
 
 def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
-                baq: bool = False, spectrum=_NOPRUNE):
+                baq: bool = False, spectrum=_NOPRUNE,
+                device_tally: bool | None = None):
     """reads: list[PlacedRead]. Returns list[SiteRecord] for alt-bearing sites."""
     if baq:
         from .baq import apply_baq
@@ -625,7 +626,7 @@ def pileup_call(ref: str, reads: list, max_depth: int = MAX_DEPTH,
     return _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                           indel_events, rlens, Qcat, Scat, mqs, revs,
                           pairedok, qnames, rs_arr, indel_input=indel_input,
-                          spectrum=spectrum)
+                          spectrum=spectrum, device_tally=device_tally)
 
 
 @dataclass
@@ -653,7 +654,8 @@ class ColumnarReads:
 
 
 def pileup_call_columnar(ref: str, cols: ColumnarReads,
-                         max_depth: int = MAX_DEPTH, spectrum=_NOPRUNE):
+                         max_depth: int = MAX_DEPTH, spectrum=_NOPRUNE,
+                         device_tally: bool | None = None):
     """Columnar twin of pileup_call: the per-read python cigar walk is
     replaced by one vectorized pass over the flat cigar stream (the object
     path stays the oracle; tests assert record equality).  No PlacedRead
@@ -795,10 +797,34 @@ def pileup_call_columnar(ref: str, cols: ColumnarReads,
                           indel_events, lq, Qcat, Scat, mqs, revs,
                           pairedok, qnames, cols.rs[kept],
                           indel_input=indel_input, pair_ids=pair_kept,
-                          spectrum=spectrum)
+                          spectrum=spectrum, device_tally=device_tally)
 
 
 _TALLY_CACHE: dict = {}
+
+
+def resolve_device_pileup(mode: str) -> bool:
+    """--device-pileup policy: "on"/"off" are explicit; "auto" enables the
+    device tallies when a LOCALLY-ATTACHED accelerator is present (dispatch
+    is microseconds, the scatter-add wins) and keeps them off over a remote
+    tunnel (dispatch alone costs more than the host bincounts at
+    single-sample scale).  The PANMAP_TPU_DEVICE_PILEUP env var (0/1)
+    overrides for experiments."""
+    import os
+
+    env = os.environ.get("PANMAP_TPU_DEVICE_PILEUP", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    local = (os.path.exists("/dev/accel0") or os.path.exists("/dev/vfio")
+             or bool(os.environ.get("TPU_NAME")))
+    remote = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    return local and not remote
 
 
 def tally_columns_device(col_id, g_q, g_s, g_b, ncol):
@@ -858,7 +884,7 @@ def tally_columns_device(col_id, g_q, g_s, g_b, ncol):
 def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
                    indel_events, rlens, Qcat, Scat, mqs, revs, pairedok,
                    qnames, rs_arr, indel_input=None, pair_ids=None,
-                   spectrum=_NOPRUNE):
+                   spectrum=_NOPRUNE, device_tally: bool | None = None):
     """Shared pileup back half: overlap tweaks, quality shaping, per-column
     errmod + tallies, SNP calling, indel calling.  Consumed by both the
     object front-end (pileup_call) and the columnar one
@@ -910,9 +936,9 @@ def _pileup_finish(ref, ref_idx, n, depth, flat_p, flat_qi, flat_rid,
     capped = _cumcount(col_id) < ERRMOD_MAXN
     DIAG, BSUM, _CC = _ERRMOD.cal_columns(
         col_id[capped], g_q[capped], g_s[capped], g_b[capped], ncol)
-    import os as _os
-
-    if _os.environ.get("PANMAP_TPU_DEVICE_PILEUP") == "1":
+    if device_tally is None:
+        device_tally = resolve_device_pileup("auto")
+    if device_tally:
         BCF, QS, ADF, ADR = tally_columns_device(col_id, g_q, g_s, g_b, ncol)
     else:
         BCF = np.bincount(col_id * 5 + np.minimum(g_b, 4),

@@ -82,6 +82,8 @@ class PipelineConfig:
     mesh: int = 0  # devices for sharded scoring: 0=auto(all>1), 1=off, N=N
     local_mesh_only: bool = False  # pin meshes to this process's devices
     # (set by manifest-sharded batch mode; see _resolve_mesh)
+    device_pileup: str = "auto"  # genotype tallies on device: auto|on|off
+    # (auto = local accelerator only; see genotype.caller.resolve_device_pileup)
     export_ref_idx: str = ""  # write the index in the reference .idx format
     batch_file: str = ""
     profile_dir: str = ""  # jax.profiler trace output dir (--profile)
@@ -798,10 +800,15 @@ def run_genotyping(cfg: PipelineConfig, idx: IndexArrays, ref: str,
         phred = phred_scale_matrix(idx.substitution_matrix)
     # the prior doubles as the caller's sound column prefilter (columns that
     # provably cannot survive apply_spectrum skip the per-column PL math)
+    from .genotype.caller import resolve_device_pileup
+
+    dev_tally = resolve_device_pileup(cfg.device_pileup)
     if isinstance(placed, ColumnarReads):
-        records = pileup_call_columnar(ref, placed, spectrum=phred)
+        records = pileup_call_columnar(ref, placed, spectrum=phred,
+                                       device_tally=dev_tally)
     else:
-        records = pileup_call(ref, placed, baq=cfg.baq, spectrum=phred)
+        records = pileup_call(ref, placed, baq=cfg.baq, spectrum=phred,
+                              device_tally=dev_tally)
     final = apply_spectrum(records, phred, cfg.min_depth, cfg.min_qual)
     write_vcf(cfg.output + ".vcf", best_node, len(ref), final)
     cfg.log(f"[call] {len(final)} variants -> {cfg.output}.vcf")
