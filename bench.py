@@ -32,6 +32,23 @@ def log(msg):
 
 
 def main():
+    # liveness watchdog: a wedged remote tunnel must degrade this benchmark
+    # to a recorded CPU run, not hang the driver (utils/devinit.py)
+    from panmap_tpu.utils.devinit import device_usable, warm_backend_async
+
+    warm_backend_async()
+    if not device_usable(float(os.environ.get("PANMAP_BENCH_DEVICE_TIMEOUT_S",
+                                              "300"))):
+        if os.environ.get("PANMAP_BENCH_CPU_FALLBACK") != "1":
+            log("[bench] WARNING: device backend unresponsive; re-running "
+                "on CPU (numbers recorded as cpu-fallback)")
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       PALLAS_AXON_POOL_IPS="",
+                       PANMAP_BENCH_CPU_FALLBACK="1")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
+        log("[bench] WARNING: no usable backend; continuing on CPU")
+
     from panmap_tpu.io import fastq
     from panmap_tpu.io.index_io import load_index, save_index
 
@@ -182,12 +199,210 @@ def main():
     rps = n_reads / dt
     log(f"[bench] placement+align: {dt:.3f}s -> {rps:,.0f} reads/s")
 
+    extras = {}
+    # ---- kernel-fires check (VERDICT r3 weak #1): on a real device the
+    # demo's deferred windows MUST go through the Pallas kernel ----
+    import jax
+
+    on_device = jax.default_backend() != "cpu"
+    if st is not None:
+        extras["sw_deferred"] = int(st.get("deferred", 0))
+        extras["sw_device_scored"] = int(st.get("device_scored", 0))
+        if on_device and st.get("deferred", 0) and not st.get("device_scored"):
+            log("[bench] ERROR: device present but the Pallas SW kernel "
+                "scored 0 windows on the demo workload — the flagship "
+                "kernel is NOT firing in production")
+            extras["sw_kernel_fired"] = False
+        else:
+            extras["sw_kernel_fired"] = bool(st.get("device_scored", 0) > 0)
+        if st.get("device_s", 0) > 0 and st.get("cells", 0):
+            extras["sw_gcups"] = round(st["cells"] / st["device_s"] / 1e9, 2)
+
+    # ---- EM iterations/s (BASELINE.json metric) ----
+    try:
+        extras.update(bench_em(log))
+    except Exception as exc:
+        log(f"[bench] EM bench skipped: {exc}")
+
+    # ---- index build nodes/s (builder throughput; reference binary is not
+    # buildable in this image — absolute rate recorded for the head-to-head,
+    # see PARITY.md) ----
+    try:
+        extras.update(bench_build(log))
+    except Exception as exc:
+        log(f"[bench] build bench skipped: {exc}")
+
+    # ---- full single-sample pipeline wall (reference demo: ~0.6 s on a
+    # 128-thread Xeon, README.md:68) ----
+    try:
+        extras.update(bench_full_pipeline(log))
+    except Exception as exc:
+        log(f"[bench] full-pipeline bench skipped: {exc}")
+
+    # ---- roofline accounting (v5e ceilings; PARITY.md carries the note) --
+    try:
+        extras.update(roofline(log, idx, dt_place, st, on_device, placer,
+                               seqs))
+    except Exception as exc:
+        log(f"[bench] roofline skipped: {exc}")
+
     print(json.dumps({
         "metric": "place_align_reads_per_s",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
+        **extras,
     }))
+
+
+def bench_em(log):
+    """Fused device SQUAREM iterations/s on a representative abundance
+    problem (20k unique read sets x 64 candidate nodes, the sars demo
+    scale)."""
+    import numpy as np
+
+    from panmap_tpu.meta.engine import run_squarem_device
+
+    rng = np.random.default_rng(7)
+    R, M = 20480, 64
+    lens = rng.integers(8, 24, R).astype(np.int64)
+    truth = rng.dirichlet(np.ones(8) * 0.4)
+    hap_of = rng.choice(8, R, p=truth)
+    S = (rng.random((R, M)) * 3).astype(np.uint16)
+    for h in range(8):
+        # overlapping near-tied signals across neighbor haplotypes so the
+        # EM genuinely iterates instead of converging in one step
+        sel = hap_of == h
+        S[sel, h * 8] = lens[sel].astype(np.uint16)
+        S[sel, ((h + 1) % 8) * 8] = np.maximum(lens[sel] - 1, 0) \
+            .astype(np.uint16)
+        S[sel, ((h + 2) % 8) * 8] = np.maximum(lens[sel] - 2, 0) \
+            .astype(np.uint16)
+    w = np.ones(R, np.float64)
+    names = [f"n{j}" for j in range(M)]
+    run_squarem_device(S, lens, w, names, max_rounds=1,
+                       eta=1e-9)  # warm/compile
+    t0 = time.time()
+    res = run_squarem_device(S, lens, w, names, max_rounds=1, eta=1e-9)
+    dt = time.time() - t0
+    iters = max(int(getattr(res, "n_iterations", 0)), 1)
+    log(f"[bench] EM: {iters} SQUAREM iterations ({R}x{M}) in {dt:.3f}s = "
+        f"{iters/dt:,.1f} iters/s")
+    return {"em_iters_per_s": round(iters / dt, 1)}
+
+
+def bench_build(log):
+    """Index-build throughput on the sars_20000 panman, measured in a clean
+    CPU-only subprocess (the builder forks workers, which must not happen
+    after this process's jax/device init)."""
+    import subprocess
+
+    code = (
+        "import time, os, sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "from panmap_tpu.index.builder import IndexParams, build_index\n"
+        "from panmap_tpu.io.panman import load_panman\n"
+        f"tree = load_panman({PANMAN!r})\n"
+        "n = len(tree.dfs_order)\n"
+        "t0 = time.time()\n"
+        "idx = build_index(tree, IndexParams(), workers=os.cpu_count() or 1)\n"
+        "dt = time.time() - t0\n"
+        "print(f'BUILD {n} {dt:.3f} {len(idx.seed_hashes)}')\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, env=env)
+    line = next(l for l in r.stdout.splitlines() if l.startswith("BUILD "))
+    _, n_nodes, dt, rows = line.split()
+    n_nodes, dt = int(n_nodes), float(dt)
+    log(f"[bench] index build (sars_20000, {os.cpu_count()} cores): "
+        f"{n_nodes} nodes in {dt:.1f}s = {n_nodes/dt:,.0f} nodes/s "
+        f"({rows} rows)")
+    return {"build_nodes_per_s": round(n_nodes / dt, 1)}
+
+
+def bench_full_pipeline(log):
+    """Warm-cache wall clock of the COMPLETE single-sample CLI demo
+    (index->place->align->genotype->consensus)."""
+    import subprocess
+
+    cmd = [sys.executable, "-m", "panmap_tpu", PANMAN, R1, R2,
+           "--index", os.path.join(CACHE, "sars20000.ptidx.npz"),
+           "-o", "/tmp/bench_full"]
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        dt = time.time() - t0
+        if r.returncode != 0:
+            raise RuntimeError(f"pipeline rc={r.returncode}: {r.stdout[-400:]}")
+        best = dt if best is None else min(best, dt)
+    log(f"[bench] full single-sample pipeline: {best:.2f}s wall "
+        f"(reference demo ~0.6s on 128-thread Xeon)")
+    return {"full_pipeline_wall_s": round(best, 2)}
+
+
+def roofline(log, idx, dt_place, st, on_device, placer, seqs):
+    """Put the measured rates against the chip ceilings (TPU v5e:
+    ~819 GB/s HBM, ~394 bf16 TFLOP/s MXU, VPU (8,128) f32/int lanes at
+    ~0.94 GHz ~= 3.9 Top/sint32; the placement scorer is HBM-bound, the SW
+    kernel VPU-bound)."""
+    import numpy as np
+
+    out = {}
+    HBM_GBPS = 819.0
+    VPU_TOPS = 3.9e12
+    # placement: bytes of row tensors streamed once per query + accumulators
+    rows = len(idx.seed_hashes)
+    n_nodes = len(idx.node_ids)
+    bytes_moved = rows * (4 + 2 + 2 + 4) + n_nodes * 6 * 4 * 2
+    t_min = bytes_moved / (HBM_GBPS * 1e9)
+    # pure device scoring step (host sketch + upload excluded): the jitted
+    # row-delta program, best of 7 with a device sync
+    sk = placer.sketch_host(seqs)
+    step_ms = None
+    if sk is not None:
+        uids, lc, log_mag, nuniq, lden = sk
+        nu = int(placer.dev.unique_hashes.shape[0])
+        cap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
+        pu = np.full(cap, nu, np.int32)
+        pu[: len(uids)] = uids
+        pl = np.zeros(cap, np.float32)
+        pl[: len(uids)] = lc
+        dev = placer.dev
+        elig = placer._elig_all
+        ts = []
+        for _ in range(7):
+            t0 = time.time()
+            b_, _p = placer._host_score_fn(
+                pu, pl, np.float32(log_mag), np.int32(nuniq),
+                np.float32(lden), dev.row_id, dev.row_parent, dev.row_child,
+                dev.row_node, dev.euler_in, dev.euler_out, elig)
+            np.asarray(b_)
+            ts.append(time.time() - t0)
+        step_ms = min(ts) * 1e3
+        util_step = t_min * 1e3 / step_ms
+        out["place_step_ms"] = round(step_ms, 2)
+        out["place_step_hbm_pct"] = round(100 * util_step, 1)
+        log(f"[bench] roofline place step: {bytes_moved/1e6:.1f} MB row "
+            f"stream -> HBM floor {t_min*1e3:.3f} ms vs device step "
+            f"{step_ms:.2f} ms ({100*util_step:.1f}% of HBM-bound ceiling; "
+            f"step includes the host->device round-trip)")
+    util = t_min / dt_place if dt_place > 0 else 0.0
+    out["place_hbm_roofline_pct"] = round(100 * util, 2)
+    log(f"[bench] roofline place e2e: measured {dt_place*1e3:.1f} ms "
+        f"({100*util:.2f}% of HBM-bound ceiling; includes host sketch + "
+        f"link latency)")
+    if st and st.get("device_s", 0) > 0 and st.get("cells", 0):
+        # ~12 VPU int ops per DP cell (3 maxes, adds, selects, band mask)
+        cells_ceiling = VPU_TOPS / 12.0
+        gc = st["cells"] / st["device_s"]
+        out["sw_vpu_roofline_pct"] = round(100 * gc / cells_ceiling, 2)
+        log(f"[bench] roofline SW kernel: {gc/1e9:.2f} Gcells/s vs "
+            f"~{cells_ceiling/1e9:.0f} Gcells/s VPU ceiling "
+            f"({100*gc/cells_ceiling:.2f}%)")
+    out["device"] = "tpu" if on_device else "cpu-fallback"
+    return out
 
 
 if __name__ == "__main__":
