@@ -239,18 +239,28 @@ class LongReadAligner:
         self.index = RefIndex(ref, preset.k, preset.w)
 
     def align_read(self, seq: str) -> Alignment:
+        front = self._chain_front(seq)
+        if front is None:
+            return Alignment()
+        oriented, dlo, dhi, meta = front
+        dp = banded_dp_shifted(oriented, self.index.codes2, dlo, dhi,
+                               self.pre)
+        return self._finish(dp, meta)
+
+    def _chain_front(self, seq: str):
+        """Anchor + chain phase: returns (oriented_codes, dlo, dhi, meta)
+        where meta carries what _finish needs, or None when unmapped."""
         pre = self.pre
         codes2 = encode(np.frombuffer(seq.encode(), dtype=np.uint8))
         lq = len(codes2)
         qpos, qh, qstrand = minimizer_sketch(codes2, pre.k, pre.w)
-        aln = Alignment()
         if len(qpos) == 0:
-            return aln
+            return None
         start, end = self.index.lookup_many(qh)
         counts = (end - start).astype(np.int64)
         tot = int(counts.sum())
         if tot == 0:
-            return aln
+            return None
         rpos = np.empty(tot, np.int64)
         qq = np.empty(tot, np.int64)
         rel = np.empty(tot, np.uint8)
@@ -290,16 +300,23 @@ class LongReadAligner:
             else:
                 second_score = max(second_score, score)
         if best is None:
-            return aln
+            return None
         chain_score, votes, strand_rel, dmin, dmax = best
         if votes < pre.min_cnt or chain_score < pre.min_chain_score:
-            return aln
+            return None
 
         oriented = codes2 if strand_rel == 0 else _RC_CODE[codes2[::-1]]
         dlo = int(dmin) - pre.bw
         dhi = int(dmax) + pre.bw
-        score, qs, qe, rs, re_, cigar = banded_dp_shifted(
-            oriented, self.index.codes2, dlo, dhi, self.pre)
+        meta = (lq, strand_rel, chain_score, votes, second_score)
+        return oriented, dlo, dhi, meta
+
+    def _finish(self, dp, meta) -> Alignment:
+        """DP result -> Alignment (clips/strand/mapq)."""
+        lq, strand_rel, chain_score, votes, second_score = meta
+        pre = self.pre
+        aln = Alignment()
+        score, qs, qe, rs, re_, cigar = dp
         if score < pre.min_dp_max or not cigar:
             return aln
         aln.mapped = True
@@ -318,5 +335,59 @@ class LongReadAligner:
             aln.mapq = max(1, min(60, int(40 * frac * min(1.0, votes / 10))))
         return aln
 
-    def align_batch(self, seqs: list) -> list:
-        return [self.align_read(s) for s in seqs]
+    def align_batch(self, seqs: list, device: str | None = "auto") -> list:
+        """Batch alignment.  The DP extension stage — the O(lq x band) hot
+        loop — runs on device (align/pallas_long.py) when enabled: "auto"
+        uses the device when the Pallas mode is active AND the accelerator
+        is locally attached (over a remote tunnel the direction-matrix
+        transfer dominates; PANMAP_PALLAS_LONG=1/0 overrides), "interpret"
+        forces the interpret-mode kernel (tests), None/off is host-only.
+        Outputs are bit-equal to the host DP path by construction."""
+        mode = self._resolve_long_device(device)
+        if mode is None:
+            return [self.align_read(s) for s in seqs]
+        from .pallas_long import long_dp_device_batch
+
+        fronts = [self._chain_front(s) for s in seqs]
+        items = [(f[0], f[1], f[2]) for f in fronts if f is not None]
+        if not items:
+            return [Alignment() for _ in seqs]
+        dps = long_dp_device_batch(items, self.index.codes2, self.pre,
+                                   interpret=mode == "interpret")
+        out = []
+        it = iter(dps)
+        for f in fronts:
+            if f is None:
+                out.append(Alignment())
+            else:
+                out.append(self._finish(next(it), f[3]))
+        return out
+
+    @staticmethod
+    def _resolve_long_device(device):
+        import os
+
+        if device in (None, "off"):
+            return None
+        if device == "interpret":
+            return "interpret"
+        env = os.environ.get("PANMAP_PALLAS_LONG", "")
+        if env == "0":
+            return None
+        if env in ("interpret",):
+            return "interpret"
+        from .batch import _pallas_mode
+
+        mode = _pallas_mode()
+        if mode == "interpret":
+            return "interpret"
+        if mode != "tpu":
+            return None
+        if env == "1":
+            return "tpu"
+        # auto: local accelerator only (remote tunnels pay the direction-
+        # matrix transfer, which dominates at long-read scale)
+        local = (os.path.exists("/dev/accel0") or os.path.exists("/dev/vfio")
+                 or bool(os.environ.get("TPU_NAME")))
+        remote = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+        return "tpu" if (local and not remote) else None

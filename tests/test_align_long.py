@@ -129,3 +129,73 @@ def test_chain_dp_prefers_colinear_chain_over_bigger_scatter():
     d = r[chain] - q[chain]
     assert len(chain) >= 9
     assert (np.abs(d - 100) < 5).sum() >= 9
+
+
+def test_long_device_dp_bit_equal_host():
+    """The Pallas long-read DP (direction bytes + z-drop replay +
+    direction-walk traceback, align/pallas_long.py) must be BIT-EQUAL to
+    the host banded_dp_shifted on random windows covering mismatches,
+    short indels, long deletions (the E2 tier) and z-drop stops."""
+    from panmap_tpu.align.core import encode
+    from panmap_tpu.align.longread import MAP_ONT, banded_dp_shifted
+    from panmap_tpu.align.pallas_long import long_dp_device_batch
+
+    rng = np.random.default_rng(61)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 12000))
+    refc = encode(np.frombuffer(ref.encode(), np.uint8))
+    items = []
+    host = []
+    for t in range(10):
+        L = int(rng.integers(600, 2400))
+        p = int(rng.integers(0, len(ref) - L - 600))
+        frag = list(ref[p:p + L])
+        for j in range(L):
+            if rng.random() < 0.05:
+                frag[j] = "ACGT"[(("ACGT".find(frag[j])) + 1) % 4]
+        if t % 3 == 1:  # long deletion: E2 tier
+            d = int(rng.integers(80, 300))
+            frag = frag[: L // 2] + list(ref[p + L // 2 + d: p + L + d])
+        if t % 3 == 2:  # insertion
+            frag = frag[: L // 3] + ["ACGT"[int(rng.integers(4))]
+                                     for _ in range(int(rng.integers(20, 60)))] \
+                + frag[L // 3:]
+        q = encode(np.frombuffer("".join(frag).encode(), np.uint8))
+        dlo, dhi = p - 400, p + 400
+        items.append((q, dlo, dhi))
+        host.append(banded_dp_shifted(q, refc, dlo, dhi, MAP_ONT))
+    dev = long_dp_device_batch(items, refc, MAP_ONT, interpret=True)
+    for t, (h, d) in enumerate(zip(host, dev)):
+        assert h == d, (t, h[:5], d[:5])
+
+
+def test_long_aligner_device_batch_matches_host():
+    """LongReadAligner.align_batch(device="interpret") must reproduce the
+    host path field-for-field on a mixed read set (the map-ont device
+    product path; VERDICT r3 #2)."""
+    from panmap_tpu.align.longread import MAP_ONT, LongReadAligner
+
+    rng = np.random.default_rng(71)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 16000))
+    reads = []
+    for t in range(12):
+        L = int(rng.integers(700, 3000))
+        p = int(rng.integers(0, len(ref) - L - 400))
+        frag = list(ref[p:p + L])
+        for j in range(L):
+            if rng.random() < 0.06:
+                frag[j] = "ACGT"[(("ACGT".find(frag[j])) + 1) % 4]
+        if t % 4 == 1:
+            d = int(rng.integers(50, 200))
+            frag = frag[: L // 2] + list(ref[p + L // 2 + d: p + L + d])
+        s = "".join(frag)
+        if t % 2:
+            s = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        reads.append(s)
+    reads.append("ACGT" * 10)  # unmapped short junk
+    lr = LongReadAligner(ref, MAP_ONT)
+    base = lr.align_batch(reads, device=None)
+    got = lr.align_batch(reads, device="interpret")
+    for i, (a, b) in enumerate(zip(base, got)):
+        assert (a.mapped, a.rev, a.rs, a.re, a.qs, a.qe, a.score, a.mapq,
+                a.cigar) == (b.mapped, b.rev, b.rs, b.re, b.qs, b.qe,
+                             b.score, b.mapq, b.cigar), i
