@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 28)
 TILE_B = 8
+ROWS = 8  # DP rows per grid step (TPU block constraint: dim -2 % 8 == 0)
 
 
 def _scan_max(x):
@@ -64,79 +65,86 @@ def _shift_right(x, fill):
 def _make_kernel(A, B, GO, GE, GO2, GE2):
     def kernel(q_ref, rb_ref, meta_ref, dir_ref, stat_ref,
                h_scr, f_scr, f2_scr):
-        i = pl.program_id(1)
+        ib = pl.program_id(1)
         W = rb_ref.shape[2]
         idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, W), 1)
         dlo = meta_ref[:, 0:1]
         lr = meta_ref[:, 1:2]
 
-        @pl.when(i == 0)
+        @pl.when(ib == 0)
         def _init():
             h_scr[:] = jnp.zeros((TILE_B, W), jnp.int32)
             f_scr[:] = jnp.full((TILE_B, W), NEG, jnp.int32)
             f2_scr[:] = jnp.full((TILE_B, W), NEG, jnp.int32)
 
-        h_prev = h_scr[:]
-        f_prev = f_scr[:]
-        f2_prev = f2_scr[:]
+        # ROWS sequential DP rows per grid step (unrolled; the row recurrence
+        # is inherently serial — the batch and band lanes are the parallelism)
+        for r in range(ROWS):
+            i = ib * ROWS + r
+            h_prev = h_scr[:]
+            f_prev = f_scr[:]
+            f2_prev = f2_scr[:]
 
-        j = idx + dlo + (i + 1)  # 1-based ref column of band cell
-        inb = (j >= 1) & (j <= lr)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], 1), 0)
-               == i).astype(jnp.float32)
-        qc = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        qc = qc.astype(jnp.int32)
-        rj = rb_ref[:, 0, :].astype(jnp.int32)
-        sub = jnp.where((rj == qc) & (qc < 4), A, -B)
+            j = idx + dlo + (i + 1)  # 1-based ref column of band cell
+            inb = (j >= 1) & (j <= lr)
+            sel = (jax.lax.broadcasted_iota(
+                jnp.int32, (q_ref.shape[1], 1), 0) == i).astype(jnp.float32)
+            qc = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            qc = qc.astype(jnp.int32)
+            rj = rb_ref[:, r, :].astype(jnp.int32)
+            sub = jnp.where((rj == qc) & (qc < 4), A, -B)
 
-        diag = h_prev + sub
-        f_row = jnp.maximum(_shift_left(h_prev, NEG) - GO,
-                            _shift_left(f_prev, NEG) - GE)
-        f2_row = jnp.maximum(_shift_left(h_prev, NEG) - GO2,
-                             _shift_left(f2_prev, NEG) - GE2)
-        base = jnp.maximum(jnp.maximum(diag, jnp.maximum(f_row, f2_row)), 0)
-        base = jnp.where(inb, base, NEG)
-        pm = _scan_max(base + idx * GE)
-        e_row = jnp.where(idx >= 1,
-                          _shift_right(pm, NEG) - GO - (idx - 1) * GE, NEG)
-        pm2 = _scan_max(base + idx * GE2)
-        e2_row = jnp.where(idx >= 1,
-                           _shift_right(pm2, NEG) - GO2 - (idx - 1) * GE2,
-                           NEG)
-        h_row = jnp.maximum(base, jnp.maximum(e_row, e2_row))
-        h_row = jnp.where(inb, h_row, 0)
-        h_scr[:] = h_row
-        f_scr[:] = f_row
-        f2_scr[:] = f2_row
+            diag = h_prev + sub
+            f_row = jnp.maximum(_shift_left(h_prev, NEG) - GO,
+                                _shift_left(f_prev, NEG) - GE)
+            f2_row = jnp.maximum(_shift_left(h_prev, NEG) - GO2,
+                                 _shift_left(f2_prev, NEG) - GE2)
+            base = jnp.maximum(jnp.maximum(diag,
+                                           jnp.maximum(f_row, f2_row)), 0)
+            base = jnp.where(inb, base, NEG)
+            pm = _scan_max(base + idx * GE)
+            e_row = jnp.where(idx >= 1,
+                              _shift_right(pm, NEG) - GO - (idx - 1) * GE,
+                              NEG)
+            pm2 = _scan_max(base + idx * GE2)
+            e2_row = jnp.where(idx >= 1,
+                               _shift_right(pm2, NEG) - GO2
+                               - (idx - 1) * GE2, NEG)
+            h_row = jnp.maximum(base, jnp.maximum(e_row, e2_row))
+            h_row = jnp.where(inb, h_row, 0)
+            h_scr[:] = h_row
+            f_scr[:] = f_row
+            f2_scr[:] = f2_row
 
-        # direction byte in the host traceback's priority order
-        src = jnp.where(
-            h_row == 0, 0,
-            jnp.where(h_row == diag, 1,
-                      jnp.where(h_row == e_row, 2,
-                                jnp.where(h_row == e2_row, 3,
-                                          jnp.where(h_row == f_row, 4,
-                                                    jnp.where(h_row == f2_row,
-                                                              5, 1))))))
-        e_ext = (idx > 1) & (e_row == _shift_right(e_row, NEG) - GE)
-        e2_ext = (idx > 1) & (e2_row == _shift_right(e2_row, NEG) - GE2)
-        f_ext = (idx + 1 < W) & (i >= 1) \
-            & (f_row == _shift_left(f_prev, NEG) - GE)
-        f2_ext = (idx + 1 < W) & (i >= 1) \
-            & (f2_row == _shift_left(f2_prev, NEG) - GE2)
-        byte = (src | (e_ext.astype(jnp.int32) << 3)
-                | (e2_ext.astype(jnp.int32) << 4)
-                | (f_ext.astype(jnp.int32) << 5)
-                | (f2_ext.astype(jnp.int32) << 6))
-        dir_ref[:, 0, :] = byte.astype(jnp.int8)
+            # direction byte in the host traceback's priority order
+            src = jnp.where(
+                h_row == 0, 0,
+                jnp.where(h_row == diag, 1,
+                          jnp.where(h_row == e_row, 2,
+                                    jnp.where(h_row == e2_row, 3,
+                                              jnp.where(h_row == f_row, 4,
+                                                        jnp.where(
+                                                            h_row == f2_row,
+                                                            5, 1))))))
+            e_ext = (idx > 1) & (e_row == _shift_right(e_row, NEG) - GE)
+            e2_ext = (idx > 1) & (e2_row == _shift_right(e2_row, NEG) - GE2)
+            f_ext = (idx + 1 < W) & (i >= 1) \
+                & (f_row == _shift_left(f_prev, NEG) - GE)
+            f2_ext = (idx + 1 < W) & (i >= 1) \
+                & (f2_row == _shift_left(f2_prev, NEG) - GE2)
+            byte = (src | (e_ext.astype(jnp.int32) << 3)
+                    | (e2_ext.astype(jnp.int32) << 4)
+                    | (f_ext.astype(jnp.int32) << 5)
+                    | (f2_ext.astype(jnp.int32) << 6))
+            dir_ref[:, r, :] = byte.astype(jnp.int8)
 
-        rowmax = jnp.max(h_row, axis=1, keepdims=True)
-        jarg = jnp.min(jnp.where(h_row == rowmax, idx, W),
-                       axis=1, keepdims=True).astype(jnp.int32)
-        colid = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
-        stat_ref[:, 0, :] = jnp.where(colid == 0, rowmax,
-                                      jnp.where(colid == 1, jarg, 0))
+            rowmax = jnp.max(h_row, axis=1, keepdims=True)
+            jarg = jnp.min(jnp.where(h_row == rowmax, idx, W),
+                           axis=1, keepdims=True).astype(jnp.int32)
+            colid = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
+            stat_ref[:, r, :] = jnp.where(colid == 0, rowmax,
+                                          jnp.where(colid == 1, jarg, 0))
 
     return kernel
 
@@ -148,7 +156,7 @@ def _long_call(q8, rb8, meta, A, B, GO, GE, GO2, GE2, interpret):
     q = q8.astype(jnp.float32)
     Bt, LQ = q.shape
     W = rb8.shape[2]
-    grid = (Bt // TILE_B, LQ)
+    grid = (Bt // TILE_B, LQ // ROWS)
     kernel = _make_kernel(A, B, GO, GE, GO2, GE2)
     return pl.pallas_call(
         kernel,
@@ -156,15 +164,15 @@ def _long_call(q8, rb8, meta, A, B, GO, GE, GO2, GE2, interpret):
         in_specs=[
             pl.BlockSpec((TILE_B, LQ), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 1, W), lambda b, i: (b, i, 0),
+            pl.BlockSpec((TILE_B, ROWS, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, 128), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_B, 1, W), lambda b, i: (b, i, 0),
+            pl.BlockSpec((TILE_B, ROWS, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 1, 128), lambda b, i: (b, i, 0),
+            pl.BlockSpec((TILE_B, ROWS, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
