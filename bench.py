@@ -111,13 +111,22 @@ def main():
     if w and "_fin" in w:
         w["_fin"]()
     # production-path verification (pipeline.run_alignment dispatches the
-    # deferred windows ASYNC and hides the round-trip under the emit prep):
-    # one async pass must actually score windows on the device
+    # deferred windows ASYNC and hides the round-trip under the emit prep on
+    # locally-attached devices): one async pass with the floor dropped must
+    # actually score this workload's deferred windows through the kernel
     aligner.pallas_stats = None
-    ares = aligner.align_batch_arrays(aseqs, deferred_async=True)
-    fin = ares.pop("_fin", None)
-    if fin is not None:
-        fin()
+    old_floor = os.environ.get("PANMAP_PALLAS_MIN_WINDOWS_ASYNC")
+    os.environ["PANMAP_PALLAS_MIN_WINDOWS_ASYNC"] = "1"
+    try:
+        ares = aligner.align_batch_arrays(aseqs, deferred_async=True)
+        fin = ares.pop("_fin", None)
+        if fin is not None:
+            fin()
+    finally:
+        if old_floor is None:
+            os.environ.pop("PANMAP_PALLAS_MIN_WINDOWS_ASYNC", None)
+        else:
+            os.environ["PANMAP_PALLAS_MIN_WINDOWS_ASYNC"] = old_floor
     st_async = aligner.pallas_stats
     # timed loop: the bare align stage (no emit work to hide a dispatch
     # under), which routes small deferred sets to the host DP — the

@@ -261,8 +261,19 @@ class BatchAligner(Aligner):
                            else "PANMAP_PALLAS_MIN_WINDOWS", "")
         if v:
             return int(v)
-        return (self.MIN_DEVICE_WINDOWS_ASYNC if async_
-                else self.MIN_DEVICE_WINDOWS)
+        if async_:
+            # the low async floor only pays when dispatch is genuinely
+            # asynchronous and cheap (locally-attached device).  Over a
+            # remote tunnel the dispatch itself blocks on the upload +
+            # remote-compile protocol for seconds — longer than any emit
+            # prep can hide — so remote links keep the bulk breakeven.
+            local = (os.path.exists("/dev/accel0")
+                     or os.path.exists("/dev/vfio")
+                     or bool(os.environ.get("TPU_NAME")))
+            remote = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            if local and not remote:
+                return self.MIN_DEVICE_WINDOWS_ASYNC
+        return self.MIN_DEVICE_WINDOWS
 
     def _resolve_deferred(self, seqs: list, res: dict, mode: str):
         """Synchronous deferred resolution: dispatch + finish back-to-back."""
