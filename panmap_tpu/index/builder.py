@@ -695,6 +695,9 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             child_rev = child_rev[order]
 
         # ---- k-min-mers over the position-sorted syncmer list ----
+        # (measured: the vectorized numpy recombine beats a scalar C++
+        # port at genome scale — 0.36 vs 0.58 ms at 5k syncmers — so this
+        # stays numpy; _count_delta below is where native wins 10x)
         km, valid, km_rev = kminmer_hashes_oriented(child_hash, k, l, child_rev)
         km_pos = child_pos[: len(km)][valid]
         # end = scalar of the last member syncmer's k-mer's LAST BASE
@@ -783,6 +786,11 @@ _EMPTY_DELTA = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
 def _count_delta(parent_state, child_state):
     ph, pc = parent_state[3], parent_state[4]
     ch, cc = child_state[3], child_state[4]
+    from ..native import count_delta_native
+
+    nat = count_delta_native(ph, pc, ch, cc)
+    if nat is not None:
+        return nat
     allh = np.union1d(ph, ch)
     pcnt = np.zeros(len(allh), dtype=np.int64)
     if len(ph):

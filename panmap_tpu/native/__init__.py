@@ -574,6 +574,38 @@ def banded_dp_native(q: np.ndarray, r: np.ndarray, cap: int = 256):
             cigar)
 
 
+def _ensure_kr_types(lib):
+    if hasattr(lib, "_kr_ready"):
+        return
+    lib.pt_count_delta.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.pt_count_delta.restype = ctypes.c_int64
+    lib._kr_ready = True
+
+
+def count_delta_native(ph, pc, ch, cc):
+    """Native twin of builder._count_delta (linear merge of two sorted
+    count tables); returns (hashes, pcounts i16, ccounts i16) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_count_delta"):
+        return None
+    _ensure_kr_types(lib)
+    ph = np.ascontiguousarray(ph, dtype=np.uint64)
+    pc = np.ascontiguousarray(pc, dtype=np.int64)
+    ch = np.ascontiguousarray(ch, dtype=np.uint64)
+    cc = np.ascontiguousarray(cc, dtype=np.int64)
+    cap = len(ph) + len(ch)
+    oh = np.empty(max(cap, 1), np.uint64)
+    op = np.empty(max(cap, 1), np.int16)
+    oc = np.empty(max(cap, 1), np.int16)
+    n = lib.pt_count_delta(ph.ctypes.data, pc.ctypes.data, len(ph),
+                           ch.ctypes.data, cc.ctypes.data, len(ch),
+                           oh.ctypes.data, op.ctypes.data, oc.ctypes.data)
+    return oh[:n].copy(), op[:n].copy(), oc[:n].copy()
+
+
 def bwt_aln_native(fm, fm_rev, seqs: list, fnr: float, threads: int = 0):
     """Threaded native bwa-aln search (pt_bwt_aln — the C++ twin of
     align/bwt.py's best-first FM search, which stays as the bit-exact

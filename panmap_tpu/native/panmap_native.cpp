@@ -3286,3 +3286,43 @@ void pt_bwt_aln(const uint8_t* bwt_f, const int64_t* C_f, const int32_t* sa_f,
 }
 
 }  // extern "C"
+
+// ======================================================================
+// Index-builder hot kernels (index/builder.py::compute_state tail +
+// _count_delta twins; the numpy implementations stay as oracles, cross-
+// checked by tests/test_native.py).
+// ======================================================================
+
+extern "C" {
+
+// linear merge of two sorted (hash, count) tables emitting rows whose
+// counts differ (builder.py::_count_delta twin).  Returns n_rows.
+int64_t pt_count_delta(const uint64_t* ph, const int64_t* pc, int64_t np_,
+                       const uint64_t* ch, const int64_t* cc, int64_t nc,
+                       uint64_t* oh, int16_t* op, int16_t* oc) {
+    int64_t i = 0, j = 0, out = 0;
+    while (i < np_ || j < nc) {
+        if (j >= nc || (i < np_ && ph[i] < ch[j])) {
+            oh[out] = ph[i];
+            op[out] = (int16_t)pc[i];
+            oc[out] = 0;
+            ++out; ++i;
+        } else if (i >= np_ || ch[j] < ph[i]) {
+            oh[out] = ch[j];
+            op[out] = 0;
+            oc[out] = (int16_t)cc[j];
+            ++out; ++j;
+        } else {
+            if (pc[i] != cc[j]) {
+                oh[out] = ph[i];
+                op[out] = (int16_t)pc[i];
+                oc[out] = (int16_t)cc[j];
+                ++out;
+            }
+            ++i; ++j;
+        }
+    }
+    return out;
+}
+
+}  // extern "C"

@@ -74,3 +74,37 @@ def test_encode_reads_parity():
         assert np.array_equal(out[i, : len(a)], a)
         assert (out[i, len(a):] == 4).all()
         assert lens[i] == len(s)
+
+
+def test_count_delta_native_matches_numpy():
+    from panmap_tpu.native import count_delta_native
+
+    rng = np.random.default_rng(5)
+    for trial in range(50):
+        pool = np.unique(rng.integers(1, 200, 80).astype(np.uint64))
+        ph = np.sort(rng.choice(pool, int(rng.integers(0, 40)),
+                                replace=False))
+        ch = np.sort(rng.choice(pool, int(rng.integers(0, 40)),
+                                replace=False))
+        pc = rng.integers(1, 9, len(ph)).astype(np.int64)
+        cc = rng.integers(1, 9, len(ch)).astype(np.int64)
+        nat = count_delta_native(ph, pc, ch, cc)
+        if nat is None:
+            import pytest
+
+            pytest.skip("native kernel unavailable")
+        allh = np.union1d(ph, ch)
+        pcnt = np.zeros(len(allh), np.int64)
+        if len(ph):
+            ii = np.searchsorted(ph, allh)
+            ok = (ii < len(ph)) & (ph[np.minimum(ii, len(ph) - 1)] == allh)
+            pcnt[ok] = pc[ii[ok]]
+        ccnt = np.zeros(len(allh), np.int64)
+        if len(ch):
+            ii = np.searchsorted(ch, allh)
+            ok = (ii < len(ch)) & (ch[np.minimum(ii, len(ch) - 1)] == allh)
+            ccnt[ok] = cc[ii[ok]]
+        diff = pcnt != ccnt
+        assert np.array_equal(nat[0], allh[diff]), trial
+        assert np.array_equal(nat[1], pcnt[diff].astype(np.int16)), trial
+        assert np.array_equal(nat[2], ccnt[diff].astype(np.int16)), trial
