@@ -267,11 +267,9 @@ class BatchAligner(Aligner):
             # remote tunnel the dispatch itself blocks on the upload +
             # remote-compile protocol for seconds — longer than any emit
             # prep can hide — so remote links keep the bulk breakeven.
-            local = (os.path.exists("/dev/accel0")
-                     or os.path.exists("/dev/vfio")
-                     or bool(os.environ.get("TPU_NAME")))
-            remote = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-            if local and not remote:
+            from ..utils.devinit import local_accelerator_attached
+
+            if local_accelerator_attached():
                 return self.MIN_DEVICE_WINDOWS_ASYNC
         return self.MIN_DEVICE_WINDOWS
 
@@ -363,18 +361,23 @@ class BatchAligner(Aligner):
                         banded_sw_scores = None
                         host_rows.extend(chunk)
                         continue
-                    pending.append((chunk, out3, n, lqt, lwt, t0))
+                    # dispatch time: in async mode the wait happens at
+                    # finish(); only dispatch + wait count as device_s (the
+                    # host work interleaved between them must not)
+                    disp_s = _time.perf_counter() - t0
+                    pending.append((chunk, out3, n, lqt, lwt, disp_s))
         else:
             host_rows = rows.tolist()
 
         def finish():
-            for chunk, out3, n, lqt, lwt, t0 in pending:
+            for chunk, out3, n, lqt, lwt, disp_s in pending:
+                t1 = _time.perf_counter()
                 try:
                     sc = np.asarray(out3)[:n, 0]  # blocks on the device
                 except Exception:
                     host_rows.extend(chunk)
                     continue
-                stats["device_s"] += _time.perf_counter() - t0
+                stats["device_s"] += disp_s + (_time.perf_counter() - t1)
                 stats["device_scored"] += n
                 stats["cells"] += int(n) * lqt * lwt
                 for i, r in enumerate(chunk):

@@ -387,7 +387,6 @@ class LongReadAligner:
             return "tpu"
         # auto: local accelerator only (remote tunnels pay the direction-
         # matrix transfer, which dominates at long-read scale)
-        local = (os.path.exists("/dev/accel0") or os.path.exists("/dev/vfio")
-                 or bool(os.environ.get("TPU_NAME")))
-        remote = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-        return "tpu" if (local and not remote) else None
+        from ..utils.devinit import local_accelerator_attached
+
+        return "tpu" if local_accelerator_attached() else None

@@ -70,6 +70,7 @@ def _make_kernel(A, B, GO, GE, GO2, GE2):
         idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, W), 1)
         dlo = meta_ref[:, 0:1]
         lr = meta_ref[:, 1:2]
+        worig = meta_ref[:, 2:3]  # the UN-PADDED band width (dhi - dlo + 1)
 
         @pl.when(ib == 0)
         def _init():
@@ -86,7 +87,10 @@ def _make_kernel(A, B, GO, GE, GO2, GE2):
             f2_prev = f2_scr[:]
 
             j = idx + dlo + (i + 1)  # 1-based ref column of band cell
-            inb = (j >= 1) & (j <= lr)
+            # columns beyond the caller's band (W is padded to 128) must
+            # stay out of band — the host oracle's band is exactly worig
+            # wide, and a wider band explores different diagonals
+            inb = (j >= 1) & (j <= lr) & (idx < worig)
             sel = (jax.lax.broadcasted_iota(
                 jnp.int32, (q_ref.shape[1], 1), 0) == i).astype(jnp.float32)
             qc = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
@@ -129,9 +133,9 @@ def _make_kernel(A, B, GO, GE, GO2, GE2):
                                                             5, 1))))))
             e_ext = (idx > 1) & (e_row == _shift_right(e_row, NEG) - GE)
             e2_ext = (idx > 1) & (e2_row == _shift_right(e2_row, NEG) - GE2)
-            f_ext = (idx + 1 < W) & (i >= 1) \
+            f_ext = (idx + 1 < worig) & (i >= 1) \
                 & (f_row == _shift_left(f_prev, NEG) - GE)
-            f2_ext = (idx + 1 < W) & (i >= 1) \
+            f2_ext = (idx + 1 < worig) & (i >= 1) \
                 & (f2_row == _shift_left(f2_prev, NEG) - GE2)
             byte = (src | (e_ext.astype(jnp.int32) << 3)
                     | (e2_ext.astype(jnp.int32) << 4)
@@ -226,11 +230,20 @@ def long_dp_device_batch(items: list, ref_codes: np.ndarray, pre,
     banded_dp_shifted per item."""
     lr = len(ref_codes)
     out = [None] * len(items)
-    # bucket by padded (LQ, W) so compiled programs are shape-stable
+    # bucket by padded (LQ, W) so compiled programs are shape-stable;
+    # items whose direction matrix would exceed the cell cap (very long
+    # reads with wide chain spreads) run the host DP instead — the device
+    # path must never allocate multi-GB dirs/band buffers
+    MAX_ITEM_CELLS = 32 << 20  # 32 Mcells = 32 MB dirs + band per read
     buckets: dict = {}
     for n, (q, dlo, dhi) in enumerate(items):
         W = _round_up(dhi - dlo + 1, 128)
         LQ = max(_round_up(len(q), 512), 512)
+        if LQ * W > MAX_ITEM_CELLS:
+            from .longread import banded_dp_shifted
+
+            out[n] = banded_dp_shifted(q, ref_codes, dlo, dhi, pre)
+            continue
         buckets.setdefault((LQ, W), []).append(n)
     for (LQ, W), ids in buckets.items():
         for off in range(0, len(ids), TILE_B):
@@ -245,6 +258,7 @@ def long_dp_device_batch(items: list, ref_codes: np.ndarray, pre,
                 rb[s, : len(q)] = _build_band(ref_codes, len(q), dlo, W)
                 meta[s, 0] = dlo
                 meta[s, 1] = lr
+                meta[s, 2] = dhi - dlo + 1
             dirs, stats = _long_call(
                 jnp.asarray(qb.astype(np.int8)),
                 jnp.asarray(rb.astype(np.int8)), jnp.asarray(meta),

@@ -228,17 +228,22 @@ def _wang_x31_lsb_batch(names: list) -> np.ndarray:
     nn = len(names)
     if nn == 0:
         return np.zeros(0, np.int64)
-    bs = [s.encode() for s in names]
+    try:
+        # latin-1 keeps byte value == ord(ch), matching the scalar _x31;
+        # qnames with codepoints > 0xFF (never produced by the FASTQ
+        # readers) fall back to the scalar oracle pair
+        bs = [s.encode("latin-1") for s in names]
+    except UnicodeEncodeError:
+        return np.fromiter(((_wang(_x31(s)) & 1) for s in names),
+                           np.int64, nn)
     lens = np.fromiter((len(b) for b in bs), np.int64, nn)
     L = int(lens.max()) if nn else 0
     mat = np.zeros((nn, L), dtype=np.uint32)
     flat = np.frombuffer(b"".join(bs), np.uint8)
     offs = np.concatenate(([0], np.cumsum(lens)))
-    idx = np.repeat(offs[:-1], lens) + (
-        np.arange(int(offs[-1])) - np.repeat(offs[:-1], lens))
     rows = np.repeat(np.arange(nn), lens)
     cols = np.arange(int(offs[-1])) - np.repeat(offs[:-1], lens)
-    mat[rows, cols] = flat[idx]
+    mat[rows, cols] = flat
     h = np.zeros(nn, dtype=np.uint32)
     alive = lens[:, None] > np.arange(L)[None, :]
     c31 = np.uint32(31)
@@ -821,10 +826,9 @@ def resolve_device_pileup(mode: str) -> bool:
         return True
     if mode == "off":
         return False
-    local = (os.path.exists("/dev/accel0") or os.path.exists("/dev/vfio")
-             or bool(os.environ.get("TPU_NAME")))
-    remote = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-    return local and not remote
+    from ..utils.devinit import local_accelerator_attached
+
+    return local_accelerator_attached()
 
 
 def tally_columns_device(col_id, g_q, g_s, g_b, ncol):

@@ -2975,7 +2975,12 @@ static void match_gap(const Fm& fm, const uint8_t* pat, int L,
     std::vector<int32_t> bid(bid0, bid0 + L);
     std::vector<int64_t> wid(wid0, wid0 + L);
 
-    constexpr int MAXS = 160;  // > any reachable aln score + S_MM
+    // score ceiling: pushes carry at most (max_diff + 1) mismatches
+    // (m >= 0 gates pops; one more diff can be pushed) plus full gap
+    // budgets; +S_MM headroom for the best+S_MM stop bound.  Sized per
+    // read because max_diff grows with read length (bwa_cal_maxdiff).
+    const int MAXS = S_MM * (max_diff + 2) + S_GAPO * (MAX_GAPO + 1)
+        + S_GAPE * (MAX_GAPE + 1) + S_MM + 1;
     std::vector<std::vector<Ent>> stacks(MAXS);
     int64_t n_entries = 0;
     int cur = 0;

@@ -54,6 +54,20 @@ def warm_backend_async() -> threading.Thread:
     return t
 
 
+def local_accelerator_attached() -> bool:
+    """True when an accelerator is attached to THIS host (dispatch costs
+    microseconds); False for remote-tunnel pools, where dispatch latency and
+    transfer costs change every breakeven.  The ONE definition of the
+    local/remote policy consumed by the pileup, sr-align, and long-read
+    auto-routing."""
+    import os
+
+    local = (os.path.exists("/dev/accel0") or os.path.exists("/dev/vfio")
+             or bool(os.environ.get("TPU_NAME")))
+    remote = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    return local and not remote
+
+
 def device_usable(timeout_s: float | None = None) -> bool:
     """True once the probe computation has completed; False when the backend
     errored or failed to answer within ``timeout_s`` (default

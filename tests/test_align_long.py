@@ -199,3 +199,24 @@ def test_long_aligner_device_batch_matches_host():
         assert (a.mapped, a.rev, a.rs, a.re, a.qs, a.qe, a.score, a.mapq,
                 a.cigar) == (b.mapped, b.rev, b.rs, b.re, b.qs, b.qe,
                              b.score, b.mapq, b.cigar), i
+
+
+def test_long_device_dp_narrow_band_padding_masked():
+    """Regression (round-4 review): W pads to a multiple of 128 for the
+    device, but the EXTRA columns must stay out of band — a narrow band
+    (W_orig=129 -> padded 256) must give the host oracle's exact result,
+    not explore wider diagonals."""
+    from panmap_tpu.align.core import encode
+    from panmap_tpu.align.longread import MAP_ONT, banded_dp_shifted
+    from panmap_tpu.align.pallas_long import long_dp_device_batch
+
+    rng = np.random.default_rng(5)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 6000))
+    refc = encode(np.frombuffer(ref.encode(), np.uint8))
+    q = refc[3000:3800].copy()
+    cases = [(q, 2800, 2928), (q, 3000 - 64, 3000 + 64),
+             (refc[100:900].copy(), 40, 168)]
+    host = [banded_dp_shifted(qq, refc, a, b, MAP_ONT) for qq, a, b in cases]
+    dev = long_dp_device_batch(cases, refc, MAP_ONT, interpret=True)
+    for t, (h, d) in enumerate(zip(host, dev)):
+        assert h == d, (t, h[:5], d[:5])

@@ -252,3 +252,34 @@ def test_envelope_fallback_is_loud():
         bwt_mod.BWT_MAX_REF_NATIVE, bwt_mod.BWT_MAX_REF = old
     assert backend == "minimizer"
     assert msgs and "WARNING" in msgs[0] and "DIFFERENT algorithm" in msgs[0]
+
+
+def test_native_bwt_long_reads_match_python():
+    """Regression (round-4 review): the per-score stack array must size
+    with bwa_cal_maxdiff — long reads (~2 kb, max_diff ~55) push scores far
+    above the short-read ceiling and must not be silently dropped."""
+    from panmap_tpu.native import get_lib
+
+    if get_lib() is None or not hasattr(get_lib(), "pt_bwt_aln"):
+        pytest.skip("native bwt core unavailable")
+    rng = np.random.default_rng(41)
+    ref = _rand_ref(rng, 40000)
+    B = BwtAligner(ref)
+    reads = []
+    for t in range(6):
+        L = 2000
+        p = int(rng.integers(0, len(ref) - L))
+        r = list(ref[p : p + L])
+        for _ in range(t * 8):  # 0..40 mismatches (max_diff(2000) ~ 55)
+            j = int(rng.integers(0, L))
+            r[j] = BASES[(BASES.find(r[j]) + 1) % 4]
+        reads.append("".join(r))
+    native = B._align_batch_native(reads)
+    assert native is not None
+    for i, read in enumerate(reads):
+        py = B.align_read(read)
+        na = native[i]
+        assert na.mapped == py.mapped, i
+        if py.mapped:
+            assert (na.rev, na.rs, na.re, na.nm, na.score, na.mapq) \
+                == (py.rev, py.rs, py.re, py.nm, py.score, py.mapq), i

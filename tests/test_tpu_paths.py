@@ -642,6 +642,9 @@ def test_place_exact_adversarial_sweep(rng):
         exact = score_nodes(idx, sk_)
         placer = TpuPlacer(idx)
         got = placer.place_exact(sk_)
+        if NN <= placer.WITNESS_J:
+            # complete closure (every node enumerable in f64): must not refuse
+            assert got is not None, (seed, NN)
         if got is None:
             refused += 1
             continue
@@ -650,8 +653,6 @@ def test_place_exact_adversarial_sweep(rng):
             assert got.best_index[m] == exact.best_index[m], (seed, m)
             assert got.best_score[m] == exact.best_score[m], (seed, m)
             assert got.tied_indices[m] == exact.tied_indices[m], (seed, m)
-        if NN <= placer.WITNESS_J:
-            assert got is not None  # complete closure must not refuse
     # the sweep must actually exercise the exact path (not refuse everything)
     assert matched >= refused, (matched, refused)
 
