@@ -108,6 +108,35 @@ def main() -> int:
     ok3 = (np.array_equal(BCF, bcf) and np.array_equal(QS, qsn))
     out["checks"]["device_pileup_tally_exact"] = {"ok": bool(ok3)}
 
+    # ---- 4. long-read shifted-band dual-affine kernel vs the host DP ----
+    from panmap_tpu.align.core import encode
+    from panmap_tpu.align.longread import MAP_ONT, banded_dp_shifted
+    from panmap_tpu.align.pallas_long import long_dp_device_batch
+
+    rng = np.random.default_rng(61)
+    ref4 = "".join("ACGT"[i] for i in rng.integers(0, 4, 12000))
+    refc4 = encode(np.frombuffer(ref4.encode(), np.uint8))
+    items, host = [], []
+    for t in range(8):
+        L = int(rng.integers(600, 2400))
+        p = int(rng.integers(0, len(ref4) - L - 600))
+        frag = list(ref4[p : p + L])
+        for j in range(L):
+            if rng.random() < 0.05:
+                frag[j] = "ACGT"[("ACGT".find(frag[j]) + 1) % 4]
+        if t % 3 == 1:  # long deletion (E2 tier)
+            d = int(rng.integers(80, 300))
+            frag = frag[: L // 2] + list(ref4[p + L // 2 + d : p + L + d])
+        q4 = encode(np.frombuffer("".join(frag).encode(), np.uint8))
+        wr = int(rng.integers(100, 500))  # non-128-aligned band widths
+        items.append((q4, p - wr, p + wr + 13))
+        host.append(banded_dp_shifted(q4, refc4, p - wr, p + wr + 13,
+                                      MAP_ONT))
+    dev4 = long_dp_device_batch(items, refc4, MAP_ONT, interpret=False)
+    ok4 = sum(h == d for h, d in zip(host, dev4))
+    out["checks"]["pallas_long_bit_exact"] = {"ok": int(ok4),
+                                              "total": len(items)}
+
     path = os.path.join(REPO, "REALTPU.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
