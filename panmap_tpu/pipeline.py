@@ -199,7 +199,7 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     return idx, tree
 
 
-def run_placement(cfg: PipelineConfig, idx: IndexArrays):
+def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
     p = idx.params
     seqs = fastq.read_paired_for_placement(cfg.reads1, cfg.reads2 or None)
     if cfg.min_seed_quality > 0:
@@ -229,7 +229,6 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
     sk = prepare_read_sketch(freq, p.k, len(seqs),
                              min_read_support=cfg.min_read_support,
                              seed_mask_fraction=cfg.seed_mask_fraction)
-    res = None
     if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
         # watchdog: a wedged remote tunnel can hang the FIRST dispatch
         # forever while jax.devices() looks healthy — bound the wait and
@@ -241,6 +240,7 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
                     "host engines for this run")
             os.environ["PANMAP_PALLAS"] = "0"  # align stage: stay off-device
             cfg.device_place = False
+    fin0 = None
     if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
         # DEFAULT: device row-delta scoring + widened tie selection, exact
         # f64 path-replay rescue of the candidates, guarded per query (see
@@ -248,16 +248,32 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays):
         # the full f64 host engine runs instead.
         # dump-all-scores/refine need the full f64 matrix: host engine.
         try:
-            res = _get_placer(idx, cfg).place_exact(sk,
-                                                    force_leaf=cfg.force_leaf)
+            fin0 = _get_placer(idx, cfg).place_exact_async(
+                sk, force_leaf=cfg.force_leaf)
         except Exception as e:  # device unavailable/capacity: host fallback
             cfg.log(f"[place] device path unavailable ({e}); host engine")
-            res = None
+            fin0 = None
+
+    def finish():
+        res = None
+        if fin0 is not None:
+            try:
+                res = fin0()
+            except Exception as e:
+                cfg.log(f"[place] device path unavailable ({e}); "
+                        "host engine")
+            if res is None:
+                cfg.log("[place] device tie-candidates inconclusive; "
+                        "host engine")
         if res is None:
-            cfg.log("[place] device tie-candidates inconclusive; host engine")
-    if res is None:
-        res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
-    return _finish_placement(cfg, idx, res, len(seqs))
+            res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
+        return _finish_placement(cfg, idx, res, len(seqs))
+
+    # _async: the device selection program is IN FLIGHT; batch mode overlaps
+    # the next sample's host sketch with it (pipelining across samples)
+    if _async:
+        return finish
+    return finish()
 
 
 def _resolve_mesh(cfg: PipelineConfig):
@@ -948,7 +964,14 @@ def run_batch(cfg: PipelineConfig):
     n_ok = n_fail = 0
     t_all = time.time()
     pending = []  # (i, prefix, async_result, t0)
-    for i, (reads1, reads2, prefix) in enumerate(samples, 1):
+    # placement is software-pipelined across samples: sample i's device
+    # selection program flies while sample i+1's host sketch runs (the
+    # reference streams samples through shared state serially,
+    # main.cpp:1575-1658; here the chip and the host cores overlap instead)
+    inflight = None  # (i, sample, scfg, placement_finisher, t0)
+
+    def _dispatch(i, sample):
+        reads1, reads2, prefix = sample
         scfg = copy.copy(cfg)
         scfg.reads1, scfg.reads2, scfg.output = reads1, reads2, prefix
         scfg.log = lambda *a, **k: None
@@ -957,18 +980,31 @@ def run_batch(cfg: PipelineConfig):
             os.makedirs(out_dir, exist_ok=True)
         t0 = time.time()
         try:
-            res, best_id, _ = run_placement(scfg, idx)
+            fin = run_placement(scfg, idx, _async=True)
+        except Exception as exc:
+            err = exc
+
+            def fin():
+                raise err
+
+        return i, sample, scfg, fin, t0
+
+    def _resolve(entry):
+        nonlocal n_ok, n_fail
+        i, (reads1, reads2, prefix), scfg, fin, t0 = entry
+        try:
+            res, best_id, _ = fin()
             if not best_id:
                 cfg.log(f"[{i}/{len(samples)}] {prefix} -> NO PLACEMENT "
                         f"({time.time()-t0:.1f}s)")
                 n_fail += 1
-                continue
+                return
             if need_tree:
                 if pool is not None:
                     pending.append((i, prefix, best_id, pool.apply_async(
                         _batch_host_stages,
                         ((reads1, reads2, prefix, best_id),)), t0))
-                    continue
+                    return
                 ref, placed = run_alignment(scfg, tree, best_id)
                 if cfg.stop != "align":
                     final = run_genotyping(scfg, idx, ref, best_id, placed)
@@ -980,6 +1016,14 @@ def run_batch(cfg: PipelineConfig):
         except Exception as exc:  # keep going: one bad sample must not kill the batch
             cfg.log(f"[{i}/{len(samples)}] {prefix} -> FAILED ({exc})")
             n_fail += 1
+
+    for i, sample in enumerate(samples, 1):
+        entry = _dispatch(i, sample)
+        if inflight is not None:
+            _resolve(inflight)
+        inflight = entry
+    if inflight is not None:
+        _resolve(inflight)
     for i, prefix, best_id, ar, t0 in pending:
         try:
             ar.get()

@@ -602,6 +602,14 @@ class TpuPlacer:
         falls back to the full f64 host engine.  The adversarial sweep in
         tests/test_tpu_paths.py (large-index stress + tampered-candidate
         tests) exercises both the exact and the refusal outcomes."""
+        return self.place_exact_async(sk, force_leaf)()
+
+    def place_exact_async(self, sk, force_leaf: bool = False):
+        """Pipelined place_exact: runs the host prep and DISPATCHES the
+        device selection program, returning a zero-arg finisher that blocks
+        on the device result and completes the exact f64 rescue.  The caller
+        can overlap independent host work (e.g. the NEXT sample's sketch in
+        batch mode) with the in-flight device program."""
         from .engine import METRICS, PlacementScores, rescore_paths
 
         if not hasattr(self, "_widened_select_fn"):
@@ -661,6 +669,17 @@ class TpuPlacer:
             dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
             dev.euler_in, dev.euler_out, elig)
         del best32  # superseded: the error guard below checks every candidate
+
+        def _finish():
+            return self._place_exact_finish(sk, packed, col32, zero_metric)
+
+        return _finish
+
+    def _place_exact_finish(self, sk, packed, col32, zero_metric):
+        """Back half of place_exact: device fetch + exact f64 rescue +
+        guards (see place_exact's docstring for the exactness contract)."""
+        from .engine import METRICS, PlacementScores, rescore_paths
+
         col32 = np.asarray(col32, dtype=np.float64)  # [n_nodes, 5], -inf inelig
         cand = np.unpackbits(np.asarray(packed), axis=0,
                              count=self.dev.n_nodes).astype(bool)
