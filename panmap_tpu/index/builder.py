@@ -159,16 +159,17 @@ class ScalarSpace:
 
 class _BuildFrame:
     __slots__ = ("node", "child_iter", "undo_chars", "undo_blocks", "state",
-                 "seqtok")
+                 "seqtok", "rcundo")
 
     def __init__(self, node, child_iter, undo_chars, undo_blocks, state,
-                 seqtok=None):
+                 seqtok=None, rcundo=None):
         self.node = node
         self.child_iter = child_iter
         self.undo_chars = undo_chars
         self.undo_blocks = undo_blocks
         self.state = state
         self.seqtok = seqtok
+        self.rcundo = rcundo
 
 
 def _empty_state():
@@ -339,7 +340,8 @@ def _apply_nuc_fast(node, space, chars, block_exists, block_strand, br,
 
 
 def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
-            dfs_range=None, gap_emit=None, state_probe=None):
+            dfs_range=None, gap_emit=None, state_probe=None,
+            emit_delta=None):
     """Shared builder DFS: applies mutations down the tree maintaining the
     syncmer/k-min-mer state, calling emit(dfs_index, parent_state, child_state,
     changed) at every node.  Returns the identical-to-parent flags.
@@ -360,7 +362,19 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
     index_lite.capnp:55-60).
 
     state_probe(dfs_index, chars, block_exists, block_strand), when given,
-    observes the LIVE builder state at each node (read-only; test oracles)."""
+    observes the LIVE builder state at each node (read-only; test oracles).
+
+    emit_delta(dfs_index, (hashes, pcounts i16, ccounts i16), changed), when
+    given INSTEAD of relying on full per-node count tables, switches the
+    walk to INCREMENTAL COUNTS MODE (the reference's runningCounts scheme,
+    index_single_mode.cpp:1946-2101 + backtrackNode): a mutable running
+    k-min-mer count table is maintained with per-node undo, and each node's
+    count delta is computed from only the AFFECTED k-min-mer windows (those
+    containing a changed syncmer or crossing a pure insertion/deletion
+    boundary) instead of rebuilding and diffing the full genome table —
+    O(edit windows) per node instead of O(genome).  `emit` is not called in
+    this mode and states carry only the syncmer arrays.  Bit-identical to
+    the full-table path (tests/test_e2e.py::test_incremental_counts_mode)."""
     space = ScalarSpace(tree)
     k, s, t, l = params.k, params.s, params.t, params.l
     flank = params.flank_mask_bp
@@ -373,6 +387,8 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
 
     n_nodes = len(tree.dfs_order)
     identical = np.zeros(n_nodes, dtype=bool)
+    counts_mode = emit_delta is not None
+    run_counts: dict = {}  # counts mode: mutable running k-min-mer table
 
     def reading_scalar(sc: int, b: int) -> int:
         """Forward scalar -> reading-order scalar (mirrored inside inverted blocks)."""
@@ -562,6 +578,7 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
 
         p_pos, p_hash, p_rev = parent_state[0], parent_state[1], parent_state[2]
 
+        merge_info = None  # (keep, add_pos) when the merge branch runs
         if hms is None or (not edits.spans and not edits.potential_dels
                            and not edits.blocks_turned_off):
             child_pos, child_hash, child_rev = p_pos, p_hash, p_rev
@@ -693,6 +710,17 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             child_pos = child_pos[order]
             child_hash = child_hash[order]
             child_rev = child_rev[order]
+            merge_info = (keep, add_pos)
+
+        if counts_mode:
+            # incremental path: running-table delta from affected windows
+            # only; no full k-min-mer rebuild, no positioned arrays
+            if merge_info is None:
+                return (child_pos, child_hash, child_rev, _EMPTY_DELTA, [])
+            rows, undo = _incremental_count_delta(
+                p_pos, p_hash, p_rev, merge_info[0], merge_info[1],
+                child_pos, child_hash, child_rev, k, l, run_counts)
+            return (child_pos, child_hash, child_rev, rows, undo)
 
         # ---- k-min-mers over the position-sorted syncmer list ----
         # (measured: the vectorized numpy recombine beats a scalar C++
@@ -743,10 +771,17 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
     if state_probe is not None:
         state_probe(root.dfs_index, chars, block_exists, block_strand)
     root_tok = advance_seq_nz(None)  # first view: always a build
-    root_state = compute_state(_empty_state(), edits)
-    emit(root.dfs_index, _empty_state(), root_state, True)
+    if counts_mode:
+        st5 = compute_state(_empty_state(), edits)
+        root_state = st5[:3]
+        emit_delta(root.dfs_index, st5[3], True)
+        root_rcundo = st5[4]
+    else:
+        root_state = compute_state(_empty_state(), edits)
+        emit(root.dfs_index, _empty_state(), root_state, True)
+        root_rcundo = None
     stack.append(_BuildFrame(root, iter(root.children), undo_c, undo_b,
-                             root_state, root_tok))
+                             root_state, root_tok, root_rcundo))
     processed = 1
 
     while stack:
@@ -755,6 +790,13 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         if child is None:
             undo_node(frame.undo_chars, frame.undo_blocks)
             retreat_seq_nz(frame.seqtok)
+            if frame.rcundo:
+                # counts mode: revert the running table (backtrackNode)
+                for h, old in reversed(frame.rcundo):
+                    if old:
+                        run_counts[h] = old
+                    else:
+                        run_counts.pop(h, None)
             stack.pop()
             continue
         if not in_walk(child):
@@ -765,9 +807,18 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         if state_probe is not None:
             state_probe(child.dfs_index, chars, block_exists, block_strand)
         tok = advance_seq_nz(simple_edits_of(child, undo_c))
+        rcundo = None
         if not edits.spans and not edits.potential_dels and not edits.blocks_turned_off:
             state = frame.state
-            emit(child.dfs_index, frame.state, state, False)
+            if counts_mode:
+                emit_delta(child.dfs_index, _EMPTY_DELTA, False)
+            else:
+                emit(child.dfs_index, frame.state, state, False)
+        elif counts_mode:
+            st5 = compute_state(frame.state, edits)
+            state = st5[:3]
+            emit_delta(child.dfs_index, st5[3], True)
+            rcundo = st5[4]
         else:
             state = compute_state(frame.state, edits)
             emit(child.dfs_index, frame.state, state, True)
@@ -775,12 +826,111 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         if progress and processed % 2000 == 0:
             progress(processed, n_nodes)
         stack.append(_BuildFrame(child, iter(child.children), undo_c, undo_b,
-                                 state, tok))
+                                 state, tok, rcundo))
 
     return identical, space
 
 
 _EMPTY_DELTA = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
+
+
+def _affected_window_counts(pos, hsh, rev, members, bridges, k, l):
+    """Canonical k-min-mer hash -> count over the AFFECTED windows of one
+    syncmer array: windows containing a changed member index, plus windows
+    strictly crossing a pure insertion/deletion boundary.  Unaffected
+    windows pair off 1:1 between parent and child (same consecutive
+    surviving syncmers, same hashes), so the two sides' affected multisets
+    differ by exactly the true count delta."""
+    n = len(pos)
+    nw = n - l + 1
+    out: dict = {}
+    if nw <= 0:
+        return out
+    iv = []
+    for m in members.tolist():
+        iv.append((m - (l - 1), m))
+    for b in bridges.tolist():
+        if l > 1:
+            iv.append((b - (l - 1), b - 1))
+    if not iv:
+        return out
+    iv.sort()
+    merged = []
+    for a, b in iv:
+        a = max(a, 0)
+        b = min(b, nw - 1)
+        if a > b:
+            continue
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    for a, b in merged:
+        km, valid, _r = kminmer_hashes_oriented(
+            hsh[a : b + l], k, l, rev[a : b + l])
+        for h in km[valid].tolist():
+            out[h] = out.get(h, 0) + 1
+    return out
+
+
+def _incremental_count_delta(p_pos, p_hash, p_rev, keep, add_pos,
+                             child_pos, child_hash, child_rev, k, l, rc):
+    """Counts-mode node delta: apply the affected-window count change to the
+    running table ``rc`` and return (sorted delta rows, undo list).  The
+    full-table `_count_delta` over complete per-node tables is the oracle
+    (PANMAP_TPU_INCR=0 forces it; equality asserted by e2e)."""
+    dropped = np.flatnonzero(~keep)
+    if len(dropped) == 0 and len(add_pos) == 0:
+        return _EMPTY_DELTA, []
+    drop_pos = p_pos[dropped]
+    # pure insertions (locations absent from the parent) bridge parent
+    # windows; pure deletions bridge child windows
+    if len(add_pos) and len(p_pos):
+        ii = np.searchsorted(p_pos, add_pos)
+        iic = np.minimum(ii, len(p_pos) - 1)
+        pure_ins = add_pos[p_pos[iic] != add_pos]
+        p_bridge = np.searchsorted(p_pos, pure_ins)
+    else:
+        pure_ins = add_pos
+        p_bridge = np.zeros(len(add_pos), np.int64)
+    if len(drop_pos) and len(child_pos):
+        jj = np.searchsorted(child_pos, drop_pos)
+        jjc = np.minimum(jj, len(child_pos) - 1)
+        pure_del = drop_pos[child_pos[jjc] != drop_pos]
+        c_bridge = np.searchsorted(child_pos, pure_del)
+    elif len(drop_pos):
+        pure_del = drop_pos
+        c_bridge = np.zeros(len(drop_pos), np.int64)
+    else:
+        pure_del = c_bridge = np.empty(0, np.int64)
+    added_idx = (np.searchsorted(child_pos, add_pos) if len(add_pos)
+                 else np.empty(0, np.int64))
+
+    old = _affected_window_counts(p_pos, p_hash, p_rev, dropped, p_bridge,
+                                  k, l)
+    new = _affected_window_counts(child_pos, child_hash, child_rev,
+                                  added_idx, c_bridge, k, l)
+    net = new
+    for h, c in old.items():
+        net[h] = net.get(h, 0) - c
+    rows = []
+    undo = []
+    for h, d in net.items():
+        if d == 0:
+            continue
+        o = rc.get(h, 0)
+        rc[h] = o + d
+        undo.append((h, o))
+        rows.append((h, o, o + d))
+    if not rows:
+        return _EMPTY_DELTA, undo
+    rows.sort()
+    hh = np.fromiter((r[0] for r in rows), U64, len(rows))
+    pp = np.fromiter((r[1] for r in rows), np.int64, len(rows)) \
+        .astype(np.int16)
+    cc = np.fromiter((r[2] for r in rows), np.int64, len(rows)) \
+        .astype(np.int16)
+    return (hh, pp, cc), undo
 
 
 def _count_delta(parent_state, child_state):
@@ -810,18 +960,33 @@ def _count_delta(parent_state, child_state):
 _PAR_CTX: dict = {}
 
 
+def _use_incremental_counts() -> bool:
+    import os
+
+    return os.environ.get("PANMAP_TPU_INCR", "1") != "0"
+
+
 def _build_range_worker(rng):
     a, b = rng
     tree = _PAR_CTX["tree"]
     params = _PAR_CTX["params"]
     deltas: dict = {}
 
-    def emit(dfs_index, parent_state, child_state, changed):
-        if a <= dfs_index < b:
-            deltas[dfs_index] = (_EMPTY_DELTA if not changed
-                                 else _count_delta(parent_state, child_state))
+    if _use_incremental_counts():
+        def emit_delta(dfs_index, delta, changed):
+            if a <= dfs_index < b:
+                deltas[dfs_index] = delta
 
-    identical, _ = run_dfs(tree, params, emit, dfs_range=(a, b))
+        identical, _ = run_dfs(tree, params, None, dfs_range=(a, b),
+                               emit_delta=emit_delta)
+    else:
+        def emit(dfs_index, parent_state, child_state, changed):
+            if a <= dfs_index < b:
+                deltas[dfs_index] = (
+                    _EMPTY_DELTA if not changed
+                    else _count_delta(parent_state, child_state))
+
+        identical, _ = run_dfs(tree, params, emit, dfs_range=(a, b))
     hh = np.concatenate([deltas[i][0] for i in range(a, b)]) if b > a else np.empty(0, U64)
     pp = np.concatenate([deltas[i][1] for i in range(a, b)]) if b > a else np.empty(0, np.int16)
     cc = np.concatenate([deltas[i][2] for i in range(a, b)]) if b > a else np.empty(0, np.int16)
@@ -839,13 +1004,22 @@ def build_index(tree: PanmanTree, params: IndexParams | None = None,
     empty_delta = _EMPTY_DELTA
     count_delta = _count_delta
 
-    def emit(dfs_index, parent_state, child_state, changed):
-        if not changed:
-            node_deltas[dfs_index] = empty_delta
-        else:
-            node_deltas[dfs_index] = count_delta(parent_state, child_state)
+    if _use_incremental_counts():
+        def emit_delta(dfs_index, delta, changed):
+            node_deltas[dfs_index] = delta
 
-    identical, space = run_dfs(tree, params, emit, progress)
+        identical, space = run_dfs(tree, params, None, progress,
+                                   emit_delta=emit_delta)
+    else:
+        # full-table oracle path (PANMAP_TPU_INCR=0): per-node complete
+        # count tables diffed by _count_delta
+        def emit(dfs_index, parent_state, child_state, changed):
+            if not changed:
+                node_deltas[dfs_index] = empty_delta
+            else:
+                node_deltas[dfs_index] = count_delta(parent_state, child_state)
+
+        identical, space = run_dfs(tree, params, emit, progress)
 
     # flatten per-node deltas (already hash-sorted from union1d)
     total = sum(len(d[0]) for d in node_deltas)

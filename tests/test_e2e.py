@@ -871,3 +871,30 @@ def test_adna_backend_record_level_concordance(outdir, tmp_path):
     inter = len(recs_b & recs_m)
     union = max(len(recs_b | recs_m), 1)
     assert inter / union >= 0.8, (sorted(recs_b), sorted(recs_m))
+
+
+def test_incremental_counts_mode_matches_oracle():
+    """The incremental running-counts builder (run_dfs emit_delta mode;
+    reference runningCounts + backtrackNode scheme) must produce an index
+    BIT-IDENTICAL to the full-table oracle path (PANMAP_TPU_INCR=0) on the
+    real rsv_4K tree — hashes, counts, offsets, identical flags."""
+    from panmap_tpu.index.builder import IndexParams, build_index
+    from panmap_tpu.io.panman import load_panman
+
+    tree = load_panman(PANMAN)
+    old = os.environ.get("PANMAP_TPU_INCR")
+    try:
+        os.environ["PANMAP_TPU_INCR"] = "0"
+        a = build_index(tree, IndexParams(), workers=1)
+        os.environ["PANMAP_TPU_INCR"] = "1"
+        b = build_index(tree, IndexParams(), workers=1)
+    finally:
+        if old is None:
+            os.environ.pop("PANMAP_TPU_INCR", None)
+        else:
+            os.environ["PANMAP_TPU_INCR"] = old
+    assert np.array_equal(a.seed_hashes, b.seed_hashes)
+    assert np.array_equal(a.parent_counts, b.parent_counts)
+    assert np.array_equal(a.child_counts, b.child_counts)
+    assert np.array_equal(a.node_offsets, b.node_offsets)
+    assert np.array_equal(a.identical_to_parent, b.identical_to_parent)

@@ -108,3 +108,42 @@ def test_count_delta_native_matches_numpy():
         assert np.array_equal(nat[0], allh[diff]), trial
         assert np.array_equal(nat[1], pcnt[diff].astype(np.int16)), trial
         assert np.array_equal(nat[2], ccnt[diff].astype(np.int16)), trial
+
+
+def test_incremental_counts_mode_mammoth():
+    """Incremental-counts builder == full-table oracle on the bundled
+    mammoth panman (fast-suite cousin of the rsv_4K e2e; covers block
+    mutations, gaps, and deep backtracking on a real tree)."""
+    import os
+
+    from panmap_tpu.index.builder import IndexParams, build_index
+    from panmap_tpu.io.panman import load_panman
+
+    tree = load_panman(
+        "/root/reference/examples/data/panmans/extended_mammoth.panman")
+    old = os.environ.get("PANMAP_TPU_INCR")
+    try:
+        os.environ["PANMAP_TPU_INCR"] = "0"
+        a = build_index(tree, IndexParams(), workers=1)
+        os.environ["PANMAP_TPU_INCR"] = "1"
+        b = build_index(tree, IndexParams(), workers=1)
+        # HPC + open-syncmer + extent-guard variants too
+        for kw in (dict(hpc=True), dict(open=True, flank_mask_bp=0,
+                                        extent_guard=True), dict(l=1)):
+            os.environ["PANMAP_TPU_INCR"] = "0"
+            x = build_index(tree, IndexParams(**kw), workers=1)
+            os.environ["PANMAP_TPU_INCR"] = "1"
+            y = build_index(tree, IndexParams(**kw), workers=1)
+            assert np.array_equal(x.seed_hashes, y.seed_hashes), kw
+            assert np.array_equal(x.parent_counts, y.parent_counts), kw
+            assert np.array_equal(x.child_counts, y.child_counts), kw
+            assert np.array_equal(x.node_offsets, y.node_offsets), kw
+    finally:
+        if old is None:
+            os.environ.pop("PANMAP_TPU_INCR", None)
+        else:
+            os.environ["PANMAP_TPU_INCR"] = old
+    assert np.array_equal(a.seed_hashes, b.seed_hashes)
+    assert np.array_equal(a.parent_counts, b.parent_counts)
+    assert np.array_equal(a.child_counts, b.child_counts)
+    assert np.array_equal(a.node_offsets, b.node_offsets)
