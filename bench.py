@@ -224,6 +224,34 @@ def main():
     log(f"[bench] placement+align: {dt:.3f}s -> {rps:,.0f} reads/s")
 
     extras = {}
+    # ---- steady-state streaming (the batch/wastewater regime): consecutive
+    # samples software-pipelined like pipeline.run_batch — sample i's device
+    # round-trip hides under sample i+1's host sketch + align front-end ----
+    try:
+        from panmap_tpu.align.batch import BatchAligner as _BA
+
+        fut = placer.place_best_host_async(seqs)
+        stimes = []
+        for _ in range(6):
+            t0 = time.time()
+            # full per-sample host work (minimizer precompute + align) runs
+            # while the in-flight device program finishes
+            pre3 = _BA.precompute_minimizers(aseqs)
+            ares3 = aligner.align_batch_arrays(aseqs, pre=pre3)
+            res3 = fut()
+            fut = placer.place_best_host_async(seqs)
+            stimes.append(time.time() - t0)
+            assert res3.best_index["log_containment"] == best
+            assert int((ares3["mapped"] == 1).sum()) == n_mapped
+        fut()
+        dt_stream = min(stimes)
+        log(f"[bench] streaming place+align (steady state): {dt_stream:.3f}s"
+            f"/sample -> {n_reads/dt_stream:,.0f} reads/s")
+        extras["streaming_reads_per_s"] = round(n_reads / dt_stream, 1)
+        extras["streaming_vs_baseline"] = round(
+            n_reads / dt_stream / BASELINE_READS_PER_S, 3)
+    except Exception as exc:
+        log(f"[bench] streaming bench skipped: {exc}")
     # ---- kernel-fires check (VERDICT r3 weak #1): on a real device the
     # demo's deferred windows MUST go through the Pallas kernel ----
     import jax
