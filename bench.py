@@ -227,16 +227,17 @@ def main():
     # ---- steady-state streaming (the batch/wastewater regime): consecutive
     # samples software-pipelined like pipeline.run_batch — sample i's device
     # round-trip hides under sample i+1's host sketch + align front-end ----
+    # kernel-fires metrics: snapshot the cumulative pallas_stats BEFORE the
+    # extra streaming align passes below inflate the counters
+    st_async = dict(st_async) if st_async else st_async
     try:
-        from panmap_tpu.align.batch import BatchAligner as _BA
-
         fut = placer.place_best_host_async(seqs)
         stimes = []
         for _ in range(6):
             t0 = time.time()
             # full per-sample host work (minimizer precompute + align) runs
             # while the in-flight device program finishes
-            pre3 = _BA.precompute_minimizers(aseqs)
+            pre3 = BatchAligner.precompute_minimizers(aseqs)
             ares3 = aligner.align_batch_arrays(aseqs, pre=pre3)
             res3 = fut()
             fut = placer.place_best_host_async(seqs)
@@ -250,6 +251,8 @@ def main():
         extras["streaming_reads_per_s"] = round(n_reads / dt_stream, 1)
         extras["streaming_vs_baseline"] = round(
             n_reads / dt_stream / BASELINE_READS_PER_S, 3)
+    except AssertionError:
+        raise  # pipelining produced different outputs: fail LOUDLY
     except Exception as exc:
         log(f"[bench] streaming bench skipped: {exc}")
     # ---- kernel-fires check (VERDICT r3 weak #1): on a real device the

@@ -254,6 +254,8 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
             cfg.log(f"[place] device path unavailable ({e}); host engine")
             fin0 = None
 
+    n_seqs = len(seqs)
+
     def finish():
         res = None
         if fin0 is not None:
@@ -267,7 +269,7 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
                         "host engine")
         if res is None:
             res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
-        return _finish_placement(cfg, idx, res, len(seqs))
+        return _finish_placement(cfg, idx, res, n_seqs)
 
     # _async: the device selection program is IN FLIGHT; batch mode overlaps
     # the next sample's host sketch with it (pipelining across samples)
@@ -975,11 +977,13 @@ def run_batch(cfg: PipelineConfig):
         scfg = copy.copy(cfg)
         scfg.reads1, scfg.reads2, scfg.output = reads1, reads2, prefix
         scfg.log = lambda *a, **k: None
-        out_dir = os.path.dirname(prefix)
-        if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
         t0 = time.time()
         try:
+            # makedirs inside the capture: a bad output prefix must fail
+            # THIS sample at resolve time, not abort the whole batch
+            out_dir = os.path.dirname(prefix)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
             fin = run_placement(scfg, idx, _async=True)
         except Exception as exc:
             err = exc

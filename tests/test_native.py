@@ -127,6 +127,13 @@ def test_incremental_counts_mode_mammoth():
         a = build_index(tree, IndexParams(), workers=1)
         os.environ["PANMAP_TPU_INCR"] = "1"
         b = build_index(tree, IndexParams(), workers=1)
+        # the PARALLEL counts-mode path (chunked-DFS ranges + per-worker
+        # running table) must also match
+        b4 = build_index(tree, IndexParams(), workers=4)
+        assert np.array_equal(a.seed_hashes, b4.seed_hashes)
+        assert np.array_equal(a.parent_counts, b4.parent_counts)
+        assert np.array_equal(a.child_counts, b4.child_counts)
+        assert np.array_equal(a.node_offsets, b4.node_offsets)
         # HPC + open-syncmer + extent-guard variants too
         for kw in (dict(hpc=True), dict(open=True, flank_mask_bp=0,
                                         extent_guard=True), dict(l=1)):
