@@ -453,6 +453,23 @@ def roofline(log, idx, dt_place, st, on_device, placer, seqs):
             f"stream -> HBM floor {t_min*1e3:.3f} ms vs device step "
             f"{step_ms:.2f} ms ({100*util_step:.1f}% of HBM-bound ceiling; "
             f"step includes the host->device round-trip)")
+        # steady-state DEVICE time: queue K dispatches back-to-back and
+        # block once — transfers/latency pipeline away, leaving the on-chip
+        # step (what a locally-attached deployment would see per query)
+        K = 16
+        t0 = time.time()
+        outs = [placer._host_score_fn(
+            pu, pl, np.float32(log_mag), np.int32(nuniq), np.float32(lden),
+            dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
+            dev.euler_in, dev.euler_out, elig) for _ in range(K)]
+        np.asarray(outs[-1][0])
+        dev_ms = (time.time() - t0) / K * 1e3
+        out["place_step_device_ms"] = round(dev_ms, 2)
+        out["place_step_device_hbm_pct"] = round(
+            100 * t_min * 1e3 / dev_ms, 1)
+        log(f"[bench] roofline place step (queued x{K}, steady state): "
+            f"{dev_ms:.2f} ms/step on-device "
+            f"({100*t_min*1e3/dev_ms:.1f}% of the HBM-bound ceiling)")
     util = t_min / dt_place if dt_place > 0 else 0.0
     out["place_hbm_roofline_pct"] = round(100 * util, 2)
     log(f"[bench] roofline place e2e: measured {dt_place*1e3:.1f} ms "
