@@ -208,8 +208,41 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _print_short_help(parser):
+    """--help: common + index/seeding + single-sample groups only, like the
+    reference's two-tier help (main.cpp:2155-2168); --help-all shows all."""
+    import sys as _sys
+
+    keep = {"positional arguments", "options", "index & seeding",
+            "single-sample"}
+    fmt = parser._get_formatter()
+    fmt.add_usage(parser.usage, parser._actions,
+                  parser._mutually_exclusive_groups)
+    fmt.add_text(parser.description)
+    for group in parser._action_groups:
+        if group.title not in keep:
+            continue
+        fmt.start_section(group.title)
+        fmt.add_text(group.description)
+        fmt.add_arguments(group._group_actions)
+        fmt.end_section()
+    fmt.add_text("use --help-all for metagenomic, EM, filter-and-assign, "
+                 "and developer options")
+    _sys.stdout.write(fmt.format_help())
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    import sys as _sys
+
+    raw = list(_sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    if "--help-all" in raw:
+        parser.print_help()
+        return 0
+    if "-h" in raw or "--help" in raw:
+        _print_short_help(parser)
+        return 0
+    args = parser.parse_args(argv)
     out = args.output or (default_prefix(args.reads1) if args.reads1 else "panmap")
     from .ux import Output
 
