@@ -172,6 +172,14 @@ class _BuildFrame:
         self.rcundo = rcundo
 
 
+def _empty_meta_state():
+    return (
+        np.empty(0, np.int64), np.empty(0, U64), np.empty(0, bool),
+        (np.empty(0, np.int64), np.empty(0, U64), np.empty(0, bool),
+         np.empty(0, np.int64)),
+    )
+
+
 def _empty_state():
     return (
         np.empty(0, np.int64),  # syncmer positions (reading-order scalar), sorted
@@ -341,7 +349,7 @@ def _apply_nuc_fast(node, space, chars, block_exists, block_strand, br,
 
 def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             dfs_range=None, gap_emit=None, state_probe=None,
-            emit_delta=None):
+            emit_delta=None, emit_meta=None):
     """Shared builder DFS: applies mutations down the tree maintaining the
     syncmer/k-min-mer state, calling emit(dfs_index, parent_state, child_state,
     changed) at every node.  Returns the identical-to-parent flags.
@@ -388,6 +396,11 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
     n_nodes = len(tree.dfs_order)
     identical = np.zeros(n_nodes, dtype=bool)
     counts_mode = emit_delta is not None
+    # meta (positioned) incremental mode: emit_meta(dfs_index, delta|None,
+    # changed) receives each node's positioned-seed delta; states carry the
+    # syncmer arrays + spliced k-min-mer arrays (no mutable table needed —
+    # deltas are local to each node)
+    meta_mode = emit_meta is not None
     run_counts: dict = {}  # counts mode: mutable running k-min-mer table
 
     def reading_scalar(sc: int, b: int) -> int:
@@ -722,6 +735,17 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
                 child_pos, child_hash, child_rev, k, l, run_counts)
             return (child_pos, child_hash, child_rev, rows, undo)
 
+        if meta_mode:
+            # incremental positioned path: splice the parent's k-min-mer
+            # arrays, recomputing only the affected position ranges
+            if merge_info is None:
+                return (child_pos, child_hash, child_rev, parent_state[3],
+                        None)
+            ck, delta = _incremental_meta_delta(
+                p_pos, p_hash, p_rev, parent_state[3], merge_info[0],
+                merge_info[1], child_pos, child_hash, child_rev, nz, k, l)
+            return (child_pos, child_hash, child_rev, ck, delta)
+
         # ---- k-min-mers over the position-sorted syncmer list ----
         # (measured: the vectorized numpy recombine beats a scalar C++
         # port at genome scale — 0.36 vs 0.58 ms at 5k syncmers — so this
@@ -776,6 +800,11 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         root_state = st5[:3]
         emit_delta(root.dfs_index, st5[3], True)
         root_rcundo = st5[4]
+    elif meta_mode:
+        st5 = compute_state(_empty_meta_state(), edits)
+        root_state = st5[:4]
+        emit_meta(root.dfs_index, st5[4], True)
+        root_rcundo = None
     else:
         root_state = compute_state(_empty_state(), edits)
         emit(root.dfs_index, _empty_state(), root_state, True)
@@ -812,6 +841,8 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             state = frame.state
             if counts_mode:
                 emit_delta(child.dfs_index, _EMPTY_DELTA, False)
+            elif meta_mode:
+                emit_meta(child.dfs_index, None, False)
             else:
                 emit(child.dfs_index, frame.state, state, False)
         elif counts_mode:
@@ -819,6 +850,10 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             state = st5[:3]
             emit_delta(child.dfs_index, st5[3], True)
             rcundo = st5[4]
+        elif meta_mode:
+            st5 = compute_state(frame.state, edits)
+            state = st5[:4]
+            emit_meta(child.dfs_index, st5[4], True)
         else:
             state = compute_state(frame.state, edits)
             emit(child.dfs_index, frame.state, state, True)
@@ -834,26 +869,18 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
 _EMPTY_DELTA = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
 
 
-def _affected_window_counts(pos, hsh, rev, members, bridges, k, l):
-    """Canonical k-min-mer hash -> count over the AFFECTED windows of one
-    syncmer array: windows containing a changed member index, plus windows
-    strictly crossing a pure insertion/deletion boundary.  Unaffected
-    windows pair off 1:1 between parent and child (same consecutive
-    surviving syncmers, same hashes), so the two sides' affected multisets
-    differ by exactly the true count delta."""
-    n = len(pos)
-    nw = n - l + 1
-    out: dict = {}
-    if nw <= 0:
-        return out
+def _merged_affected_intervals(nw, members, bridges, l):
+    """Merged [a, b] window-start intervals (inclusive) affected by changed
+    member indices ([m-l+1, m]) and pure insertion/deletion boundaries
+    (strictly-crossing windows, [b-l+1, b-1])."""
     iv = []
     for m in members.tolist():
         iv.append((m - (l - 1), m))
     for b in bridges.tolist():
         if l > 1:
             iv.append((b - (l - 1), b - 1))
-    if not iv:
-        return out
+    if not iv or nw <= 0:
+        return []
     iv.sort()
     merged = []
     for a, b in iv:
@@ -865,12 +892,53 @@ def _affected_window_counts(pos, hsh, rev, members, bridges, k, l):
             merged[-1][1] = max(merged[-1][1], b)
         else:
             merged.append([a, b])
-    for a, b in merged:
+    return merged
+
+
+def _affected_window_counts(pos, hsh, rev, members, bridges, k, l):
+    """Canonical k-min-mer hash -> count over the AFFECTED windows of one
+    syncmer array: windows containing a changed member index, plus windows
+    strictly crossing a pure insertion/deletion boundary.  Unaffected
+    windows pair off 1:1 between parent and child (same consecutive
+    surviving syncmers, same hashes), so the two sides' affected multisets
+    differ by exactly the true count delta."""
+    n = len(pos)
+    nw = n - l + 1
+    out: dict = {}
+    for a, b in _merged_affected_intervals(nw, members, bridges, l):
         km, valid, _r = kminmer_hashes_oriented(
             hsh[a : b + l], k, l, rev[a : b + l])
         for h in km[valid].tolist():
             out[h] = out.get(h, 0) + 1
     return out
+
+
+def _change_sites(p_pos, keep, add_pos, child_pos):
+    """(dropped parent idx, added child idx, parent bridge idx, child bridge
+    idx): the changed member indices per side plus the boundary insertion
+    points of locations absent from that side (pure insertions bridge
+    parent windows, pure deletions bridge child windows)."""
+    dropped = np.flatnonzero(~keep)
+    drop_pos = p_pos[dropped]
+    if len(add_pos) and len(p_pos):
+        ii = np.searchsorted(p_pos, add_pos)
+        iic = np.minimum(ii, len(p_pos) - 1)
+        pure_ins = add_pos[p_pos[iic] != add_pos]
+        p_bridge = np.searchsorted(p_pos, pure_ins)
+    else:
+        p_bridge = np.zeros(len(add_pos), np.int64)
+    if len(drop_pos) and len(child_pos):
+        jj = np.searchsorted(child_pos, drop_pos)
+        jjc = np.minimum(jj, len(child_pos) - 1)
+        pure_del = drop_pos[child_pos[jjc] != drop_pos]
+        c_bridge = np.searchsorted(child_pos, pure_del)
+    elif len(drop_pos):
+        c_bridge = np.zeros(len(drop_pos), np.int64)
+    else:
+        c_bridge = np.empty(0, np.int64)
+    added_idx = (np.searchsorted(child_pos, add_pos) if len(add_pos)
+                 else np.empty(0, np.int64))
+    return dropped, added_idx, p_bridge, c_bridge
 
 
 def _incremental_count_delta(p_pos, p_hash, p_rev, keep, add_pos,
@@ -879,32 +947,10 @@ def _incremental_count_delta(p_pos, p_hash, p_rev, keep, add_pos,
     running table ``rc`` and return (sorted delta rows, undo list).  The
     full-table `_count_delta` over complete per-node tables is the oracle
     (PANMAP_TPU_INCR=0 forces it; equality asserted by e2e)."""
-    dropped = np.flatnonzero(~keep)
-    if len(dropped) == 0 and len(add_pos) == 0:
+    if (len(p_pos) - int(keep.sum())) == 0 and len(add_pos) == 0:
         return _EMPTY_DELTA, []
-    drop_pos = p_pos[dropped]
-    # pure insertions (locations absent from the parent) bridge parent
-    # windows; pure deletions bridge child windows
-    if len(add_pos) and len(p_pos):
-        ii = np.searchsorted(p_pos, add_pos)
-        iic = np.minimum(ii, len(p_pos) - 1)
-        pure_ins = add_pos[p_pos[iic] != add_pos]
-        p_bridge = np.searchsorted(p_pos, pure_ins)
-    else:
-        pure_ins = add_pos
-        p_bridge = np.zeros(len(add_pos), np.int64)
-    if len(drop_pos) and len(child_pos):
-        jj = np.searchsorted(child_pos, drop_pos)
-        jjc = np.minimum(jj, len(child_pos) - 1)
-        pure_del = drop_pos[child_pos[jjc] != drop_pos]
-        c_bridge = np.searchsorted(child_pos, pure_del)
-    elif len(drop_pos):
-        pure_del = drop_pos
-        c_bridge = np.zeros(len(drop_pos), np.int64)
-    else:
-        pure_del = c_bridge = np.empty(0, np.int64)
-    added_idx = (np.searchsorted(child_pos, add_pos) if len(add_pos)
-                 else np.empty(0, np.int64))
+    dropped, added_idx, p_bridge, c_bridge = _change_sites(
+        p_pos, keep, add_pos, child_pos)
 
     old = _affected_window_counts(p_pos, p_hash, p_rev, dropped, p_bridge,
                                   k, l)
@@ -954,6 +1000,145 @@ def _count_delta(parent_state, child_state):
         ccnt[ok] = cc[ii[ok]]
     diff = pcnt != ccnt
     return allh[diff], pcnt[diff].astype(np.int16), ccnt[diff].astype(np.int16)
+
+
+_EMPTY_META_DELTA = (np.empty(0, np.int64), np.empty(0, U64),
+                     np.empty(0, bool), np.empty(0, bool),
+                     np.empty(0, np.int64))
+
+
+def _km_ends(last_start, nz, k):
+    """End scalar of each k-min-mer (last member syncmer's k-mer's last
+    base): walk k-1 steps on the non-gap grid when the start sits on it,
+    plain arithmetic otherwise (compute_state's full-tail rule)."""
+    nnz = len(nz)
+    if len(last_start) and nnz:
+        ii = np.searchsorted(nz, last_start)
+        iic = np.minimum(ii, nnz - 1)
+        on_grid = (nz[iic] == last_start) & (iic + k - 1 < nnz)
+        return np.where(on_grid, nz[np.minimum(iic + k - 1, nnz - 1)],
+                        last_start + (k - 1))
+    return last_start + (k - 1)
+
+
+def _positioned_diff(dp, dc):
+    """Raw-array twin of meta.index._meta_node_delta (the oracle): diff two
+    positioned (pos, hash, rev, end) row sets, deletions before additions
+    at equal positions."""
+    p_pos, p_hash, p_rev, p_end = dp
+    c_pos, c_hash, c_rev, c_end = dc
+    np_, nc = len(p_pos), len(c_pos)
+    if np_ == 0 and nc == 0:
+        return _EMPTY_META_DELTA
+    if nc:
+        ii = np.clip(np.searchsorted(c_pos, p_pos), 0, nc - 1)
+        same_p = ((c_pos[ii] == p_pos) & (c_hash[ii] == p_hash)
+                  & (c_rev[ii] == p_rev))
+    else:
+        same_p = np.zeros(np_, bool)
+    if np_:
+        jj = np.clip(np.searchsorted(p_pos, c_pos), 0, np_ - 1)
+        same_c = ((p_pos[jj] == c_pos) & (p_hash[jj] == c_hash)
+                  & (p_rev[jj] == c_rev))
+    else:
+        same_c = np.zeros(nc, bool)
+    dm = ~same_p
+    am = ~same_c
+    pos = np.concatenate([p_pos[dm], c_pos[am]]).astype(np.int64)
+    hsh = np.concatenate([p_hash[dm], c_hash[am]]).astype(np.uint64)
+    rev = np.concatenate([p_rev[dm], c_rev[am]]).astype(bool)
+    end = np.concatenate([p_end[dm], c_end[am]]).astype(np.int64)
+    isdel = np.concatenate([np.ones(int(dm.sum()), bool),
+                            np.zeros(int(am.sum()), bool)])
+    order = np.lexsort((~isdel, pos))
+    return pos[order], hsh[order], rev[order], isdel[order], end[order]
+
+
+def _incremental_meta_delta(p_pos, p_hash, p_rev, pk, keep, add_pos,
+                            c_pos, c_hash, c_rev, nz, k, l):
+    """Positioned-mode (meta) incremental step: splice the child's
+    positioned k-min-mer arrays from the parent's (pk = (km_pos, km_hash,
+    km_rev, km_end)) by recomputing only the AFFECTED position ranges, and
+    return (child_km 4-tuple, delta rows).  The full-rebuild + full-diff
+    path (meta.index._meta_node_delta over complete states) is the oracle
+    (PANMAP_TPU_INCR=0).
+
+    Soundness of splicing the ends: an unaffected k-min-mer's end can only
+    change if the non-gap grid changed inside one of its member syncmers'
+    k-mer spans — but any such change puts those syncmers inside the
+    recompute window (the span expansion is exactly k-1 non-gap chars), so
+    they are dropped-and-readded and the k-min-mer is AFFECTED."""
+    pk_pos, pk_hash, pk_rev, pk_end = pk
+    dropped, added_idx, p_bridge, c_bridge = _change_sites(
+        p_pos, keep, add_pos, c_pos)
+    if len(dropped) == 0 and len(add_pos) == 0:
+        return pk, None
+    p_iv = _merged_affected_intervals(len(p_pos) - l + 1, dropped, p_bridge,
+                                      l)
+    c_iv = _merged_affected_intervals(len(c_pos) - l + 1, added_idx,
+                                      c_bridge, l)
+    # union of affected POSITION ranges across both sides (window-start pos)
+    ranges = ([(int(p_pos[a]), int(p_pos[b])) for a, b in p_iv]
+              + [(int(c_pos[a]), int(c_pos[b])) for a, b in c_iv])
+    if not ranges:
+        return pk, None
+    ranges.sort()
+    mr = []
+    for a, b in ranges:
+        if mr and a <= mr[-1][1]:
+            mr[-1][1] = max(mr[-1][1], b)
+        else:
+            mr.append([a, b])
+    t0s = np.fromiter((r[0] for r in mr), np.int64, len(mr))
+    t1s = np.fromiter((r[1] for r in mr), np.int64, len(mr))
+    # parent rows inside the ranges: replaced (and diffed)
+    if len(pk_pos):
+        ri = np.searchsorted(t0s, pk_pos, side="right") - 1
+        inr = (ri >= 0) & (pk_pos <= t1s[np.maximum(ri, 0)])
+    else:
+        inr = np.zeros(0, bool)
+    # child windows whose start position falls in the ranges: recomputed
+    parts_pos, parts_hash, parts_rev, parts_end = [], [], [], []
+    nwc = len(c_pos) - l + 1
+    for t0, t1 in zip(t0s.tolist(), t1s.tolist()):
+        if nwc <= 0:
+            break
+        w0 = int(np.searchsorted(c_pos, t0, side="left"))
+        w1 = min(int(np.searchsorted(c_pos, t1, side="right")) - 1, nwc - 1)
+        if w0 > w1:
+            continue
+        km, valid, kmr = kminmer_hashes_oriented(
+            c_hash[w0 : w1 + l], k, l, c_rev[w0 : w1 + l])
+        kpos = c_pos[w0 : w0 + len(km)][valid]
+        last = c_pos[w0 + l - 1 : w0 + l - 1 + len(km)][valid]
+        parts_pos.append(kpos)
+        parts_hash.append(km[valid])
+        parts_rev.append(kmr[valid])
+        parts_end.append(_km_ends(last, nz, k))
+    if parts_pos:
+        new_pos = np.concatenate(parts_pos)
+        new_hash = np.concatenate(parts_hash)
+        new_rev = np.concatenate(parts_rev)
+        new_end = np.concatenate(parts_end)
+    else:
+        new_pos = np.empty(0, np.int64)
+        new_hash = np.empty(0, U64)
+        new_rev = np.empty(0, bool)
+        new_end = np.empty(0, np.int64)
+    # child positioned arrays: unaffected parent rows + recomputed rows,
+    # merged by position (ranges are disjoint and sorted, so the recomputed
+    # block is itself position-sorted)
+    keep_rows = ~inr
+    ck_pos = np.concatenate([pk_pos[keep_rows], new_pos])
+    order = np.argsort(ck_pos, kind="stable")
+    ck = (ck_pos[order],
+          np.concatenate([pk_hash[keep_rows], new_hash])[order],
+          np.concatenate([pk_rev[keep_rows], new_rev])[order],
+          np.concatenate([pk_end[keep_rows], new_end])[order])
+    delta = _positioned_diff(
+        (pk_pos[inr], pk_hash[inr], pk_rev[inr], pk_end[inr]),
+        (new_pos, new_hash, new_rev, new_end))
+    return ck, delta
 
 
 # fork-inherited worker context for build_index(workers > 1)

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..index.builder import IndexParams, run_dfs
+from ..index.builder import IndexParams, _use_incremental_counts, run_dfs
 from ..io.panman import PanmanTree
 
 
@@ -104,11 +104,6 @@ def _meta_range_worker(rng):
     deltas: dict = {}
     gaps: dict = {}
 
-    def emit(dfs_index, parent_state, child_state, changed):
-        if a <= dfs_index < b:
-            deltas[dfs_index] = (_EMPTY_NODE if not changed
-                                 else _meta_node_delta(parent_state, child_state))
-
     def gap_emit(dfs_index, ch_pos, ch_ng, b_id, b_code):
         if a <= dfs_index < b and (ch_pos or b_id):
             gaps[dfs_index] = (np.asarray(ch_pos, np.int64),
@@ -116,7 +111,21 @@ def _meta_range_worker(rng):
                                np.asarray(b_id, np.int32),
                                np.asarray(b_code, np.int8))
 
-    run_dfs(tree, params, emit, dfs_range=(a, b), gap_emit=gap_emit)
+    if _use_incremental_counts():
+        def emit_meta(dfs_index, delta, changed):
+            if a <= dfs_index < b:
+                deltas[dfs_index] = (_EMPTY_NODE if delta is None else delta)
+
+        run_dfs(tree, params, None, dfs_range=(a, b), gap_emit=gap_emit,
+                emit_meta=emit_meta)
+    else:
+        def emit(dfs_index, parent_state, child_state, changed):
+            if a <= dfs_index < b:
+                deltas[dfs_index] = (
+                    _EMPTY_NODE if not changed
+                    else _meta_node_delta(parent_state, child_state))
+
+        run_dfs(tree, params, emit, dfs_range=(a, b), gap_emit=gap_emit)
     pos = np.concatenate([deltas[i][0] for i in range(a, b)]) if b > a else np.empty(0, np.int64)
     hsh = np.concatenate([deltas[i][1] for i in range(a, b)]) if b > a else np.empty(0, np.uint64)
     rev = np.concatenate([deltas[i][2] for i in range(a, b)]) if b > a else np.empty(0, bool)
@@ -171,11 +180,6 @@ def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
         node_deltas: list = [_EMPTY_NODE] * n_nodes
         node_gaps: list = [_EMPTY_GAPS] * n_nodes
 
-        def emit(dfs_index, parent_state, child_state, changed):
-            if changed:
-                node_deltas[dfs_index] = _meta_node_delta(parent_state,
-                                                          child_state)
-
         def gap_emit(dfs_index, ch_pos, ch_ng, b_id, b_code):
             if ch_pos or b_id:
                 node_gaps[dfs_index] = (np.asarray(ch_pos, np.int64),
@@ -183,7 +187,23 @@ def build_meta_index(tree: PanmanTree, params: IndexParams | None = None,
                                         np.asarray(b_id, np.int32),
                                         np.asarray(b_code, np.int8))
 
-        run_dfs(tree, params, emit, progress, gap_emit=gap_emit)
+        if _use_incremental_counts():
+            # incremental positioned mode (builder.run_dfs emit_meta):
+            # affected-window splice + local delta; _meta_node_delta over
+            # full states is the oracle (PANMAP_TPU_INCR=0)
+            def emit_meta(dfs_index, delta, changed):
+                if delta is not None:
+                    node_deltas[dfs_index] = delta
+
+            run_dfs(tree, params, None, progress, gap_emit=gap_emit,
+                    emit_meta=emit_meta)
+        else:
+            def emit(dfs_index, parent_state, child_state, changed):
+                if changed:
+                    node_deltas[dfs_index] = _meta_node_delta(parent_state,
+                                                              child_state)
+
+            run_dfs(tree, params, emit, progress, gap_emit=gap_emit)
         pos_all = np.concatenate([d[0] for d in node_deltas])
         hash_all = np.concatenate([d[1] for d in node_deltas])
         rev_all = np.concatenate([d[2] for d in node_deltas])

@@ -898,3 +898,31 @@ def test_incremental_counts_mode_matches_oracle():
     assert np.array_equal(a.child_counts, b.child_counts)
     assert np.array_equal(a.node_offsets, b.node_offsets)
     assert np.array_equal(a.identical_to_parent, b.identical_to_parent)
+
+
+def test_incremental_meta_mode_matches_oracle():
+    """Incremental positioned (meta) builder == full-rebuild oracle on the
+    real rsv_4K tree, every array bit-identical."""
+    from panmap_tpu.index.builder import IndexParams
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.index import build_meta_index
+
+    tree = load_panman(PANMAN)
+    old = os.environ.get("PANMAP_TPU_INCR")
+    try:
+        os.environ["PANMAP_TPU_INCR"] = "0"
+        a = build_meta_index(tree, IndexParams(), workers=1)
+        os.environ["PANMAP_TPU_INCR"] = "1"
+        b = build_meta_index(tree, IndexParams(), workers=1)
+    finally:
+        if old is None:
+            os.environ.pop("PANMAP_TPU_INCR", None)
+        else:
+            os.environ["PANMAP_TPU_INCR"] = old
+    for f in ("node_offsets", "delta_seed", "delta_is_del", "seed_hash",
+              "seed_rev", "seed_pos", "seed_end", "gev_offsets", "gev_pos",
+              "gev_nongap", "bev_offsets", "bev_block", "bev_code"):
+        x = getattr(a, f, None)
+        if x is None:
+            continue
+        assert np.array_equal(np.asarray(x), np.asarray(getattr(b, f))), f

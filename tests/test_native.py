@@ -154,3 +154,41 @@ def test_incremental_counts_mode_mammoth():
     assert np.array_equal(a.parent_counts, b.parent_counts)
     assert np.array_equal(a.child_counts, b.child_counts)
     assert np.array_equal(a.node_offsets, b.node_offsets)
+
+
+def test_incremental_meta_mode_mammoth():
+    """Incremental positioned (meta) builder == full-rebuild oracle on the
+    mammoth panman, across param variants."""
+    import os
+
+    from panmap_tpu.index.builder import IndexParams
+    from panmap_tpu.io.panman import load_panman
+    from panmap_tpu.meta.index import build_meta_index
+
+    tree = load_panman(
+        "/root/reference/examples/data/panmans/extended_mammoth.panman")
+    fields = ("node_offsets", "delta_seed", "delta_is_del", "seed_hash",
+              "seed_rev", "seed_pos", "seed_end", "gev_offsets", "gev_pos",
+              "gev_nongap", "bev_offsets", "bev_block", "bev_code")
+    old = os.environ.get("PANMAP_TPU_INCR")
+    try:
+        for kw in (dict(), dict(hpc=True), dict(l=1),
+                   dict(open=True, flank_mask_bp=0)):
+            os.environ["PANMAP_TPU_INCR"] = "0"
+            a = build_meta_index(tree, IndexParams(**kw), workers=1)
+            os.environ["PANMAP_TPU_INCR"] = "1"
+            b = build_meta_index(tree, IndexParams(**kw), workers=1)
+            b4 = build_meta_index(tree, IndexParams(**kw), workers=4)
+            for f in fields:
+                x = getattr(a, f, None)
+                if x is None:
+                    continue
+                assert np.array_equal(np.asarray(x),
+                                      np.asarray(getattr(b, f))), (kw, f)
+                assert np.array_equal(np.asarray(x),
+                                      np.asarray(getattr(b4, f))), (kw, f)
+    finally:
+        if old is None:
+            os.environ.pop("PANMAP_TPU_INCR", None)
+        else:
+            os.environ["PANMAP_TPU_INCR"] = old
