@@ -872,27 +872,59 @@ _EMPTY_DELTA = (np.empty(0, U64), np.empty(0, np.int16), np.empty(0, np.int16))
 def _merged_affected_intervals(nw, members, bridges, l):
     """Merged [a, b] window-start intervals (inclusive) affected by changed
     member indices ([m-l+1, m]) and pure insertion/deletion boundaries
-    (strictly-crossing windows, [b-l+1, b-1])."""
-    iv = []
-    for m in members.tolist():
-        iv.append((m - (l - 1), m))
-    for b in bridges.tolist():
-        if l > 1:
-            iv.append((b - (l - 1), b - 1))
-    if not iv or nw <= 0:
+    (strictly-crossing windows, [b-l+1, b-1]).  Scalar loop for the typical
+    few-edit case (numpy call overhead dominates below ~32 sites), numpy
+    merge above it (the root node covers the whole genome)."""
+    if nw <= 0:
         return []
-    iv.sort()
-    merged = []
-    for a, b in iv:
-        a = max(a, 0)
-        b = min(b, nw - 1)
-        if a > b:
-            continue
-        if merged and a <= merged[-1][1]:
-            merged[-1][1] = max(merged[-1][1], b)
-        else:
-            merged.append([a, b])
-    return merged
+    if len(members) + len(bridges) <= 32:
+        iv = []
+        for m in members.tolist():
+            iv.append((m - (l - 1), m))
+        if l > 1:
+            for b in bridges.tolist():
+                iv.append((b - (l - 1), b - 1))
+        if not iv:
+            return []
+        iv.sort()
+        merged = []
+        for a, b in iv:
+            a = max(a, 0)
+            b = min(b, nw - 1)
+            if a > b:
+                continue
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        return merged
+    members = np.asarray(members, dtype=np.int64)
+    if l > 1 and len(bridges):
+        bridges = np.asarray(bridges, dtype=np.int64)
+        starts = np.concatenate([members - (l - 1), bridges - (l - 1)])
+        ends = np.concatenate([members, bridges - 1])
+    else:
+        starts = members - (l - 1)
+        ends = members.copy()
+    if len(starts) == 0:
+        return []
+    # exact clamping of the scalar rule: floor starts at 0, cap ends at
+    # nw-1, DROP inverted intervals — never widen coverage (counts mode
+    # needs each side to cover exactly its own affected windows)
+    np.maximum(starts, 0, out=starts)
+    np.minimum(ends, nw - 1, out=ends)
+    ok = starts <= ends
+    starts, ends = starts[ok], ends[ok]
+    if len(starts) == 0:
+        return []
+    order = np.argsort(starts, kind="stable")
+    s, e = starts[order], ends[order]
+    emax = np.maximum.accumulate(e)
+    new = np.concatenate(([True], s[1:] > emax[:-1]))
+    gi = np.flatnonzero(new)
+    a_arr = s[gi]
+    b_arr = np.maximum.reduceat(e, gi)
+    return list(zip(a_arr.tolist(), b_arr.tolist()))
 
 
 def _affected_window_counts(pos, hsh, rev, members, bridges, k, l):
