@@ -163,6 +163,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("developer")
     g.add_argument("--dump-all-scores", default="")
+    g.add_argument("--dump-seed-freq", action="store_true",
+                   help="write <out>.seed_freq.tsv (kept read seeds + counts)")
+    g.add_argument("--verify-scores", action="store_true",
+                   help="cross-check device placement against the f64 host "
+                        "engine (placement.cpp verify_scores mode)")
     g.add_argument("--dump-node", "--dump-sequence", default="",
                    help="write one node's sequence as FASTA")
     g.add_argument("--dump-random-nodeIDs", type=int, default=0,
@@ -375,6 +380,7 @@ def main(argv=None):
         device_place=args.device_place, stop=args.stop,
         threads=args.threads, batch_file=args.batch_file,
         dump_all_scores=args.dump_all_scores,
+        dump_seed_freq=args.dump_seed_freq, verify_scores=args.verify_scores,
         profile_dir=args.profile_dir,
         mesh=args.mesh,
         export_ref_idx=args.export_ref_idx,

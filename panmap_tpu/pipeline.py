@@ -88,6 +88,8 @@ class PipelineConfig:
     batch_file: str = ""
     profile_dir: str = ""  # jax.profiler trace output dir (--profile)
     dump_all_scores: str = ""
+    dump_seed_freq: bool = False  # write <out>.seed_freq.tsv (placement.cpp:1804)
+    verify_scores: bool = False  # device vs f64-host-engine cross-check
     log: object = print
 
 
@@ -229,6 +231,16 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
     sk = prepare_read_sketch(freq, p.k, len(seqs),
                              min_read_support=cfg.min_read_support,
                              seed_mask_fraction=cfg.seed_mask_fraction)
+    if cfg.dump_seed_freq:
+        # placement.cpp:1804-1833 .seed_freq.tsv: kept read seeds + counts
+        path = cfg.output + ".seed_freq.tsv"
+        with open(path, "w") as fh:
+            fh.write("seed_hash\tcount\n")
+            for h, c in zip(sk.sorted_hashes.tolist(),
+                            np.expm1(sk.log_counts).round().astype(int)
+                            .tolist()):
+                fh.write(f"{h}\t{c}\n")
+        cfg.log(f"[place] wrote {path} ({len(sk.sorted_hashes)} seeds)")
     if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
         # watchdog: a wedged remote tunnel can hang the FIRST dispatch
         # forever while jax.devices() looks healthy — bound the wait and
@@ -269,6 +281,24 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
                         "host engine")
         if res is None:
             res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
+        elif cfg.verify_scores:
+            # --verify-scores (placement.cpp:776-791 verify_scores mode):
+            # re-run the full f64 host engine and assert the device path's
+            # best/tie sets match it exactly
+            from .place.engine import METRICS
+
+            oracle = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
+            bad = [m for m in METRICS
+                   if (res.best_index[m] != oracle.best_index[m]
+                       or res.best_score[m] != oracle.best_score[m]
+                       or res.tied_indices[m] != oracle.tied_indices[m])]
+            if bad:
+                cfg.log(f"[place] VERIFY FAILED for metrics {bad}; "
+                        f"using the f64 host engine result")
+                res = oracle
+            else:
+                cfg.log("[place] verify-scores: device path == f64 host "
+                        "engine on all 5 metrics")
         return _finish_placement(cfg, idx, res, n_seqs)
 
     # _async: the device selection program is IN FLIGHT; batch mode overlaps
