@@ -483,6 +483,34 @@ def roofline(log, idx, dt_place, st, on_device, placer, seqs):
         log(f"[bench] roofline SW kernel: {gc/1e9:.2f} Gcells/s vs "
             f"~{cells_ceiling/1e9:.0f} Gcells/s VPU ceiling "
             f"({100*gc/cells_ceiling:.2f}%)")
+    # ON-CHIP SW kernel rate (device-resident inputs, queued dispatches):
+    # what a locally-attached deployment sees — the link-inclusive numbers
+    # above are transfer-bound on this VM's tunnel
+    try:
+        import jax.numpy as jnp
+
+        from panmap_tpu.align.pallas_sw import _sw_call
+
+        rngk = np.random.default_rng(1)
+        Bk, LQk, LWk = 4096, 256, 512
+        q8 = jnp.asarray(rngk.integers(0, 4, (Bk, LQk)).astype(np.int8))
+        r8 = jnp.asarray(rngk.integers(0, 4, (Bk, LWk)).astype(np.int8))
+        qlk = jnp.asarray(np.full(Bk, 151, np.int32))
+        np.asarray(_sw_call(q8, r8, qlk, False))  # compile+warm
+        Kq = 8
+        t0 = time.time()
+        outsk = [_sw_call(q8, r8, qlk, False) for _ in range(Kq)]
+        np.asarray(outsk[-1])
+        dtk = (time.time() - t0) / Kq
+        gck = Bk * LQk * LWk / dtk
+        cells_ceiling = VPU_TOPS / 12.0
+        out["sw_gcups_onchip"] = round(gck / 1e9, 1)
+        out["sw_vpu_onchip_pct"] = round(100 * gck / cells_ceiling, 1)
+        log(f"[bench] roofline SW kernel ON-CHIP (resident, queued x{Kq}): "
+            f"{gck/1e9:.1f} GCUPS ({100*gck/cells_ceiling:.1f}% of VPU "
+            f"ceiling)")
+    except Exception as exc:
+        log(f"[bench] on-chip SW roofline skipped: {exc}")
     out["device"] = "tpu" if on_device else "cpu-fallback"
     return out
 

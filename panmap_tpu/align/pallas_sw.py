@@ -49,14 +49,20 @@ def _row_max_scan(x):
     return x
 
 
+ROWS = 8  # DP rows per grid step (amortizes per-step grid overhead)
+
+
 def _sw_kernel(q_ref, r_ref, qlen_ref, out_ref,
                h_scr, f_scr, bs_scr, bi_scr, bj_scr):
-    """One DP row for a TILE of (query, window) pairs per grid step.  The
-    query column for row i is extracted with a one-hot dot product (dynamic
-    lane indexing is not addressable in VMEM, but a (TILE,LQ)x(LQ,1) matvec
-    is); state carries across the row-grid dimension in VMEM scratch."""
-    i = pl.program_id(1)
-    lq = pl.num_programs(1)
+    """ROWS sequential DP rows for a TILE of (query, window) pairs per grid
+    step (the row recurrence is serial — batch and window lanes are the
+    parallelism; unrolling 8 rows per step amortizes the grid overhead).
+    The query column for row i is extracted with a one-hot dot product
+    (dynamic lane indexing is not addressable in VMEM, but a
+    (TILE,LQ)x(LQ,1) matvec is); state carries across the row-grid
+    dimension in VMEM scratch."""
+    ib = pl.program_id(1)
+    n_steps = pl.num_programs(1)
     lw = r_ref.shape[1]
     qlen = qlen_ref[:, 0]  # [TILE]
 
@@ -64,7 +70,7 @@ def _sw_kernel(q_ref, r_ref, qlen_ref, out_ref,
     idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, lw), 1)
     gap_pen = idx * GAP_EXT
 
-    @pl.when(i == 0)
+    @pl.when(ib == 0)
     def _init():
         h_scr[:] = jnp.full((TILE, lw), END_BONUS, jnp.int32)
         f_scr[:] = jnp.full((TILE, lw), NEG, jnp.int32)
@@ -72,41 +78,43 @@ def _sw_kernel(q_ref, r_ref, qlen_ref, out_ref,
         bi_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
         bj_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
 
-    h_prev = h_scr[:]
-    f_prev = f_scr[:]
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], 1), 0)
-           == i).astype(jnp.float32)
-    qc = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    qc = qc.astype(jnp.int32)  # (TILE, 1) query code at row i
-    sub = jnp.where((r_codes == qc) & (qc < 4), MATCH, -MISMATCH)
-    f_row = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
-    # boundary column (numpy's j=0): END_BONUS on row 0, local floor after
-    first_val = jnp.where(i == 0, END_BONUS, 0)
-    diag = jnp.concatenate(
-        [jnp.full((TILE, 1), 0, jnp.int32) + first_val,
-         h_prev[:, : lw - 1]], axis=1) + sub
-    base = jnp.maximum(jnp.maximum(diag, f_row), 0)
-    pm = _row_max_scan(base + gap_pen)
-    pm_shift = jnp.pad(pm, ((0, 0), (1, 0)), constant_values=NEG)[:, :lw]
-    e_row = pm_shift - GAP_OPEN - jnp.maximum(gap_pen - GAP_EXT, 0)
-    h_row = jnp.maximum(base, e_row)
-    h_scr[:] = h_row
-    f_scr[:] = f_row
+    for r in range(ROWS):
+        i = ib * ROWS + r
+        h_prev = h_scr[:]
+        f_prev = f_scr[:]
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], 1), 0)
+               == i).astype(jnp.float32)
+        qc = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qc = qc.astype(jnp.int32)  # (TILE, 1) query code at row i
+        sub = jnp.where((r_codes == qc) & (qc < 4), MATCH, -MISMATCH)
+        f_row = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
+        # boundary column (numpy's j=0): END_BONUS on row 0, local floor
+        first_val = jnp.where(i == 0, END_BONUS, 0)
+        diag = jnp.concatenate(
+            [jnp.full((TILE, 1), 0, jnp.int32) + first_val,
+             h_prev[:, : lw - 1]], axis=1) + sub
+        base = jnp.maximum(jnp.maximum(diag, f_row), 0)
+        pm = _row_max_scan(base + gap_pen)
+        pm_shift = jnp.pad(pm, ((0, 0), (1, 0)), constant_values=NEG)[:, :lw]
+        e_row = pm_shift - GAP_OPEN - jnp.maximum(gap_pen - GAP_EXT, 0)
+        h_row = jnp.maximum(base, e_row)
+        h_scr[:] = h_row
+        f_scr[:] = f_row
 
-    in_query = (i < qlen)[:, None]
-    bonus = jnp.where(i == qlen - 1, END_BONUS, 0)[:, None]
-    rowmax = jnp.max(h_row, axis=1, keepdims=True)
-    row_best = rowmax + bonus
-    # int argmax is unsupported in Mosaic: first-match via masked min-index
-    jrow = jnp.min(jnp.where(h_row == rowmax, idx, lw),
-                   axis=1, keepdims=True).astype(jnp.int32)
-    better = in_query & (row_best > bs_scr[:])  # lanes all equal: safe compare
-    bs_scr[:] = jnp.where(better, row_best, bs_scr[:])
-    bi_scr[:] = jnp.where(better, i + 1, bi_scr[:])
-    bj_scr[:] = jnp.where(better, jrow + 1, bj_scr[:])
+        in_query = (i < qlen)[:, None]
+        bonus = jnp.where(i == qlen - 1, END_BONUS, 0)[:, None]
+        rowmax = jnp.max(h_row, axis=1, keepdims=True)
+        row_best = rowmax + bonus
+        # int argmax is unsupported in Mosaic: masked min-index first-match
+        jrow = jnp.min(jnp.where(h_row == rowmax, idx, lw),
+                       axis=1, keepdims=True).astype(jnp.int32)
+        better = in_query & (row_best > bs_scr[:])  # lanes equal: safe
+        bs_scr[:] = jnp.where(better, row_best, bs_scr[:])
+        bi_scr[:] = jnp.where(better, i + 1, bi_scr[:])
+        bj_scr[:] = jnp.where(better, jrow + 1, bj_scr[:])
 
-    @pl.when(i == lq - 1)
+    @pl.when(ib == n_steps - 1)
     def _emit():
         colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
         out_ref[:] = jnp.where(colid == 0, bs_scr[:],
@@ -150,7 +158,7 @@ def _sw_call(q8, r8, qlens1, interpret):
     qlens = jnp.repeat(qlens1[:, None], 128, axis=1)
     B, LQ = q.shape
     LW = r.shape[1]
-    grid = (B // TILE, LQ)
+    grid = (B // TILE, LQ // ROWS)
     return pl.pallas_call(
         _sw_kernel,
         grid=grid,
