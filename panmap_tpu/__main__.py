@@ -216,8 +216,6 @@ def build_parser() -> argparse.ArgumentParser:
 def _print_short_help(parser):
     """--help: common + index/seeding + single-sample groups only, like the
     reference's two-tier help (main.cpp:2155-2168); --help-all shows all."""
-    import sys as _sys
-
     keep = {"positional arguments", "options", "index & seeding",
             "single-sample"}
     fmt = parser._get_formatter()
@@ -233,13 +231,11 @@ def _print_short_help(parser):
         fmt.end_section()
     fmt.add_text("use --help-all for metagenomic, EM, filter-and-assign, "
                  "and developer options")
-    _sys.stdout.write(fmt.format_help())
+    sys.stdout.write(fmt.format_help())
 
 
 def main(argv=None):
-    import sys as _sys
-
-    raw = list(_sys.argv[1:] if argv is None else argv)
+    raw = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()
     if "--help-all" in raw:
         parser.print_help()

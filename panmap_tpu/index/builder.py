@@ -566,7 +566,8 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             for i, o in zip(reversed(idxs), reversed(olds)):
                 seq[i] = o
 
-    def compute_state(parent_state, edits: _NodeEdits):
+    def compute_state(parent_state, edits: _NodeEdits,
+                      want_delta: bool = True):
         """Windowed syncmer-state update + full k-min-mer recombination over
         the maintained reading-order view."""
         seq, nz = cur["seq"], cur["nz"]
@@ -739,11 +740,25 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             # incremental positioned path: splice the parent's k-min-mer
             # arrays, recomputing only the affected position ranges
             if merge_info is None:
-                return (child_pos, child_hash, child_rev, parent_state[3],
-                        None)
+                pk = parent_state[3]
+                if edits.spans or edits.potential_dels \
+                        or edits.blocks_turned_off:
+                    # fully-masked genome (hms is None) with edits applied:
+                    # seeds are preserved verbatim but the non-gap grid may
+                    # have changed, so END scalars must refresh against the
+                    # CURRENT nz (the full-rebuild oracle recomputes them);
+                    # (pos, hash, rev) are unchanged -> delta stays empty
+                    pk_pos = pk[0]
+                    if len(pk_pos):
+                        w = np.searchsorted(child_pos, pk_pos)
+                        last = child_pos[np.minimum(
+                            w + l - 1, len(child_pos) - 1)]
+                        pk = (pk[0], pk[1], pk[2], _km_ends(last, nz, k))
+                return (child_pos, child_hash, child_rev, pk, None)
             ck, delta = _incremental_meta_delta(
                 p_pos, p_hash, p_rev, parent_state[3], merge_info[0],
-                merge_info[1], child_pos, child_hash, child_rev, nz, k, l)
+                merge_info[1], child_pos, child_hash, child_rev, nz, k, l,
+                want_delta=want_delta)
             return (child_pos, child_hash, child_rev, ck, delta)
 
         # ---- k-min-mers over the position-sorted syncmer list ----
@@ -782,8 +797,14 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         def in_walk(node):
             i = node.dfs_index
             return i < b and end[i] > a
+
+        def in_emit_range(i):
+            return a <= i < b
     else:
         def in_walk(node):
+            return True
+
+        def in_emit_range(i):
             return True
 
     # iterative DFS with explicit state stack
@@ -801,7 +822,8 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
         emit_delta(root.dfs_index, st5[3], True)
         root_rcundo = st5[4]
     elif meta_mode:
-        st5 = compute_state(_empty_meta_state(), edits)
+        st5 = compute_state(_empty_meta_state(), edits,
+                            want_delta=in_emit_range(root.dfs_index))
         root_state = st5[:4]
         emit_meta(root.dfs_index, st5[4], True)
         root_rcundo = None
@@ -851,7 +873,8 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             emit_delta(child.dfs_index, st5[3], True)
             rcundo = st5[4]
         elif meta_mode:
-            st5 = compute_state(frame.state, edits)
+            st5 = compute_state(frame.state, edits,
+                                want_delta=in_emit_range(child.dfs_index))
             state = st5[:4]
             emit_meta(child.dfs_index, st5[4], True)
         else:
@@ -1087,7 +1110,8 @@ def _positioned_diff(dp, dc):
 
 
 def _incremental_meta_delta(p_pos, p_hash, p_rev, pk, keep, add_pos,
-                            c_pos, c_hash, c_rev, nz, k, l):
+                            c_pos, c_hash, c_rev, nz, k, l,
+                            want_delta: bool = True):
     """Positioned-mode (meta) incremental step: splice the child's
     positioned k-min-mer arrays from the parent's (pk = (km_pos, km_hash,
     km_rev, km_end)) by recomputing only the AFFECTED position ranges, and
@@ -1167,6 +1191,11 @@ def _incremental_meta_delta(p_pos, p_hash, p_rev, pk, keep, add_pos,
           np.concatenate([pk_hash[keep_rows], new_hash])[order],
           np.concatenate([pk_rev[keep_rows], new_rev])[order],
           np.concatenate([pk_end[keep_rows], new_end])[order])
+    if not want_delta:
+        # out-of-range node in a chunked-DFS worker: the spliced state is
+        # needed (descendants may be in range) but its delta is discarded —
+        # skip the diff (the root's diff is the whole genome)
+        return ck, None
     delta = _positioned_diff(
         (pk_pos[inr], pk_hash[inr], pk_rev[inr], pk_end[inr]),
         (new_pos, new_hash, new_rev, new_end))

@@ -57,40 +57,18 @@ _EMPTY_GAPS = (np.empty(0, np.int64), np.empty(0, bool),
 
 
 def _meta_node_delta(parent_state, child_state):
-    """Vectorized positioned-seed delta between parent and child states:
-    returns (pos, hash, rev, is_del, end) arrays ordered by position with
-    deletions before additions at equal positions (the merge order of the
-    reference's per-position walk)."""
-    p_hash, p_rev, p_pos = parent_state[5], parent_state[6], parent_state[7]
-    c_hash, c_rev, c_pos = child_state[5], child_state[6], child_state[7]
-    p_end, c_end = parent_state[8], child_state[8]
-    np_, nc = len(p_pos), len(c_pos)
-    if np_ == 0 and nc == 0:
+    """Positioned-seed delta between full parent/child states: ONE shared
+    diff implementation (builder._positioned_diff) serves both this
+    full-rebuild oracle and the incremental splice path, so the two can
+    never drift apart."""
+    from ..index.builder import _positioned_diff
+
+    out = _positioned_diff(
+        (parent_state[7], parent_state[5], parent_state[6], parent_state[8]),
+        (child_state[7], child_state[5], child_state[6], child_state[8]))
+    if len(out[0]) == 0:
         return _EMPTY_NODE
-
-    if nc:
-        ii = np.clip(np.searchsorted(c_pos, p_pos), 0, nc - 1)
-        same_p = ((c_pos[ii] == p_pos) & (c_hash[ii] == p_hash)
-                  & (c_rev[ii] == p_rev))
-    else:
-        same_p = np.zeros(np_, bool)
-    if np_:
-        jj = np.clip(np.searchsorted(p_pos, c_pos), 0, np_ - 1)
-        same_c = ((p_pos[jj] == c_pos) & (p_hash[jj] == c_hash)
-                  & (p_rev[jj] == c_rev))
-    else:
-        same_c = np.zeros(nc, bool)
-
-    dm = ~same_p
-    am = ~same_c
-    pos = np.concatenate([p_pos[dm], c_pos[am]]).astype(np.int64)
-    hsh = np.concatenate([p_hash[dm], c_hash[am]]).astype(np.uint64)
-    rev = np.concatenate([p_rev[dm], c_rev[am]]).astype(bool)
-    end = np.concatenate([p_end[dm], c_end[am]]).astype(np.int64)
-    isdel = np.concatenate([np.ones(int(dm.sum()), bool),
-                            np.zeros(int(am.sum()), bool)])
-    order = np.lexsort((~isdel, pos))  # ties: deletion first
-    return pos[order], hsh[order], rev[order], isdel[order], end[order]
+    return out
 
 
 # fork-inherited worker context for build_meta_index(workers > 1)

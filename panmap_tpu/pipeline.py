@@ -281,6 +281,10 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
                         "host engine")
         if res is None:
             res = score_nodes(idx, sk, force_leaf=cfg.force_leaf)
+            if cfg.verify_scores:
+                cfg.log("[place] verify-scores: SKIPPED — the host f64 "
+                        "engine produced this result (no device path to "
+                        "cross-check)")
         elif cfg.verify_scores:
             # --verify-scores (placement.cpp:776-791 verify_scores mode):
             # re-run the full f64 host engine and assert the device path's

@@ -101,7 +101,11 @@ def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
             rid = np.concatenate([rid, np.zeros(pad, np.int32)])
             rp = np.concatenate([rp, np.zeros(pad, np.int16)])
             rc = np.concatenate([rc, np.zeros(pad, np.int16)])
-            rn = np.concatenate([rn, np.zeros(pad, np.int32)])
+            # pad rows carry node id n_nodes-1 (NOT 0) so row_node stays
+            # SORTED — row_node_sums promises indices_are_sorted to the
+            # scatter; the pad rows' deltas are identically 0 (P == C == 0),
+            # so the last segment absorbs them without effect
+            rn = np.concatenate([rn, np.full(pad, n_nodes - 1, np.int32)])
         from jax.sharding import NamedSharding, PartitionSpec
 
         sh = NamedSharding(mesh, PartitionSpec("data"))
