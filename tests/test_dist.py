@@ -117,3 +117,17 @@ def test_multiprocess_batch_manifest_shard_union():
                 a = open(f"{d1}/s{i}{suffix}", "rb").read()
                 b = open(f"{d2}/s{i}{suffix}", "rb").read()
                 assert a == b, (i, suffix)
+
+
+@pytest.mark.e2e
+def test_multiprocess_sharded_em_real_data():
+    """Sharded SQUAREM EM over a global 2-process x 4-device mesh on a REAL
+    rsv_4K score matrix: the fused EM body must be sharding-invariant
+    (global mesh == process-local mesh, every process; tools/dist_real.py
+    --em)."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "dist_real.py"),
+         "2", "4", "--em"],
+        capture_output=True, text=True, timeout=580, cwd=REPO)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert r.stdout.count("OK") == 2, r.stdout
