@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Multi-process place_exact on a REAL index (VERDICT r3 #3).
+"""Multi-process checks on REAL data (VERDICT r3 #3).
 
 Unlike tools/dist_smoke.py (synthetic 7-node table), this drives the
 PRODUCTION placement path — TpuPlacer.place_exact over a global 2-process x
@@ -9,6 +9,7 @@ single-process f64 host engine (engine.score_nodes): same best node, same
 best score, same tie set, for all five metrics.
 
 Usage:  python tools/dist_real.py [nprocs] [devices-per-proc] [index.npz] [reads]
+        python tools/dist_real.py [nprocs] [devs] --em     (sharded EM check)
 Child:  python tools/dist_real.py --child <pid> <nprocs> <devs> <port> <index> <reads>
 
 The index is built on demand (once, parent process, host-only) when the
