@@ -676,3 +676,29 @@ def test_device_watchdog_falls_back_to_host(monkeypatch, tmp_path):
     devinit._probe_ok = True
     devinit._probe_done.set()
     assert devinit.device_usable() is True
+
+
+def test_mesh_pad_keeps_row_node_sorted(rng):
+    """row_node_sums promises indices_are_sorted to the scatter; the mesh
+    pad must therefore append node ids at the TAIL (n_nodes-1), never 0
+    (regression: round-4 review)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from panmap_tpu.parallel.mesh import make_mesh
+    from panmap_tpu.place.engine_tpu import prepare_device_index
+
+    nprng = np.random.default_rng(3)
+    base = [random_dna(rng, 150) for _ in range(8)]
+    from panmap_tpu.place.engine import sketch_reads
+
+    freq = sketch_reads(base, 19, 8, 0, 3, False)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
+    idx = _synthetic_index(nprng, read_hashes)  # row count not % 8
+    assert len(idx.seed_hashes) % 8 != 0, "fixture must need padding"
+    dev = prepare_device_index(idx, mesh=make_mesh(8))
+    rn = np.asarray(dev.row_node)
+    assert np.all(np.diff(rn) >= 0), "padded row_node must remain sorted"
+    assert rn[-1] == dev.n_nodes - 1
