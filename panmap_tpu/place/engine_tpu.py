@@ -45,6 +45,10 @@ class DeviceIndex:
     euler_out: jnp.ndarray  # i32[N]
     n_nodes: int
     root_rows: tuple  # (start, end) row range of the root node
+    # static blocked-segment structure (metrics.BlockSegments) for the
+    # scatter-free per-node reduction; None under a mesh (the sharded path
+    # keeps the per-shard sorted scatter + psum)
+    blk: object = None
 
 
 def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
@@ -113,8 +117,16 @@ def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
         def put(x):
             return jax.device_put(x, sh)
 
+    blk = None
+    if mesh is None:
+        # single-device path: precompute the static blocked-segment structure
+        # so scoring needs no row-count-sized scatter (metrics.BlockSegments)
+        from .metrics import make_block_segments
+
+        blk = make_block_segments(rn, n_nodes)
     return DeviceIndex(
         unique_hashes=uniq,
+        blk=blk,
         row_id=put(rid),
         row_parent=put(rp),
         row_child=put(rc),
@@ -147,10 +159,12 @@ def map_read_table(dev: DeviceIndex, seed_freq: dict, min_support: int):
     return ids[order], lc[order], log_mag, n_unique, logcont_den
 
 
-def make_score_fn(n_nodes: int, n_rows: int):
-    """Jitted scoring over fixed-size row/read tables."""
+def make_score_fn(n_nodes: int, n_rows: int, blk=None):
+    """Jitted scoring over fixed-size row/read tables.  With ``blk`` (the
+    index's static BlockSegments) the per-node reduction runs scatter-free
+    (metrics.row_node_sums_blocked); without it, the sorted scatter."""
 
-    from .metrics import euler_prefix, row_node_sums
+    from .metrics import euler_prefix, row_node_sums, row_node_sums_blocked
 
     @jax.jit
     def score(row_id, row_parent, row_child, row_node, euler_in, euler_out,
@@ -161,8 +175,12 @@ def make_score_fn(n_nodes: int, n_rows: int):
         found = jnp.where(read_ids.shape[0] > 0, read_ids[posc] == row_id, False)
         lrc = jnp.where(found, read_logc[posc], 0.0)
         # shared delta body + Euler-tour ancestor prefix (place/metrics.py)
-        node_sums = row_node_sums(lrc, row_parent, row_child, found, row_node,
-                                  n_nodes)
+        if blk is not None:
+            node_sums = row_node_sums_blocked(lrc, row_parent, row_child,
+                                              found, blk, n_nodes)
+        else:
+            node_sums = row_node_sums(lrc, row_parent, row_child, found,
+                                      row_node, n_nodes)
         return euler_prefix(node_sums, euler_in, euler_out, n_nodes)
 
     return score
