@@ -464,12 +464,47 @@ def roofline(log, idx, dt_place, st, on_device, placer, seqs):
             dev.euler_in, dev.euler_out, elig) for _ in range(K)]
         np.asarray(outs[-1][0])
         dev_ms = (time.time() - t0) / K * 1e3
-        out["place_step_device_ms"] = round(dev_ms, 2)
-        out["place_step_device_hbm_pct"] = round(
-            100 * t_min * 1e3 / dev_ms, 1)
-        log(f"[bench] roofline place step (queued x{K}, steady state): "
+        out["place_step_device_1q_ms"] = round(dev_ms, 2)
+        log(f"[bench] roofline place step (single-query, queued x{K}): "
             f"{dev_ms:.2f} ms/step on-device "
             f"({100*t_min*1e3/dev_ms:.1f}% of the HBM-bound ceiling)")
+        # BATCHED steady state: B DISTINCT queries share one row-stream pass
+        # (metrics.batched_prefix_acc) — the per-row gather and blocked
+        # reduction amortize ~B-fold; this is the per-query device step the
+        # batch-mode deployment (--batch; main.cpp:1464-1666) runs at
+        Bq = 16
+        chunks = [seqs[i::Bq] for i in range(Bq)]
+        sks = [placer.sketch_host(c) for c in chunks]
+        if all(s is not None for s in sks):
+            placer._ensure_elig()
+            fcap = 1 << max(int(np.ceil(np.log2(
+                max(max(len(s_[0]) for s_ in sks), 1)))), 12)
+            nuu = int(placer.dev.unique_hashes.shape[0])
+            bpu = np.full((Bq, fcap), nuu, np.int32)
+            bpl = np.zeros((Bq, fcap), np.float32)
+            stats = np.zeros((4, Bq), np.float32)
+            for b, (uids_, lc_, lm_, nq_, ld_) in enumerate(sks):
+                bpu[b, : len(uids_)] = uids_
+                bpl[b, : len(uids_)] = lc_
+                stats[:, b] = (lm_, nq_, ld_,
+                               placer._wc_den_host(np.sort(uids_)))
+            bfn = placer._batch_score_fn(Bq, fcap)
+            bargs = (bpu, bpl, stats[0], stats[1], stats[2], stats[3],
+                     dev.row_id, dev.row_parent, dev.row_child,
+                     dev.csc.mag_prefix, dev.euler_in, dev.euler_out,
+                     placer._elig_all)
+            np.asarray(bfn(*bargs)[0])  # compile + warm
+            Kb = 10
+            t0 = time.time()
+            bouts = [bfn(*bargs) for _ in range(Kb)]
+            np.asarray(bouts[-1][0])
+            bq_ms = (time.time() - t0) / Kb / Bq * 1e3
+            out["place_step_device_ms"] = round(bq_ms, 2)
+            out["place_step_device_hbm_pct"] = round(
+                100 * t_min * 1e3 / bq_ms, 1)
+            log(f"[bench] roofline place step (batched x{Bq} distinct "
+                f"queries, queued x{Kb}): {bq_ms:.2f} ms/query on-device "
+                f"({100*t_min*1e3/bq_ms:.1f}% of the HBM-bound ceiling)")
     util = t_min / dt_place if dt_place > 0 else 0.0
     out["place_hbm_roofline_pct"] = round(100 * util, 2)
     log(f"[bench] roofline place e2e: measured {dt_place*1e3:.1f} ms "

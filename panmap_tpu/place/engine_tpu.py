@@ -49,6 +49,13 @@ class DeviceIndex:
     # scatter-free per-node reduction; None under a mesh (the sharded path
     # keeps the per-shard sorted scatter + psum)
     blk: object = None
+    # static CSC structure (metrics.CscIndex): rows grouped by unique hash,
+    # for the sparse found-rows-only scoring path; None under a mesh
+    csc: object = None
+    # host copies of the root node's row ids / child counts (for the host
+    # f64 weighted-containment denominator when the query table is compact)
+    root_rid_np: object = None
+    root_child_np: object = None
 
 
 def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
@@ -118,15 +125,24 @@ def prepare_device_index(idx: IndexArrays, mesh=None) -> DeviceIndex:
             return jax.device_put(x, sh)
 
     blk = None
+    csc = None
     if mesh is None:
         # single-device path: precompute the static blocked-segment structure
-        # so scoring needs no row-count-sized scatter (metrics.BlockSegments)
-        from .metrics import make_block_segments
+        # (scatter-free full-stream reduction, the large-query fallback) and
+        # the CSC structure (sparse found-rows-only scoring, the default)
+        from .metrics import make_block_segments, make_csc_index
 
         blk = make_block_segments(rn, n_nodes)
+        csc = make_csc_index(rid, idx.parent_counts, idx.child_counts,
+                             row_node, len(uniq), n_nodes,
+                             parent_index=parent)
+    a, b = int(offs[0]), int(offs[1])
     return DeviceIndex(
         unique_hashes=uniq,
         blk=blk,
+        csc=csc,
+        root_rid_np=rid[a:b].copy(),
+        root_child_np=idx.child_counts[a:b].astype(np.float64),
         row_id=put(rid),
         row_parent=put(rp),
         row_child=put(rc),
@@ -190,7 +206,7 @@ def compute_scores_tpu(dev: DeviceIndex, read_ids, read_logc, log_mag: float,
                        read_unique: int, logcont_den: float,
                        seed_inv_root=None):
     """Returns f32 scores [N,5] in METRICS order."""
-    fn = make_score_fn(dev.n_nodes, int(dev.row_id.shape[0]))
+    fn = make_score_fn(dev.n_nodes, int(dev.row_id.shape[0]), blk=dev.blk)
     acc = np.asarray(
         fn(dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
            dev.euler_in, dev.euler_out, jnp.asarray(read_ids),

@@ -253,7 +253,8 @@ class TpuPlacer:
         jit).  Same math as place/engine_tpu.py; see placement.cpp:242-345.
         uid_logc > 0 exactly marks found+kept seeds (log1p of a count >= 1 is
         strictly positive), so one gather serves as both value and flag."""
-        from .metrics import euler_prefix, row_node_sums, wc_denominator
+        from .metrics import (euler_prefix, row_node_sums,
+                              row_node_sums_blocked, wc_denominator)
 
         n_nodes = self.dev.n_nodes
         a, b = self.dev.root_rows
@@ -265,8 +266,13 @@ class TpuPlacer:
                                 lrc_root > 0)
         if self.mesh is None:
             lrc = uid_logc[row_id]
-            node_sums = row_node_sums(lrc, row_parent, row_child, lrc > 0,
-                                      row_node, n_nodes)
+            if self.dev.blk is not None:
+                node_sums = row_node_sums_blocked(lrc, row_parent, row_child,
+                                                  lrc > 0, self.dev.blk,
+                                                  n_nodes)
+            else:
+                node_sums = row_node_sums(lrc, row_parent, row_child, lrc > 0,
+                                          row_node, n_nodes)
         else:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -455,6 +461,220 @@ class TpuPlacer:
             found = (len(U) > 0) & (U[posc] == H)
         return (posc[found], logc[found], log_mag, nuniq, lden)
 
+    # expanded-row capacity ceiling for the sparse found-rows scoring path;
+    # queries touching more index rows fall back to the blocked full stream
+    RCAP_MAX = 1 << 20
+
+    def _ensure_elig(self):
+        if hasattr(self, "_elig_all"):
+            return
+        n = self.dev.n_nodes
+        elig = np.ones(n, dtype=bool)
+        is_parent = np.zeros(n, dtype=bool)
+        is_parent[self.idx.parent_index[1:]] = True
+        self._elig_all = jnp.asarray(elig)
+        self._elig_leaf = jnp.asarray(elig & ~is_parent)
+
+    def _wc_den_host(self, uids):
+        """f64 weighted-containment denominator from the compact sorted
+        found-uid table (root-row replay on host, sequential accumulation
+        order like placement.cpp:1861-1876)."""
+        dev = self.dev
+        rid = dev.root_rid_np
+        if rid is None or len(rid) == 0:
+            return 0.0
+        if len(uids):
+            pos = np.searchsorted(uids, rid)
+            posc = np.minimum(pos, len(uids) - 1)
+            found = uids[posc] == rid
+        else:
+            found = np.zeros(len(rid), dtype=bool)
+        from .metrics import wc_denominator
+
+        return float(wc_denominator(np, np.zeros(len(rid)),
+                                    dev.root_child_np, found))
+
+    def _sparse_fns(self, fcap: int, rcap: int):
+        """Compiled sparse scoring programs for one (FCAP, RCAP) bucket:
+        (best/tie selection, widened candidate selection).  The CSC tensors
+        are passed as arguments (closed-over device arrays stall lowering on
+        the remote backend; see sketch/tpu.py)."""
+        if not hasattr(self, "_sparse_cache"):
+            self._sparse_cache = {}
+        fns = self._sparse_cache.get((fcap, rcap))
+        if fns is not None:
+            return fns
+        n_nodes = self.dev.n_nodes
+        from .metrics import CscIndex, finalize_scores, sparse_prefix_acc
+
+        def scores_of(pu, pl, wc_den, log_mag, nuniq, lden, off, Pc, Cc,
+                      nodec, magp, euler_in, euler_out):
+            csc = CscIndex(off=off, P=Pc, C=Cc, node=nodec, mag_static=None,
+                           mag_prefix=magp, off_np=None, n_rows=0)
+            accp = sparse_prefix_acc(pu, pl, csc, euler_in, euler_out,
+                                     n_nodes, rcap)
+            return finalize_scores(jnp, accp, log_mag, nuniq, lden, wc_den)
+
+        @jax.jit
+        def best_fn(pu, pl, wc_den, log_mag, nuniq, lden, off, Pc, Cc, nodec,
+                    mag, euler_in, euler_out, eligible):
+            scores = scores_of(pu, pl, wc_den, log_mag, nuniq, lden, off, Pc,
+                               Cc, nodec, mag, euler_in, euler_out)
+            col = jnp.where(eligible[:, None], scores, -jnp.inf)
+            best = jnp.max(col, axis=0)
+            tol = jnp.maximum(best * 1e-4, 1e-9)
+            tied = (col >= best - tol) & (col > 0)
+            return best, jnp.packbits(tied, axis=0)
+
+        @jax.jit
+        def widened_fn(pu, pl, wc_den, log_mag, nuniq, lden, off, Pc, Cc,
+                       nodec, mag, euler_in, euler_out, eligible):
+            scores = scores_of(pu, pl, wc_den, log_mag, nuniq, lden, off, Pc,
+                               Cc, nodec, mag, euler_in, euler_out)
+            col = jnp.where(eligible[:, None], scores, -jnp.inf)
+            best = jnp.max(col, axis=0)
+            tol = jnp.maximum(best * 1e-4, 1e-9)
+            cutoff = best - (2.0 * tol + 1e-5)
+            cand = (col >= cutoff) & (col > -1e-5)
+            return jnp.packbits(cand, axis=0), best, col
+
+        fns = (best_fn, widened_fn)
+        self._sparse_cache[(fcap, rcap)] = fns
+        return fns
+
+    def _score_sparse_dispatch(self, uids, logc, log_mag, nuniq, lden, elig,
+                               widened=False, wc_den=None):
+        """Dispatch the sparse found-rows scoring program; returns the
+        in-flight device result, or None when the query exceeds the sparse
+        caps (caller then uses the blocked full-stream path)."""
+        from .metrics import query_found_rows
+
+        csc = self.dev.csc
+        if csc is None:
+            return None
+        F = query_found_rows(csc, uids)
+        if F > self.RCAP_MAX:
+            return None
+        rcap = 1 << max(int(np.ceil(np.log2(max(F, 1)))), 13)
+        fcap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
+        if fcap > rcap:
+            rcap = fcap  # every non-empty segment start needs a mark slot
+        nu = int(self.dev.unique_hashes.shape[0])
+        pu = np.full(fcap, nu, np.int32)
+        pu[: len(uids)] = uids
+        pl = np.zeros(fcap, np.float32)
+        pl[: len(uids)] = logc
+        if wc_den is None:
+            wc_den = self._wc_den_host(uids)
+        fn = self._sparse_fns(fcap, rcap)[1 if widened else 0]
+        dev = self.dev
+        return fn(pu, pl, np.float32(wc_den), np.float32(log_mag),
+                  np.int32(nuniq), np.float32(lden), csc.off, csc.P, csc.C,
+                  csc.node, csc.mag_prefix, dev.euler_in, dev.euler_out, elig)
+
+    def _batch_score_fn(self, Bq: int, fcap: int):
+        """Compiled B-query batched scoring program (metrics.
+        batched_prefix_acc): ONE row-stream pass scores Bq queries — the
+        per-row gather and the blocked reduction amortize ~Bq-fold, which is
+        what batch placement (--batch; main.cpp:1464-1666) and the
+        steady-state step metric run on."""
+        if not hasattr(self, "_batch_cache"):
+            self._batch_cache = {}
+        fn = self._batch_cache.get((Bq, fcap))
+        if fn is not None:
+            return fn
+        n_nodes = self.dev.n_nodes
+        nu = int(self.dev.unique_hashes.shape[0])
+        blk = self.dev.blk
+        from .metrics import batched_prefix_acc, finalize_scores_batch
+
+        @jax.jit
+        def run(pu, pl, log_mag, nuniq, lden, wc_den, row_id, row_parent,
+                row_child, magp, euler_in, euler_out, eligible):
+            # per-query dense uid tables from the compact pads (sentinel nu
+            # lands in the dropped extra column)
+            tabBN = jnp.zeros((Bq, nu + 1), jnp.float32).at[
+                jnp.arange(Bq)[:, None], pu].set(pl, mode="drop")
+            tab = tabBN[:, :nu].T  # [NU, B]
+            acc = batched_prefix_acc(tab, row_id, row_parent, row_child, blk,
+                                     euler_in, euler_out, n_nodes, magp)
+            scores = finalize_scores_batch(jnp, acc, log_mag, nuniq, lden,
+                                           wc_den)
+            col = jnp.where(eligible[:, None, None], scores, -jnp.inf)
+            best = jnp.max(col, axis=0)  # [B, 5]
+            tol = jnp.maximum(best * 1e-4, 1e-9)
+            tied = (col >= (best - tol)[None]) & (col > 0)
+            return best, jnp.packbits(tied, axis=0)
+
+        self._batch_cache[(Bq, fcap)] = run
+        return run
+
+    def place_best_host_batch(self, samples, min_read_support: int = -1,
+                              force_leaf: bool = False):
+        """Score B samples' read sets in ONE device program.  ``samples`` is
+        a list of read-sequence lists; returns a list of PlacementScores
+        (best/tie fields, like place_best_host).  Falls back to per-sample
+        place_best_host when the native sketcher is unavailable or the
+        index has no blocked structure (mesh mode)."""
+        from .engine import METRICS, PlacementScores
+
+        if self.dev.blk is None or self.dev.csc is None:
+            return [self.place_best_host(s, min_read_support, force_leaf)
+                    for s in samples]
+        sks = [self.sketch_host(s, min_read_support) for s in samples]
+        if any(sk is None for sk in sks):
+            return [self.place_best_host(s, min_read_support, force_leaf)
+                    for s in samples]
+        fin = self.score_batch_dispatch(sks, force_leaf)
+        return fin()
+
+    def score_batch_dispatch(self, sks, force_leaf: bool = False):
+        """Dispatch the batched program over B host sketches
+        [(uids, logc, log_mag, nuniq, lden), ...]; returns a zero-arg
+        finisher producing the list of PlacementScores."""
+        from .engine import METRICS, PlacementScores
+
+        self._ensure_elig()
+        Bq = len(sks)
+        fcap = 1 << max(int(np.ceil(np.log2(
+            max(max(len(sk[0]) for sk in sks), 1)))), 12)
+        nu = int(self.dev.unique_hashes.shape[0])
+        pu = np.full((Bq, fcap), nu, np.int32)
+        pl = np.zeros((Bq, fcap), np.float32)
+        stats = np.zeros((4, Bq), np.float32)
+        for b, (uids, lc, log_mag, nuniq, lden) in enumerate(sks):
+            pu[b, : len(uids)] = uids
+            pl[b, : len(uids)] = lc
+            stats[0, b] = log_mag
+            stats[1, b] = nuniq
+            stats[2, b] = lden
+            stats[3, b] = self._wc_den_host(np.sort(uids))
+        fn = self._batch_score_fn(Bq, fcap)
+        dev = self.dev
+        elig = self._elig_leaf if force_leaf else self._elig_all
+        best, packed = fn(pu, pl, stats[0], stats[1], stats[2], stats[3],
+                          dev.row_id, dev.row_parent, dev.row_child,
+                          dev.csc.mag_prefix, dev.euler_in, dev.euler_out,
+                          elig)
+
+        def resolve():
+            b_ = np.asarray(best)  # [B, 5]
+            tied = np.unpackbits(np.asarray(packed), axis=0,
+                                 count=self.dev.n_nodes).astype(bool)
+            out = []
+            for b in range(Bq):
+                res = PlacementScores(scores=np.zeros((0, 5)))
+                for m, name in enumerate(METRICS):
+                    v = float(b_[b, m])
+                    idxs = np.flatnonzero(tied[:, b, m])
+                    res.best_score[name] = v if np.isfinite(v) else 0.0
+                    res.tied_indices[name] = idxs.tolist()
+                    res.best_index[name] = int(idxs[0]) if len(idxs) else None
+                out.append(res)
+            return out
+
+        return resolve
+
     def _make_host_score_fn(self):
         nu = int(self.dev.unique_hashes.shape[0])
 
@@ -498,26 +718,27 @@ class TpuPlacer:
             res = self.place_best(seqs, min_read_support, force_leaf)
             return lambda: res
         uids, lc, log_mag, nuniq, lden = sk
-        if not hasattr(self, "_host_score_fn"):
-            self._host_score_fn = self._make_host_score_fn()
-            n = self.dev.n_nodes
-            elig = np.ones(n, dtype=bool)
-            is_parent = np.zeros(n, dtype=bool)
-            is_parent[self.idx.parent_index[1:]] = True
-            self._elig_all = jnp.asarray(elig)
-            self._elig_leaf = jnp.asarray(elig & ~is_parent)
-        nu = int(self.dev.unique_hashes.shape[0])
-        cap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
-        pu = np.full(cap, nu, np.int32)  # out-of-range slots drop in scatter
-        pu[: len(uids)] = uids
-        pl = np.zeros(cap, np.float32)
-        pl[: len(uids)] = lc
-        dev = self.dev
+        self._ensure_elig()
         elig = self._elig_leaf if force_leaf else self._elig_all
-        best, packed = self._host_score_fn(
-            pu, pl, np.float32(log_mag), np.int32(nuniq), np.float32(lden),
-            dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
-            dev.euler_in, dev.euler_out, elig)
+        srt = np.argsort(uids, kind="stable")
+        out = self._score_sparse_dispatch(uids[srt], lc[srt], log_mag, nuniq,
+                                          lden, elig)
+        if out is not None:
+            best, packed = out
+        else:
+            if not hasattr(self, "_host_score_fn"):
+                self._host_score_fn = self._make_host_score_fn()
+            nu = int(self.dev.unique_hashes.shape[0])
+            cap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
+            pu = np.full(cap, nu, np.int32)  # out-of-range slots drop
+            pu[: len(uids)] = uids
+            pl = np.zeros(cap, np.float32)
+            pl[: len(uids)] = lc
+            dev = self.dev
+            best, packed = self._host_score_fn(
+                pu, pl, np.float32(log_mag), np.int32(nuniq),
+                np.float32(lden), dev.row_id, dev.row_parent, dev.row_child,
+                dev.row_node, dev.euler_in, dev.euler_out, elig)
 
         def resolve():
             b_ = np.asarray(best)  # blocks on the device computation
@@ -612,15 +833,7 @@ class TpuPlacer:
         batch mode) with the in-flight device program."""
         from .engine import METRICS, PlacementScores, rescore_paths
 
-        if not hasattr(self, "_widened_select_fn"):
-            self._widened_select_fn = self._make_widened_select_fn()
-        if not hasattr(self, "_elig_all"):
-            n = self.dev.n_nodes
-            elig = np.ones(n, dtype=bool)
-            is_parent = np.zeros(n, dtype=bool)
-            is_parent[self.idx.parent_index[1:]] = True
-            self._elig_all = jnp.asarray(elig)
-            self._elig_leaf = jnp.asarray(elig & ~is_parent)
+        self._ensure_elig()
 
         # f32 device read table derived from the SAME f64 sketch used for the
         # exact rescore (so the join/filtering is identical by construction)
@@ -654,20 +867,31 @@ class TpuPlacer:
                 float(sk.read_unique_seed_count), wc_den64,
                 sk.log_containment_denominator)
         zero_metric = [d == 0.0 for d in dens]
-        nu = len(U)
-        cap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
-        pu = np.full(cap, nu, np.int32)
-        pu[: len(uids)] = uids
-        pl = np.zeros(cap, np.float32)
-        pl[: len(uids)] = lc
-        dev = self.dev
         elig = self._elig_leaf if force_leaf else self._elig_all
-        packed, best32, col32 = self._widened_select_fn(
-            pu, pl, np.float32(sk.log_read_magnitude),
-            np.int32(sk.read_unique_seed_count),
-            np.float32(sk.log_containment_denominator),
-            dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
-            dev.euler_in, dev.euler_out, elig)
+        # sparse found-rows program (uids are sorted: derived from the sorted
+        # sketch hashes); the f64 wc_den computed above feeds the f32 scores
+        out = self._score_sparse_dispatch(
+            uids, lc, sk.log_read_magnitude, sk.read_unique_seed_count,
+            sk.log_containment_denominator, elig, widened=True,
+            wc_den=wc_den64)
+        if out is not None:
+            packed, best32, col32 = out
+        else:
+            if not hasattr(self, "_widened_select_fn"):
+                self._widened_select_fn = self._make_widened_select_fn()
+            nu = len(U)
+            cap = 1 << max(int(np.ceil(np.log2(max(len(uids), 1)))), 12)
+            pu = np.full(cap, nu, np.int32)
+            pu[: len(uids)] = uids
+            pl = np.zeros(cap, np.float32)
+            pl[: len(uids)] = lc
+            dev = self.dev
+            packed, best32, col32 = self._widened_select_fn(
+                pu, pl, np.float32(sk.log_read_magnitude),
+                np.int32(sk.read_unique_seed_count),
+                np.float32(sk.log_containment_denominator),
+                dev.row_id, dev.row_parent, dev.row_child, dev.row_node,
+                dev.euler_in, dev.euler_out, elig)
         del best32  # superseded: the error guard below checks every candidate
 
         def _finish():

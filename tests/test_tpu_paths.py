@@ -572,21 +572,24 @@ def test_place_exact_closure_guard_refuses_bad_candidate_set(rng):
     assert got is not None
     assert got.best_index == exact.best_index
 
-    # wrap the select fn: forcibly clear the true best node's candidate bit
-    # for one metric with a non-trivial tie set
-    inner = placer._widened_select_fn
+    # wrap the in-use selection path (the sparse dispatch on this index;
+    # _widened_select_fn when the dense fallback fires): forcibly clear the
+    # true best node's candidate bit for one metric with a non-trivial tie set
+    inner = placer._score_sparse_dispatch
     n = len(idx.node_ids)
     victim_m = 0
     victim_node = exact.best_index[METRICS[victim_m]]
     assert victim_node is not None
 
-    def tampered(*args):
-        packed, best, col = inner(*args)
+    def tampered(*args, **kw):
+        out = inner(*args, **kw)
+        assert out is not None, "sparse path must be in use on this index"
+        packed, best, col = out
         cand = np.unpackbits(np.asarray(packed), axis=0, count=n).astype(bool)
         cand[victim_node, victim_m] = False
         return np.packbits(cand, axis=0), best, col
 
-    placer._widened_select_fn = tampered
+    placer._score_sparse_dispatch = tampered
     got2 = placer.place_exact(sk_)
     # the true best is now the best f32 node OUTSIDE the candidate set; its
     # f64 rescore sits at/above best - tol -> the closure guard must refuse
@@ -702,3 +705,38 @@ def test_mesh_pad_keeps_row_node_sorted(rng):
     rn = np.asarray(dev.row_node)
     assert np.all(np.diff(rn) >= 0), "padded row_node must remain sorted"
     assert rn[-1] == dev.n_nodes - 1
+
+
+def test_place_best_host_batch_matches_single(rng):
+    """The B-query batched program (metrics.batched_prefix_acc) returns the
+    same best nodes / tie sets as per-sample place_best_host, including
+    heterogeneous samples and a repeated sample."""
+    from panmap_tpu.native import get_lib
+    from panmap_tpu.place.engine import METRICS, sketch_reads
+    from panmap_tpu.place.query_tpu import TpuPlacer
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    k, s, t, l = 19, 8, 0, 3
+    nprng = np.random.default_rng(11)
+    base = [random_dna(rng, 150) for _ in range(40)]
+    samples = [base[:20], base[15:35], base[5:30] + base[5:9], base[:20]]
+    freq = sketch_reads(base, k, s, t, l, False)
+    read_hashes = (np.sort(freq[0]) if isinstance(freq, tuple)
+                   else np.array(sorted(freq), dtype=np.uint64))
+    idx = _synthetic_index(nprng, read_hashes, miss=0.3)
+
+    placer = TpuPlacer(idx, pad_len=152, batch=32)
+    got = placer.place_best_host_batch(samples)
+    assert len(got) == len(samples)
+    for i, s_ in enumerate(samples):
+        ref = placer.place_best_host(s_)
+        for m in METRICS:
+            assert got[i].best_index[m] == ref.best_index[m], (i, m)
+            assert abs(got[i].best_score[m] - ref.best_score[m]) < 1e-4
+            assert got[i].tied_indices[m] == ref.tied_indices[m], (i, m)
+    # identical samples in one batch agree with each other exactly
+    for m in METRICS:
+        assert got[0].best_score[m] == got[3].best_score[m]
+        assert got[0].tied_indices[m] == got[3].tied_indices[m]
