@@ -76,6 +76,10 @@ def _get_lib_locked():
     global _lib
     if _lib is not None:  # double-checked under _lib_lock
         return _lib or None
+    if os.environ.get("PANMAP_TPU_NO_NATIVE"):
+        # diagnostic switch: force every caller onto its numpy twin
+        _lib = False
+        return None
     src = os.path.join(_DIR, "panmap_native.cpp")
     stale = (not os.path.exists(_SO)
              or (os.path.exists(src)
