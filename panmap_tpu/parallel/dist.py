@@ -72,13 +72,19 @@ def process_rank_safe() -> tuple:
         return 0, 1
 
 
-def process_read_shard(n_items: int) -> slice:
+def process_read_shard(n_items: int, pid: int | None = None,
+                       nprocs: int | None = None) -> slice:
     """This process's contiguous shard of a host-side work list (FASTQ
     streaming, BAM/VCF writing stay per-host data-parallel, mirroring the
-    reference's batch mode).  Identity slice in single-process mode."""
-    import jax
+    reference's batch mode).  Identity slice in single-process mode.
+    Explicit ``pid``/``nprocs`` compute another rank's shard (dryrun /
+    planning); by default the live jax.distributed rank is used."""
+    if pid is not None or nprocs is not None:
+        np_, pid = int(nprocs or 1), int(pid or 0)
+    else:
+        import jax
 
-    np_, pid = jax.process_count(), jax.process_index()
+        np_, pid = jax.process_count(), jax.process_index()
     if np_ <= 1:
         return slice(0, n_items)
     per = (n_items + np_ - 1) // np_
