@@ -3,22 +3,32 @@
 The DP extension inner loop named in BASELINE.json — replaces the reference's
 ksw2 SSE kernels (src/3rdparty/minimap2/ksw2_*.c) with a TPU formulation:
 
- - grid = (batch tiles, query rows): each grid step advances one DP row for a
-   tile of TILE read/window pairs, so every row update is a native
-   (TILE, 128k) VPU op across the reference windows.  The H/F rows and the
+ - grid = (batch tiles, query-row tiles): each grid step advances ROWS DP
+   rows for a tile of TILE read/window pairs, so every row update is a native
+   (TILE, LW) VPU op across the reference windows.  The H/F rows and the
    running best live in VMEM scratch, which persists across grid steps — the
    idiomatic Pallas sequential-carry pattern (no fori_loop in the kernel, so
    Mosaic pipelines the row stream instead of unrolling it);
+ - the DP state is INT16: the score envelope (2*LQ + bonuses < 2^14) fits
+   with margin, and i16 lanes tile at (16, 128) — double the cell density of
+   the i32 formulation per VPU op (the ksw2 int8 difference-encoding idea,
+   adapted: TPU lanes want absolute scores, so we shrink the dtype instead
+   of re-encoding differences);
+ - the per-row query code lands as ONE MXU one-hot matvec per grid step
+   ((TILE, LQ) x (LQ, ROWS) -> all ROWS columns at once; dynamic lane
+   indexing is not addressable in VMEM, and per-row matvecs were 8x the MXU
+   traffic);
  - the left-gap state E — a sequential scan in ksw2 — is resolved with a
    log-step max-scan over the row (the prefix-max identity: a gap re-opened
    from a gap-derived cell never wins under affine costs);
  - scores and best (i, j) with query-end bonuses match
-   align/core.py::banded_affine_dp exactly, so the host re-runs the tiny numpy
-   DP for traceback only on reads that end up needing CIGARs.
+   align/core.py::banded_affine_dp exactly (including first-row/first-lane
+   tie order), so the host re-runs the tiny numpy DP for traceback only on
+   reads that end up needing CIGARs.
 
-Shapes are static: Q [B, LQ] (2-bit codes, 4 = pad), R [B, LW]; B and LQ/LW are
-padded to multiples of (TILE, 128).  Scoring constants mirror the sr preset
-(match 2 / mismatch 8 / gap 12+2k / end bonus 10; align/core.py:31-45).
+Shapes are static: Q [B, LQ] (2-bit codes, 4 = pad), R [B, LW]; B and LQ/LW
+are padded to multiples of (TILE, 128).  Scoring constants mirror the sr
+preset (match 2 / mismatch 8 / gap 12+2k / end bonus 10; align/core.py:31-45).
 """
 
 from __future__ import annotations
@@ -34,8 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .core import END_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
-NEG = -(1 << 28)
-TILE = 64
+I16 = jnp.int16
+NEG = -(1 << 14)  # i16 floor with headroom for GAP_OPEN + row gap_pen offsets
+TILE = 128  # read/window pairs per grid step
+ROWS = 16  # DP rows per grid step (amortizes per-step grid overhead)
 
 
 def _row_max_scan(x):
@@ -43,83 +55,89 @@ def _row_max_scan(x):
     n = x.shape[-1]
     shift = 1
     while shift < n:
-        shifted = jnp.pad(x, ((0, 0), (shift, 0)), constant_values=NEG)[:, :n]
+        shifted = jnp.pad(x, ((0, 0), (shift, 0)),
+                          constant_values=NEG)[:, :n]
         x = jnp.maximum(x, shifted)
         shift *= 2
     return x
-
-
-ROWS = 8  # DP rows per grid step (amortizes per-step grid overhead)
 
 
 def _sw_kernel(q_ref, r_ref, qlen_ref, out_ref,
                h_scr, f_scr, bs_scr, bi_scr, bj_scr):
     """ROWS sequential DP rows for a TILE of (query, window) pairs per grid
     step (the row recurrence is serial — batch and window lanes are the
-    parallelism; unrolling 8 rows per step amortizes the grid overhead).
-    The query column for row i is extracted with a one-hot dot product
-    (dynamic lane indexing is not addressable in VMEM, but a
-    (TILE,LQ)x(LQ,1) matvec is); state carries across the row-grid
-    dimension in VMEM scratch."""
+    parallelism).  State carries across the row-grid dimension in VMEM
+    scratch; everything row-shaped is int16."""
     ib = pl.program_id(1)
     n_steps = pl.num_programs(1)
     lw = r_ref.shape[1]
-    qlen = qlen_ref[:, 0]  # [TILE]
+    lq = q_ref.shape[1]
+    qlen = qlen_ref[:, 0]  # [TILE] i32
 
-    r_codes = r_ref[:]
+    r_codes = r_ref[:]  # (TILE, LW) i16
     idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, lw), 1)
-    gap_pen = idx * GAP_EXT
+    idx16 = idx.astype(I16)
+    gap_pen = (idx * GAP_EXT).astype(I16)
+    ext_off = jnp.maximum(gap_pen - I16(GAP_EXT), I16(0))
+
+    # all ROWS query codes for this step in one MXU matvec:
+    # (TILE, LQ) x (LQ, ROWS) one-hot -> (TILE, ROWS)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (lq, ROWS), 0)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (lq, ROWS), 1)
+    sel = (rowid == ib * ROWS + colid).astype(jnp.float32)
+    qc_all = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    qc_all = qc_all.astype(I16)  # (TILE, ROWS) query codes
 
     @pl.when(ib == 0)
     def _init():
-        h_scr[:] = jnp.full((TILE, lw), END_BONUS, jnp.int32)
-        f_scr[:] = jnp.full((TILE, lw), NEG, jnp.int32)
-        bs_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
-        bi_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
-        bj_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
+        h_scr[:] = jnp.full((TILE, lw), END_BONUS, I16)
+        f_scr[:] = jnp.full((TILE, lw), NEG, I16)
+        bs_scr[:] = jnp.zeros((TILE, 128), I16)
+        bi_scr[:] = jnp.zeros((TILE, 128), I16)
+        bj_scr[:] = jnp.zeros((TILE, 128), I16)
 
     for r in range(ROWS):
         i = ib * ROWS + r
         h_prev = h_scr[:]
         f_prev = f_scr[:]
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], 1), 0)
-               == i).astype(jnp.float32)
-        qc = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        qc = qc.astype(jnp.int32)  # (TILE, 1) query code at row i
-        sub = jnp.where((r_codes == qc) & (qc < 4), MATCH, -MISMATCH)
-        f_row = jnp.maximum(h_prev - GAP_OPEN, f_prev - GAP_EXT)
+        qc = qc_all[:, r: r + 1]  # (TILE, 1) static lane slice
+        sub = jnp.where((r_codes == qc) & (qc < 4),
+                        I16(MATCH), I16(-MISMATCH))
+        f_row = jnp.maximum(h_prev - I16(GAP_OPEN), f_prev - I16(GAP_EXT))
         # boundary column (numpy's j=0): END_BONUS on row 0, local floor
-        first_val = jnp.where(i == 0, END_BONUS, 0)
+        first_val = jnp.where(i == 0, END_BONUS, 0).astype(I16)
         diag = jnp.concatenate(
-            [jnp.full((TILE, 1), 0, jnp.int32) + first_val,
+            [jnp.zeros((TILE, 1), I16) + first_val,
              h_prev[:, : lw - 1]], axis=1) + sub
-        base = jnp.maximum(jnp.maximum(diag, f_row), 0)
+        base = jnp.maximum(jnp.maximum(diag, f_row), I16(0))
         pm = _row_max_scan(base + gap_pen)
-        pm_shift = jnp.pad(pm, ((0, 0), (1, 0)), constant_values=NEG)[:, :lw]
-        e_row = pm_shift - GAP_OPEN - jnp.maximum(gap_pen - GAP_EXT, 0)
+        pm_shift = jnp.pad(pm, ((0, 0), (1, 0)),
+                           constant_values=NEG)[:, :lw]
+        e_row = pm_shift - I16(GAP_OPEN) - ext_off
         h_row = jnp.maximum(base, e_row)
         h_scr[:] = h_row
         f_scr[:] = f_row
 
         in_query = (i < qlen)[:, None]
-        bonus = jnp.where(i == qlen - 1, END_BONUS, 0)[:, None]
+        bonus = jnp.where(i == qlen - 1, END_BONUS, 0).astype(I16)[:, None]
         rowmax = jnp.max(h_row, axis=1, keepdims=True)
         row_best = rowmax + bonus
         # int argmax is unsupported in Mosaic: masked min-index first-match
-        jrow = jnp.min(jnp.where(h_row == rowmax, idx, lw),
-                       axis=1, keepdims=True).astype(jnp.int32)
+        jrow = jnp.min(jnp.where(h_row == rowmax, idx16, I16(lw)),
+                       axis=1, keepdims=True)
         better = in_query & (row_best > bs_scr[:])  # lanes equal: safe
         bs_scr[:] = jnp.where(better, row_best, bs_scr[:])
-        bi_scr[:] = jnp.where(better, i + 1, bi_scr[:])
-        bj_scr[:] = jnp.where(better, jrow + 1, bj_scr[:])
+        bi_scr[:] = jnp.where(better, I16(i + 1), bi_scr[:])
+        bj_scr[:] = jnp.where(better, jrow + I16(1), bj_scr[:])
 
     @pl.when(ib == n_steps - 1)
     def _emit():
         colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
-        out_ref[:] = jnp.where(colid == 0, bs_scr[:],
-                               jnp.where(colid == 1, bi_scr[:],
-                                         jnp.where(colid == 2, bj_scr[:], 0)))
+        out_ref[:] = jnp.where(
+            colid == 0, bs_scr[:].astype(jnp.int32),
+            jnp.where(colid == 1, bi_scr[:].astype(jnp.int32),
+                      jnp.where(colid == 2, bj_scr[:].astype(jnp.int32), 0)))
 
 
 def _pad_to(x, mult, axis, fill):
@@ -153,8 +171,8 @@ def banded_sw_scores(q_batch, r_batch, qlens, interpret: bool = False):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sw_call(q8, r8, qlens1, interpret):
     # int8 over the host link (the axon tunnel is the bottleneck), widened here
-    q = q8.astype(jnp.float32)
-    r = r8.astype(jnp.int32)
+    q = q8.astype(jnp.float32)  # MXU operand for the one-hot row extraction
+    r = r8.astype(I16)
     qlens = jnp.repeat(qlens1[:, None], 128, axis=1)
     B, LQ = q.shape
     LW = r.shape[1]
@@ -171,11 +189,11 @@ def _sw_call(q8, r8, qlens1, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((TILE, LW), jnp.int32),
-            pltpu.VMEM((TILE, LW), jnp.int32),
-            pltpu.VMEM((TILE, 128), jnp.int32),
-            pltpu.VMEM((TILE, 128), jnp.int32),
-            pltpu.VMEM((TILE, 128), jnp.int32),
+            pltpu.VMEM((TILE, LW), I16),
+            pltpu.VMEM((TILE, LW), I16),
+            pltpu.VMEM((TILE, 128), I16),
+            pltpu.VMEM((TILE, 128), I16),
+            pltpu.VMEM((TILE, 128), I16),
         ],
         interpret=interpret,
     )(q, r, qlens)
