@@ -28,6 +28,7 @@ the parent state unchanged.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -89,34 +90,46 @@ class ScalarSpace:
                 d[int(pos)] = int(ln)
 
         chars = []
-        block_of = []
         self.main_scalar: list[np.ndarray] = []
         self.gap_scalar_start: list[dict[int, int]] = []
         cur = 0
         self.block_ranges = np.zeros((nb, 2), dtype=np.uint32)
+        blk_lens = np.zeros(nb, dtype=np.int64)
         for b in range(nb):
             cons = NUC_FROM_CODE[blocks[b].consensus_codes].view(np.uint8)
             blen = len(cons)
-            ms = np.full(blen, -1, dtype=np.int64)
-            gstart: dict[int, int] = {}
             start_scalar = cur
-            for j in range(blen + 1):  # +1: sentinel slot may carry trailing gaps
-                if j in gap_slots[b]:
-                    ln = gap_slots[b][j]
-                    gstart[j] = cur
-                    chars.append(np.full(ln, GAP, dtype=np.uint8))
-                    block_of.append(np.full(ln, b, dtype=np.int32))
-                    cur += ln
-                if j < blen:
-                    ms[j] = cur
-                    chars.append(cons[j : j + 1])
-                    block_of.append(np.full(1, b, dtype=np.int32))
-                    cur += 1
+            # gap runs sit BEFORE their slot's main column (slot blen is a
+            # trailing sentinel); vectorized layout: ms[j] = start + j +
+            # (total gap length at slots <= j), gap run at slot j starts at
+            # start + j + (total gap length at slots < j)
+            slots = sorted(jj for jj in gap_slots[b] if 0 <= jj <= blen)
+            if slots:
+                gj = np.asarray(slots, dtype=np.int64)
+                gl = np.asarray([gap_slots[b][jj] for jj in slots],
+                                dtype=np.int64)
+                cum = np.concatenate(([0], np.cumsum(gl)))
+                jarr = np.arange(blen, dtype=np.int64)
+                ms = (start_scalar + jarr
+                      + cum[np.searchsorted(gj, jarr, side="right")])
+                g_begin = start_scalar + gj + cum[:-1]
+                gstart = dict(zip(gj.tolist(), g_begin.tolist()))
+                total = blen + int(cum[-1])
+            else:
+                ms = start_scalar + np.arange(blen, dtype=np.int64)
+                gstart = {}
+                total = blen
+            seg = np.full(total, GAP, dtype=np.uint8)
+            seg[ms - start_scalar] = cons
+            chars.append(seg)
+            cur += total
+            blk_lens[b] = total
             self.main_scalar.append(ms)
             self.gap_scalar_start.append(gstart)
             self.block_ranges[b] = (start_scalar, cur - 1)
         self.char0 = np.concatenate(chars) if chars else np.empty(0, np.uint8)
-        self.block_of = np.concatenate(block_of) if block_of else np.empty(0, np.int32)
+        self.block_of = (np.repeat(np.arange(nb, dtype=np.int32), blk_lens)
+                         if nb else np.empty(0, np.int32))
         self.n = cur
         self.nb = nb
         self.block_len = [len(self.main_scalar[b]) + 1 for b in range(nb)]  # incl. sentinel
@@ -1004,6 +1017,24 @@ def _incremental_count_delta(p_pos, p_hash, p_rev, keep, add_pos,
     (PANMAP_TPU_INCR=0 forces it; equality asserted by e2e)."""
     if (len(p_pos) - int(keep.sum())) == 0 and len(add_pos) == 0:
         return _EMPTY_DELTA, []
+    if not os.environ.get("PANMAP_TPU_NO_NATIVE"):
+        from ..native import incr_count_delta_native
+
+        nat = incr_count_delta_native(p_pos, p_hash, p_rev, keep, add_pos,
+                                      child_pos, child_hash, child_rev, k, l)
+        if nat is not None:
+            hh, dd = nat  # sorted by hash; python applies the running table
+            if not len(hh):
+                return _EMPTY_DELTA, []
+            undo = []
+            pp = np.empty(len(hh), np.int16)
+            for i, (h, d) in enumerate(zip(hh.tolist(), dd.tolist())):
+                o = rc.get(h, 0)
+                rc[h] = o + d
+                undo.append((h, o))
+                pp[i] = o
+            cc = pp + dd.astype(np.int16)
+            return (hh, pp, cc), undo
     dropped, added_idx, p_bridge, c_bridge = _change_sites(
         p_pos, keep, add_pos, child_pos)
 

@@ -610,6 +610,48 @@ def count_delta_native(ph, pc, ch, cc):
     return oh[:n].copy(), op[:n].copy(), oc[:n].copy()
 
 
+def incr_count_delta_native(p_pos, p_hash, p_rev, keep, add_pos,
+                            c_pos, c_hash, c_rev, k, l):
+    """Native twin of the builder's incremental counts-mode node delta
+    (_change_sites + _merged_affected_intervals + _affected_window_counts
+    netted); returns (hashes u64 sorted, deltas i32) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_incr_count_delta"):
+        return None
+    if not hasattr(lib, "_icd_ready"):
+        lib.pt_incr_count_delta.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.pt_incr_count_delta.restype = ctypes.c_int64
+        lib._icd_ready = True
+    p_pos = np.ascontiguousarray(p_pos, dtype=np.int64)
+    p_hash = np.ascontiguousarray(p_hash, dtype=np.uint64)
+    p_rev = np.ascontiguousarray(p_rev, dtype=np.uint8)
+    keep = np.ascontiguousarray(keep, dtype=np.uint8)
+    add_pos = np.ascontiguousarray(add_pos, dtype=np.int64)
+    c_pos = np.ascontiguousarray(c_pos, dtype=np.int64)
+    c_hash = np.ascontiguousarray(c_hash, dtype=np.uint64)
+    c_rev = np.ascontiguousarray(c_rev, dtype=np.uint8)
+    n_changed = int(len(p_pos) - int(keep.sum()) + len(add_pos))
+    cap = 2 * l * max(n_changed, 1) + 64
+    while True:
+        oh = np.empty(cap, np.uint64)
+        od = np.empty(cap, np.int32)
+        n = lib.pt_incr_count_delta(
+            p_pos.ctypes.data, p_hash.ctypes.data, p_rev.ctypes.data,
+            len(p_pos), keep.ctypes.data,
+            c_pos.ctypes.data, c_hash.ctypes.data, c_rev.ctypes.data,
+            len(c_pos), add_pos.ctypes.data, len(add_pos),
+            int(k), int(l), oh.ctypes.data, od.ctypes.data, cap)
+        if n <= cap:
+            return oh[:n].copy(), od[:n].copy()
+        cap = int(n) + 16
+
+
 def bwt_aln_native(fm, fm_rev, seqs: list, fnr: float, threads: int = 0):
     """Threaded native bwa-aln search (pt_bwt_aln — the C++ twin of
     align/bwt.py's best-first FM search, which stays as the bit-exact

@@ -3331,3 +3331,130 @@ int64_t pt_count_delta(const uint64_t* ph, const int64_t* pc, int64_t np_,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental counts-mode node delta (builder._incremental_count_delta core).
+//
+// Replaces the per-node python path: change-site discovery (dropped members,
+// pure insertion/deletion bridges), merged affected-window intervals on each
+// side, canonical k-min-mer hashing of exactly those windows, and the net
+// count delta — all in one call.  Bit-exact twin of
+// index/builder.py::{_change_sites,_merged_affected_intervals,
+// _affected_window_counts} (tests/test_native.py cross-checks).
+// Reference analog: index_single_mode.cpp:2291-2571 runningCounts updates.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IntervalAccum {
+    // merged [a, b] inclusive window intervals, built from sorted pushes
+    std::vector<std::pair<int64_t, int64_t>> iv;
+    void push(int64_t a, int64_t b, int64_t nw) {
+        if (a < 0) a = 0;
+        if (b > nw - 1) b = nw - 1;
+        if (a > b || nw <= 0) return;
+        iv.emplace_back(a, b);
+    }
+    void merge() {
+        if (iv.empty()) return;
+        std::sort(iv.begin(), iv.end());
+        size_t out = 0;
+        for (size_t i = 1; i < iv.size(); ++i) {
+            if (iv[i].first <= iv[out].second) {
+                if (iv[i].second > iv[out].second) iv[out].second = iv[i].second;
+            } else {
+                iv[++out] = iv[i];
+            }
+        }
+        iv.resize(out + 1);
+    }
+};
+
+// canonical k-min-mer over window w of the syncmer hash array
+inline void accum_windows(const uint64_t* H, const uint8_t* rev, int64_t n,
+                          const std::vector<std::pair<int64_t, int64_t>>& iv,
+                          int k, int l, int sign,
+                          std::unordered_map<uint64_t, int>& net) {
+    (void)n;
+    if (l == 1) {
+        for (const auto& ab : iv)
+            for (int64_t w = ab.first; w <= ab.second; ++w)
+                net[H[w]] += sign;  // l==1: always valid, hash = H itself
+        (void)rev;
+        return;
+    }
+    for (const auto& ab : iv) {
+        for (int64_t w = ab.first; w <= ab.second; ++w) {
+            uint64_t F = 0, R = 0;
+            for (int i = 0; i < l; ++i) {
+                int r = (k * (l - 1 - i)) & 63;
+                F ^= rol(H[w + i], r);
+                R ^= rol(H[w + l - 1 - i], r);
+            }
+            if (F != R) net[F < R ? F : R] += sign;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of nonzero delta rows (sorted by hash ascending),
+// written to (out_h, out_d) up to cap; if the true count exceeds cap,
+// returns the required count WITHOUT writing past cap (caller re-allocates).
+int64_t pt_incr_count_delta(
+    const int64_t* p_pos, const uint64_t* p_hash, const uint8_t* p_rev,
+    int64_t np_, const uint8_t* keep,
+    const int64_t* c_pos, const uint64_t* c_hash, const uint8_t* c_rev,
+    int64_t nc, const int64_t* add_pos, int64_t nadd, int k, int l,
+    uint64_t* out_h, int32_t* out_d, int64_t cap) {
+    // ---- change sites (builder._change_sites) ----
+    std::vector<int64_t> dropped;
+    for (int64_t i = 0; i < np_; ++i)
+        if (!keep[i]) dropped.push_back(i);
+
+    IntervalAccum piv, civ;
+    const int64_t pw = np_ - l + 1, cw = nc - l + 1;
+    for (int64_t d : dropped) piv.push(d - (l - 1), d, pw);
+    // added member indices on the child side
+    for (int64_t a = 0; a < nadd; ++a) {
+        int64_t j = std::lower_bound(c_pos, c_pos + nc, add_pos[a]) - c_pos;
+        civ.push(j - (l - 1), j, cw);
+    }
+    if (l > 1) {
+        // pure insertions bridge parent windows at their insertion point
+        for (int64_t a = 0; a < nadd; ++a) {
+            int64_t i = std::lower_bound(p_pos, p_pos + np_, add_pos[a]) - p_pos;
+            bool pure = (i >= np_) || (p_pos[i] != add_pos[a]);
+            if (pure) piv.push(i - (l - 1), i - 1, pw);
+        }
+        // pure deletions bridge child windows
+        for (int64_t d : dropped) {
+            int64_t j = std::lower_bound(c_pos, c_pos + nc, p_pos[d]) - c_pos;
+            bool pure = (j >= nc) || (c_pos[j] != p_pos[d]);
+            if (pure) civ.push(j - (l - 1), j - 1, cw);
+        }
+    }
+    piv.merge();
+    civ.merge();
+
+    std::unordered_map<uint64_t, int> net;
+    accum_windows(c_hash, c_rev, nc, civ.iv, k, l, +1, net);
+    accum_windows(p_hash, p_rev, np_, piv.iv, k, l, -1, net);
+
+    std::vector<std::pair<uint64_t, int>> rows;
+    rows.reserve(net.size());
+    for (const auto& kv : net)
+        if (kv.second != 0) rows.emplace_back(kv.first, kv.second);
+    int64_t need = (int64_t)rows.size();
+    if (need > cap) return need;
+    std::sort(rows.begin(), rows.end());
+    for (int64_t i = 0; i < need; ++i) {
+        out_h[i] = rows[i].first;
+        out_d[i] = rows[i].second;
+    }
+    return need;
+}
+
+}  // extern "C"

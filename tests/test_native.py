@@ -192,3 +192,66 @@ def test_incremental_meta_mode_mammoth():
             os.environ.pop("PANMAP_TPU_INCR", None)
         else:
             os.environ["PANMAP_TPU_INCR"] = old
+
+
+def test_incr_count_delta_native_matches_python():
+    """pt_incr_count_delta (change sites + affected-window k-min-mer count
+    netting in C++) must agree with the python formulation on randomized
+    parent/child syncmer arrays, including l=1, pure insertions/deletions at
+    boundaries, and substitution-style hash changes."""
+    from panmap_tpu.native import incr_count_delta_native
+    from panmap_tpu.index.builder import (
+        _affected_window_counts, _change_sites)
+
+    if incr_count_delta_native(
+            np.empty(0, np.int64), np.empty(0, np.uint64),
+            np.empty(0, np.uint8), np.empty(0, np.uint8),
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.uint64), np.empty(0, np.uint8), 19, 3) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    for case in range(60):
+        k = int(rng.choice([15, 19, 31]))
+        l = int(rng.choice([1, 2, 3]))
+        n = int(rng.integers(l, 60))
+        p_pos = np.sort(rng.choice(np.arange(500, dtype=np.int64), n,
+                                   replace=False))
+        p_hash = rng.integers(1, 1 << 62, n).astype(np.uint64)
+        p_rev = rng.integers(0, 2, n).astype(bool)
+        # child edit: drop a few, add a few (new positions), change a few
+        keep = rng.random(n) > 0.15
+        changed = np.flatnonzero(keep & (rng.random(n) < 0.2))
+        navg = int(rng.integers(0, 5))
+        free = np.setdiff1d(np.arange(500, dtype=np.int64), p_pos)
+        add_new = np.sort(rng.choice(free, navg, replace=False)) \
+            if navg else np.empty(0, np.int64)
+        # changed positions re-add with a new hash (the merge drops + adds)
+        keep2 = keep.copy()
+        keep2[changed] = False
+        add_pos = np.sort(np.concatenate([add_new, p_pos[changed]]))
+        add_hash = rng.integers(1, 1 << 62, len(add_pos)).astype(np.uint64)
+        add_rev = rng.integers(0, 2, len(add_pos)).astype(bool)
+        c_pos = np.concatenate([p_pos[keep2], add_pos])
+        c_hash = np.concatenate([p_hash[keep2], add_hash])
+        c_rev = np.concatenate([p_rev[keep2], add_rev])
+        order = np.argsort(c_pos, kind="stable")
+        c_pos, c_hash, c_rev = c_pos[order], c_hash[order], c_rev[order]
+
+        dropped, added_idx, p_bridge, c_bridge = _change_sites(
+            p_pos, keep2, add_pos, c_pos)
+        old = _affected_window_counts(p_pos, p_hash, p_rev, dropped,
+                                      p_bridge, k, l)
+        new = _affected_window_counts(c_pos, c_hash, c_rev, added_idx,
+                                      c_bridge, k, l)
+        net = dict(new)
+        for h, c in old.items():
+            net[h] = net.get(h, 0) - c
+        want = sorted((h, d) for h, d in net.items() if d != 0)
+
+        hh, dd = incr_count_delta_native(
+            p_pos, p_hash, p_rev, keep2, add_pos, c_pos, c_hash, c_rev, k, l)
+        got = list(zip(hh.tolist(), dd.tolist()))
+        assert got == want, (case, k, l, got[:5], want[:5])
