@@ -277,6 +277,62 @@ def _apply_nuc_legacy(node, space, chars, block_exists, block_strand,
             edits.spans.append([a, b])
 
 
+def _apply_nuc_small(node, space, chars, block_exists, block_strand, br,
+                     old_exists, old_strand, undo_chars, edits) -> None:
+    """Scalar twin of _apply_nuc_fast for FEW-mutation nodes (the typical
+    case: 1-5 substitutions), working straight off the packed nm_* arrays —
+    no numpy call overhead, no nuc_mutations object materialization.
+    Sequential char application, so duplicate scalars are handled like the
+    legacy walk (no bail-out needed)."""
+    nmb, nmp = node.nm_block, node.nm_pos
+    nmg, nmk = node.nm_gap, node.nm_packed
+    code_byte = NUC_CODE_BYTE
+    for i in range(len(nmb)):
+        bid = int(nmb[i])
+        packed = int(nmk[i])
+        ln = (packed & 0xFF) >> 4
+        if ln == 0:
+            continue
+        blen = space.block_len[bid]
+        b_ex = bool(block_exists[bid])
+        b_st = bool(block_strand[bid])
+        bo_ex = old_exists.get(bid, b_ex)
+        bo_st = old_strand.get(bid, b_st)
+        base_p = int(nmp[i])
+        gapp = int(nmg[i])
+        lo = int(br[bid, 0])
+        hi = int(br[bid, 1])
+        first_rs = last_rs = -1
+        for o in range(ln):
+            if gapp == -1:
+                npos, gpos = base_p + o, -1
+                if npos >= blen - 1:
+                    continue
+            else:
+                npos, gpos = base_p, gapp + o
+                if npos >= blen:
+                    continue
+            sc = space.scalar_of(bid, npos, gpos)
+            if sc < 0:
+                continue
+            rs = sc if b_st else lo + hi - sc
+            if first_rs == -1:
+                first_rs = rs
+            last_rs = rs
+            old = int(chars[sc])
+            new = int(code_byte[(packed >> (8 + 4 * (ln - 1 - o))) & 0xF])
+            if old == new:
+                continue
+            undo_chars.append((sc, old))
+            chars[sc] = new
+            if new == GAP and bo_ex and b_ex and b_st == bo_st:
+                edits.potential_dels.append(rs)
+        if last_rs != -1 and b_ex and bo_ex and b_st == bo_st:
+            a, b = (first_rs, last_rs) if first_rs <= last_rs \
+                else (last_rs, first_rs)
+            edits.spans.append([a, b])
+
+
 def _apply_nuc_fast(node, space, chars, block_exists, block_strand, br,
                     old_exists, old_strand, undo_chars, edits) -> bool:
     """Vectorized twin of _apply_nuc_legacy over the node's nm_* arrays.
@@ -452,7 +508,16 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             # whole block becomes a mutation range (reading-scalar span)
             edits.spans.append([int(br[bid, 0]), int(br[bid, 1])])
 
-        if params.impute_amb or not _apply_nuc_fast(
+        if params.impute_amb:
+            _apply_nuc_legacy(node, space, chars, block_exists, block_strand,
+                              reading_scalar, params, old_exists, old_strand,
+                              undo_chars, edits)
+        elif len(node.nm_block) <= 8:
+            # typical node: a handful of substitutions — the scalar walk
+            # beats the vectorized path's fixed numpy overhead (~0.2 ms)
+            _apply_nuc_small(node, space, chars, block_exists, block_strand,
+                             br, old_exists, old_strand, undo_chars, edits)
+        elif not _apply_nuc_fast(
                 node, space, chars, block_exists, block_strand, br,
                 old_exists, old_strand, undo_chars, edits):
             _apply_nuc_legacy(node, space, chars, block_exists, block_strand,
@@ -620,12 +685,19 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
                 else:
                     merged.append([a, b])
 
+            # batched searchsorted for the common no-swallow walk (the
+            # python-loop scalar searches were ~40% of compute_state self)
+            marr = np.asarray(merged, dtype=np.int64)
+            ib_all = np.searchsorted(nz, marr[:, 1], side="right") - 1
+            ia_all = np.searchsorted(nz, marr[:, 0], side="left")
+
             ranges = []  # (ja, jb, walk_beg, walk_end, reached_end)
             i = 0
             while i < len(merged):
+                gi = i  # group start: a (and ia) never change on swallow
                 a, b = merged[i]
+                ib = int(ib_all[i])
                 while True:
-                    ib = int(np.searchsorted(nz, b, side="right")) - 1
                     end_idx = ib + (k - 1)
                     reached_end = end_idx >= nnz or b >= last_scalar
                     jb = min(end_idx, nnz - 1)
@@ -633,10 +705,12 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
                         int(nz[jb]) if jb >= 0 else b)
                     if i + 1 < len(merged) and merged[i + 1][0] <= swallow_limit:
                         i += 1
-                        b = max(b, merged[i][1])
+                        if merged[i][1] > b:
+                            b = merged[i][1]
+                            ib = int(ib_all[i])
                         continue
                     break
-                ia = int(np.searchsorted(nz, a, side="left"))
+                ia = int(ia_all[gi])
                 ja = max(ia - (k - 1), 0)
                 beg_scalar = int(nz[ja]) if ja < nnz else a
                 walk_beg = min(a, beg_scalar)
@@ -655,17 +729,38 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             # [p, p+k-1], so scanning seq[ja:jb+1] is exact for positions
             # ja..jb-k+1 — no full-genome rescan per node) ----
             idx_parts, hash_parts, rev_parts, sync_parts = [], [], [], []
+            live = []  # (ja, hi_idx) per scanned range
             for ja, jb, _, _, _ in ranges:
                 hi_idx = min(jb - k + 1, nnz - k) if nnz >= k else -1
                 if hi_idx < ja:
                     continue
-                h_w, r_w, s_w = rolling_syncmers(seq[ja : jb + 1], k, s,
-                                                 params.open, t)
-                nloc = hi_idx - ja + 1
-                idx_parts.append(np.arange(ja, hi_idx + 1, dtype=np.int64))
-                hash_parts.append(h_w[:nloc])
-                rev_parts.append(r_w[:nloc])
-                sync_parts.append(s_w[:nloc])
+                live.append((ja, jb, hi_idx))
+            multi = None
+            if len(live) > 1 and not os.environ.get("PANMAP_TPU_NO_NATIVE"):
+                from ..native import rolling_syncmers_multi_native
+
+                multi = rolling_syncmers_multi_native(
+                    seq, np.array([x[0] for x in live], np.int64),
+                    np.array([x[1] for x in live], np.int64),
+                    k, s, t, params.open)
+            if multi is not None:
+                mh, mr, ms_, moff = multi
+                for r, (ja, jb, hi_idx) in enumerate(live):
+                    nloc = hi_idx - ja + 1
+                    o = moff[r]
+                    idx_parts.append(np.arange(ja, hi_idx + 1, dtype=np.int64))
+                    hash_parts.append(mh[o : o + nloc])
+                    rev_parts.append(mr[o : o + nloc].astype(bool))
+                    sync_parts.append(ms_[o : o + nloc].astype(bool))
+            else:
+                for ja, jb, hi_idx in live:
+                    h_w, r_w, s_w = rolling_syncmers(seq[ja : jb + 1], k, s,
+                                                     params.open, t)
+                    nloc = hi_idx - ja + 1
+                    idx_parts.append(np.arange(ja, hi_idx + 1, dtype=np.int64))
+                    hash_parts.append(h_w[:nloc])
+                    rev_parts.append(r_w[:nloc])
+                    sync_parts.append(s_w[:nloc])
             if idx_parts:
                 scan_idx = np.concatenate(idx_parts)
                 pos_scan = nz[scan_idx]
@@ -1341,6 +1436,9 @@ def _build_index_parallel(tree: PanmanTree, params: IndexParams,
     import multiprocessing as mp
 
     n_nodes = len(tree.dfs_order)
+    # one contiguous range per worker (finer chunks were measured SLOWER:
+    # each extra chunk pays an ancestor-path replay that outweighs the
+    # load-balance win on these trees)
     bounds = np.linspace(0, n_nodes, workers + 1).astype(np.int64)
     ranges = [(int(bounds[i]), int(bounds[i + 1])) for i in range(workers)
               if bounds[i] < bounds[i + 1]]
@@ -1350,7 +1448,11 @@ def _build_index_parallel(tree: PanmanTree, params: IndexParams,
     try:
         ctx = mp.get_context("fork")
         with ctx.Pool(len(ranges)) as pool:
-            results = pool.map(_build_range_worker, ranges)
+            fut = pool.map_async(_build_range_worker, ranges)
+            # the serial substitution-spectrum pass (~3 s on sars_20000)
+            # rides inside the workers' wall time instead of after it
+            spectrum = compute_substitution_spectrum(tree)
+            results = fut.get()
     finally:
         _PAR_CTX.clear()
 
@@ -1378,7 +1480,7 @@ def _build_index_parallel(tree: PanmanTree, params: IndexParams,
         parent_counts=parent_counts,
         child_counts=child_counts,
         node_offsets=node_offsets,
-        substitution_matrix=compute_substitution_spectrum(tree),
+        substitution_matrix=spectrum,
     )
 
 

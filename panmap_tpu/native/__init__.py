@@ -341,6 +341,39 @@ def rolling_syncmers_native(b: np.ndarray, k: int, s: int, t: int,
     return hashes, is_rev.astype(bool), is_sync.astype(bool)
 
 
+def rolling_syncmers_multi_native(seq, begs, ends, k, s, t, open_):
+    """Multi-range twin of rolling_syncmers_native: scans seq[beg:end+1] for
+    each range, results concatenated; returns (hashes, is_rev u8, is_sync
+    u8, out_off i64[R+1]) or None.  Range r's windows live at
+    [out_off[r], out_off[r] + max(end-beg+2-k, 0))."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_rolling_syncmers_multi"):
+        return None
+    if not hasattr(lib, "_rsm_ready"):
+        lib.pt_rolling_syncmers_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib._rsm_ready = True
+    seq = _cbuf(seq, np.uint8)
+    begs = _cbuf(begs, np.int64)
+    ends = _cbuf(ends, np.int64)
+    m = np.maximum(ends - begs + 2 - k, 0)
+    off = np.zeros(len(begs) + 1, np.int64)
+    np.cumsum(m, out=off[1:])
+    total = int(off[-1])
+    hashes = np.empty(max(total, 1), np.uint64)
+    is_rev = np.empty(max(total, 1), np.uint8)
+    is_sync = np.empty(max(total, 1), np.uint8)
+    lib.pt_rolling_syncmers_multi(
+        seq.ctypes.data, len(seq), begs.ctypes.data, ends.ctypes.data,
+        len(begs), k, s, t, int(open_), off.ctypes.data,
+        hashes.ctypes.data, is_rev.ctypes.data, is_sync.ctypes.data)
+    return hashes[:total], is_rev[:total], is_sync[:total], off
+
+
 def encode_reads_native(seqs: list, pad_to: int):
     """Native twin of the encode loop in sketch.tpu.encode_reads_batch;
     returns None if the library is unavailable."""
@@ -610,6 +643,16 @@ def count_delta_native(ph, pc, ch, cc):
     return oh[:n].copy(), op[:n].copy(), oc[:n].copy()
 
 
+def _cbuf(a, dt):
+    """Zero-copy when already (dt, contiguous); bools pass as their u8
+    bytes.  These wrappers run per DFS node — copies here were measurable."""
+    if a.dtype == np.bool_ and dt == np.uint8:
+        a = a.view(np.uint8)
+    if a.dtype == dt and a.flags.c_contiguous:
+        return a
+    return np.ascontiguousarray(a, dtype=dt)
+
+
 def incr_count_delta_native(p_pos, p_hash, p_rev, keep, add_pos,
                             c_pos, c_hash, c_rev, k, l):
     """Native twin of the builder's incremental counts-mode node delta
@@ -628,19 +671,24 @@ def incr_count_delta_native(p_pos, p_hash, p_rev, keep, add_pos,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         lib.pt_incr_count_delta.restype = ctypes.c_int64
         lib._icd_ready = True
-    p_pos = np.ascontiguousarray(p_pos, dtype=np.int64)
-    p_hash = np.ascontiguousarray(p_hash, dtype=np.uint64)
-    p_rev = np.ascontiguousarray(p_rev, dtype=np.uint8)
-    keep = np.ascontiguousarray(keep, dtype=np.uint8)
-    add_pos = np.ascontiguousarray(add_pos, dtype=np.int64)
-    c_pos = np.ascontiguousarray(c_pos, dtype=np.int64)
-    c_hash = np.ascontiguousarray(c_hash, dtype=np.uint64)
-    c_rev = np.ascontiguousarray(c_rev, dtype=np.uint8)
+    p_pos = _cbuf(p_pos, np.int64)
+    p_hash = _cbuf(p_hash, np.uint64)
+    p_rev = _cbuf(p_rev, np.uint8)
+    keep = _cbuf(keep, np.uint8)
+    add_pos = _cbuf(add_pos, np.int64)
+    c_pos = _cbuf(c_pos, np.int64)
+    c_hash = _cbuf(c_hash, np.uint64)
+    c_rev = _cbuf(c_rev, np.uint8)
     n_changed = int(len(p_pos) - int(keep.sum()) + len(add_pos))
-    cap = 2 * l * max(n_changed, 1) + 64
+    need = 2 * l * max(n_changed, 1) + 64
+    scr = getattr(incr_count_delta_native, "_scratch", None)
+    if scr is None or len(scr[0]) < need:
+        scr = (np.empty(max(need, 4096), np.uint64),
+               np.empty(max(need, 4096), np.int32))
+        incr_count_delta_native._scratch = scr
     while True:
-        oh = np.empty(cap, np.uint64)
-        od = np.empty(cap, np.int32)
+        oh, od = scr
+        cap = len(oh)
         n = lib.pt_incr_count_delta(
             p_pos.ctypes.data, p_hash.ctypes.data, p_rev.ctypes.data,
             len(p_pos), keep.ctypes.data,
@@ -649,7 +697,8 @@ def incr_count_delta_native(p_pos, p_hash, p_rev, keep, add_pos,
             int(k), int(l), oh.ctypes.data, od.ctypes.data, cap)
         if n <= cap:
             return oh[:n].copy(), od[:n].copy()
-        cap = int(n) + 16
+        scr = (np.empty(int(n) + 16, np.uint64), np.empty(int(n) + 16, np.int32))
+        incr_count_delta_native._scratch = scr
 
 
 def bwt_aln_native(fm, fm_rev, seqs: list, fnr: float, threads: int = 0):

@@ -3458,3 +3458,28 @@ int64_t pt_incr_count_delta(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Multi-range rolling-syncmer scan: one call scans R subranges
+// [beg[i], end[i]] (inclusive, byte offsets into seq) and writes the
+// concatenated per-window results at out_off[i] = sum of prior window
+// counts.  Each range's scan equals pt_rolling_syncmers(seq+beg, len)
+// exactly (window count = len - k + 1, clamped at 0).  Replaces the
+// per-range python wrapper calls in builder.compute_state.
+void pt_rolling_syncmers_multi(const uint8_t* seq, int64_t n,
+                               const int64_t* beg, const int64_t* end,
+                               int64_t nr, int k, int s, int t, int open_,
+                               const int64_t* out_off, uint64_t* hashes,
+                               uint8_t* is_rev, uint8_t* is_sync) {
+    (void)n;
+    for (int64_t r = 0; r < nr; ++r) {
+        int64_t len = end[r] - beg[r] + 1;
+        if (len < k) continue;
+        pt_rolling_syncmers(seq + beg[r], len, k, s, t, open_,
+                            hashes + out_off[r], is_rev + out_off[r],
+                            is_sync + out_off[r]);
+    }
+}
+
+}  // extern "C"
