@@ -162,6 +162,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reads per processing batch (meta filter-and-assign)")
 
     g = p.add_argument_group("developer")
+    g.add_argument("--em-candidates", default="",
+                   help="file of node ids (one per line): restrict the "
+                        "abundance EM to exactly these haplotype columns")
     g.add_argument("--dump-all-scores", default="")
     g.add_argument("--dump-seed-freq", action="store_true",
                    help="write <out>.seed_freq.tsv (kept read seeds + counts)")
@@ -313,6 +316,7 @@ def main(argv=None):
             align_reads=args.align_reads,
             min_num_align=args.min_num_align,
             leaves_only=args.leaves_only,
+            em_candidates=args.em_candidates,
             write_ocranks=args.write_ocranks,
             write_read_scores_unfiltered=args.write_meta_read_scores_unfiltered,
             write_read_scores_filtered=args.write_meta_read_scores_filtered,

@@ -26,6 +26,7 @@ programs, faithful to the numerical model:
 from __future__ import annotations
 
 import math
+import os
 from collections import defaultdict
 from dataclasses import dataclass
 import numpy as np
@@ -367,6 +368,35 @@ def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
     # duplicate (pair, refpos) keys can only occur inside it, so the sort
     # below runs on the few overlapping bases instead of every paired entry
     bounds = np.searchsorted(flat_rid, np.arange(n_kept + 1))
+
+    def _tweak(ix, iy, am):
+        qa = Qcat[ix].astype(np.int64)
+        qb = Qcat[iy].astype(np.int64)
+        same = (Scat[ix] & 0xDF) == (Scat[iy] & 0xDF)
+        bm = 1 - am
+        qsum = np.minimum(qa + qb, 200)
+        frac_a = (qa * 8) // 10  # int(0.8*q) for q >= 0
+        frac_b = (qb * 8) // 10
+        Qcat[ix] = np.where(same, qsum * am,
+                            np.where(qa > qb, frac_a,
+                                     np.where(qa < qb, 0, frac_a * am)))
+        Qcat[iy] = np.where(same, qsum * bm,
+                            np.where(qa > qb, 0,
+                                     np.where(qa < qb, frac_b, frac_b * bm)))
+
+    if not os.environ.get("PANMAP_TPU_NO_NATIVE"):
+        # native two-pointer merge over each pair's entry ranges replaces
+        # the global (pair, refpos) key sort (~12M rows on the sars demo,
+        # was the genotype stage's hottest section); identical match set —
+        # a common position is necessarily inside both mates' extents
+        from ..native import pair_overlap_match_native
+
+        nat = pair_overlap_match_native(flat_p, aqi, bounds, mi, mj, a_read)
+        if nat is not None:
+            ixn, iyn, prn = nat
+            if len(ixn):
+                _tweak(ixn, iyn, amv[prn])
+            return
     has_e = bounds[1:] > bounds[:-1]
     first_p = np.full(n_kept, np.int64(n))
     last_p = np.full(n_kept, np.int64(-1))
@@ -396,20 +426,7 @@ def _apply_overlap_tweaks_flat(pairedok, qnames, rs_arr, flat_p, aqi,
     ex = np.where(is_a1, e1, e2)  # entry from mate 'a' (leftmost)
     ey = np.where(is_a1, e2, e1)
     ix, iy = aqi[ex], aqi[ey]
-    qa = Qcat[ix].astype(np.int64)
-    qb = Qcat[iy].astype(np.int64)
-    same = (Scat[ix] & 0xDF) == (Scat[iy] & 0xDF)
-    am = amul_of[flat_rid[ex]]
-    bm = 1 - am
-    qsum = np.minimum(qa + qb, 200)
-    frac_a = (qa * 8) // 10  # int(0.8*q) for q >= 0
-    frac_b = (qb * 8) // 10
-    Qcat[ix] = np.where(same, qsum * am,
-                        np.where(qa > qb, frac_a,
-                                 np.where(qa < qb, 0, frac_a * am)))
-    Qcat[iy] = np.where(same, qsum * bm,
-                        np.where(qa > qb, 0,
-                                 np.where(qa < qb, frac_b, frac_b * bm)))
+    _tweak(ix, iy, amul_of[flat_rid[ex]])
 
 
 def _apply_overlap_tweaks(reads: list):

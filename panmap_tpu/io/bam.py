@@ -329,18 +329,25 @@ def encode_bam_columnar(pos, flag, mapq, mtid, mpos, tlen, ref_span,
                      np.ascontiguousarray(cig_stream, "<u4").view(np.uint8))
     cur = cur + 4 * ncig
     # nibble packing over the whole oriented seq blob, per record parity
-    codes = _NT16_LUT[seq_blob]
-    nib_off = np.concatenate(([0], np.cumsum(nib_len)))
-    total_nib = int(nib_off[-1])
-    rec_of = np.repeat(np.arange(n), nib_len)
-    local = np.arange(total_nib) - np.repeat(nib_off[:-1], nib_len)
-    i0 = seq_off[:-1][rec_of] + 2 * local
-    i1 = i0 + 1
-    pad = i1 >= seq_off[:-1][rec_of] + lseq[rec_of]
-    hi4 = codes[i0]
-    lo4 = np.where(pad, 0, codes[np.minimum(i1, max(len(codes) - 1, 0))])
-    nibbles = ((hi4 << 4) | lo4).astype(np.uint8)
-    _scatter_section(out, cur, nib_len, nibbles)
+    from ..native import pack_nibbles_native
+
+    if pack_nibbles_native(np.asarray(seq_blob, np.uint8),
+                           np.asarray(seq_off, np.int64), _NT16_LUT, out,
+                           np.asarray(cur, np.int64)):
+        pass  # packed straight into the record stream
+    else:
+        codes = _NT16_LUT[seq_blob]
+        nib_off = np.concatenate(([0], np.cumsum(nib_len)))
+        total_nib = int(nib_off[-1])
+        rec_of = np.repeat(np.arange(n), nib_len)
+        local = np.arange(total_nib) - np.repeat(nib_off[:-1], nib_len)
+        i0 = seq_off[:-1][rec_of] + 2 * local
+        i1 = i0 + 1
+        pad = i1 >= seq_off[:-1][rec_of] + lseq[rec_of]
+        hi4 = codes[i0]
+        lo4 = np.where(pad, 0, codes[np.minimum(i1, max(len(codes) - 1, 0))])
+        nibbles = ((hi4 << 4) | lo4).astype(np.uint8)
+        _scatter_section(out, cur, nib_len, nibbles)
     cur = cur + nib_len
     _scatter_section(out, cur, lseq, qual_blob)
     return out.tobytes()

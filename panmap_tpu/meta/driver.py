@@ -73,6 +73,7 @@ class MetaConfig:
     write_read_scores_unfiltered: bool = False
     write_read_scores_filtered: bool = False
     leaves_only: bool = False
+    em_candidates: str = ""  # dev: file of node ids; restrict the EM to them
     threads: int = 0
     stop: str = ""
     log: object = print
@@ -216,6 +217,22 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
                 break
         candidates.append(n)
     cfg.log(f"[meta] {len(candidates)} candidate nodes from overlap coefficients")
+    if cfg.em_candidates:
+        # dev restriction (--em-candidates): pin the EM's haplotype columns
+        # to an explicit node list — used by the demo-2 golden surrogate gate
+        # (tools/check_examples.sh) to measure EM precision on the golden
+        # haplotype set independent of candidate-selection ambiguity
+        want = [ln.split("\t")[0].strip() for ln in open(cfg.em_candidates)
+                if ln.strip()]
+        id_of = {nm: i for i, nm in enumerate(midx.node_ids)}
+        missing = [nm for nm in want if nm not in id_of]
+        if missing:
+            cfg.log(f"[meta] error: --em-candidates names not in the panman: "
+                    f"{missing[:3]}")
+            return 1
+        candidates = [id_of[nm] for nm in want]
+        cfg.log(f"[meta] EM candidates pinned to {len(candidates)} nodes "
+                f"(--em-candidates)")
 
     t0 = time.time()
     score_fn = (scorer.score_all_pseudo if cfg.pseudochain

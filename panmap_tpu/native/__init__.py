@@ -341,6 +341,58 @@ def rolling_syncmers_native(b: np.ndarray, k: int, s: int, t: int,
     return hashes, is_rev.astype(bool), is_sync.astype(bool)
 
 
+def pack_nibbles_native(seq_blob, seq_off, lut, out, dst_off) -> bool:
+    """BAM 4-bit base packing straight into the record stream; False when
+    the native library is unavailable (callers run the numpy oracle)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_pack_nibbles"):
+        return False
+    if not hasattr(lib, "_pn_ready"):
+        lib.pt_pack_nibbles.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib._pn_ready = True
+    seq_blob = _cbuf(seq_blob, np.uint8)
+    seq_off = _cbuf(seq_off, np.int64)
+    lut = _cbuf(lut, np.uint8)
+    dst_off = _cbuf(dst_off, np.int64)
+    lib.pt_pack_nibbles(seq_blob.ctypes.data, seq_off.ctypes.data,
+                        len(seq_off) - 1, lut.ctypes.data, out.ctypes.data,
+                        dst_off.ctypes.data)
+    return True
+
+
+def pair_overlap_match_native(flat_p, aqi, bounds, mi, mj, a_read):
+    """Native mate-overlap matcher: per proper pair, two-pointer merge of
+    the mates' flat pileup entry ranges; returns (ix, iy) qual indices of
+    entries at common ref positions ('a' mate first), or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_pair_overlap_match"):
+        return None
+    if not hasattr(lib, "_pom_ready"):
+        lib.pt_pair_overlap_match.argtypes = [ctypes.c_void_p] * 5 + [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.pt_pair_overlap_match.restype = ctypes.c_int64
+        lib._pom_ready = True
+    flat_p = _cbuf(flat_p, np.int64)
+    aqi = _cbuf(aqi, np.int64)
+    bounds = _cbuf(bounds, np.int64)
+    mi = _cbuf(mi, np.int64)
+    mj = _cbuf(mj, np.int64)
+    a_read = _cbuf(a_read, np.uint8)
+    lens = bounds[1:] - bounds[:-1]
+    cap = int(np.minimum(lens[mi], lens[mj]).sum()) if len(mi) else 0
+    ix = np.empty(max(cap, 1), np.int64)
+    iy = np.empty(max(cap, 1), np.int64)
+    pr = np.empty(max(cap, 1), np.int64)
+    n = lib.pt_pair_overlap_match(
+        flat_p.ctypes.data, aqi.ctypes.data, bounds.ctypes.data,
+        mi.ctypes.data, mj.ctypes.data, len(mi), a_read.ctypes.data,
+        ix.ctypes.data, iy.ctypes.data, pr.ctypes.data)
+    return ix[:n], iy[:n], pr[:n]
+
+
 def rolling_syncmers_multi_native(seq, begs, ends, k, s, t, open_):
     """Multi-range twin of rolling_syncmers_native: scans seq[beg:end+1] for
     each range, results concatenated; returns (hashes, is_rev u8, is_sync

@@ -3483,3 +3483,61 @@ void pt_rolling_syncmers_multi(const uint8_t* seq, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Mate-overlap entry matching (genotype/caller.py::_apply_overlap_tweaks_flat
+// core): for each proper pair (mi[p], mj[p]) walk the two mates' flat pileup
+// entry ranges (sorted by ref position within each read) with two pointers,
+// emitting the qual-array indices (aqi) of entries at COMMON ref positions —
+// 'a' mate (leftmost, a_read flag) first.  Replaces a stable argsort over
+// every paired entry (~12M rows on the sars demo).
+int64_t pt_pair_overlap_match(const int64_t* flat_p, const int64_t* aqi,
+                              const int64_t* bounds, const int64_t* mi,
+                              const int64_t* mj, int64_t npairs,
+                              const uint8_t* a_read,
+                              int64_t* out_ix, int64_t* out_iy,
+                              int64_t* out_pair) {
+    int64_t out = 0;
+    for (int64_t p = 0; p < npairs; ++p) {
+        int64_t ra = mi[p], rb = mj[p];
+        int64_t ia = bounds[ra], ea = bounds[ra + 1];
+        int64_t ib = bounds[rb], eb = bounds[rb + 1];
+        bool a_is_ra = a_read[ra] != 0;
+        while (ia < ea && ib < eb) {
+            int64_t pa = flat_p[ia], pb = flat_p[ib];
+            if (pa < pb) {
+                ++ia;
+            } else if (pb < pa) {
+                ++ib;
+            } else {
+                out_ix[out] = aqi[a_is_ra ? ia : ib];
+                out_iy[out] = aqi[a_is_ra ? ib : ia];
+                out_pair[out] = p;
+                ++out; ++ia; ++ib;
+            }
+        }
+    }
+    return out;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// BAM 4-bit sequence packing (io/bam.py::encode_bam_columnar nibble block):
+// per record, LUT-map the ASCII bases and pack two per byte straight into
+// the output BAM stream at dst_off[i] — replaces an 8-op fancy-index chain
+// over the whole base blob.
+void pt_pack_nibbles(const uint8_t* seq, const int64_t* seq_off, int64_t n,
+                     const uint8_t* lut, uint8_t* dst,
+                     const int64_t* dst_off) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = seq_off[i], e = seq_off[i + 1], d = dst_off[i];
+        for (int64_t j = s; j + 1 < e; j += 2)
+            dst[d++] = (uint8_t)((lut[seq[j]] << 4) | lut[seq[j + 1]]);
+        if ((e - s) & 1) dst[d] = (uint8_t)(lut[seq[e - 1]] << 4);
+    }
+}
+
+}  // extern "C"

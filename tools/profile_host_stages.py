@@ -57,6 +57,8 @@ class Cfg:
     mutation_matrix = ""
     min_depth = 1
     min_qual = 30.0
+    min_read_support = 2
+    device_pileup = "off"
 
 
 import types
