@@ -253,6 +253,7 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
             os.environ["PANMAP_PALLAS"] = "0"  # align stage: stay off-device
             cfg.device_place = False
     fin0 = None
+    race_box = None
     if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
         # DEFAULT: device row-delta scoring + widened tie selection, exact
         # f64 path-replay rescue of the candidates, guarded per query (see
@@ -260,17 +261,80 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
         # the full f64 host engine runs instead.
         # dump-all-scores/refine need the full f64 matrix: host engine.
         try:
-            fin0 = _get_placer(idx, cfg).place_exact_async(
-                sk, force_leaf=cfg.force_leaf)
+            placer = _get_placer(idx, cfg)
+            fin0 = placer.place_exact_async(sk, force_leaf=cfg.force_leaf)
         except Exception as e:  # device unavailable/capacity: host fallback
             cfg.log(f"[place] device path unavailable ({e}); host engine")
             fin0 = None
+        if (fin0 is not None and not getattr(placer, "_race_warmed", False)
+                and os.environ.get("PANMAP_PLACE_RACE", "1") != "0"):
+            # COLD-DISPATCH RACE: over a remote accelerator link the first
+            # dispatch pays XLA compile (tens of seconds when the persistent
+            # cache misses); the host f64 engine answers the same single
+            # query in a few seconds and is byte-identical by contract, so
+            # run it concurrently and take whichever finishes first.  Warm
+            # placers (second sample onward, or a local chip) skip the race.
+            from .utils.devinit import local_accelerator_attached
+
+            if (os.environ.get("PALLAS_AXON_POOL_IPS")
+                    and not local_accelerator_attached()):
+                import threading as _th
+
+                race_box = {"ev": _th.Event()}
+
+                def _host_race():
+                    try:
+                        race_box["res"] = score_nodes(
+                            idx, sk, force_leaf=cfg.force_leaf)
+                    except Exception as e:  # surfaced via finish()
+                        race_box["err"] = e
+                    race_box["ev"].set()
+
+                _th.Thread(target=_host_race, daemon=True,
+                           name="place-host-race").start()
 
     n_seqs = len(seqs)
 
     def finish():
         res = None
-        if fin0 is not None:
+        if fin0 is not None and race_box is not None:
+            import queue
+            import threading as _th
+
+            q: queue.Queue = queue.Queue()
+
+            def _dev():
+                try:
+                    q.put(("dev", fin0(), None))
+                except Exception as e:
+                    q.put(("dev", None, e))
+
+            _th.Thread(target=_dev, daemon=True,
+                       name="place-dev-race").start()
+
+            def _host_watch():
+                race_box["ev"].wait()
+                q.put(("host", race_box.get("res"), race_box.get("err")))
+
+            _th.Thread(target=_host_watch, daemon=True).start()
+            for _ in range(2):
+                tag, r, err = q.get()
+                if tag == "dev":
+                    if r is not None:
+                        res = r
+                        placer._race_warmed = True
+                        break
+                    cfg.log("[place] device path "
+                            f"{'failed: ' + str(err) if err else 'inconclusive'}"
+                            "; host engine result")
+                elif err is None and r is not None:
+                    cfg.log("[place] host engine won the cold-dispatch race "
+                            "(device compile in flight; identical result)")
+                    res = r
+                    break
+            if res is None and "err" in race_box:
+                raise race_box["err"]
+        elif fin0 is not None:
             try:
                 res = fin0()
             except Exception as e:

@@ -992,3 +992,41 @@ def test_incremental_meta_mode_matches_oracle():
         if x is None:
             continue
         assert np.array_equal(np.asarray(x), np.asarray(getattr(b, f))), f
+
+
+def test_place_cold_dispatch_race_identical(rsv_index, outdir, monkeypatch):
+    """The cold-dispatch race (pipeline.run_placement: host f64 engine vs
+    the in-flight device program over a remote link) must produce the
+    byte-identical placement regardless of which side wins.  Simulated by
+    flagging the env as a remote pool AFTER the CPU backend is already up —
+    the race engages, the 'device' leg runs on XLA:CPU, and both legs are
+    raced for real."""
+    from panmap_tpu.io.index_io import load_index
+    from panmap_tpu.pipeline import PipelineConfig, run_placement
+
+    idx = load_index(rsv_index)
+    reads = f"{DATA}/MZ515733.1.fastq"
+
+    def one(tag, race):
+        if race:
+            monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "203.0.113.1")
+            monkeypatch.delenv("TPU_NAME", raising=False)
+        else:
+            monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+        cfg = PipelineConfig(panman=PANMAN, reads1=reads,
+                             output=str(outdir / f"race_{tag}"),
+                             index_path=rsv_index)
+        logs = []
+        cfg.log = lambda *a: logs.append(" ".join(map(str, a)))
+        res, best_id, _ = run_placement(cfg, idx)
+        return res, best_id, logs
+
+    r0, b0, _ = one("base", race=False)
+    r1, b1, logs = one("race", race=True)
+    assert b1 == b0
+    from panmap_tpu.place.engine import METRICS
+
+    for m in METRICS:
+        assert r1.best_index[m] == r0.best_index[m], m
+        assert r1.best_score[m] == r0.best_score[m], m
+        assert r1.tied_indices[m] == r0.tied_indices[m], m
