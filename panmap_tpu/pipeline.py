@@ -108,6 +108,27 @@ def default_prefix(reads1: str) -> str:
     return base or "sample"
 
 
+def index_cache_ready(cfg: PipelineConfig) -> bool:
+    """Cheap header-only check that ensure_index will LOAD (not build) —
+    safe to start the device-backend warmup before calling it (a build
+    forks workers, which must never inherit a live device client)."""
+    path = cfg.index_path or cfg.index_out or cfg.panman + ".ptidx.npz"
+    if cfg.reindex or not os.path.exists(path):
+        return False
+    try:
+        with open(path, "rb") as fh:
+            if fh.read(4) == b"PMI1":
+                return True
+        want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open,
+                    hpc=cfg.hpc, flank_mask_bp=cfg.flank_mask_bp,
+                    impute_amb=cfg.impute, extent_guard=cfg.extent_guard)
+        hdr = read_index_params(path)
+        return (all(hdr.get(key, False) == val for key, val in want.items())
+                and os.path.getmtime(path) >= os.path.getmtime(cfg.panman))
+    except Exception:
+        return False
+
+
 def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     """Build-or-load the index next to the panman (cache semantics of
     main.cpp:371-396: params must match, index newer than panman)."""
@@ -1161,6 +1182,14 @@ def _run_pipeline_inner(cfg: PipelineConfig):
     if cfg.batch_file:
         return run_batch(cfg)
     tree = None
+    if cfg.reads1 and cfg.stop != "index" and index_cache_ready(cfg):
+        # cached index -> ensure_index will not fork build workers, so the
+        # backend handshake (~import jax + client construction, the longest
+        # serial prefix of a warm run) can start NOW and ride under the
+        # index load + read parse + host sketch
+        from .utils.devinit import warm_backend_async
+
+        warm_backend_async()
     idx, tree = ensure_index(cfg, tree)
     if cfg.export_ref_idx:
         from .io.refidx import write_ref_index
