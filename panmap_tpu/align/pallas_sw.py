@@ -46,6 +46,10 @@ from .core import END_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 I16 = jnp.int16
 NEG = -(1 << 14)  # i16 floor with headroom for GAP_OPEN + row gap_pen offsets
+# int16 state is the default (2x lane density); if Mosaic rejects an i16 op
+# on some hardware/toolchain, banded_sw_scores retries once with int32 and
+# pins it for the process (same kernel code, dtype threaded through).
+_DT_FALLBACK = {"state": None}
 TILE = 128  # read/window pairs per grid step
 ROWS = 16  # DP rows per grid step (amortizes per-step grid overhead)
 
@@ -62,83 +66,86 @@ def _row_max_scan(x):
     return x
 
 
-def _sw_kernel(q_ref, r_ref, qlen_ref, out_ref,
-               h_scr, f_scr, bs_scr, bi_scr, bj_scr):
-    """ROWS sequential DP rows for a TILE of (query, window) pairs per grid
-    step (the row recurrence is serial — batch and window lanes are the
-    parallelism).  State carries across the row-grid dimension in VMEM
-    scratch; everything row-shaped is int16."""
-    ib = pl.program_id(1)
-    n_steps = pl.num_programs(1)
-    lw = r_ref.shape[1]
-    lq = q_ref.shape[1]
-    qlen = qlen_ref[:, 0]  # [TILE] i32
+def _make_sw_kernel(I16):
+    def _sw_kernel(q_ref, r_ref, qlen_ref, out_ref,
+                   h_scr, f_scr, bs_scr, bi_scr, bj_scr):
+        """ROWS sequential DP rows for a TILE of (query, window) pairs per
+        grid step (the row recurrence is serial — batch and window lanes are
+        the parallelism).  State carries across the row-grid dimension in
+        VMEM scratch; everything row-shaped is the state dtype (i16
+        default, i32 fallback)."""
+        ib = pl.program_id(1)
+        n_steps = pl.num_programs(1)
+        lw = r_ref.shape[1]
+        lq = q_ref.shape[1]
+        qlen = qlen_ref[:, 0]  # [TILE] i32
 
-    r_codes = r_ref[:]  # (TILE, LW) i16
-    idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, lw), 1)
-    idx16 = idx.astype(I16)
-    gap_pen = (idx * GAP_EXT).astype(I16)
-    ext_off = jnp.maximum(gap_pen - I16(GAP_EXT), I16(0))
+        r_codes = r_ref[:]  # (TILE, LW) i16
+        idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, lw), 1)
+        idx16 = idx.astype(I16)
+        gap_pen = (idx * GAP_EXT).astype(I16)
+        ext_off = jnp.maximum(gap_pen - I16(GAP_EXT), I16(0))
 
-    # all ROWS query codes for this step in one MXU matvec:
-    # (TILE, LQ) x (LQ, ROWS) one-hot -> (TILE, ROWS)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (lq, ROWS), 0)
-    colid = jax.lax.broadcasted_iota(jnp.int32, (lq, ROWS), 1)
-    sel = (rowid == ib * ROWS + colid).astype(jnp.float32)
-    qc_all = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    qc_all = qc_all.astype(I16)  # (TILE, ROWS) query codes
+        # all ROWS query codes for this step in one MXU matvec:
+        # (TILE, LQ) x (LQ, ROWS) one-hot -> (TILE, ROWS)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (lq, ROWS), 0)
+        colid = jax.lax.broadcasted_iota(jnp.int32, (lq, ROWS), 1)
+        sel = (rowid == ib * ROWS + colid).astype(jnp.float32)
+        qc_all = jax.lax.dot_general(q_ref[:], sel, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        qc_all = qc_all.astype(I16)  # (TILE, ROWS) query codes
 
-    @pl.when(ib == 0)
-    def _init():
-        h_scr[:] = jnp.full((TILE, lw), END_BONUS, I16)
-        f_scr[:] = jnp.full((TILE, lw), NEG, I16)
-        bs_scr[:] = jnp.zeros((TILE, 128), I16)
-        bi_scr[:] = jnp.zeros((TILE, 128), I16)
-        bj_scr[:] = jnp.zeros((TILE, 128), I16)
+        @pl.when(ib == 0)
+        def _init():
+            h_scr[:] = jnp.full((TILE, lw), END_BONUS, I16)
+            f_scr[:] = jnp.full((TILE, lw), NEG, I16)
+            bs_scr[:] = jnp.zeros((TILE, 128), I16)
+            bi_scr[:] = jnp.zeros((TILE, 128), I16)
+            bj_scr[:] = jnp.zeros((TILE, 128), I16)
 
-    for r in range(ROWS):
-        i = ib * ROWS + r
-        h_prev = h_scr[:]
-        f_prev = f_scr[:]
-        qc = qc_all[:, r: r + 1]  # (TILE, 1) static lane slice
-        sub = jnp.where((r_codes == qc) & (qc < 4),
-                        I16(MATCH), I16(-MISMATCH))
-        f_row = jnp.maximum(h_prev - I16(GAP_OPEN), f_prev - I16(GAP_EXT))
-        # boundary column (numpy's j=0): END_BONUS on row 0, local floor
-        first_val = jnp.where(i == 0, END_BONUS, 0).astype(I16)
-        diag = jnp.concatenate(
-            [jnp.zeros((TILE, 1), I16) + first_val,
-             h_prev[:, : lw - 1]], axis=1) + sub
-        base = jnp.maximum(jnp.maximum(diag, f_row), I16(0))
-        pm = _row_max_scan(base + gap_pen)
-        pm_shift = jnp.pad(pm, ((0, 0), (1, 0)),
-                           constant_values=NEG)[:, :lw]
-        e_row = pm_shift - I16(GAP_OPEN) - ext_off
-        h_row = jnp.maximum(base, e_row)
-        h_scr[:] = h_row
-        f_scr[:] = f_row
+        for r in range(ROWS):
+            i = ib * ROWS + r
+            h_prev = h_scr[:]
+            f_prev = f_scr[:]
+            qc = qc_all[:, r: r + 1]  # (TILE, 1) static lane slice
+            sub = jnp.where((r_codes == qc) & (qc < 4),
+                            I16(MATCH), I16(-MISMATCH))
+            f_row = jnp.maximum(h_prev - I16(GAP_OPEN), f_prev - I16(GAP_EXT))
+            # boundary column (numpy's j=0): END_BONUS on row 0, local floor
+            first_val = jnp.where(i == 0, END_BONUS, 0).astype(I16)
+            diag = jnp.concatenate(
+                [jnp.zeros((TILE, 1), I16) + first_val,
+                 h_prev[:, : lw - 1]], axis=1) + sub
+            base = jnp.maximum(jnp.maximum(diag, f_row), I16(0))
+            pm = _row_max_scan(base + gap_pen)
+            pm_shift = jnp.pad(pm, ((0, 0), (1, 0)),
+                               constant_values=NEG)[:, :lw]
+            e_row = pm_shift - I16(GAP_OPEN) - ext_off
+            h_row = jnp.maximum(base, e_row)
+            h_scr[:] = h_row
+            f_scr[:] = f_row
 
-        in_query = (i < qlen)[:, None]
-        bonus = jnp.where(i == qlen - 1, END_BONUS, 0).astype(I16)[:, None]
-        rowmax = jnp.max(h_row, axis=1, keepdims=True)
-        row_best = rowmax + bonus
-        # int argmax is unsupported in Mosaic: masked min-index first-match
-        jrow = jnp.min(jnp.where(h_row == rowmax, idx16, I16(lw)),
-                       axis=1, keepdims=True)
-        better = in_query & (row_best > bs_scr[:])  # lanes equal: safe
-        bs_scr[:] = jnp.where(better, row_best, bs_scr[:])
-        bi_scr[:] = jnp.where(better, I16(i + 1), bi_scr[:])
-        bj_scr[:] = jnp.where(better, jrow + I16(1), bj_scr[:])
+            in_query = (i < qlen)[:, None]
+            bonus = jnp.where(i == qlen - 1, END_BONUS, 0).astype(I16)[:, None]
+            rowmax = jnp.max(h_row, axis=1, keepdims=True)
+            row_best = rowmax + bonus
+            # int argmax is unsupported in Mosaic: masked min-index first-match
+            jrow = jnp.min(jnp.where(h_row == rowmax, idx16, I16(lw)),
+                           axis=1, keepdims=True)
+            better = in_query & (row_best > bs_scr[:])  # lanes equal: safe
+            bs_scr[:] = jnp.where(better, row_best, bs_scr[:])
+            bi_scr[:] = jnp.where(better, I16(i + 1), bi_scr[:])
+            bj_scr[:] = jnp.where(better, jrow + I16(1), bj_scr[:])
 
-    @pl.when(ib == n_steps - 1)
-    def _emit():
-        colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
-        out_ref[:] = jnp.where(
-            colid == 0, bs_scr[:].astype(jnp.int32),
-            jnp.where(colid == 1, bi_scr[:].astype(jnp.int32),
-                      jnp.where(colid == 2, bj_scr[:].astype(jnp.int32), 0)))
+        @pl.when(ib == n_steps - 1)
+        def _emit():
+            colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+            out_ref[:] = jnp.where(
+                colid == 0, bs_scr[:].astype(jnp.int32),
+                jnp.where(colid == 1, bi_scr[:].astype(jnp.int32),
+                          jnp.where(colid == 2, bj_scr[:].astype(jnp.int32), 0)))
 
+    return _sw_kernel
 
 def _pad_to(x, mult, axis, fill):
     pad = (-x.shape[axis]) % mult
@@ -159,26 +166,34 @@ def banded_sw_scores(q_batch, r_batch, qlens, interpret: bool = False):
     q_batch = _pad_to(_pad_to(q_batch, 128, 1, 4), TILE, 0, 4)
     r_batch = _pad_to(_pad_to(r_batch, 128, 1, 4), TILE, 0, 4)
     qlens = _pad_to(qlens, TILE, 0, 0)
-    out = _sw_call(
-        jnp.asarray(q_batch.astype(np.int8)),
-        jnp.asarray(r_batch.astype(np.int8)),
-        jnp.asarray(qlens),
-        interpret,
-    )
+    args = (jnp.asarray(q_batch.astype(np.int8)),
+            jnp.asarray(r_batch.astype(np.int8)),
+            jnp.asarray(qlens))
+    wide = _DT_FALLBACK["state"] == "int32"
+    try:
+        out = _sw_call(*args, interpret, wide)
+    except Exception:
+        if wide or interpret:
+            raise
+        # Mosaic rejected the i16 formulation on this hardware/toolchain:
+        # retry once with i32 state (identical math, half density) and pin
+        _DT_FALLBACK["state"] = "int32"
+        out = _sw_call(*args, interpret, True)
     return np.asarray(out)[:B0, :3]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sw_call(q8, r8, qlens1, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "wide"))
+def _sw_call(q8, r8, qlens1, interpret, wide=False):
     # int8 over the host link (the axon tunnel is the bottleneck), widened here
+    dt = jnp.int32 if wide else I16
     q = q8.astype(jnp.float32)  # MXU operand for the one-hot row extraction
-    r = r8.astype(I16)
+    r = r8.astype(dt)
     qlens = jnp.repeat(qlens1[:, None], 128, axis=1)
     B, LQ = q.shape
     LW = r.shape[1]
     grid = (B // TILE, LQ // ROWS)
     return pl.pallas_call(
-        _sw_kernel,
+        _make_sw_kernel(dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, LQ), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
@@ -189,11 +204,11 @@ def _sw_call(q8, r8, qlens1, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((TILE, LW), I16),
-            pltpu.VMEM((TILE, LW), I16),
-            pltpu.VMEM((TILE, 128), I16),
-            pltpu.VMEM((TILE, 128), I16),
-            pltpu.VMEM((TILE, 128), I16),
+            pltpu.VMEM((TILE, LW), dt),
+            pltpu.VMEM((TILE, LW), dt),
+            pltpu.VMEM((TILE, 128), dt),
+            pltpu.VMEM((TILE, 128), dt),
+            pltpu.VMEM((TILE, 128), dt),
         ],
         interpret=interpret,
     )(q, r, qlens)
