@@ -172,13 +172,19 @@ def banded_sw_scores(q_batch, r_batch, qlens, interpret: bool = False):
     wide = _DT_FALLBACK["state"] == "int32"
     try:
         out = _sw_call(*args, interpret, wide)
-    except Exception:
+    except Exception as first_err:
         if wide or interpret:
             raise
-        # Mosaic rejected the i16 formulation on this hardware/toolchain:
-        # retry once with i32 state (identical math, half density) and pin
+        # maybe Mosaic rejected the i16 formulation on this hardware/
+        # toolchain: retry once with i32 state (identical math, half
+        # density) and pin it ONLY if the retry succeeds — a transient
+        # failure (OOM, dropped link) re-raises the ORIGINAL error and
+        # leaves the default dtype alone
+        try:
+            out = _sw_call(*args, interpret, True)
+        except Exception:
+            raise first_err
         _DT_FALLBACK["state"] = "int32"
-        out = _sw_call(*args, interpret, True)
     return np.asarray(out)[:B0, :3]
 
 

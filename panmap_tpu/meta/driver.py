@@ -222,8 +222,13 @@ def run_meta(cfg: MetaConfig, midx: MetaIndexArrays | None = None) -> int:
         # to an explicit node list — used by the demo-2 golden surrogate gate
         # (tools/check_examples.sh) to measure EM precision on the golden
         # haplotype set independent of candidate-selection ambiguity
-        want = [ln.split("\t")[0].strip() for ln in open(cfg.em_candidates)
-                if ln.strip()]
+        try:
+            with open(cfg.em_candidates) as fh:
+                want = [ln.split("\t")[0].strip() for ln in fh if ln.strip()]
+        except OSError as exc:
+            cfg.log(f"[meta] error: --em-candidates unreadable: {exc}")
+            return 1
+        want = list(dict.fromkeys(want))  # dedup, order-preserving
         id_of = {nm: i for i, nm in enumerate(midx.node_ids)}
         missing = [nm for nm in want if nm not in id_of]
         if missing:

@@ -108,17 +108,13 @@ def default_prefix(reads1: str) -> str:
     return base or "sample"
 
 
-def index_cache_ready(cfg: PipelineConfig) -> bool:
-    """Cheap header-only check that ensure_index will LOAD (not build) —
-    safe to start the device-backend warmup before calling it (a build
-    forks workers, which must never inherit a live device client)."""
-    path = cfg.index_path or cfg.index_out or cfg.panman + ".ptidx.npz"
+def _npz_cache_usable(cfg: PipelineConfig, path: str) -> bool:
+    """ONE definition of ensure_index's load-vs-build predicate (params must
+    match, index newer than panman) — shared with index_cache_ready so the
+    early backend warmup can never fire before a build that forks."""
     if cfg.reindex or not os.path.exists(path):
         return False
     try:
-        with open(path, "rb") as fh:
-            if fh.read(4) == b"PMI1":
-                return True
         want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open,
                     hpc=cfg.hpc, flank_mask_bp=cfg.flank_mask_bp,
                     impute_amb=cfg.impute, extent_guard=cfg.extent_guard)
@@ -127,6 +123,24 @@ def index_cache_ready(cfg: PipelineConfig) -> bool:
                 and os.path.getmtime(path) >= os.path.getmtime(cfg.panman))
     except Exception:
         return False
+
+
+def index_cache_ready(cfg: PipelineConfig) -> bool:
+    """Cheap header-only check that ensure_index will LOAD (not build) —
+    safe to start the device-backend warmup before calling it (a build
+    forks workers, which must never inherit a live device client)."""
+    path = cfg.index_path or cfg.index_out or cfg.panman + ".ptidx.npz"
+    # ensure_index honors a reference-built PMI1 .idx only via --index
+    # (cfg.index_path); a PMI1 file at any other location falls through to
+    # a BUILD, so it must not green-light the warmup
+    if cfg.index_path and os.path.exists(cfg.index_path):
+        try:
+            with open(cfg.index_path, "rb") as fh:
+                if fh.read(4) == b"PMI1":
+                    return True
+        except Exception:
+            return False
+    return _npz_cache_usable(cfg, path)
 
 
 def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
@@ -166,16 +180,9 @@ def ensure_index(cfg: PipelineConfig, tree: PanmanTree | None = None):
     want = dict(k=cfg.k, s=cfg.s, t=cfg.t, l=cfg.l, open=cfg.open, hpc=cfg.hpc,
                 flank_mask_bp=cfg.flank_mask_bp, impute_amb=cfg.impute,
                 extent_guard=cfg.extent_guard)
+
     def _cache_usable():
-        if not os.path.exists(path) or cfg.reindex:
-            return False
-        try:
-            hdr = read_index_params(path)
-            return (all(hdr.get(key, False) == val
-                        for key, val in want.items())
-                    and os.path.getmtime(path) >= os.path.getmtime(cfg.panman))
-        except Exception:
-            return False
+        return _npz_cache_usable(cfg, path)
 
     if _cache_usable():
         return load_index(path), tree
@@ -353,8 +360,9 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
                             "(device compile in flight; identical result)")
                     res = r
                     break
-            if res is None and "err" in race_box:
-                raise race_box["err"]
+            # both legs failed/inconclusive: fall through to the serial
+            # host engine below, exactly like the non-race path (a race-leg
+            # error must not make placement LESS robust than no race)
         elif fin0 is not None:
             try:
                 res = fin0()

@@ -8,9 +8,12 @@ import re
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.e2e
-
 DATA = "/root/reference/src/test/data"
+
+pytestmark = ([pytest.mark.e2e] if os.path.isdir(DATA) else
+              [pytest.mark.e2e,
+               pytest.mark.skip(reason="reference test data not present "
+                                       "on this machine")])
 PANMAN = f"{DATA}/rsv_4K.panman"
 CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
 IDX = os.path.join(CACHE, "rsv4k.ptidx.npz")
