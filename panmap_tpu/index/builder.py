@@ -1280,33 +1280,42 @@ def _incremental_meta_delta(p_pos, p_hash, p_rev, pk, keep, add_pos,
     else:
         inr = np.zeros(0, bool)
     # child windows whose start position falls in the ranges: recomputed
-    parts_pos, parts_hash, parts_rev, parts_end = [], [], [], []
-    nwc = len(c_pos) - l + 1
-    for t0, t1 in zip(t0s.tolist(), t1s.tolist()):
-        if nwc <= 0:
-            break
-        w0 = int(np.searchsorted(c_pos, t0, side="left"))
-        w1 = min(int(np.searchsorted(c_pos, t1, side="right")) - 1, nwc - 1)
-        if w0 > w1:
-            continue
-        km, valid, kmr = kminmer_hashes_oriented(
-            c_hash[w0 : w1 + l], k, l, c_rev[w0 : w1 + l])
-        kpos = c_pos[w0 : w0 + len(km)][valid]
-        last = c_pos[w0 + l - 1 : w0 + l - 1 + len(km)][valid]
-        parts_pos.append(kpos)
-        parts_hash.append(km[valid])
-        parts_rev.append(kmr[valid])
-        parts_end.append(_km_ends(last, nz, k))
-    if parts_pos:
-        new_pos = np.concatenate(parts_pos)
-        new_hash = np.concatenate(parts_hash)
-        new_rev = np.concatenate(parts_rev)
-        new_end = np.concatenate(parts_end)
-    else:
-        new_pos = np.empty(0, np.int64)
-        new_hash = np.empty(0, U64)
-        new_rev = np.empty(0, bool)
-        new_end = np.empty(0, np.int64)
+    new_pos = new_hash = new_rev = new_end = None
+    if not os.environ.get("PANMAP_TPU_NO_NATIVE"):
+        from ..native import meta_kminmers_native
+
+        nat = meta_kminmers_native(c_pos, c_hash, c_rev, t0s, t1s, nz, k, l)
+        if nat is not None:
+            new_pos, new_hash, new_rev, new_end = nat
+    if new_pos is None:
+        parts_pos, parts_hash, parts_rev, parts_end = [], [], [], []
+        nwc = len(c_pos) - l + 1
+        for t0, t1 in zip(t0s.tolist(), t1s.tolist()):
+            if nwc <= 0:
+                break
+            w0 = int(np.searchsorted(c_pos, t0, side="left"))
+            w1 = min(int(np.searchsorted(c_pos, t1, side="right")) - 1,
+                     nwc - 1)
+            if w0 > w1:
+                continue
+            km, valid, kmr = kminmer_hashes_oriented(
+                c_hash[w0 : w1 + l], k, l, c_rev[w0 : w1 + l])
+            kpos = c_pos[w0 : w0 + len(km)][valid]
+            last = c_pos[w0 + l - 1 : w0 + l - 1 + len(km)][valid]
+            parts_pos.append(kpos)
+            parts_hash.append(km[valid])
+            parts_rev.append(kmr[valid])
+            parts_end.append(_km_ends(last, nz, k))
+        if parts_pos:
+            new_pos = np.concatenate(parts_pos)
+            new_hash = np.concatenate(parts_hash)
+            new_rev = np.concatenate(parts_rev)
+            new_end = np.concatenate(parts_end)
+        else:
+            new_pos = np.empty(0, np.int64)
+            new_hash = np.empty(0, U64)
+            new_rev = np.empty(0, bool)
+            new_end = np.empty(0, np.int64)
     # child positioned arrays: unaffected parent rows + recomputed rows,
     # merged by position (ranges are disjoint and sorted, so the recomputed
     # block is itself position-sorted)

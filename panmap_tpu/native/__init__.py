@@ -341,6 +341,50 @@ def rolling_syncmers_native(b: np.ndarray, k: int, s: int, t: int,
     return hashes, is_rev.astype(bool), is_sync.astype(bool)
 
 
+def meta_kminmers_native(c_pos, c_hash, c_rev, t0s, t1s, nz, k, l):
+    """Positioned k-min-mer recombination over affected ranges (the meta
+    builder's splice loop); returns (pos i64, hash u64, rev bool, end i64)
+    or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pt_meta_kminmers"):
+        return None
+    if not hasattr(lib, "_mk_ready"):
+        lib.pt_meta_kminmers.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.pt_meta_kminmers.restype = ctypes.c_int64
+        lib._mk_ready = True
+    c_pos = _cbuf(c_pos, np.int64)
+    c_hash = _cbuf(c_hash, np.uint64)
+    c_rev = _cbuf(c_rev, np.uint8)
+    t0s = _cbuf(t0s, np.int64)
+    t1s = _cbuf(t1s, np.int64)
+    nz = _cbuf(nz, np.int64)
+    # capacity: total window-span of the ranges (valid rows <= spans)
+    if len(t0s):
+        w0 = np.searchsorted(c_pos, t0s, side="left")
+        w1 = np.minimum(np.searchsorted(c_pos, t1s, side="right") - 1,
+                        max(len(c_pos) - l, 0))
+        cap = int(np.maximum(w1 - w0 + 1, 0).sum())
+    else:
+        cap = 0
+    op = np.empty(max(cap, 1), np.int64)
+    oh = np.empty(max(cap, 1), np.uint64)
+    orv = np.empty(max(cap, 1), np.uint8)
+    oe = np.empty(max(cap, 1), np.int64)
+    n = lib.pt_meta_kminmers(
+        c_pos.ctypes.data, c_hash.ctypes.data, c_rev.ctypes.data,
+        len(c_pos), t0s.ctypes.data, t1s.ctypes.data, len(t0s),
+        nz.ctypes.data, len(nz), int(k), int(l),
+        op.ctypes.data, oh.ctypes.data, orv.ctypes.data, oe.ctypes.data)
+    return (op[:n].copy(), oh[:n].copy(), orv[:n].astype(bool),
+            oe[:n].copy())
+
+
 def pack_nibbles_native(seq_blob, seq_off, lut, out, dst_off) -> bool:
     """BAM 4-bit base packing straight into the record stream; False when
     the native library is unavailable (callers run the numpy oracle)."""

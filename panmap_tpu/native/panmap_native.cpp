@@ -3541,3 +3541,60 @@ void pt_pack_nibbles(const uint8_t* seq, const int64_t* seq_off, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Positioned k-min-mer recombination over affected position ranges (meta
+// builder's _incremental_meta_delta inner loop): for each range [t0, t1]
+// find the child windows whose start position falls inside, emit canonical
+// k-min-mer (hash, rev, pos, end) rows; ends walk k-1 steps on the non-gap
+// grid nz when the last member's start sits on it (builder._km_ends).
+// Returns the row count (caller sizes the buffers at sum of window spans).
+int64_t pt_meta_kminmers(const int64_t* c_pos, const uint64_t* c_hash,
+                         const uint8_t* c_rev, int64_t nc,
+                         const int64_t* t0s, const int64_t* t1s, int64_t nr,
+                         const int64_t* nz, int64_t nnz, int k, int l,
+                         int64_t* out_pos, uint64_t* out_hash,
+                         uint8_t* out_rev, int64_t* out_end) {
+    int64_t out = 0;
+    const int64_t nwc = nc - l + 1;
+    if (nwc <= 0) return 0;
+    for (int64_t r = 0; r < nr; ++r) {
+        int64_t w0 = std::lower_bound(c_pos, c_pos + nc, t0s[r]) - c_pos;
+        int64_t w1 = std::upper_bound(c_pos, c_pos + nc, t1s[r]) - c_pos - 1;
+        if (w1 > nwc - 1) w1 = nwc - 1;
+        for (int64_t w = w0; w <= w1; ++w) {
+            uint64_t km;
+            uint8_t rev;
+            if (l == 1) {
+                km = c_hash[w];
+                rev = c_rev[w];
+            } else {
+                uint64_t F = 0, R = 0;
+                for (int i = 0; i < l; ++i) {
+                    int rr = (k * (l - 1 - i)) & 63;
+                    F ^= rol(c_hash[w + i], rr);
+                    R ^= rol(c_hash[w + l - 1 - i], rr);
+                }
+                if (F == R) continue;  // invalid (palindromic combine)
+                km = F < R ? F : R;
+                rev = R < F;
+            }
+            int64_t last = c_pos[w + l - 1];
+            int64_t end = last + (k - 1);
+            if (nnz) {
+                int64_t ii = std::lower_bound(nz, nz + nnz, last) - nz;
+                if (ii < nnz && nz[ii] == last && ii + k - 1 < nnz)
+                    end = nz[ii + k - 1];
+            }
+            out_pos[out] = c_pos[w];
+            out_hash[out] = km;
+            out_rev[out] = rev;
+            out_end[out] = end;
+            ++out;
+        }
+    }
+    return out;
+}
+
+}  // extern "C"
