@@ -781,25 +781,33 @@ def run_dfs(tree: PanmanTree, params: IndexParams, emit, progress=None,
             dels = []
             if len(p_pos):
                 nz_set = nz
+                # batched walked-range bounds (one searchsorted pair for ALL
+                # ranges instead of two python-level calls per range)
+                wbs = np.fromiter((r[2] for r in ranges), np.int64,
+                                  len(ranges))
+                wes = np.fromiter((r[3] for r in ranges), np.int64,
+                                  len(ranges))
+                los = np.searchsorted(p_pos, wbs, side="left")
+                his = np.searchsorted(p_pos, wes, side="right")
+                cand_parts = [p_pos[lo:hi] for lo, hi in
+                              zip(los.tolist(), his.tolist()) if hi > lo]
+                if cand_parts:
+                    cand = (np.concatenate(cand_parts)
+                            if len(cand_parts) > 1 else cand_parts[0])
+                    on_nz = np.zeros(len(cand), dtype=bool)
+                    if nnz:
+                        iic = np.minimum(np.searchsorted(nz_set, cand),
+                                         nnz - 1)
+                        on_nz = nz_set[iic] == cand
+                    gap_seeds = cand[~on_nz]
+                    if len(gap_seeds):
+                        # only positions inside existing blocks (the range
+                        # walk skips non-existing blocks, cpp:331-339)
+                        bsel = block_exists[block_of[gap_seeds]]
+                        dels.append(gap_seeds[bsel])
                 for ja, jb, wb, we, reached_end in ranges:
-                    # seeds sitting on now-gap positions inside the walked range
-                    lo = int(np.searchsorted(p_pos, wb, side="left"))
-                    hi = int(np.searchsorted(p_pos, we, side="right"))
-                    cand = p_pos[lo:hi]
-                    if len(cand):
-                        ii = np.searchsorted(nz_set, cand)
-                        on_nz = np.zeros(len(cand), dtype=bool)
-                        if nnz:
-                            iic = np.minimum(ii, nnz - 1)
-                            on_nz = nz_set[iic] == cand
-                        gap_seeds = cand[~on_nz]
-                        if len(gap_seeds):
-                            # only for positions inside existing blocks (the range walk
-                            # skips non-existing blocks entirely, cpp:331-339)
-                            bsel = block_exists[block_of[gap_seeds]]
-                            dels.append(gap_seeds[bsel])
                     if reached_end and nnz:
-                        # tail: last k-1 non-gap positions can't seed a full k-mer
+                        # tail: last k-1 non-gap positions can't seed a k-mer
                         tail = nz[max(jb - (k - 2), 0) : jb + 1]
                         dels.append(tail)
                 if edits.potential_dels:
