@@ -46,10 +46,18 @@ from .core import END_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 I16 = jnp.int16
 NEG = -(1 << 14)  # i16 floor with headroom for GAP_OPEN + row gap_pen offsets
-# int16 state is the default (2x lane density); if Mosaic rejects an i16 op
-# on some hardware/toolchain, banded_sw_scores retries once with int32 and
-# pins it for the process (same kernel code, dtype threaded through).
-_DT_FALLBACK = {"state": None}
+# The int16 formulation (2x lane density at (16,128) tiling) is implemented
+# and bit-equal in interpret mode, but the Mosaic toolchain in this image
+# rejects i16 vector ops ("Reductions over int16 not implemented";
+# arith.maxsi on vector<8x128x2xi16> crashes), so int32 state is the
+# DEFAULT on hardware: a failed i16 compile costs ~30 s of remote-compile
+# latency per fresh process before the fallback.  Set PANMAP_SW_I16=1 to
+# try i16 first on a newer toolchain — banded_sw_scores still auto-retries
+# with i32 and pins whichever works.
+import os as _os
+
+_DT_FALLBACK = {"state": None if _os.environ.get("PANMAP_SW_I16") == "1"
+                else "int32"}
 TILE = 128  # read/window pairs per grid step
 ROWS = 16  # DP rows per grid step (amortizes per-step grid overhead)
 
@@ -80,9 +88,8 @@ def _make_sw_kernel(I16):
         lq = q_ref.shape[1]
         qlen = qlen_ref[:, 0]  # [TILE] i32
 
-        r_codes = r_ref[:]  # (TILE, LW) i16
+        r_codes = r_ref[:]  # (TILE, LW) state dtype
         idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, lw), 1)
-        idx16 = idx.astype(I16)
         gap_pen = (idx * GAP_EXT).astype(I16)
         ext_off = jnp.maximum(gap_pen - I16(GAP_EXT), I16(0))
 
@@ -99,9 +106,9 @@ def _make_sw_kernel(I16):
         def _init():
             h_scr[:] = jnp.full((TILE, lw), END_BONUS, I16)
             f_scr[:] = jnp.full((TILE, lw), NEG, I16)
-            bs_scr[:] = jnp.zeros((TILE, 128), I16)
-            bi_scr[:] = jnp.zeros((TILE, 128), I16)
-            bj_scr[:] = jnp.zeros((TILE, 128), I16)
+            bs_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
+            bi_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
+            bj_scr[:] = jnp.zeros((TILE, 128), jnp.int32)
 
         for r in range(ROWS):
             i = ib * ROWS + r
@@ -126,24 +133,27 @@ def _make_sw_kernel(I16):
             f_scr[:] = f_row
 
             in_query = (i < qlen)[:, None]
-            bonus = jnp.where(i == qlen - 1, END_BONUS, 0).astype(I16)[:, None]
-            rowmax = jnp.max(h_row, axis=1, keepdims=True)
+            bonus = jnp.where(i == qlen - 1, END_BONUS, 0)[:, None]
+            # Mosaic has no int16 REDUCTIONS: widen the row once and reduce
+            # in i32 (2 ops/row; every other row op stays in i16 lanes)
+            h32 = h_row.astype(jnp.int32)
+            rowmax = jnp.max(h32, axis=1, keepdims=True)
             row_best = rowmax + bonus
             # int argmax is unsupported in Mosaic: masked min-index first-match
-            jrow = jnp.min(jnp.where(h_row == rowmax, idx16, I16(lw)),
+            jrow = jnp.min(jnp.where(h32 == rowmax, idx, lw),
                            axis=1, keepdims=True)
             better = in_query & (row_best > bs_scr[:])  # lanes equal: safe
             bs_scr[:] = jnp.where(better, row_best, bs_scr[:])
-            bi_scr[:] = jnp.where(better, I16(i + 1), bi_scr[:])
-            bj_scr[:] = jnp.where(better, jrow + I16(1), bj_scr[:])
+            bi_scr[:] = jnp.where(better, i + 1, bi_scr[:])
+            bj_scr[:] = jnp.where(better, jrow + 1, bj_scr[:])
 
         @pl.when(ib == n_steps - 1)
         def _emit():
             colid = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
             out_ref[:] = jnp.where(
-                colid == 0, bs_scr[:].astype(jnp.int32),
-                jnp.where(colid == 1, bi_scr[:].astype(jnp.int32),
-                          jnp.where(colid == 2, bj_scr[:].astype(jnp.int32), 0)))
+                colid == 0, bs_scr[:],
+                jnp.where(colid == 1, bi_scr[:],
+                          jnp.where(colid == 2, bj_scr[:], 0)))
 
     return _sw_kernel
 
@@ -212,9 +222,9 @@ def _sw_call(q8, r8, qlens1, interpret, wide=False):
         scratch_shapes=[
             pltpu.VMEM((TILE, LW), dt),
             pltpu.VMEM((TILE, LW), dt),
-            pltpu.VMEM((TILE, 128), dt),
-            pltpu.VMEM((TILE, 128), dt),
-            pltpu.VMEM((TILE, 128), dt),
+            pltpu.VMEM((TILE, 128), jnp.int32),  # best trackers reduce in i32
+            pltpu.VMEM((TILE, 128), jnp.int32),
+            pltpu.VMEM((TILE, 128), jnp.int32),
         ],
         interpret=interpret,
     )(q, r, qlens)

@@ -262,3 +262,34 @@ def test_aligner_arrays_async_deferred_identical():
         np.testing.assert_array_equal(base[key], got[key], err_msg=key)
     np.testing.assert_array_equal(base["cig"], got["cig"])
     assert base["extra_cigars"] == got["extra_cigars"]
+
+
+def test_kernel_i16_i32_state_equal():
+    """The int16 formulation (opt-in: PANMAP_SW_I16=1 on toolchains whose
+    Mosaic supports i16 vector ops) must stay bit-equal to the default
+    int32 state."""
+    import jax.numpy as jnp
+
+    from panmap_tpu.align.pallas_sw import _sw_call
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.integers(0, 4, (8, 160)).astype(np.int8))
+    r = jnp.asarray(rng.integers(0, 4, (8, 384)).astype(np.int8))
+    ql = jnp.asarray(np.full(8, 151, np.int32))
+    import panmap_tpu.align.pallas_sw as P
+
+    a = np.asarray(P._sw_call(
+        jnp.asarray(np.pad(np.asarray(q), ((0, P.TILE - 8), (0, 0)),
+                           constant_values=4)),
+        jnp.asarray(np.pad(np.asarray(r), ((0, P.TILE - 8), (0, 0)),
+                           constant_values=4)),
+        jnp.asarray(np.pad(np.asarray(ql), (0, P.TILE - 8))),
+        True, False))
+    b = np.asarray(P._sw_call(
+        jnp.asarray(np.pad(np.asarray(q), ((0, P.TILE - 8), (0, 0)),
+                           constant_values=4)),
+        jnp.asarray(np.pad(np.asarray(r), ((0, P.TILE - 8), (0, 0)),
+                           constant_values=4)),
+        jnp.asarray(np.pad(np.asarray(ql), (0, P.TILE - 8))),
+        True, True))
+    assert np.array_equal(a, b)
