@@ -288,78 +288,94 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
         # place/query_tpu.py::place_exact); any guard trip returns None and
         # the full f64 host engine runs instead.
         # dump-all-scores/refine need the full f64 matrix: host engine.
+        # COLD-DISPATCH RACE: over a remote accelerator link the FIRST
+        # device call pays trace + XLA compile synchronously inside
+        # place_exact_async (minutes when the remote compile cache misses),
+        # so for a cold placer the WHOLE device leg — dispatch AND resolve —
+        # runs on a thread, racing the host f64 engine (byte-identical by
+        # the exact-rescue contract); whichever finishes first wins.  Warm
+        # placers (second sample onward, or a local chip) dispatch inline.
+        placer = None
         try:
             placer = _get_placer(idx, cfg)
-            fin0 = placer.place_exact_async(sk, force_leaf=cfg.force_leaf)
-        except Exception as e:  # device unavailable/capacity: host fallback
+        except Exception as e:
             cfg.log(f"[place] device path unavailable ({e}); host engine")
-            fin0 = None
-        if (fin0 is not None and not getattr(placer, "_race_warmed", False)
-                and os.environ.get("PANMAP_PLACE_RACE", "1") != "0"):
-            # COLD-DISPATCH RACE: over a remote accelerator link the first
-            # dispatch pays XLA compile (tens of seconds when the persistent
-            # cache misses); the host f64 engine answers the same single
-            # query in a few seconds and is byte-identical by contract, so
-            # run it concurrently and take whichever finishes first.  Warm
-            # placers (second sample onward, or a local chip) skip the race.
+        want_race = (
+            placer is not None
+            and not getattr(placer, "_race_warmed", False)
+            and os.environ.get("PANMAP_PLACE_RACE", "1") != "0"
+            and os.environ.get("PALLAS_AXON_POOL_IPS"))
+        if want_race:
             from .utils.devinit import local_accelerator_attached
 
-            if (os.environ.get("PALLAS_AXON_POOL_IPS")
-                    and not local_accelerator_attached()):
-                import threading as _th
+            want_race = not local_accelerator_attached()
+        if placer is not None and not want_race:
+            try:
+                fin0 = placer.place_exact_async(sk, force_leaf=cfg.force_leaf)
+            except Exception as e:  # device unavailable/capacity
+                cfg.log(f"[place] device path unavailable ({e}); host engine")
+                fin0 = None
+        elif want_race:
+            import threading as _th
 
-                race_box = {"ev": _th.Event()}
+            race_box = {"ev": _th.Event(), "dev_ev": _th.Event()}
 
-                def _host_race():
-                    try:
-                        race_box["res"] = score_nodes(
-                            idx, sk, force_leaf=cfg.force_leaf)
-                    except Exception as e:  # surfaced via finish()
-                        race_box["err"] = e
-                    race_box["ev"].set()
+            def _host_race():
+                try:
+                    race_box["res"] = score_nodes(
+                        idx, sk, force_leaf=cfg.force_leaf)
+                except Exception as e:  # surfaced via finish()
+                    race_box["err"] = e
+                race_box["ev"].set()
 
-                _th.Thread(target=_host_race, daemon=True,
-                           name="place-host-race").start()
+            def _dev_race():
+                try:
+                    fin = placer.place_exact_async(
+                        sk, force_leaf=cfg.force_leaf)
+                    race_box["dev_res"] = fin()
+                    if race_box["dev_res"] is not None:
+                        # compiled + answered: later samples dispatch inline
+                        placer._race_warmed = True
+                except Exception as e:
+                    race_box["dev_err"] = e
+                race_box["dev_ev"].set()
+
+            _th.Thread(target=_host_race, daemon=True,
+                       name="place-host-race").start()
+            _th.Thread(target=_dev_race, daemon=True,
+                       name="place-dev-race").start()
 
     n_seqs = len(seqs)
 
     def finish():
         res = None
-        if fin0 is not None and race_box is not None:
-            import queue
-            import threading as _th
-
-            q: queue.Queue = queue.Queue()
-
-            def _dev():
-                try:
-                    q.put(("dev", fin0(), None))
-                except Exception as e:
-                    q.put(("dev", None, e))
-
-            _th.Thread(target=_dev, daemon=True,
-                       name="place-dev-race").start()
-
-            def _host_watch():
-                race_box["ev"].wait()
-                q.put(("host", race_box.get("res"), race_box.get("err")))
-
-            _th.Thread(target=_host_watch, daemon=True).start()
-            for _ in range(2):
-                tag, r, err = q.get()
-                if tag == "dev":
+        if race_box is not None:
+            dev_done = host_done = False
+            while not (dev_done and host_done):
+                if not dev_done and race_box["dev_ev"].is_set():
+                    dev_done = True
+                    r = race_box.get("dev_res")
                     if r is not None:
                         res = r
                         placer._race_warmed = True
                         break
+                    err = race_box.get("dev_err")
                     cfg.log("[place] device path "
                             f"{'failed: ' + str(err) if err else 'inconclusive'}"
                             "; host engine result")
-                elif err is None and r is not None:
-                    cfg.log("[place] host engine won the cold-dispatch race "
-                            "(device compile in flight; identical result)")
-                    res = r
-                    break
+                    continue
+                if not host_done and race_box["ev"].is_set():
+                    host_done = True
+                    if "res" in race_box:
+                        res = race_box["res"]
+                        if not dev_done:
+                            cfg.log("[place] host engine won the "
+                                    "cold-dispatch race (device compile in "
+                                    "flight; identical result)")
+                        break
+                    continue
+                (race_box["ev"] if dev_done
+                 else race_box["dev_ev"]).wait(0.05)
             # both legs failed/inconclusive: fall through to the serial
             # host engine below, exactly like the non-race path (a race-leg
             # error must not make placement LESS robust than no race)
