@@ -549,17 +549,18 @@ def roofline(log, idx, dt_place, st, on_device, placer, seqs):
     try:
         import jax.numpy as jnp
 
-        from panmap_tpu.align.pallas_sw import _sw_call
+        from panmap_tpu.align.pallas_sw import _DT_FALLBACK, _sw_call
 
         rngk = np.random.default_rng(1)
         Bk, LQk, LWk = 4096, 256, 512
         q8 = jnp.asarray(rngk.integers(0, 4, (Bk, LQk)).astype(np.int8))
         r8 = jnp.asarray(rngk.integers(0, 4, (Bk, LWk)).astype(np.int8))
         qlk = jnp.asarray(np.full(Bk, 151, np.int32))
-        np.asarray(_sw_call(q8, r8, qlk, False))  # compile+warm
+        wide = _DT_FALLBACK["state"] == "int32"  # toolchain dtype policy
+        np.asarray(_sw_call(q8, r8, qlk, False, wide))  # compile+warm
         Kq = 8
         t0 = time.time()
-        outsk = [_sw_call(q8, r8, qlk, False) for _ in range(Kq)]
+        outsk = [_sw_call(q8, r8, qlk, False, wide) for _ in range(Kq)]
         np.asarray(outsk[-1])
         dtk = (time.time() - t0) / Kq
         gck = Bk * LQk * LWk / dtk
