@@ -389,9 +389,23 @@ def main(argv=None):
     return run_pipeline(cfg) or 0
 
 
+def _exit(rc: int):
+    """sys.exit, except hard (os._exit) when a cold-dispatch race left a
+    device thread mid-dispatch — normal teardown would SIGABRT in the
+    runtime client and turn a successful run into rc=-6."""
+    from .pipeline import RACE_LEFTOVER
+
+    t = RACE_LEFTOVER.get("thread")
+    if t is not None and t.is_alive():
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
     try:
-        sys.exit(main())
+        _exit(main())
     except KeyboardInterrupt:
         # reference signal handler semantics (logging.hpp:427-459): exit 130
         print("interrupted", file=sys.stderr)

@@ -342,8 +342,10 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
 
             _th.Thread(target=_host_race, daemon=True,
                        name="place-host-race").start()
-            _th.Thread(target=_dev_race, daemon=True,
-                       name="place-dev-race").start()
+            _dev_t = _th.Thread(target=_dev_race, daemon=True,
+                                name="place-dev-race")
+            _dev_t.start()
+            race_box["dev_thread"] = _dev_t
 
     n_seqs = len(seqs)
 
@@ -379,6 +381,12 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
             # both legs failed/inconclusive: fall through to the serial
             # host engine below, exactly like the non-race path (a race-leg
             # error must not make placement LESS robust than no race)
+            if not race_box["dev_ev"].is_set():
+                # the abandoned device thread is mid-dispatch inside the
+                # runtime; normal interpreter teardown aborts the process
+                # (C++ "exception not rethrown") — __main__ hard-exits
+                # instead once outputs are flushed
+                RACE_LEFTOVER["thread"] = race_box["dev_thread"]
         elif fin0 is not None:
             try:
                 res = fin0()
@@ -1200,6 +1208,12 @@ def run_pipeline(cfg: PipelineConfig):
             jax.profiler.stop_trace()
             cfg.log(f"[profile] trace written to {cfg.profile_dir}")
     return _run_pipeline_inner(cfg)
+
+
+# set when a cold-dispatch race abandons a device thread mid-dispatch; the
+# CLI entrypoint hard-exits (os._exit) in that case because interpreter
+# teardown with a thread inside the runtime client aborts the process
+RACE_LEFTOVER: dict = {}
 
 
 def _run_pipeline_inner(cfg: PipelineConfig):
