@@ -390,17 +390,15 @@ def main(argv=None):
 
 
 def _exit(rc: int):
-    """sys.exit, except hard (os._exit) when a cold-dispatch race left a
-    device thread mid-dispatch — normal teardown would SIGABRT in the
-    runtime client and turn a successful run into rc=-6."""
-    from .pipeline import RACE_LEFTOVER
-
-    t = RACE_LEFTOVER.get("thread")
-    if t is not None and t.is_alive():
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os._exit(rc)
-    sys.exit(rc)
+    """Hard process exit (os._exit) after flushing stdio: every artifact is
+    written and closed by the stage code, atexit-level work is done inside
+    run_pipeline (try/finally), and interpreter finalization costs ~2 s of
+    DSO/runtime teardown on top — or SIGABRTs outright when a cold-dispatch
+    race left a device thread mid-dispatch.  The reference binary's C++
+    main returns straight to _exit the same way."""
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
 
 
 if __name__ == "__main__":

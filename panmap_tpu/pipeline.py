@@ -269,10 +269,22 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
                             .tolist()):
                 fh.write(f"{h}\t{c}\n")
         cfg.log(f"[place] wrote {path} ({len(sk.sorted_hashes)} seeds)")
+    _one_shot_remote = False
     if cfg.device_place and not (cfg.dump_all_scores or cfg.refine):
+        from .utils.devinit import local_accelerator_attached
+
+        _one_shot_remote = (
+            bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            and not local_accelerator_attached()
+            and not cfg.batch_file
+            and os.environ.get("PANMAP_PLACE_RACE", "auto") == "auto"
+            and not cfg.verify_scores)
+    if (cfg.device_place and not _one_shot_remote
+            and not (cfg.dump_all_scores or cfg.refine)):
         # watchdog: a wedged remote tunnel can hang the FIRST dispatch
         # forever while jax.devices() looks healthy — bound the wait and
         # fall back to the host engines (placement AND alignment) instead
+        # (skipped entirely in one-shot remote mode, which never dispatches)
         from .utils.devinit import device_usable
 
         if not device_usable():
@@ -295,20 +307,35 @@ def run_placement(cfg: PipelineConfig, idx: IndexArrays, _async: bool = False):
         # runs on a thread, racing the host f64 engine (byte-identical by
         # the exact-rescue contract); whichever finishes first wins.  Warm
         # placers (second sample onward, or a local chip) dispatch inline.
+        from .utils.devinit import local_accelerator_attached
+
+        race_mode = os.environ.get("PANMAP_PLACE_RACE", "auto")
+        remote = (bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+                  and not local_accelerator_attached())
         placer = None
-        try:
-            placer = _get_placer(idx, cfg)
-        except Exception as e:
-            cfg.log(f"[place] device path unavailable ({e}); host engine")
+        if _one_shot_remote:
+            # ONE-SHOT on a remote link: this process compiles the placement
+            # program exactly once and uses it for ONE query — on a
+            # compile-service without cross-process caching that compile
+            # (minutes) is never amortized, and even as a racing thread it
+            # burns a core through the rest of the pipeline.  The host f64
+            # engine is byte-identical by contract and answers in seconds,
+            # so skip the device leg outright (PANMAP_PLACE_RACE=force
+            # re-enables the race; batch mode and local chips are unchanged:
+            # there the compile amortizes across samples / is fast).
+            cfg.log("[place] one-shot remote link: host engine "
+                    "(device program reserved for batch/local runs; "
+                    "PANMAP_PLACE_RACE=force overrides)")
+        else:
+            try:
+                placer = _get_placer(idx, cfg)
+            except Exception as e:
+                cfg.log(f"[place] device path unavailable ({e}); host engine")
         want_race = (
             placer is not None
             and not getattr(placer, "_race_warmed", False)
-            and os.environ.get("PANMAP_PLACE_RACE", "1") != "0"
-            and os.environ.get("PALLAS_AXON_POOL_IPS"))
-        if want_race:
-            from .utils.devinit import local_accelerator_attached
-
-            want_race = not local_accelerator_attached()
+            and race_mode != "0"
+            and remote)
         if placer is not None and not want_race:
             try:
                 fin0 = placer.place_exact_async(sk, force_leaf=cfg.force_leaf)
@@ -1216,15 +1243,40 @@ def run_pipeline(cfg: PipelineConfig):
 RACE_LEFTOVER: dict = {}
 
 
+def _one_shot_remote_mode(cfg: PipelineConfig) -> bool:
+    """True when this process will place ONE sample over a remote
+    accelerator link and no stage is forced onto the device: placement uses
+    the byte-identical host engine (see run_placement), so the backend
+    handshake (and its ~2 s client teardown at exit) is pure cost and the
+    warmup is skipped too."""
+    if cfg.batch_file or cfg.verify_scores:
+        return False
+    if os.environ.get("PANMAP_PLACE_RACE", "auto") != "auto":
+        return False
+    if getattr(cfg, "device_pileup", "auto") == "on":
+        return False
+    if (os.environ.get("PANMAP_PALLAS") or os.environ.get("PANMAP_PALLAS_LONG")
+            or os.environ.get("PANMAP_PALLAS_MIN_WINDOWS")
+            or os.environ.get("PANMAP_PALLAS_MIN_WINDOWS_ASYNC")):
+        return False
+    from .utils.devinit import local_accelerator_attached
+
+    return (bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            and not local_accelerator_attached())
+
+
 def _run_pipeline_inner(cfg: PipelineConfig):
     if cfg.batch_file:
         return run_batch(cfg)
     tree = None
-    if cfg.reads1 and cfg.stop != "index" and index_cache_ready(cfg):
+    if (cfg.reads1 and cfg.stop != "index" and index_cache_ready(cfg)
+            and not _one_shot_remote_mode(cfg)):
         # cached index -> ensure_index will not fork build workers, so the
         # backend handshake (~import jax + client construction, the longest
         # serial prefix of a warm run) can start NOW and ride under the
-        # index load + read parse + host sketch
+        # index load + read parse + host sketch (skipped in one-shot remote
+        # mode: no stage will dispatch, and the client teardown alone costs
+        # ~2 s at exit)
         from .utils.devinit import warm_backend_async
 
         warm_backend_async()
@@ -1238,12 +1290,13 @@ def _run_pipeline_inner(cfg: PipelineConfig):
                 f"{cfg.export_ref_idx}")
     if cfg.stop == "index" or not cfg.reads1:
         return
-    # backend handshake (~5-10 s over the remote tunnel) on a daemon thread
-    # while the host reads/sketches; index-build forking happened inside
-    # ensure_index above
-    from .utils.devinit import warm_backend_async
+    if not _one_shot_remote_mode(cfg):
+        # backend handshake (~5-10 s over the remote tunnel) on a daemon
+        # thread while the host reads/sketches; index-build forking happened
+        # inside ensure_index above
+        from .utils.devinit import warm_backend_async
 
-    warm_backend_async()
+        warm_backend_async()
     # the tree is only needed from the align stage on: prefetch it on a
     # worker thread while placement runs (the reference pays this reload
     # serially, main.cpp:1771)

@@ -1013,9 +1013,11 @@ def test_place_cold_dispatch_race_identical(rsv_index, outdir, monkeypatch):
     def one(tag, race):
         if race:
             monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "203.0.113.1")
+            monkeypatch.setenv("PANMAP_PLACE_RACE", "force")
             monkeypatch.delenv("TPU_NAME", raising=False)
         else:
             monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+            monkeypatch.delenv("PANMAP_PLACE_RACE", raising=False)
         cfg = PipelineConfig(panman=PANMAN, reads1=reads,
                              output=str(outdir / f"race_{tag}"),
                              index_path=rsv_index)
