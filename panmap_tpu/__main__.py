@@ -395,7 +395,16 @@ def _exit(rc: int):
     run_pipeline (try/finally), and interpreter finalization costs ~2 s of
     DSO/runtime teardown on top — or SIGABRTs outright when a cold-dispatch
     race left a device thread mid-dispatch.  The reference binary's C++
-    main returns straight to _exit the same way."""
+    main returns straight to _exit the same way.
+
+    EXCEPTION: multi-host runs exit normally — process 0 hosts the
+    jax.distributed coordinator, and hard-exiting it severs peers that are
+    still finishing (graceful teardown runs jax.distributed.shutdown)."""
+    from .parallel.dist import maybe_initialize
+
+    if (getattr(maybe_initialize, "_done", False)
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        sys.exit(rc)
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(rc)
